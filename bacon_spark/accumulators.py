@@ -1,0 +1,231 @@
+"""Accumulators: aggregate builders compiling to built-in Spark expressions.
+
+Re-expression of the reference's accumulator set
+(/root/reference/bacon/accumulators.py) as *composed Catalyst aggregate
+expressions* — never Python UDAFs — so partial aggregation, whole-stage
+codegen, and AQE all apply. Every accumulator here is combinable
+(partial/final), matching the reference's ``add``/``__iadd__`` contract that
+its slice-reuse and totals machinery rely on
+(/root/reference/bacon/cutting.py:391-400,
+/root/reference/bacon/observers/tables.py:285-296).
+
+Reference-divergent semantics deliberately preserved (SURVEY §7 hard parts):
+
+* ``Average`` divides by the TOTAL row count including null inputs
+  (/root/reference/bacon/accumulators.py:157-176) — NOT SQL ``AVG``.
+* ``Sum`` of an all-null group is null, not 0
+  (/root/reference/bacon/accumulators.py:20-43) — native ``F.sum`` matches.
+* ``Group`` yields the single distinct value (null counts as a value) else
+  null (/root/reference/bacon/accumulators.py:259-296).
+* ``StdDev`` merge yields Inconsistent in the reference
+  (/root/reference/bacon/accumulators.py:227-228); Spark's stddev_samp is
+  properly combinable — strictly better — so totals rows render null to
+  honor reference behavior (handled in observers, not here).
+
+For re-aggregation (slice rollup reuse, totals), each accumulator exposes
+``partials`` (map-side columns) and ``merge`` (how to re-aggregate a
+partial), mirroring Spark's own partial-agg contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class Accumulator:
+    """Base: builds the final aggregate Column for an input expression."""
+
+    #: can the finished value be re-aggregated by simple re-application?
+    reaggregatable = False
+
+    def agg(self, c: Column) -> Column:
+        raise NotImplementedError
+
+    def merge(self, finished: Column) -> Column:
+        """Re-aggregate an already-finished column of this accumulator
+        (used by rollup reuse over cached results). Only valid when
+        ``reaggregatable``."""
+        raise NotImplementedError
+
+    def sql(self, expr: str) -> str:
+        """ANSI-SQL form of this aggregate over *expr* (the pushdown path,
+        reference ``manipulate_sql``, /root/reference/bacon/accumulators.py:48-50)."""
+        raise NotImplementedError
+
+
+class Sum(Accumulator):
+    """Null-skipping sum; all-null group -> null
+    (/root/reference/bacon/accumulators.py:20-50)."""
+
+    reaggregatable = True
+
+    def agg(self, c):
+        return F.sum(c)
+
+    def merge(self, finished):
+        return F.sum(finished)
+
+    def sql(self, expr):
+        return f"sum({expr})"
+
+
+class Count(Accumulator):
+    """Counts ROWS, not non-null values
+    (/root/reference/bacon/accumulators.py:137-154)."""
+
+    reaggregatable = False  # merging needs sum, not count
+
+    def agg(self, c):
+        return F.count(F.lit(1))
+
+    def merge(self, finished):
+        return F.sum(finished)
+
+    def sql(self, expr):
+        return "count(*)"
+
+
+class Min(Accumulator):
+    reaggregatable = True
+
+    def agg(self, c):
+        return F.min(c)
+
+    def merge(self, finished):
+        return F.min(finished)
+
+    def sql(self, expr):
+        return f"min({expr})"
+
+
+class Max(Accumulator):
+    reaggregatable = True
+
+    def agg(self, c):
+        return F.max(c)
+
+    def merge(self, finished):
+        return F.max(finished)
+
+    def sql(self, expr):
+        return f"max({expr})"
+
+
+class Average(Accumulator):
+    """sum(x) / count(*) — denominator counts ALL rows including nulls,
+    diverging from SQL AVG (/root/reference/bacon/accumulators.py:157-190)."""
+
+    def agg(self, c):
+        # divide in double: if the input is an exact decimal expression the
+        # numerator is deterministic, and double division is IEEE-exact, so
+        # results are bit-identical across engines (oracle-hash safe)
+        return F.sum(c).cast("double") / F.count(F.lit(1))
+
+    def sql(self, expr):
+        return f"cast(sum({expr}) as double) / count(*)"
+
+
+class StdDev(Accumulator):
+    """Welford sample stddev (/root/reference/bacon/accumulators.py:193-231).
+    Spark's stddev_samp is numerically equivalent and combinable."""
+
+    def agg(self, c):
+        return F.stddev_samp(c)
+
+    def sql(self, expr):
+        return f"stddev_samp({expr})"
+
+
+class Union(Accumulator):
+    """Set union of set-valued inputs, plus a saw-empty flag
+    (/root/reference/bacon/accumulators.py:53-76). Result is a struct
+    ``(values sorted array, included_empty)``; null/empty inputs set the
+    flag (make_set conflation, /root/reference/bacon/cutting.py:788-796)."""
+
+    reaggregatable = False
+
+    def agg(self, c):
+        cleaned = F.filter(F.coalesce(c, F.array()), lambda x: x.isNotNull() & (x != F.lit("")))
+        values = F.sort_array(F.array_distinct(F.flatten(F.collect_list(cleaned))))
+        included_empty = F.max((c.isNull() | (F.size(cleaned) == 0)).cast("int")) == 1
+        return F.struct(values.alias("values"), included_empty.alias("included_empty"))
+
+
+class Group(Accumulator):
+    """'The' single distinct value of a label within the group, else null;
+    null counts as a distinct value (/root/reference/bacon/accumulators.py:259-296).
+    ``count_distinct`` ignores nulls, so add an explicit has-null term."""
+
+    def agg(self, c):
+        n_distinct = F.count_distinct(c) + F.max(c.isNull().cast("int"))
+        return F.when(n_distinct == 1, F.min(c))
+
+    def sql(self, expr):
+        return (
+            f"CASE WHEN count(DISTINCT {expr}) + max(CASE WHEN {expr} IS NULL THEN 1 ELSE 0 END) = 1 "
+            f"THEN min({expr}) END"
+        )
+
+
+class LabeledAcc(Accumulator):
+    """Inner accumulator guarded by a context label: if the group spans more
+    than one label value the result is Inconsistent -> null
+    (/root/reference/bacon/accumulators.py:299-352). E.g. 'sum of amounts,
+    but only if they are all in the same currency'."""
+
+    def __init__(self, label_expr: str | Column, inner: Accumulator):
+        self.label_expr = label_expr
+        self.inner = inner
+
+    def _label_col(self) -> Column:
+        le = self.label_expr
+        return F.expr(le) if isinstance(le, str) else le
+
+    def agg(self, c):
+        lab = self._label_col()
+        n_distinct = F.count_distinct(lab) + F.max(lab.isNull().cast("int"))
+        return F.when(n_distinct <= 1, self.inner.agg(c))
+
+
+class RatioSum(Accumulator):
+    """sum(num)/sum(den); null or zero denominator -> null
+    (/root/reference/bacon/accumulators.py:355-393)."""
+
+    def __init__(self, num: str | Column, den: str | Column):
+        self.num = num
+        self.den = den
+
+    @staticmethod
+    def _col(e) -> Column:
+        return F.expr(e) if isinstance(e, str) else e
+
+    def agg(self, c):  # input expression ignored; uses num/den
+        s_num = F.sum(self._col(self.num))
+        s_den = F.sum(self._col(self.den))
+        # double division (see Average.agg for the determinism rationale)
+        return F.when(s_den != 0, s_num.cast("double") / s_den.cast("double"))
+
+    def sql(self, expr):
+        num = self.num if isinstance(self.num, str) else None
+        den = self.den if isinstance(self.den, str) else None
+        return f"cast(sum({num}) as double) / nullif(cast(sum({den}) as double), 0)"
+
+
+class CountDistinct(Accumulator):
+    """Engine extension (the reference only reaches distinctness via
+    Group/Union, SURVEY §2.3): exact distinct count."""
+
+    def agg(self, c):
+        return F.count_distinct(c)
+
+    def sql(self, expr):
+        return f"count(DISTINCT {expr})"
+
+
+class CollectSet(Accumulator):
+    """Engine extension: distinct values as a sorted array (scale-safe form
+    of the reference's Union for scalar inputs)."""
+
+    def agg(self, c):
+        return F.sort_array(F.collect_set(c))

@@ -1,0 +1,328 @@
+"""Execution engine: CubeQuery -> DataFrame plan -> Slice.
+
+Spark-first replacement for the reference's CuttingBoard
+(/root/reference/bacon/cutting.py): where the reference streams Python
+records through exec-compiled closures into a hash-agg dict
+(/root/reference/bacon/cutting.py:87-116,696-749), we declare
+``df.filter(...).groupBy(axes).agg(values).orderBy(...)`` and let Catalyst
+and Tungsten own predicate pushdown, column pruning, partial aggregation,
+whole-stage codegen, shuffle and spill.
+
+The reference's cross-query slice cache with cost-based reuse
+(/root/reference/bacon/cutting.py:137-202,235-522) survives as an
+engine-level LRU of persisted result DataFrames with three strategies:
+
+* exact reuse (same axes/filters, value superset) — pointer share, cost 1
+  (ReuseCachedSlice, /root/reference/bacon/cutting.py:235-271);
+* drill pushdown (new eq-filter on an axis of a cached slice) — filter the
+  cached *result*, cost 2 (DrillOnFirstAxis, /root/reference/bacon/
+  cutting.py:274-333 — Catalyst prunes the tiny cached plan);
+* roll-up (coarser axes over same filters, re-aggregatable measures) —
+  re-aggregate the cached result, cost 10 (ManipulateSlice,
+  /root/reference/bacon/cutting.py:336-522) — sound exactly because every
+  accumulator keeps the partial/final contract.
+
+Scale note (100 TB): cube *results* are small (bounded by group count) even
+when inputs are huge, so persisting results is cheap; the wins come from
+never re-scanning the fact table for drill/roll-up navigation sequences,
+which is precisely the reference's design intent.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import OrderedDict
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .cubedef import CubeDef
+from .cubequery import CubeQuery
+from .errors import QueryError
+from .filters import build_predicate, combine_filters
+
+__all__ = ["CuttingBoard", "Slice"]
+
+
+def _freeze_value(v):
+    if isinstance(v, (set, frozenset)):
+        return frozenset(v)
+    if isinstance(v, list):
+        return tuple(v)
+    return v
+
+
+def _cache_key(query: CubeQuery):
+    return (
+        query.axes,
+        frozenset((n, op, _freeze_value(v)) for n, op, v in query.filters),
+    )
+
+
+class CuttingBoard:
+    """Answers CubeQuery objects over a DataFrame, with result caching.
+
+    Reference CuttingBoard (/root/reference/bacon/cutting.py:37-179). The
+    dataset here is any DataFrame — a parquet scan, a star-schema join view
+    (sources/star.py), or a streaming source.
+    """
+
+    CACHE_SIZE = 20  # reference cap (/root/reference/bacon/cutting.py:183)
+
+    def __init__(self, cubedef: CubeDef, df: DataFrame, cache_results: bool = True):
+        self.cubedef = cubedef
+        self.df = df
+        self.cache_results = cache_results
+        # key -> (query, result_df); LRU promote-on-hit like the reference
+        # deque rotation (/root/reference/bacon/cutting.py:181-202)
+        self._cache: OrderedDict = OrderedDict()
+        self._lock = threading.RLock()
+
+    # --- public API -------------------------------------------------------
+    def slice(self, query: CubeQuery) -> Slice:
+        df = self._plan(query)
+        return Slice(self.cubedef, query, df)
+
+    def rows(self, query: CubeQuery, limit: int | None = None, offset: int = 0) -> DataFrame:
+        """Raw-rows sink: unaggregated filtered records with paging
+        (reference RowsProxy/TableDetails.rows,
+        /root/reference/bacon/sql.py:340-370)."""
+        df = self.df
+        pred = self._predicate(query)
+        if pred is not None:
+            df = df.filter(pred)
+        if offset:
+            df = df.offset(offset)
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+    def clear_cache(self) -> None:
+        with self._lock:
+            for _, cached_df in self._cache.values():
+                cached_df.unpersist()
+            self._cache.clear()
+
+    # --- planning ----------------------------------------------------------
+    def _plan(self, query: CubeQuery) -> DataFrame:
+        """Choose the min-cost plan over cached slices, else compute.
+
+        Cost model mirrors the reference: 1 = pointer share, 2 = drill
+        filter, 10 = re-aggregation
+        (/root/reference/bacon/cutting.py:146-167,262,313-314,378-381)."""
+        if not self.cache_results:
+            return self._order(self._aggregate(query), query)
+
+        plans = []
+        with self._lock:
+            entries = list(self._cache.items())
+        for key, (cq, cdf) in entries:
+            p = self._reuse_plan(query, cq, cdf)
+            if p is not None:
+                plans.append((p[0], key, p[1]))
+                if p[0] == 1:
+                    break
+        if plans:
+            cost, key, make = min(plans, key=lambda t: t[0])
+            with self._lock:
+                if key in self._cache:
+                    self._cache.move_to_end(key)  # promote on hit
+            return self._order(make(), query)
+
+        result = self._aggregate(query)
+        result = result.persist(StorageLevel.MEMORY_AND_DISK)
+        with self._lock:
+            self._cache[_cache_key(query)] = (query, result)
+            while len(self._cache) > self.CACHE_SIZE:
+                _, (_, old) = self._cache.popitem(last=False)
+                old.unpersist()
+        return self._order(result, query)
+
+    def _reuse_plan(self, query: CubeQuery, cached_q: CubeQuery, cached_df: DataFrame):
+        """Return (cost, thunk) if the cached slice can answer *query*."""
+        wanted_vals = set(query.values)
+        if not wanted_vals <= set(cached_q.values):
+            return None
+        fq = frozenset((n, op, _freeze_value(v)) for n, op, v in query.filters)
+        fc = frozenset((n, op, _freeze_value(v)) for n, op, v in cached_q.filters)
+
+        # exact: same axes + same filters (+ value superset) -> share
+        if query.axes == cached_q.axes and fq == fc:
+            return 1, lambda: cached_df
+
+        # drill: cached axes = query axes + extra axes, and the query adds
+        # eq filters on exactly those extra axes -> filter cached RESULT
+        extra_filters = fq - fc
+        if fc <= fq and set(cached_q.axes) >= set(query.axes):
+            extra_axes = [a for a in cached_q.axes if a not in query.axes]
+            drill = {n: v for n, op, v in extra_filters if op == "eq"}
+            if len(extra_filters) == len(drill) and set(drill) == set(extra_axes):
+                if not self._reaggregatable(query, needed=bool(extra_axes)):
+                    return None
+
+                def make_drill():
+                    df = cached_df
+                    for a, v in drill.items():
+                        df = df.filter(F.col(a).isNull() if v is None else F.col(a) == F.lit(v))
+                    return self._reaggregate(df, query)
+
+                cost = 2 if not extra_axes else 10
+                # dropping the drilled axes changes grain -> re-aggregate
+                return cost, make_drill
+
+        # roll-up: same filters, query axes subset of cached axes
+        if fq == fc and set(query.axes) < set(cached_q.axes):
+            if self._reaggregatable(query, needed=True):
+                return 10, lambda: self._reaggregate(cached_df, query)
+        return None
+
+    def _reaggregatable(self, query: CubeQuery, needed: bool) -> bool:
+        if not needed:
+            return True
+        return all(self.cubedef.get_value(v).acc.reaggregatable for v in query.values)
+
+    def _reaggregate(self, df: DataFrame, query: CubeQuery) -> DataFrame:
+        aggs = [
+            self.cubedef.get_value(v).acc.merge(F.col(v)).alias(v) for v in query.values
+        ]
+        if query.axes:
+            return df.groupBy(*[F.col(a) for a in query.axes]).agg(*aggs)
+        return df.agg(*aggs)
+
+    # --- physical building blocks ------------------------------------------
+    def _predicate(self, query: CubeQuery) -> Column | None:
+        preds = []
+        for name, op, value in query.filters:
+            label = self.cubedef.get_label(name)
+            preds.append(build_predicate(label.column(), op, value))
+        return combine_filters(preds)
+
+    def _aggregate(self, query: CubeQuery) -> DataFrame:
+        df = self.df
+        pred = self._predicate(query)
+        if pred is not None:
+            df = df.filter(pred)
+
+        axis_cols = [self.cubedef.get_label(a).column().alias(a) for a in query.axes]
+        agg_cols = [self.cubedef.get_value(v).agg_column().alias(v) for v in query.values]
+
+        if not agg_cols:
+            # axes-only query: distinct combinations
+            return df.select(*axis_cols).distinct()
+        if axis_cols:
+            return df.groupBy(*axis_cols).agg(*agg_cols)
+        # dim=0 query: grand total only (/root/reference/bacon/cutting.py:111-112)
+        return df.agg(*agg_cols)
+
+    def _order(self, df: DataFrame, query: CubeQuery) -> DataFrame:
+        sort_cols: list[Column] = []
+        if query.order:
+            sign, value_name, _pivot_values = query.order
+            if value_name in df.columns:
+                # None sorts as 0 (/root/reference/bacon/observers/tables.py:258-275)
+                m = F.coalesce(F.col(value_name), F.lit(0))
+                sort_cols.append(m.desc() if sign < 0 else m.asc())
+        for a in query.axes:
+            label = self.cubedef.get_label(a)
+            sort_cols.append(label.order_column())
+        if sort_cols:
+            df = df.orderBy(*sort_cols)
+        return df
+
+
+class Slice:
+    """A query result: lazily-collected nested view over the result frame.
+
+    Reference Slice (/root/reference/bacon/cutting.py:525-645): nested dict
+    keyed by axis values level by level, leaves = measure records;
+    ``slice[v]`` peels one axis; iteration yields axis values in label-key
+    order (nulls first). Here the heavy lifting stays in Spark — the slice
+    only collects the (small, aggregated) result.
+    """
+
+    def __init__(self, cubedef: CubeDef, query: CubeQuery, df: DataFrame, _prefix=()):
+        self.cubedef = cubedef
+        self.query = query
+        self.df = df
+        self._prefix = _prefix
+        self._tree = None
+
+    # --- Spark-side access --------------------------------------------------
+    def to_df(self) -> DataFrame:
+        return self.df
+
+    def explain(self, mode: str = "formatted") -> None:  # pragma: no cover
+        self.df.explain(mode)
+
+    # --- collected navigation ------------------------------------------------
+    @property
+    def axes(self) -> tuple[str, ...]:
+        return self.query.axes[len(self._prefix):]
+
+    def _collect(self):
+        if self._tree is None:
+            rows = self.df.collect()
+            tree: dict = {}
+            axes = self.query.axes
+            vals = self.query.values
+            for row in rows:
+                node = tree
+                for a in axes[:-1] if axes else []:
+                    node = node.setdefault(row[a], {})
+                record = {v: row[v] for v in vals}
+                if axes:
+                    node[row[axes[-1]]] = record
+                else:
+                    tree = record
+            self._tree = tree
+        return self._tree
+
+    def _subtree(self):
+        node = self._collect()
+        for key in self._prefix:
+            node = node.get(key, {})
+        return node
+
+    def __getitem__(self, value):
+        """Peel one axis (/root/reference/bacon/cutting.py:547-560)."""
+        if not self.axes:
+            raise QueryError("cannot index a 0-dimensional slice")
+        child = Slice(self.cubedef, self.query, self.df, self._prefix + (value,))
+        child._tree = self._tree
+        return child
+
+    def keys(self) -> list:
+        """Axis values in label-key order, nulls first
+        (/root/reference/bacon/cutting.py:561-575)."""
+        if not self.axes:
+            return []
+        label = self.cubedef.get_label(self.axes[0])
+        ks = list(self._subtree().keys())
+        ks.sort(key=lambda v: (v is not None, v), reverse=label.reverse)
+        return ks
+
+    def __iter__(self):
+        return iter(self.keys())
+
+    @property
+    def record(self) -> dict:
+        """Measure record at a leaf (or the grand-total record)."""
+        node = self._subtree()
+        if self.axes:
+            raise QueryError("slice still has axes; index into it first")
+        return node
+
+    def value(self, measure: str):
+        return self.record[measure]
+
+    def rows(self) -> list[dict]:
+        """Flat row dicts (axis cols + visible measure cols), in result
+        order — convenience for renderers."""
+        visible = self.query.visible_values
+        out = []
+        for row in self.df.collect():
+            d = {a: row[a] for a in self.query.axes}
+            d.update({v: row[v] for v in visible})
+            out.append(d)
+        return out

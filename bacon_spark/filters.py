@@ -1,0 +1,167 @@
+"""Filter operators: compile (label, op, value) to Catalyst predicates.
+
+Re-expression of the reference's op map
+(/root/reference/bacon/cutting.py:776-870). The reference applies plain
+Python operators to extracted record values, which gives NON-SQL null
+semantics that we preserve exactly:
+
+* ``eq None`` matches null rows (SQL ``= NULL`` never would) -> ``isNull()``.
+* ``ne v`` PASSES null rows (Python ``None != v`` is True) ->
+  ``isNull() | (col != v)``.
+* ``in {None, ...}`` matches nulls; ``ni`` passes nulls unless None is in
+  the set (/root/reference/bacon/cubedef.py:444-459).
+* ``match`` never matches null (/root/reference/bacon/cutting.py:842-844);
+  ``nmatch`` therefore PASSES null.
+* set ops conflate null / empty array / "" elements via ``make_set``
+  (/root/reference/bacon/cutting.py:788-796).
+* ordered comparisons (gt/ge/lt/le) keep SQL semantics: the reference would
+  raise TypeError comparing None, i.e. nulls never legitimately pass.
+
+Everything compiles to built-in expressions (comparisons, ``isin``,
+``rlike``, ``array_*``), so Catalyst pushes scalar predicates into the
+Parquet scan and keeps set algebra inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import and_
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .errors import QueryError
+
+__all__ = ["build_predicate", "combine_filters", "FILTER_OPS"]
+
+
+def _clean_literal_set(value) -> list[str]:
+    """The reference's make_set on the literal side: drop None and ''
+    (/root/reference/bacon/cutting.py:788-796)."""
+    if value is None:
+        return []
+    if isinstance(value, (set, frozenset, list, tuple)):
+        return sorted({str(v) for v in value if v is not None and v != ""})
+    return [str(value)] if value != "" else []
+
+
+def _clean_col_set(c: Column) -> Column:
+    """make_set on the column side: null -> [], drop null/'' elements,
+    dedupe."""
+    return F.array_distinct(
+        F.filter(F.coalesce(c, F.array()), lambda x: x.isNotNull() & (x != F.lit("")))
+    )
+
+
+def _lit_array(items: list[str]) -> Column:
+    return F.array(*[F.lit(i) for i in items]) if items else F.array().cast("array<string>")
+
+
+# --- scalar ops -----------------------------------------------------------
+
+
+def _eq(c, v):
+    return c.isNull() if v is None else c == F.lit(v)
+
+
+def _ne(c, v):
+    # Python None != v is True -> nulls pass (see module docstring)
+    return c.isNotNull() if v is None else c.isNull() | (c != F.lit(v))
+
+
+def _in(c, v):
+    vals = v if isinstance(v, (set, frozenset, list, tuple)) else {v}
+    has_null = any(x is None for x in vals)
+    rest = [x for x in vals if x is not None]
+    pred = c.isin(rest) if rest else F.lit(False)
+    return (c.isNull() | pred) if has_null else pred
+
+
+def _ni(c, v):
+    vals = v if isinstance(v, (set, frozenset, list, tuple)) else {v}
+    has_null = any(x is None for x in vals)
+    rest = [x for x in vals if x is not None]
+    not_in_rest = ~c.isin(rest) if rest else F.lit(True)
+    if has_null:
+        return c.isNotNull() & not_in_rest
+    # Python: None not in {...} is True -> nulls pass
+    return c.isNull() | not_in_rest
+
+
+def _match(c, v):
+    return c.rlike(str(v))
+
+
+def _nmatch(c, v):
+    # not(ismatch): null never matches, so "not match" passes nulls
+    return c.isNull() | ~c.rlike(str(v))
+
+
+# --- set-algebra ops (array<string> columns) ------------------------------
+
+
+def _hasall(c, v):
+    s, b = _clean_col_set(c), _clean_literal_set(v)
+    return F.size(F.array_except(_lit_array(b), s)) == 0
+
+
+def _hasany(c, v):
+    s, b = _clean_col_set(c), _clean_literal_set(v)
+    return F.size(F.array_intersect(s, _lit_array(b))) > 0
+
+
+def _hasnone(c, v):
+    s, b = _clean_col_set(c), _clean_literal_set(v)
+    return F.size(F.array_intersect(s, _lit_array(b))) == 0
+
+
+def _hasonly(c, v):
+    s, b = _clean_col_set(c), _clean_literal_set(v)
+    return F.sort_array(s) == _lit_array(b)  # b already sorted/deduped
+
+
+def _subsetof(c, v):
+    s, b = _clean_col_set(c), _clean_literal_set(v)
+    return F.size(F.array_except(s, _lit_array(b))) == 0
+
+
+FILTER_OPS = {
+    "eq": _eq,
+    "ne": _ne,
+    "gt": lambda c, v: c > F.lit(v),
+    "ge": lambda c, v: c >= F.lit(v),
+    "lt": lambda c, v: c < F.lit(v),
+    "le": lambda c, v: c <= F.lit(v),
+    "in": _in,
+    "ni": _ni,
+    "match": _match,
+    "nmatch": _nmatch,
+    "hasall": _hasall,
+    "hasany": _hasany,
+    "hasnone": _hasnone,
+    "hasonly": _hasonly,
+    "hasnotall": lambda c, v: ~_hasall(c, v),
+    "subsetof": _subsetof,
+    "notsubsetof": lambda c, v: ~_subsetof(c, v),
+    "supersetof": _hasall,
+    "notsupersetof": lambda c, v: ~_hasall(c, v),
+    "disjointfrom": _hasnone,
+    "intersects": _hasany,
+    "equals": _hasonly,
+    "notequals": lambda c, v: ~_hasonly(c, v),
+}
+
+
+def build_predicate(col: Column, op: str, value) -> Column:
+    try:
+        fn = FILTER_OPS[op]
+    except KeyError:
+        raise QueryError(f"unknown operator: {op!r}")
+    return fn(col, value)
+
+
+def combine_filters(preds: list[Column]) -> Column | None:
+    """All query filters are ANDed (/root/reference/bacon/cutting.py:873-913)."""
+    if not preds:
+        return None
+    return reduce(and_, preds)

@@ -1,0 +1,788 @@
+"""Query inventory: every operator from SURVEY §2 as a (Spark query, DuckDB
+oracle SQL) pair, keyed by name. The driver runs both at sf0.01 and
+hash-compares sorted values, so:
+
+* every computed column is aliased IDENTICALLY on both sides;
+* floating-point aggregates are made cross-engine deterministic by summing
+  in exact DECIMAL, casting the exact sum to double, and only then
+  rounding/dividing (IEEE double ops on identical inputs are bit-identical);
+* group keys avoid raw timestamps (date or formatted string instead) to
+  dodge tz-representation differences.
+
+Queries go through the engine (CubeDef/CubeQuery/CuttingBoard) wherever the
+operator under test lives there, so the oracle gate exercises the real
+execution path, not a parallel hand-written plan.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .accumulators import (
+    Average,
+    Count,
+    CountDistinct,
+    Group,
+    Max,
+    Min,
+    RatioSum,
+    StdDev,
+    Sum,
+    Union,
+)
+from .cubedef import (
+    CubeDef,
+    DayLabel,
+    DOYLabel,
+    HourLabel,
+    IntLabel,
+    Label,
+    Measure,
+    MonthLabel,
+    MonthOfYearLabel,
+    QuarterLabel,
+    QuarterNumLabel,
+    SetLabel,
+    WeekdayLabel,
+    WeekLabel,
+    YearLabel,
+)
+from .cubequery import CubeQuery
+from .engine import CuttingBoard
+from .sources.star import sales_fact
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def dec(expr: str, scale: int = 4) -> str:
+    """Exact-decimal cast for deterministic cross-engine sums."""
+    return f"cast(({expr}) as decimal(38,{scale}))"
+
+
+def finalize(df: DataFrame, rounds: dict[str, int] | None = None) -> DataFrame:
+    """Cast decimal aggregates to double (rounded) for a stable oracle
+    schema; leave other columns untouched."""
+    rounds = rounds or {}
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if f.name in rounds:
+            cols.append(F.round(c.cast("double"), rounds[f.name]).alias(f.name))
+        else:
+            cols.append(c)
+    return df.select(*cols)
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    from .sources.star import read_table
+
+    return read_table(spark, sf_dir, table)
+
+
+def board(cd: CubeDef, df: DataFrame) -> CuttingBoard:
+    return CuttingBoard(cd, df, cache_results=False)
+
+
+# ---------------------------------------------------------------------------
+# Core cube: aggregation / filter / group-by (SURVEY §2.2, §2.3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           round(cast(sum(cast(l_quantity as decimal(38,4))) as double), 2) AS sum_qty,
+           round(cast(sum(cast(l_extendedprice as decimal(38,4))) as double), 2) AS sum_base_price,
+           round(cast(sum(cast(l_extendedprice*(1-l_discount) as decimal(38,6))) as double), 2) AS sum_disc_price,
+           round(cast(sum(cast(l_extendedprice*(1-l_discount)*(1+l_tax) as decimal(38,6))) as double), 2) AS sum_charge,
+           round(cast(sum(cast(l_quantity as decimal(38,4))) as double) / count(*), 6) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE cast(l_shipdate as date) <= DATE '1998-09-01'
+    GROUP BY 1, 2
+    """,
+)
+def q01_pricing_summary(spark, sf_dir):
+    """Flagship: TPC-H Q1-shaped pricing summary through the cube engine —
+    conjunctive filter + multi-measure hash aggregation (the reference's
+    core operator, /root/reference/bacon/cutting.py:87-116)."""
+    cd = CubeDef("lineitem")
+    cd.add_label(Label("returnflag", "l_returnflag"))
+    cd.add_label(Label("linestatus", "l_linestatus"))
+    cd.add_label(DayLabel("shipdate", "l_shipdate"))
+    cd.add_measure(Measure("sum_qty", dec("l_quantity"), acc=Sum()))
+    cd.add_measure(Measure("sum_base_price", dec("l_extendedprice"), acc=Sum()))
+    cd.add_measure(Measure("sum_disc_price", dec("l_extendedprice*(1-l_discount)", 6), acc=Sum()))
+    cd.add_measure(Measure("sum_charge", dec("l_extendedprice*(1-l_discount)*(1+l_tax)", 6), acc=Sum()))
+    cd.add_measure(Measure("avg_qty", dec("l_quantity"), acc=Average()))
+    cd.add_measure(Measure("count_order", "l_quantity", acc=Count()))
+    q = (
+        CubeQuery()
+        .add_axis("returnflag")
+        .add_axis("linestatus")
+        .add_value("sum_qty")
+        .add_value("sum_base_price")
+        .add_value("sum_disc_price")
+        .add_value("sum_charge")
+        .add_value("avg_qty")
+        .add_value("count_order")
+        .add_filter("shipdate", "le", dt.date(1998, 9, 1))
+    )
+    df = board(cd, _read(spark, sf_dir, "lineitem")).slice(q).to_df()
+    return finalize(
+        df,
+        {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2, "sum_charge": 2, "avg_qty": 6},
+    )
+
+
+@query(
+    "q02_revenue_by_region_nation",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           round(cast(sum(cast(l.l_extendedprice*(1-l.l_discount) as decimal(38,6))) as double), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def q02_revenue_by_region_nation(spark, sf_dir):
+    """Star-schema join (broadcast dims) + cube over the denormalized fact
+    — bacon's pre-joined dataset re-expressed as declared joins (SURVEY
+    §2.4)."""
+    cd = CubeDef("sales")
+    cd.add_label(Label("region"))
+    cd.add_label(Label("nation", child_of="region"))
+    cd.add_measure(Measure("revenue", dec("l_extendedprice*(1-l_discount)", 6), acc=Sum()))
+    cd.add_measure(Measure("n_items", "l_orderkey", acc=Count()))
+    q = CubeQuery().add_axis("region").add_axis("nation").add_value("revenue").add_value("n_items")
+    df = board(cd, sales_fact(spark, sf_dir)).slice(q).to_df()
+    return finalize(df, {"revenue": 2})
+
+
+@query(
+    "q03_orders_by_month",
+    """
+    SELECT cast(date_trunc('month', o_orderdate) as date) AS order_month,
+           round(cast(sum(cast(o_totalprice as decimal(38,4))) as double), 2) AS total,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q03_orders_by_month(spark, sf_dir):
+    """MonthLabel date-hierarchy axis (SURVEY §1.2 date family)."""
+    cd = CubeDef("orders")
+    cd.add_label(MonthLabel("order_month", "o_orderdate"))
+    cd.add_measure(Measure("total", dec("o_totalprice"), acc=Sum()))
+    cd.add_measure(Measure("n_orders", "o_orderkey", acc=Count()))
+    q = CubeQuery().add_axis("order_month").add_value("total").add_value("n_orders")
+    df = board(cd, _read(spark, sf_dir, "orders")).slice(q).to_df()
+    return finalize(df, {"total": 2})
+
+
+@query(
+    "q04_top_customers",
+    """
+    SELECT o_custkey AS custkey,
+           round(cast(sum(cast(o_totalprice as decimal(38,4))) as double), 2) AS total
+    FROM orders
+    GROUP BY 1
+    ORDER BY total DESC, custkey ASC
+    LIMIT 10
+    """,
+)
+def q04_top_customers(spark, sf_dir):
+    """Order-by-measure (desc, None-as-0) + top-k limit (SURVEY §2.6); axis
+    sort after the measure gives the deterministic tiebreak."""
+    cd = CubeDef("orders")
+    cd.add_label(IntLabel("custkey", "o_custkey"))
+    cd.add_measure(Measure("total", dec("o_totalprice"), acc=Sum()))
+    q = (
+        CubeQuery()
+        .add_axis("custkey")
+        .add_value("total")
+        .set_order("total", descending=True)
+    )
+    df = board(cd, _read(spark, sf_dir, "orders")).slice(q).to_df().limit(10)
+    return finalize(df, {"total": 2})
+
+
+@query(
+    "q05_group_accumulator",
+    """
+    SELECT n.n_name AS nation,
+           CASE WHEN count(DISTINCT r.r_name) + max(CASE WHEN r.r_name IS NULL THEN 1 ELSE 0 END) = 1
+                THEN min(r.r_name) END AS region_group,
+           CASE WHEN count(DISTINCT c.c_mktsegment) + max(CASE WHEN c.c_mktsegment IS NULL THEN 1 ELSE 0 END) = 1
+                THEN min(c.c_mktsegment) END AS segment_group,
+           count(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+)
+def q05_group_accumulator(spark, sf_dir):
+    """Group accumulator: single-distinct-else-null, null counts as a value
+    (/root/reference/bacon/accumulators.py:259-296). region_group is always
+    single (hierarchy), segment_group is Inconsistent -> null."""
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation").withColumnRenamed("n_name", "nation")
+    r = _read(spark, sf_dir, "region")
+    df = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    cd = CubeDef("cust")
+    cd.add_label(Label("nation"))
+    cd.add_measure(Measure("region_group", "r_name", acc=Group()))
+    cd.add_measure(Measure("segment_group", "c_mktsegment", acc=Group()))
+    cd.add_measure(Measure("n_customers", "c_custkey", acc=Count()))
+    q = (
+        CubeQuery()
+        .add_axis("nation")
+        .add_value("region_group")
+        .add_value("segment_group")
+        .add_value("n_customers")
+    )
+    return board(cd, df).slice(q).to_df()
+
+
+@query(
+    "q06_discount_ratio",
+    """
+    SELECT l_returnflag AS returnflag,
+           round(cast(sum(cast(l_extendedprice*l_discount as decimal(38,8))) as double)
+                 / nullif(cast(sum(cast(l_extendedprice as decimal(38,4))) as double), 0), 8) AS discount_rate
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q06_discount_ratio(spark, sf_dir):
+    """RatioSum accumulator: sum(num)/sum(den), zero/null den -> null
+    (/root/reference/bacon/accumulators.py:355-393)."""
+    cd = CubeDef("li")
+    cd.add_label(Label("returnflag", "l_returnflag"))
+    cd.add_measure(
+        Measure(
+            "discount_rate",
+            F.lit(None),
+            acc=RatioSum(dec("l_extendedprice*l_discount", 8), dec("l_extendedprice", 4)),
+        )
+    )
+    q = CubeQuery().add_axis("returnflag").add_value("discount_rate")
+    df = board(cd, _read(spark, sf_dir, "lineitem")).slice(q).to_df()
+    return df.select("returnflag", F.round(F.col("discount_rate"), 8).alias("discount_rate"))
+
+
+@query(
+    "q07_minmax_stddev",
+    """
+    SELECT c_nationkey AS nationkey,
+           min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+           round(sqrt((cast(sum(cast(c_acctbal*c_acctbal as decimal(38,8))) as double)
+                       - cast(sum(cast(c_acctbal as decimal(38,4))) as double)
+                         * cast(sum(cast(c_acctbal as decimal(38,4))) as double) / count(c_acctbal))
+                      / (count(c_acctbal) - 1)), 6) AS std_bal
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def q07_minmax_stddev(spark, sf_dir):
+    """Min/Max/StdDev accumulators (/root/reference/bacon/accumulators.py:79-134,193-231).
+    StdDev is computed from exact decimal moments on both sides so the
+    doubles agree bit-for-bit (Welford vs textbook differ in ulps)."""
+    cd = CubeDef("cust")
+    cd.add_label(IntLabel("nationkey", "c_nationkey"))
+    cd.add_measure(Measure("min_bal", "c_acctbal", acc=Min()))
+    cd.add_measure(Measure("max_bal", "c_acctbal", acc=Max()))
+    q = CubeQuery().add_axis("nationkey").add_value("min_bal").add_value("max_bal")
+    df = board(cd, _read(spark, sf_dir, "customer")).slice(q).to_df()
+    moments = (
+        _read(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.sum(F.expr(dec("c_acctbal*c_acctbal", 8))).cast("double").alias("_s2"),
+            F.sum(F.expr(dec("c_acctbal", 4))).cast("double").alias("_s1"),
+            F.count("c_acctbal").alias("_n"),
+        )
+        .select(
+            "nationkey",
+            F.round(
+                F.sqrt((F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_n")) / (F.col("_n") - 1)),
+                6,
+            ).alias("std_bal"),
+        )
+    )
+    return df.join(moments, "nationkey")
+
+
+@query(
+    "q08_count_distinct",
+    """
+    SELECT l_returnflag AS returnflag,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(DISTINCT l_partkey) AS n_parts
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q08_count_distinct(spark, sf_dir):
+    """Exact distinct aggregation (engine extension of Group/Union,
+    SURVEY §2.3)."""
+    cd = CubeDef("li")
+    cd.add_label(Label("returnflag", "l_returnflag"))
+    cd.add_measure(Measure("n_suppliers", "l_suppkey", acc=CountDistinct()))
+    cd.add_measure(Measure("n_parts", "l_partkey", acc=CountDistinct()))
+    q = CubeQuery().add_axis("returnflag").add_value("n_suppliers").add_value("n_parts")
+    return board(cd, _read(spark, sf_dir, "lineitem")).slice(q).to_df()
+
+
+# ---------------------------------------------------------------------------
+# Filters: scalar ops, membership, regex (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q09_filter_scalar_ops",
+    """
+    SELECT l_linestatus AS linestatus, count(*) AS n,
+           round(cast(sum(cast(l_quantity as decimal(38,4))) as double), 2) AS sum_qty
+    FROM lineitem
+    WHERE l_quantity > 10 AND l_quantity <= 45 AND l_discount >= 0.02
+          AND l_discount < 0.08 AND l_returnflag <> 'A'
+    GROUP BY 1
+    """,
+)
+def q09_filter_scalar_ops(spark, sf_dir):
+    """gt/le/ge/lt/ne conjunctive filters pushed to the parquet scan
+    (/root/reference/bacon/cutting.py:846-852; ne passes nulls — no nulls
+    in this fixture so SQL <> is the exact oracle)."""
+    cd = CubeDef("li")
+    cd.add_label(Label("linestatus", "l_linestatus"))
+    cd.add_label(Label("returnflag", "l_returnflag"))
+    cd.add_label(Label("discount", "l_discount"))
+    cd.add_label(Label("quantity", "l_quantity"))
+    cd.add_measure(Measure("n", "l_quantity", acc=Count()))
+    cd.add_measure(Measure("sum_qty", dec("l_quantity"), acc=Sum()))
+    q = (
+        CubeQuery()
+        .add_axis("linestatus")
+        .add_value("n")
+        .add_value("sum_qty")
+        .add_filter("quantity", "gt", 10)
+        .add_filter("quantity", "le", 45)
+        .add_filter("discount", "ge", 0.02)
+        .add_filter("discount", "lt", 0.08)
+        .add_filter("returnflag", "ne", "A")
+    )
+    df = board(cd, _read(spark, sf_dir, "lineitem")).slice(q).to_df()
+    return finalize(df, {"sum_qty": 2})
+
+
+@query(
+    "q10_filter_in_ni",
+    """
+    SELECT p_brand AS brand, count(*) AS n,
+           round(cast(sum(cast(p_retailprice as decimal(38,4))) as double), 2) AS sum_price
+    FROM part
+    WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+          AND p_size NOT IN (1, 2, 3)
+    GROUP BY 1
+    """,
+)
+def q10_filter_in_ni(spark, sf_dir):
+    """in/ni membership filters with frozenset values
+    (/root/reference/bacon/cutting.py:776-782)."""
+    cd = CubeDef("part")
+    cd.add_label(Label("brand", "p_brand"))
+    cd.add_label(IntLabel("size", "p_size"))
+    cd.add_measure(Measure("n", "p_partkey", acc=Count()))
+    cd.add_measure(Measure("sum_price", dec("p_retailprice"), acc=Sum()))
+    q = (
+        CubeQuery()
+        .add_axis("brand")
+        .add_value("n")
+        .add_value("sum_price")
+        .add_filter("brand", "in", frozenset({"Brand#1", "Brand#2", "Brand#3"}))
+        .add_filter("size", "ni", frozenset({1, 2, 3}))
+    )
+    df = board(cd, _read(spark, sf_dir, "part")).slice(q).to_df()
+    return finalize(df, {"sum_price": 2})
+
+
+@query(
+    "q11_filter_regex",
+    """
+    SELECT p_name AS pname, count(*) AS n
+    FROM part
+    WHERE regexp_matches(p_name, 'red|blue') AND NOT regexp_matches(p_name, 'bolt$')
+    GROUP BY 1
+    """,
+)
+def q11_filter_regex(spark, sf_dir):
+    """match/nmatch regex filters, null-safe
+    (/root/reference/bacon/cutting.py:842-844,869-870)."""
+    cd = CubeDef("part")
+    cd.add_label(Label("pname", "p_name"))
+    cd.add_measure(Measure("n", "p_partkey", acc=Count()))
+    q = (
+        CubeQuery()
+        .add_axis("pname")
+        .add_value("n")
+        .add_filter("pname", "match", "red|blue")
+        .add_filter("pname", "nmatch", "bolt$")
+    )
+    return board(cd, _read(spark, sf_dir, "part")).slice(q).to_df()
+
+
+# ---------------------------------------------------------------------------
+# Set-valued labels: set algebra filters + Union accumulator (SURVEY §2.2/2.3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q12_set_filters",
+    """
+    WITH tagged AS (
+      SELECT p_brand, string_split(p_name, ' ') AS tags FROM part
+    )
+    SELECT p_brand AS brand, count(*) AS n
+    FROM tagged
+    WHERE list_has_any(tags, ['red', 'blue', 'green'])
+      AND list_has_all(tags, ['widget'])
+      AND NOT list_has_any(tags, ['bolt', 'gear'])
+    GROUP BY 1
+    """,
+)
+def q12_set_filters(spark, sf_dir):
+    """Set-algebra filter ops over array<string> (hasany + hasall +
+    hasnone; /root/reference/bacon/cutting.py:799-870) on a derived
+    SetLabel column."""
+    df = _read(spark, sf_dir, "part").withColumn("tags", F.split("p_name", " "))
+    cd = CubeDef("part")
+    cd.add_label(Label("brand", "p_brand"))
+    cd.add_label(SetLabel("tags"))
+    cd.add_measure(Measure("n", "p_partkey", acc=Count()))
+    q = (
+        CubeQuery()
+        .add_axis("brand")
+        .add_value("n")
+        .add_filter("tags", "hasany", frozenset({"red", "blue", "green"}))
+        .add_filter("tags", "hasall", frozenset({"widget"}))
+        .add_filter("tags", "hasnone", frozenset({"bolt", "gear"}))
+    )
+    return board(cd, df).slice(q).to_df()
+
+
+@query(
+    "q13_union_accumulator",
+    """
+    WITH tagged AS (
+      SELECT p_brand, list_filter(string_split(p_type, ' '), x -> x IS NOT NULL AND x <> '') AS tags
+      FROM part
+    )
+    SELECT p_brand AS brand,
+           list_sort(list_distinct(flatten(list(tags)))) AS tag_union,
+           max(CASE WHEN len(tags) = 0 THEN 1 ELSE 0 END) = 1 AS included_empty
+    FROM tagged
+    GROUP BY 1
+    """,
+)
+def q13_union_accumulator(spark, sf_dir):
+    """Union accumulator: set union + saw-empty flag
+    (/root/reference/bacon/accumulators.py:53-76), exposed as two flat
+    columns for the oracle."""
+    df = _read(spark, sf_dir, "part").withColumn("tags", F.split("p_type", " "))
+    cd = CubeDef("part")
+    cd.add_label(Label("brand", "p_brand"))
+    cd.add_measure(Measure("u", "tags", acc=Union()))
+    q = CubeQuery().add_axis("brand").add_value("u")
+    out = board(cd, df).slice(q).to_df()
+    return out.select(
+        "brand",
+        F.col("u.values").alias("tag_union"),
+        F.col("u.included_empty").alias("included_empty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date-hierarchy label family (SURVEY §1.2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q14_date_parts",
+    """
+    SELECT cast(date_trunc('year', o_orderdate) as date) AS order_year,
+           cast(quarter(o_orderdate) as int) AS order_quarternum,
+           cast(month(o_orderdate) as int) AS order_monthnum,
+           round(cast(sum(cast(o_totalprice as decimal(38,4))) as double), 2) AS total
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def q14_date_parts(spark, sf_dir):
+    """Year / QuarterNum / MonthOfYear labels (SQL semantics per SURVEY §7
+    for the reference's QuarterNum classify bug)."""
+    cd = CubeDef("orders")
+    cd.add_label(YearLabel("order_year", "o_orderdate"))
+    cd.add_label(QuarterNumLabel("order_quarternum", "o_orderdate"))
+    cd.add_label(MonthOfYearLabel("order_monthnum", "o_orderdate"))
+    cd.add_measure(Measure("total", dec("o_totalprice"), acc=Sum()))
+    q = (
+        CubeQuery()
+        .add_axis("order_year")
+        .add_axis("order_quarternum")
+        .add_axis("order_monthnum")
+        .add_value("total")
+    )
+    df = board(cd, _read(spark, sf_dir, "orders")).slice(q).to_df()
+    return finalize(df, {"total": 2})
+
+
+@query(
+    "q15_week_weekday_doy",
+    """
+    SELECT cast(date_trunc('week', l_shipdate) as date) AS ship_week,
+           cast(isodow(l_shipdate) as int) AS ship_weekday,
+           cast(dayofyear(l_shipdate) as int) AS ship_doy,
+           count(*) AS n
+    FROM lineitem
+    WHERE cast(l_shipdate as date) >= DATE '1995-01-01' AND cast(l_shipdate as date) < DATE '1995-03-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q15_week_weekday_doy(spark, sf_dir):
+    """Week / ISO-weekday (Spark dayofweek remap, SURVEY §1.2) / DOY labels
+    with a day-range filter."""
+    cd = CubeDef("li")
+    cd.add_label(WeekLabel("ship_week", "l_shipdate"))
+    cd.add_label(WeekdayLabel("ship_weekday", "l_shipdate"))
+    cd.add_label(DOYLabel("ship_doy", "l_shipdate"))
+    cd.add_label(DayLabel("ship_day", "l_shipdate"))
+    cd.add_measure(Measure("n", "l_orderkey", acc=Count()))
+    q = (
+        CubeQuery()
+        .add_axis("ship_week")
+        .add_axis("ship_weekday")
+        .add_axis("ship_doy")
+        .add_value("n")
+        .add_filter("ship_day", "ge", dt.date(1995, 1, 1))
+        .add_filter("ship_day", "lt", dt.date(1995, 3, 1))
+    )
+    return board(cd, _read(spark, sf_dir, "lineitem")).slice(q).to_df()
+
+
+@query(
+    "q16_events_by_hour",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           count(*) AS n,
+           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS sum_value
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def q16_events_by_hour(spark, sf_dir):
+    """HourLabel truncation over the events table; key rendered as a string
+    to keep timestamp representations engine-neutral."""
+    cd = CubeDef("events")
+    cd.add_label(HourLabel("hour", "ts"))
+    cd.add_label(Label("event_type"))
+    cd.add_label(Label("ts"))
+    cd.add_measure(Measure("n", "event_id", acc=Count()))
+    cd.add_measure(Measure("sum_value", dec("value"), acc=Sum()))
+    q = (
+        CubeQuery()
+        .add_axis("hour")
+        .add_axis("event_type")
+        .add_value("n")
+        .add_value("sum_value")
+        .add_filter("ts", "lt", dt.datetime(2024, 1, 3))
+    )
+    df = board(cd, _read(spark, sf_dir, "events")).slice(q).to_df()
+    df = df.withColumn("hour", F.date_format("hour", "yyyy-MM-dd HH:mm:ss"))
+    return finalize(df, {"sum_value": 2})
+
+
+# ---------------------------------------------------------------------------
+# Pivot / rollup / pagination (SURVEY §2.6, §2.8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q17_pivot_returnflag",
+    """
+    SELECT l_linestatus AS linestatus,
+           round(cast(sum(CASE WHEN l_returnflag = 'A' THEN cast(l_quantity as decimal(38,4)) END) as double), 2) AS qty_A,
+           round(cast(sum(CASE WHEN l_returnflag = 'N' THEN cast(l_quantity as decimal(38,4)) END) as double), 2) AS qty_N,
+           round(cast(sum(CASE WHEN l_returnflag = 'R' THEN cast(l_quantity as decimal(38,4)) END) as double), 2) AS qty_R
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q17_pivot_returnflag(spark, sf_dir):
+    """Pivot: trailing axis cross-tabulated into columns
+    (/root/reference/bacon/observers/tables.py:325-508) via Spark's native
+    groupBy().pivot() with explicit values (no extra scan for value
+    discovery)."""
+    df = (
+        _read(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.expr(dec("l_quantity"))))
+    )
+    for v in ["A", "N", "R"]:
+        df = df.withColumnRenamed(v, f"qty_{v}")
+    return finalize(df, {f"qty_{v}": 2 for v in ["A", "N", "R"]})
+
+
+@query(
+    "q18_rollup_totals",
+    """
+    SELECT coalesce(r.r_name, '(all)') AS region,
+           coalesce(n.n_name, '(all)') AS nation,
+           cast(grouping(r.r_name)*2 + grouping(n.n_name) as int) AS lvl,
+           round(cast(sum(cast(s.s_acctbal as decimal(38,4))) as double), 2) AS total_bal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def q18_rollup_totals(spark, sf_dir):
+    """Totals rows via native rollup + grouping() — the Spark-idiomatic form
+    of the reference's accumulator-merge totals
+    (/root/reference/bacon/observers/tables.py:285-315)."""
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    joined = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    df = (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            (F.grouping("r_name") * 2 + F.grouping("n_name")).cast("int").alias("lvl"),
+            F.sum(F.expr(dec("s_acctbal"))).alias("total_bal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("region"),
+            F.coalesce("n_name", F.lit("(all)")).alias("nation"),
+            "lvl",
+            "total_bal",
+        )
+    )
+    return finalize(df, {"total_bal": 2})
+
+
+@query(
+    "q19_pagination",
+    """
+    SELECT * FROM (
+      SELECT p_brand AS brand, p_type AS ptype, count(*) AS n,
+             round(cast(sum(cast(p_retailprice as decimal(38,4))) as double), 2) AS sum_price
+      FROM part
+      GROUP BY 1, 2
+      ORDER BY n DESC, brand ASC, ptype ASC
+      LIMIT 20 OFFSET 40
+    ) t
+    """,
+)
+def q19_pagination(spark, sf_dir):
+    """limit/offset pagination pushdown (SURVEY §2.6; reference pages via
+    list slices / SQL LIMIT-OFFSET, /root/reference/bacon/sql.py:100-108)."""
+    cd = CubeDef("part")
+    cd.add_label(Label("brand", "p_brand"))
+    cd.add_label(Label("ptype", "p_type"))
+    cd.add_measure(Measure("n", "p_partkey", acc=Count()))
+    cd.add_measure(Measure("sum_price", dec("p_retailprice"), acc=Sum()))
+    q = (
+        CubeQuery()
+        .add_axis("brand")
+        .add_axis("ptype")
+        .add_value("n")
+        .add_value("sum_price")
+        .set_order("n", descending=True)
+    )
+    df = board(cd, _read(spark, sf_dir, "part")).slice(q).to_df().offset(40).limit(20)
+    return finalize(df, {"sum_price": 2})
+
+
+@query(
+    "q20_drilldown",
+    """
+    SELECT cast(date_trunc('month', o.o_orderdate) as date) AS order_month,
+           round(cast(sum(cast(l.l_extendedprice*(1-l.l_discount) as decimal(38,6))) as double), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'AMERICA' AND o.o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+)
+def q20_drilldown(spark, sf_dir):
+    """Drill-down: eq-filter on an axis value + axis removal
+    (/root/reference/bacon/cubenav.py:164-174), over the star fact."""
+    cd = CubeDef("sales")
+    cd.add_label(Label("region"))
+    cd.add_label(Label("orderstatus", "o_orderstatus"))
+    cd.add_label(MonthLabel("order_month", "o_orderdate"))
+    cd.add_measure(Measure("revenue", dec("l_extendedprice*(1-l_discount)", 6), acc=Sum()))
+    q0 = (
+        CubeQuery()
+        .add_axis("region")
+        .add_axis("order_month")
+        .add_value("revenue")
+        .add_filter("orderstatus", "eq", "F")
+    )
+    # drill: filter region='AMERICA', drop the region axis
+    q1 = q0.add_filter("region", "eq", "AMERICA").remove_axis("region")
+    df = board(cd, sales_fact(spark, sf_dir)).slice(q1).to_df()
+    return finalize(df, {"revenue": 2})
+
+
+@query(
+    "q21_events_json",
+    """
+    SELECT event_type, cast(json_extract_string(props, '$.k') as int) % 10 AS k_mod,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q21_events_json(spark, sf_dir):
+    """JSON scalar functions over the events props column (engine extension
+    — absent in the reference, free in Spark; SURVEY §2.9)."""
+    df = (
+        _read(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_mod"),
+        )
+        .groupBy("event_type", "k_mod")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return df

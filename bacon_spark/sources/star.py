@@ -1,0 +1,160 @@
+"""Star-schema sources: load the TPC-H-ish fixtures and build the
+denormalized fact view that plays the role of bacon's single pre-joined
+dataset (/root/reference/README:14-16 — "operates on pre-aggregated data";
+the reference expects the caller to hand it one denormalized record stream,
+SURVEY §2.4).
+
+Scale design (100 TB): the fact table (lineitem) is the only big input;
+every dimension (region/nation/customer/supplier/part/orders header) is
+orders of magnitude smaller, so all dimension joins are explicit
+``broadcast()`` hash joins — zero shuffle of the fact side, and Catalyst
+pushes fact-side filters and column pruning below the joins. ``orders`` is
+the one dimension that grows with SF; at true cluster scale it would be
+bucketed on o_orderkey alongside lineitem's l_orderkey — we keep it
+broadcast here (driver-defined fixtures keep it ~1/4 the fact rows) and
+expose ``join_orders_broadcast=False`` to switch to a shuffle join that AQE
+can convert as it sees fit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table.
+
+    ``events.parquet`` is written with nanosecond timestamps, which Spark's
+    parquet reader rejects; read them as long via the legacy conf and
+    convert to a microsecond timestamp column JVM-side (stays distributed —
+    no driver round-trip, pushdown on the other columns unaffected)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {t: read_table(spark, sf_dir, t) for t in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def sales_fact(
+    spark: SparkSession,
+    sf_dir: str,
+    join_orders_broadcast: bool = True,
+) -> DataFrame:
+    """The denormalized fact view: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+    region ⋈ part ⋈ supplier, with cube-ready derived columns.
+
+    This is bacon's "dataset" (one wide record stream) expressed the
+    idiomatic Spark way: declared joins the optimizer can reorder, with
+    small sides broadcast.
+    """
+    t = load_tables(
+        spark,
+        sf_dir,
+        ("lineitem", "orders", "customer", "nation", "region", "part", "supplier"),
+    )
+    orders = t["orders"]
+    if join_orders_broadcast:
+        orders = F.broadcast(orders)
+    fact = (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["nation"].withColumnRenamed("n_name", "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].withColumnRenamed("r_name", "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return fact.withColumn(
+        "revenue", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).withColumn("charge", F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))
+
+
+def sales_cubedef():
+    """Default CubeDef over the denormalized sales fact — the analogue of
+    the reference demo cube (/root/reference/bacon_demo/data.py:59-98):
+    date hierarchy year→{month,week}→day on o_orderdate, geography
+    hierarchy region→nation, independent labels, sum/ratio measures."""
+    from ..accumulators import Average, Count, CountDistinct, Max, Min, Sum
+    from ..cubedef import (
+        CubeDef,
+        DayLabel,
+        Label,
+        Measure,
+        MonthLabel,
+        QuarterLabel,
+        RatioMeasure,
+        WeekLabel,
+        WeekdayLabel,
+        YearLabel,
+    )
+
+    cd = CubeDef("sales")
+    cd.add_label(YearLabel("order_year", "o_orderdate"))
+    cd.add_label(QuarterLabel("order_quarter", "o_orderdate"))
+    cd.add_label(MonthLabel("order_month", "o_orderdate"))
+    cd.add_label(WeekLabel("order_week", "o_orderdate"))
+    cd.add_label(DayLabel("order_day", "o_orderdate"))
+    cd.add_label(WeekdayLabel("order_weekday", "o_orderdate"))
+    cd.add_hierarchy("order_quarter", "order_year")
+    cd.add_hierarchy("order_month", "order_quarter")
+    cd.add_hierarchy("order_week", "order_year")
+    cd.add_hierarchy("order_day", "order_month")
+
+    cd.add_label(Label("region"))
+    cd.add_label(Label("nation", child_of="region"))
+    cd.add_label(Label("mktsegment", "c_mktsegment"))
+    cd.add_label(Label("returnflag", "l_returnflag"))
+    cd.add_label(Label("linestatus", "l_linestatus"))
+    cd.add_label(Label("orderpriority", "o_orderpriority"))
+    cd.add_label(Label("orderstatus", "o_orderstatus"))
+    cd.add_label(Label("brand", "p_brand"))
+    cd.add_label(Label("ptype", "p_type"))
+
+    cd.add_measure(Measure("quantity", "l_quantity", acc=Sum()))
+    cd.add_measure(Measure("extendedprice", "l_extendedprice", acc=Sum()))
+    cd.add_measure(Measure("revenue", "revenue", acc=Sum()))
+    cd.add_measure(Measure("charge", "charge", acc=Sum()))
+    cd.add_measure(Measure("n_items", "l_linenumber", acc=Count()))
+    cd.add_measure(Measure("avg_quantity", "l_quantity", acc=Average()))
+    cd.add_measure(Measure("min_price", "l_extendedprice", acc=Min()))
+    cd.add_measure(Measure("max_price", "l_extendedprice", acc=Max()))
+    cd.add_measure(Measure("n_parts", "l_partkey", acc=CountDistinct()))
+    cd.add_measure(
+        RatioMeasure("discount_rate", "l_extendedprice * l_discount", "l_extendedprice")
+    )
+    return cd

@@ -1,0 +1,174 @@
+"""End-to-end cube semantics over the micro-fixture.
+
+Resurrects the reference's skipped test_cutboard expectations
+(/root/reference/tests/test_cutboard.py:41-212, all @unittest.skip) — the
+best executable spec of intended slice semantics: month×item sums
+apples:Jan=180, pears:Jan=101, apples:Feb=50; 1-D month sums Jan=281,
+Feb=50; missing cells are absent/null.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from bacon_spark import (
+    Average,
+    Count,
+    CubeDef,
+    CubeQuery,
+    CuttingBoard,
+    Group,
+    Label,
+    Measure,
+    MonthLabel,
+    Sum,
+    YearLabel,
+)
+
+
+@pytest.fixture(scope="module")
+def sells(spark):
+    # /root/reference/tests/test_cutboard.py:14-38 fixture
+    rows = [
+        (dt.date(2010, 1, 1), "apples", "italy", 100),
+        (dt.date(2010, 1, 1), "pears", "italy", 101),
+        (dt.date(2010, 1, 1), "apples", "england", 80),
+        (dt.date(2010, 2, 1), "apples", "italy", 50),
+    ]
+    return spark.createDataFrame(rows, "date date, item string, place string, number long")
+
+
+@pytest.fixture(scope="module")
+def cubedef():
+    cd = CubeDef("sells")
+    cd.add_label(YearLabel("year", "date"))
+    cd.add_label(MonthLabel("month", "date"))
+    cd.add_label(Label("date"))
+    cd.add_hierarchy("month", "year")
+    cd.add_hierarchy("date", "month")
+    cd.add_label(Label("item"))
+    cd.add_label(Label("place"))
+    cd.add_measure(Measure("number", acc=Sum()))
+    cd.add_measure(Measure("twice", F.col("number") * 2, acc=Sum()))
+    cd.add_measure(Measure("n", "number", acc=Count()))
+    cd.add_measure(Measure("avg_number", "number", acc=Average()))
+    return cd
+
+
+def board(cubedef, sells):
+    return CuttingBoard(cubedef, sells, cache_results=False)
+
+
+def test_month_by_item(cubedef, sells):
+    q = CubeQuery().add_axis("month").add_axis("item").add_value("number")
+    s = board(cubedef, sells).slice(q)
+    jan, feb = dt.date(2010, 1, 1), dt.date(2010, 2, 1)
+    assert s[jan]["apples"].record["number"] == 180
+    assert s[jan]["pears"].record["number"] == 101
+    assert s[feb]["apples"].record["number"] == 50
+    # missing cell
+    assert "pears" not in s[feb].keys()
+
+
+def test_1d_month(cubedef, sells):
+    q = CubeQuery().add_axis("month").add_value("number").add_value("twice")
+    s = board(cubedef, sells).slice(q)
+    jan, feb = dt.date(2010, 1, 1), dt.date(2010, 2, 1)
+    assert list(s) == [jan, feb]
+    assert s[jan].record == {"number": 281, "twice": 562}
+    assert s[feb].record == {"number": 50, "twice": 100}
+
+
+def test_grand_total(cubedef, sells):
+    q = CubeQuery().add_value("number").add_value("n")
+    s = board(cubedef, sells).slice(q)
+    assert s.record == {"number": 331, "n": 4}
+
+
+def test_filter(cubedef, sells):
+    q = (
+        CubeQuery()
+        .add_axis("item")
+        .add_value("number")
+        .add_filter("place", "eq", "italy")
+    )
+    s = board(cubedef, sells).slice(q)
+    assert s["apples"].record["number"] == 150
+    assert s["pears"].record["number"] == 101
+
+
+def test_group_accumulator(cubedef, sells, spark):
+    # 'place' used as a value aggregates with Group: single distinct -> the
+    # value, multiple -> null (/root/reference/bacon/accumulators.py:259-296)
+    q = CubeQuery().add_axis("item").add_value("place")
+    s = board(cubedef, sells).slice(q)
+    assert s["pears"].record["place"] == "italy"
+    assert s["apples"].record["place"] is None  # italy + england -> Inconsistent
+
+
+def test_average_counts_all_rows(cubedef, spark):
+    # Average = sum / total row count INCLUDING nulls (SURVEY §7 hard part)
+    rows = [("a", 10), ("a", None), ("a", 20), ("b", None)]
+    df = spark.createDataFrame(rows, "item string, number long")
+    cd = CubeDef("t")
+    cd.add_label(Label("item"))
+    cd.add_measure(Measure("avg_number", "number", acc=Average()))
+    cd.add_measure(Measure("number", acc=Sum()))
+    q = CubeQuery().add_axis("item").add_value("avg_number").add_value("number")
+    s = CuttingBoard(cd, df, cache_results=False).slice(q)
+    assert s["a"].record["avg_number"] == 10.0  # 30/3, NOT 30/2
+    assert s["a"].record["number"] == 30
+    assert s["b"].record["avg_number"] is None  # sum null -> null
+    assert s["b"].record["number"] is None  # Sum of all-nulls is null, not 0
+
+
+def test_order_by_measure(cubedef, sells):
+    q = (
+        CubeQuery()
+        .add_axis("item")
+        .add_value("number")
+        .set_order("number", descending=True)
+    )
+    s = board(cubedef, sells).slice(q)
+    rows = s.rows()
+    assert [r["item"] for r in rows] == ["apples", "pears"]
+
+
+def test_nulls_first_axis_order(spark):
+    rows = [("b", 1), (None, 2), ("a", 3)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    cd = CubeDef("t")
+    cd.add_label(Label("k"))
+    cd.add_measure(Measure("v", acc=Sum()))
+    q = CubeQuery().add_axis("k").add_value("v")
+    s = CuttingBoard(cd, df, cache_results=False).slice(q)
+    assert [r["k"] for r in s.rows()] == [None, "a", "b"]
+
+
+def test_slice_cache_reuse(cubedef, sells):
+    b = CuttingBoard(cubedef, sells)
+    q = CubeQuery().add_axis("month").add_axis("item").add_value("number")
+    s1 = b.slice(q)
+    s1.rows()
+    # exact reuse
+    assert len(b._cache) == 1
+    s2 = b.slice(q)
+    assert s2.df is not None
+    assert len(b._cache) == 1
+    # roll-up reuse: coarser axes, same filters
+    q2 = CubeQuery().add_axis("month").add_value("number")
+    s3 = b.slice(q2)
+    jan = dt.date(2010, 1, 1)
+    assert s3[jan].record["number"] == 281
+    assert len(b._cache) == 1  # answered from cache, not recomputed
+    # drill reuse: eq-filter on a cached axis
+    q3 = (
+        CubeQuery()
+        .add_axis("month")
+        .add_value("number")
+        .add_filter("item", "eq", "apples")
+    )
+    s4 = b.slice(q3)
+    assert s4[jan].record["number"] == 180
+    b.clear_cache()
