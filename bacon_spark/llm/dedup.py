@@ -1,0 +1,281 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Engine extensions for training-data pipelines (north star; absent in the
+reference). All hot paths are built-in Spark SQL expressions — md5-based
+integer hashing, higher-order array functions — so signature computation is
+embarrassingly parallel map-side work, and the only shuffles are the ones
+the algorithms fundamentally need (the group-by on hash/band keys).
+
+Scale design (100 TB):
+
+* exact dedup = one hash-aggregate on a 60-bit digest: shuffle of (digest,
+  id) pairs only, never the document bodies; AQE handles skew.
+* MinHash/LSH: per-doc signatures are map-side; candidate generation
+  explodes b band keys per doc and groups by band — the classic
+  shingle→minhash→band→bucket-join pipeline, with cost b·|docs| rows, not
+  |docs|² pairs. Verification (exact Jaccard) runs only inside buckets.
+* SimHash: map-side 16/64-bit signatures; near-dup lookup via banding the
+  signature or hamming probing — here we provide the signature operator
+  plus bucket-join candidates.
+
+Hashing uses the first 15 hex digits of md5 as a 60-bit integer — chosen
+because BOTH Spark (``conv(substr(md5(x),1,15),16,10)``) and DuckDB
+(``('0x'||substr(md5(x),1,15))::bigint``) compute it identically, making
+every operator here oracle-checkable bit-for-bit. MinHash permutations are
+``(a_i·(h mod p) + b_i) mod p`` with p = 2^31−1 and fixed odd multipliers,
+kept < 2^31 so products stay inside int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens, tokens_sql
+
+#: Mersenne prime for the universal-hash family (fits products in int64)
+MINHASH_P = 2_147_483_647
+#: fixed (a, b) parameters — deterministic, seedless (Date.now-free)
+MINHASH_PARAMS: tuple[tuple[int, int], ...] = tuple(
+    (37 + 24 * i, 11 + 1_000_003 * i) for i in range(8)
+)
+SIMHASH_BITS = 16
+
+
+# ---------------------------------------------------------------------------
+# base 60-bit hash (identical in Spark and DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def hash60(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(expr: str) -> str:
+    return f"cast(('0x' || substr(md5({expr}), 1, 15)) as bigint)"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per exact text digest.
+
+    One hash-aggregate over (digest -> min id), then a semi-join back —
+    both shuffles carry only (digest, id), never document bodies."""
+    digests = df.select(F.col(id_col), hash60(F.col(text_col)).alias("_digest"))
+    keep = digests.groupBy("_digest").agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Digest groups with >1 member: (digest, n_dups, keeper id)."""
+    return (
+        df.select(hash60(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash
+# ---------------------------------------------------------------------------
+
+
+def shingles(c: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (word n-grams joined by spaces)."""
+    toks = tokens(c)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )).otherwise(F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(F.array().cast("array<string>")))
+
+
+def shingles_sql(expr: str, k: int = 3) -> str:
+    toks = tokens_sql(expr)
+    return (
+        f"CASE WHEN len({toks}) >= {k} THEN "
+        f"list_distinct(list_transform(range(1, len({toks}) - {k} + 2), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {k} - 1), ' '))) "
+        f"WHEN len({toks}) > 0 THEN [array_to_string({toks}, ' ')] "
+        f"ELSE [] END"
+    )
+
+
+def shingle_hashes(c: Column, k: int = 3) -> Column:
+    """60-bit hash per shingle, reduced mod p (computed once, reused by all
+    minhash permutations)."""
+    return F.transform(shingles(c, k), lambda s: hash60(s) % MINHASH_P)
+
+
+def shingle_hashes_sql(expr: str, k: int = 3) -> str:
+    return (
+        f"list_transform({shingles_sql(expr, k)}, s -> {hash60_sql('s')} % {MINHASH_P})"
+    )
+
+
+def minhash_signature(c: Column, k: int = 3, params=MINHASH_PARAMS) -> Column:
+    """MinHash signature: array of min((a_i·h + b_i) mod p) over shingle
+    hashes; empty docs get p (the identity of min) in every slot."""
+    hashes = shingle_hashes(c, k)
+
+    def perm(a, b):
+        # factory, not default-arg lambda: pyspark binds one Column per
+        # lambda parameter, so extra defaulted params break arity checks
+        return lambda h: (a * h + b) % MINHASH_P
+
+    sig = [
+        F.coalesce(F.array_min(F.transform(hashes, perm(a, b))), F.lit(MINHASH_P))
+        for a, b in params
+    ]
+    return F.array(*sig)
+
+
+def minhash_signature_sql(expr: str, k: int = 3, params=MINHASH_PARAMS) -> str:
+    hashes = shingle_hashes_sql(expr, k)
+    slots = ", ".join(
+        f"coalesce(list_min(list_transform({hashes}, h -> ({a} * h + {b}) % {MINHASH_P})), {MINHASH_P})"
+        for a, b in params
+    )
+    return f"[{slots}]"
+
+
+def minhash_band_keys(sig: Column, bands: int, rows: int) -> Column:
+    """LSH band keys: one string key per band = band index + joined slice
+    of the signature."""
+    keys = [
+        F.concat_ws(
+            ":", F.lit(str(bi)), F.concat_ws(",", F.slice(sig, bi * rows + 1, rows).cast("array<string>"))
+        )
+        for bi in range(bands)
+    ]
+    return F.array(*keys)
+
+
+def signature_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, sig) frame with the signature computed ONCE and persisted —
+    the self-join in candidate generation would otherwise recompute the
+    md5-heavy signature expression on both sides."""
+    return df.select(
+        F.col(id_col), minhash_signature(F.col(text_col), k).alias("sig")
+    ).persist()
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bands: int = 4,
+    rows: int = 2,
+    sig_df: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash LSH banding: explode band keys,
+    self-join per bucket (id_a < id_b), dedupe pairs.
+
+    Shuffle cost is O(bands · docs) key rows; the |docs|² blowup never
+    materializes. Returns (id_a, id_b, n_shared_bands)."""
+    if sig_df is None:
+        sig_df = signature_frame(df, text_col, id_col, k)
+    keyed = sig_df.select(
+        F.col(id_col),
+        F.explode(minhash_band_keys(F.col("sig"), bands, rows)).alias("band_key"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(c: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over word tokens: per-bit majority vote of token hashes.
+
+    bit_j(doc) = 1 iff sum over tokens of ±1 (sign of hash bit j) > 0;
+    signature = Σ bit_j · 2^j. Near-identical docs differ in few bits."""
+    toks = F.array_distinct(tokens(c))
+    hashes = F.transform(toks, lambda t: hash60(t))
+
+    def voter(mask):
+        return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
+
+    total = F.lit(0).cast("long")
+    for j in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), voter(1 << j))
+        total = total + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return total
+
+
+def simhash_sql(expr: str, bits: int = SIMHASH_BITS) -> str:
+    toks = f"list_distinct({tokens_sql(expr)})"
+    hashes = f"list_transform({toks}, t -> {hash60_sql('t')})"
+    terms = []
+    for j in range(bits):
+        vote = (
+            f"list_sum(list_transform({hashes}, "
+            f"h -> CASE WHEN (h & {1 << j}) <> 0 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"CASE WHEN coalesce({vote}, 0) > 0 THEN {1 << j} ELSE 0 END")
+    return "cast(" + " + ".join(terms) + " as bigint)"
+
+
+def hamming_distance(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
+    x = a.bitwiseXOR(b)
+    return sum(
+        F.when(x.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(0) for j in range(bits)
+    ).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification
+# ---------------------------------------------------------------------------
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two string arrays (assumed distinct): |∩| / |∪|,
+    divided in double (oracle-deterministic)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    bands: int = 4,
+    rows: int = 2,
+) -> DataFrame:
+    """LSH candidates verified with exact shingle Jaccard ≥ threshold.
+
+    The exact check touches only LSH-bucketed pairs, so the quadratic term
+    is bounded by bucket sizes, not corpus size."""
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("_sh")).persist()
+    cand = lsh_candidate_pairs(df, text_col, id_col, k, bands, rows)
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    return (
+        cand.join(a, cand.id_a == F.col(f"sa.{id_col}"))
+        .join(b, cand.id_b == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sa._sh"), F.col("sb._sh")), 8).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,128 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched pandas iterators.
+
+Engine extension (north star). The decode/resize/feature kernels the real
+pipeline would use (PIL/ffmpeg/torchvision) are NOT in this container, so
+the kernels are stubbed two ways:
+
+* ``decode_stub=True`` (default): a deterministic fake decoder that derives
+  "features" from the binary payload's bytes — real enough to test schema,
+  batching, partitioning and ordering end-to-end;
+* ``decode_stub=False``: raises NotImplementedError at the kernel, clearly
+  marking where the real library call goes.
+
+The SPARK side is fully real: ``mapInPandas`` with an explicit output
+schema streams Arrow record batches through the Python worker — the correct
+shape for binary-heavy data because (a) payload bytes move Arrow-zero-copy,
+(b) batch size is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+so executor memory stays flat at 100 TB, and (c) the operation is map-side
+only — no shuffle, scales linearly with executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: schema of a multimodal asset table: payload + typed metadata
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("mean_byte", DoubleType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+
+def synthetic_assets(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake asset table for tests (payload = seeded bytes)."""
+    rows = []
+    for i in range(n):
+        payload = bytes((i * 31 + j * 7) % 256 for j in range(128 + (i % 5) * 16))
+        kind = ("image", "audio", "video")[i % 3]
+        rows.append((i, kind, payload, f"application/x-{kind}", 64 + i % 8, 48 + i % 8, 1000 + i))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def _fake_decode(payload: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in for a real decoder: dim-bucket byte histogram
+    normalized to [0,1]. Replace with PIL/ffmpeg in production."""
+    if not payload:
+        return [0.0] * dim
+    hist = [0] * dim
+    for b in payload:
+        hist[b % dim] += 1
+    total = len(payload)
+    return [h / total for h in hist]
+
+
+def extract_image_features(
+    df: DataFrame, dim: int = 8, decode_stub: bool = True, batch_hint: int | None = None
+) -> DataFrame:
+    """Decode + feature-extract over binary payloads via mapInPandas.
+
+    With decode_stub=False this is where the real image library is called —
+    kept behind NotImplementedError because the container has none.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real image decode requires PIL/torchvision; not in this container"
+                )
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "mean_byte": payloads.map(
+                        lambda p: float(sum(p)) / len(p) if len(p) else 0.0
+                    ),
+                    "feature": payloads.map(lambda p: _fake_decode(p, dim)),
+                }
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled timestamp
+    (the decode of each frame is the stubbed kernel). Pure built-in
+    ``sequence``+``explode`` — the expensive fan-out happens JVM-side and
+    partitions stay balanced because explode distributes with its parent."""
+    return (
+        df.filter(F.col("kind") == "video")
+        .select(
+            "asset_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+    )

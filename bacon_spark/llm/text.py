@@ -1,0 +1,195 @@
+"""Text analysis operators for large-scale training-data pipelines:
+tokenization, quality scoring, language ID, document fingerprinting.
+
+These are engine extensions beyond the reference's surface (mandated by the
+north star, BASELINE.json): everything compiles to built-in Spark SQL
+expressions — regex, array and hash functions — so the hot path stays in
+whole-stage codegen with zero Python UDFs, and therefore scales linearly
+with executors over a 100 TB corpus (pure map-side work, no shuffle).
+
+Each operator has a paired DuckDB-SQL emitter (``*_sql``) generated from
+the SAME constants, so the oracle checks stay in lockstep by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Tokenization
+# ---------------------------------------------------------------------------
+
+#: lowercase-alpha word tokens; [^a-z]+ splits keep both engines identical
+TOKEN_SPLIT_RE = "[^a-z]+"
+#: BPE-ish piece pattern: words / numbers / single non-space symbols
+BPE_PIECE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+#: punctuation class for quality scoring (no quote chars: the constant is
+#: embedded verbatim in single-quoted oracle SQL)
+PUNCT_RE = "[^.,;:!?()-]"
+
+#: tiny deterministic per-language marker vocabularies for n-gram/stopword
+#: language ID (alphabetical check order = deterministic tie-break)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "das", "nicht", "ist"),
+    "en": ("the", "and", "of", "to", "is", "in"),
+    "es": ("el", "los", "las", "que", "y", "una"),
+    "fr": ("le", "la", "et", "les", "des", "une"),
+}
+
+STOPWORDS = LANG_MARKERS["en"] + ("a", "an", "for", "on", "with", "at", "by")
+
+
+def tokens(c: Column) -> Column:
+    """Lowercase word tokens, empties dropped."""
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda x: x != F.lit(""))
+
+
+def tokens_sql(expr: str) -> str:
+    return (
+        f"list_filter(string_split_regex(lower({expr}), '{TOKEN_SPLIT_RE}'), x -> x <> '')"
+    )
+
+
+def whitespace_token_count(c: Column) -> Column:
+    """Whitespace token count (the cheap token estimator)."""
+    return F.size(F.filter(F.split(F.trim(c), "\\s+"), lambda x: x != F.lit("")))
+
+
+def whitespace_token_count_sql(expr: str) -> str:
+    return (
+        f"cast(len(list_filter(string_split_regex(trim({expr}), '\\s+'), x -> x <> '')) as int)"
+    )
+
+
+def bpe_piece_count(c: Column) -> Column:
+    """BPE-ish piece count: words / number runs / single symbols."""
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PIECE_RE), F.lit(0)))
+
+
+def bpe_piece_count_sql(expr: str) -> str:
+    return f"cast(len(regexp_extract_all({expr}, '{BPE_PIECE_RE}')) as int)"
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_features(c: Column) -> dict[str, Column]:
+    toks = tokens(c)
+    n_tokens = F.size(toks)
+    n_chars = F.length(c)
+    n_punct = F.length(F.regexp_replace(c, PUNCT_RE, ""))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": F.round(_ratio(n_punct, n_chars), 8),
+        "stopword_ratio": F.round(_ratio(n_stop, n_tokens), 8),
+        "mean_token_len": F.round(
+            _ratio(F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)), n_tokens), 8
+        ),
+    }
+
+
+def quality_features_sql(expr: str) -> dict[str, str]:
+    toks = tokens_sql(expr)
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_tokens = f"len({toks})"
+    n_chars = f"length({expr})"
+    n_punct = f"length(regexp_replace({expr}, '{PUNCT_RE}', '', 'g'))"
+    n_stop = f"len(list_filter({toks}, x -> x IN ({stop_list})))"
+    sum_len = f"list_sum(list_transform({toks}, x -> length(x)))"
+
+    def ratio(num, den):
+        return (
+            f"round(CASE WHEN {den} > 0 THEN cast({num} as double) / cast({den} as double) "
+            f"ELSE 0.0 END, 8)"
+        )
+
+    return {
+        "n_chars": f"cast({n_chars} as int)",
+        "n_tokens": f"cast({n_tokens} as int)",
+        "punct_ratio": ratio(n_punct, n_chars),
+        "stopword_ratio": ratio(n_stop, n_tokens),
+        "mean_token_len": ratio(f"coalesce({sum_len}, 0)", n_tokens),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Language ID
+# ---------------------------------------------------------------------------
+
+
+def _isin_filter(markers):
+    # NB: a plain `lambda x, m=markers:` breaks pyspark's higher-order
+    # functions (it binds one Column per lambda *parameter*, defaults
+    # included) — close over the markers via a factory instead
+    def pred(x):
+        return x.isin(*markers)
+
+    return pred
+
+
+def lang_id(c: Column) -> Column:
+    """Marker-vocabulary language ID: distinct-token hits per language,
+    argmax with alphabetical tie-break; 'und' when nothing matches."""
+    toks = F.array_distinct(tokens(c))
+    hits = {
+        lang: F.size(F.filter(toks, _isin_filter(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = sorted(LANG_MARKERS)
+    expr = F.lit("und")
+    # build the when-chain back to front so earlier (alphabetical) langs win ties
+    for lang in reversed(langs):
+        cond = hits[lang] > 0
+        for other in langs:
+            if other < lang:
+                cond = cond & (hits[lang] > hits[other])
+            elif other > lang:
+                cond = cond & (hits[lang] >= hits[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def lang_id_sql(expr: str) -> str:
+    toks = f"list_distinct({tokens_sql(expr)})"
+    hit = {
+        lang: f"len(list_filter({toks}, x -> x IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = sorted(LANG_MARKERS)
+    branches = []
+    for lang in langs:
+        conds = [f"{hit[lang]} > 0"]
+        for other in langs:
+            if other < lang:
+                conds.append(f"{hit[lang]} > {hit[other]}")
+            elif other > lang:
+                conds.append(f"{hit[lang]} >= {hit[other]}")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def fingerprint(c: Column) -> Column:
+    """60-bit content fingerprint: md5 over the sorted distinct token set —
+    invariant to word order and duplication (a rolling-hash-class
+    fingerprint for near-dup pre-bucketing)."""
+    canon = F.concat_ws(" ", F.sort_array(F.array_distinct(tokens(c))))
+    return F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+
+
+def fingerprint_sql(expr: str) -> str:
+    canon = f"array_to_string(list_sort(list_distinct({tokens_sql(expr)})), ' ')"
+    return f"cast(('0x' || substr(md5({canon}), 1, 15)) as bigint)"

@@ -786,3 +786,245 @@ def q21_events_json(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return df
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (north star extensions): dedup, text analysis,
+# fingerprinting, similarity search. Oracle SQL is GENERATED from the same
+# constants as the Spark expressions (see llm/*.py) so both sides stay in
+# lockstep by construction.
+# ---------------------------------------------------------------------------
+
+from .llm import dedup as _dd  # noqa: E402
+from .llm import similarity as _sim  # noqa: E402
+from .llm import text as _tx  # noqa: E402
+
+
+@query(
+    "q22_dedup_exact",
+    f"""
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY {_dd.hash60_sql('text')}
+    )
+    SELECT d.source AS source, count(*) AS n_docs,
+           cast(sum(d.n_chars) as bigint) AS total_chars
+    FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+    GROUP BY 1
+    """,
+)
+def q22_dedup_exact(spark, sf_dir):
+    """Exact dedup: keep lowest doc_id per 60-bit text digest, then
+    aggregate the survivors (hash-groupBy dedup; only (digest,id) pairs
+    shuffle, never bodies)."""
+    docs = _read(spark, sf_dir, "documents")
+    deduped = _dd.exact_dedup(docs)
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "q23_text_quality",
+    f"""
+    SELECT doc_id,
+           {_tx.quality_features_sql('text')['n_chars']} AS n_chars,
+           {_tx.quality_features_sql('text')['n_tokens']} AS n_tokens,
+           {_tx.quality_features_sql('text')['punct_ratio']} AS punct_ratio,
+           {_tx.quality_features_sql('text')['stopword_ratio']} AS stopword_ratio,
+           {_tx.quality_features_sql('text')['mean_token_len']} AS mean_token_len
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def q23_text_quality(spark, sf_dir):
+    """Quality scoring: length / punctuation / stopword / token-shape
+    features, all JVM-side expressions (no UDFs)."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    feats = _tx.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["mean_token_len"].alias("mean_token_len"),
+    )
+
+
+@query(
+    "q24_lang_id",
+    f"""
+    SELECT {_tx.lang_id_sql('text')} AS detected_lang, lang AS tagged_lang,
+           count(*) AS n
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q24_lang_id(spark, sf_dir):
+    """Marker-vocabulary language ID crossed against the corpus's own lang
+    tag (the synthetic text is English-ish regardless of tag — the operator
+    and its determinism are what's under test)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            _tx.lang_id(F.col("text")).alias("detected_lang"),
+            F.col("lang").alias("tagged_lang"),
+        )
+        .groupBy("detected_lang", "tagged_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q25_token_counts",
+    f"""
+    SELECT source,
+           cast(sum({_tx.whitespace_token_count_sql('text')}) as bigint) AS ws_tokens,
+           cast(sum({_tx.bpe_piece_count_sql('text')}) as bigint) AS bpe_pieces,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q25_token_counts(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex pieces, aggregated
+    per source."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(_tx.whitespace_token_count(F.col("text"))).alias("ws_tokens"),
+        F.sum(_tx.bpe_piece_count(F.col("text"))).alias("bpe_pieces"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@query(
+    "q26_fingerprint",
+    f"""
+    SELECT doc_id, {_tx.fingerprint_sql('text')} AS fp
+    FROM documents
+    WHERE doc_id < 50
+    """,
+)
+def q26_fingerprint(spark, sf_dir):
+    """Document fingerprinting: 60-bit md5 digest of the sorted distinct
+    token set (order/duplication-invariant content fingerprint)."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select("doc_id", _tx.fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "q27_minhash_signature",
+    f"""
+    SELECT doc_id, {_dd.minhash_signature_sql('text')} AS sig
+    FROM documents
+    WHERE doc_id < 30
+    """,
+)
+def q27_minhash_signature(spark, sf_dir):
+    """MinHash signatures (8 permutations over 3-token shingles) — the
+    map-side half of MinHash LSH dedup."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    return docs.select(
+        "doc_id", _dd.minhash_signature(F.col("text")).alias("sig")
+    )
+
+
+def _band_keys_sql(sig_sql: str, bands: int, rows: int) -> str:
+    keys = []
+    for bi in range(bands):
+        sl = f"list_transform(list_slice({sig_sql}, {bi*rows+1}, {bi*rows+rows}), x -> x::VARCHAR)"
+        keys.append(f"'{bi}:' || array_to_string({sl}, ',')")
+    return "[" + ", ".join(keys) + "]"
+
+
+# signature computed ONCE into a materialized CTE: the naive inline form
+# recomputes the md5-heavy signature expression per band key and per
+# self-join side (~32x) — same reason the Spark side persists sig_df
+_LSH_KEYED_CTE = f"""
+    sig AS MATERIALIZED (
+      SELECT doc_id, {_dd.minhash_signature_sql('text')} AS sig FROM documents
+    ),
+    keyed AS MATERIALIZED (
+      SELECT doc_id, unnest({_band_keys_sql('sig', 4, 2)}) AS band_key FROM sig
+    )
+"""
+
+
+@query(
+    "q28_lsh_candidate_pairs",
+    f"""
+    WITH {_LSH_KEYED_CTE}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+    FROM keyed a JOIN keyed b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q28_lsh_candidate_pairs(spark, sf_dir):
+    """MinHash LSH banding: shingle→minhash→band→bucket-join candidate
+    pairs; shuffle is O(bands·docs), the |docs|² blowup never appears."""
+    docs = _read(spark, sf_dir, "documents")
+    return _dd.lsh_candidate_pairs(docs, bands=4, rows=2)
+
+
+@query(
+    "q29_simhash",
+    f"""
+    SELECT doc_id, {_dd.simhash_sql('text')} AS sh
+    FROM documents
+    WHERE doc_id < 50
+    """,
+)
+def q29_simhash(spark, sf_dir):
+    """16-bit SimHash signatures (per-bit majority vote over token
+    hashes)."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select("doc_id", _dd.simhash(F.col("text")).alias("sh"))
+
+
+@query(
+    "q30_ngram_jaccard_pairs",
+    f"""
+    WITH {_LSH_KEYED_CTE},
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keyed a JOIN keyed b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sh AS MATERIALIZED (SELECT doc_id, {_dd.shingles_sql('text')} AS s FROM documents)
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(sa.s, sb.s))::DOUBLE
+                 / len(list_distinct(list_concat(sa.s, sb.s)))::DOUBLE, 8) AS jaccard
+    FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id
+    WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE
+                / len(list_distinct(list_concat(sa.s, sb.s)))::DOUBLE, 8) >= 0.2
+    """,
+)
+def q30_ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup verification: exact shingle Jaccard over LSH candidates
+    only (quadratic term bounded by bucket sizes)."""
+    docs = _read(spark, sf_dir, "documents")
+    return _dd.ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+@query(
+    "q31_cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round({_sim.cosine_sql('embedding', 'qe')}, 6) AS cos_sim
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q31_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k similarity search: map-side scoring against
+    the broadcast query vector + TakeOrderedAndProject (no global sort)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qvec = F.array(*[F.lit(float(v)) for v in qrow])
+    return _sim.brute_force_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)

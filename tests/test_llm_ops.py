@@ -1,0 +1,171 @@
+"""Semantics tests for the LLM-pipeline operators on constructed data
+(the oracle gate covers the fixtures; these pin the algorithms)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bacon_spark.llm import dedup as dd
+from bacon_spark.llm import multimodal as mm
+from bacon_spark.llm import similarity as sim
+from bacon_spark.llm import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (3, "completely different words entirely here now"),
+        (4, ""),  # empty
+        (5, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    out = dd.exact_dedup(docs).select("doc_id").orderBy("doc_id")
+    ids = [r[0] for r in out.collect()]
+    assert 0 in ids and 1 not in ids  # dup of 0 dropped, keeper is min id
+    assert set(ids) == {0, 2, 3, 4, 5}
+
+
+def test_exact_dup_groups(docs):
+    groups = dd.exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2
+    assert groups[0]["keep_id"] == 0
+
+
+def test_minhash_identical_docs_equal_sigs(docs):
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select("doc_id", dd.minhash_signature(F.col("text")).alias("sig")).collect()
+    }
+    assert sigs[0] == sigs[1]  # identical text -> identical signature
+    # near-dup shares most slots; disjoint text shares few
+    shared_near = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    shared_far = sum(a == b for a, b in zip(sigs[0], sigs[3]))
+    assert shared_near > shared_far
+    # empty doc: sentinel in every slot
+    assert all(v == dd.MINHASH_P for v in sigs[4])
+
+
+def test_lsh_finds_dup_pair(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in dd.lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in pairs
+
+
+def test_ngram_jaccard_pairs(docs):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    assert out[(0, 1)] == 1.0  # exact dup
+    if (0, 2) in out:
+        assert 0 < out[(0, 2)] < 1.0
+
+
+def test_simhash_near_vs_far(docs):
+    sh = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select("doc_id", dd.simhash(F.col("text")).alias("sh")).collect()
+    }
+    assert sh[0] == sh[1]
+    near = bin(sh[0] ^ sh[2]).count("1")
+    far = bin(sh[0] ^ sh[3]).count("1")
+    assert near <= far
+
+
+def test_hamming_distance(spark):
+    df = spark.createDataFrame([(0b1010, 0b0110)], "a long, b long")
+    out = df.select(dd.hamming_distance(F.col("a"), F.col("b")).alias("d")).head()
+    assert out["d"] == 2
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame([(0, "The cat, and the dog!")], "id long, text string")
+    feats = tx.quality_features(F.col("text"))
+    row = df.select(*[v.alias(k) for k, v in feats.items()]).head()
+    assert row["n_chars"] == 21
+    assert row["n_tokens"] == 5
+    assert row["punct_ratio"] > 0
+    # 'the' x2 + 'and' = 3 stopwords of 5 tokens
+    assert row["stopword_ratio"] == pytest.approx(0.6)
+
+
+def test_lang_id(spark):
+    rows = [
+        (0, "the cat and the dog is in of to"),
+        (1, "der Hund und die Katze ist nicht"),
+        (2, "le chat et la les des une"),
+        (3, "xyzzy plugh qwerty"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r["lang"] for r in df.select("id", tx.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "fr"
+    assert out[3] == "und"
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma alpha beta alpha"), (2, "alpha beta delta")],
+        "id long, text string",
+    )
+    out = {r["id"]: r["fp"] for r in df.select("id", tx.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert out[0] == out[1]  # order and duplication invariant
+    assert out[0] != out[2]
+
+
+def test_cosine_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0))
+    out = sim.brute_force_topk(df, q, k=2).collect()
+    assert [r["vec_id"] for r in out] == [0, 1]
+    assert out[0]["cos_sim"] == pytest.approx(1.0)
+
+
+def test_ann_lsh_topk(spark):
+    import math
+
+    rows = [(i, [math.cos(i / 7.0), math.sin(i / 7.0), 0.5]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.ann_lsh_topk(df, rows[5][1], dim=3, k=5).collect()
+    assert out  # bucket contains at least the query's neighbors
+    assert out[0]["vec_id"] == 5  # the vector itself is its own nearest
+
+
+def test_multimodal_features(spark):
+    assets = mm.synthetic_assets(spark, n=12)
+    feats = mm.extract_image_features(assets, dim=4)
+    rows = feats.orderBy("asset_id").collect()
+    assert len(rows) == 12
+    assert all(len(r["feature"]) == 4 for r in rows)
+    assert all(abs(sum(r["feature"]) - 1.0) < 1e-9 for r in rows)
+    assert rows[0]["n_bytes"] == 128
+
+
+def test_multimodal_stub_raises(spark):
+    assets = mm.synthetic_assets(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        mm.extract_image_features(assets, decode_stub=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    assets = mm.synthetic_assets(spark, n=9)
+    plan = mm.frame_sample_plan(assets, every_ms=500)
+    rows = plan.collect()
+    assert rows
+    # only video assets, timestamps stride 500
+    kinds = {r["asset_id"] % 3 for r in rows}
+    assert kinds == {2}
+    ts = sorted({r["frame_ts_ms"] for r in rows if r["asset_id"] == 2})
+    assert ts[:3] == [0, 500, 1000]

@@ -1,0 +1,110 @@
+"""Table renderer tests: Table1D, TablePivot, totals, pagination
+(reference semantics from /root/reference/bacon/observers/tables.py)."""
+
+import pytest
+
+from bacon_spark import (
+    Average,
+    Count,
+    CubeDef,
+    CubeQuery,
+    CuttingBoard,
+    Label,
+    Measure,
+    StdDev,
+    Sum,
+)
+from bacon_spark.observers.tables import Page, Table1D, TablePivot
+
+
+@pytest.fixture(scope="module")
+def board(spark):
+    rows = [
+        ("NY", "open", 10, 1.0),
+        ("NY", "closed", 20, 2.0),
+        ("CA", "open", 5, 3.0),
+        ("CA", "closed", 15, 4.0),
+        ("TX", "open", 7, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "state string, status string, units long, price double")
+    cd = CubeDef("sales")
+    cd.add_label(Label("state"))
+    cd.add_label(Label("status"))
+    cd.add_measure(Measure("units", acc=Sum()))
+    cd.add_measure(Measure("n", "units", acc=Count()))
+    cd.add_measure(Measure("avg_price", "price", acc=Average()))
+    cd.add_measure(Measure("sd_price", "price", acc=StdDev()))
+    return CuttingBoard(cd, df, cache_results=False)
+
+
+def test_table1d_rows_and_totals(board):
+    q = CubeQuery().add_axis("state").add_value("units").add_value("n")
+    t = Table1D(board, q)
+    assert t.nrows == 3
+    rows = t.rows()
+    assert [r["state"] for r in rows] == ["CA", "NY", "TX"]  # axis sort
+    assert rows[0]["units"] == 20
+    totals = t.totals()
+    assert totals == {"units": 57, "n": 5}
+
+
+def test_table1d_stddev_total_is_null(board):
+    q = CubeQuery().add_axis("state").add_value("sd_price")
+    t = Table1D(board, q)
+    assert t.totals()["sd_price"] is None  # reference merge -> Inconsistent
+
+
+def test_table1d_pagination(board):
+    q = CubeQuery().add_axis("state").add_value("units")
+    t = Table1D(board, q, page=Page(limit=2, offset=1, nrows=3))
+    rows = t.rows()
+    assert [r["state"] for r in rows] == ["NY", "TX"]
+    # stale nrows -> offset resets
+    t2 = Table1D(board, q, page=Page(limit=2, offset=2, nrows=99))
+    assert [r["state"] for r in t2.rows()] == ["CA", "NY"]
+
+
+def test_page_parse_unparse():
+    p = Page.parse("10:20:300")
+    assert (p.limit, p.offset, p.nrows) == (10, 20, 300)
+    assert p.unparse() == "10:20:300"
+    assert Page.parse("").limit is None
+    assert Page.parse("5").unparse() == "5:0:"
+
+
+def test_pivot_table(board):
+    q = (
+        CubeQuery()
+        .add_axis("state")
+        .add_axis("status")
+        .add_value("units")
+        .set_pivot("status")
+    )
+    t = TablePivot(board, q)
+    assert t.columns == [("closed",), ("open",)]  # pivot label key order
+    assert t.rows() == [("CA",), ("NY",), ("TX",)]
+    assert t.cell(("NY",), ("open",))["units"] == 10
+    assert t.cell(("TX",), ("closed",)) is None  # missing cell
+    assert t.row_total(("NY",))["units"] == 30
+    assert t.col_total(("open",))["units"] == 22
+    assert t.grand_total()["units"] == 57
+
+
+def test_pivot_order_by_measure_in_column(board):
+    q = (
+        CubeQuery()
+        .add_axis("state")
+        .add_axis("status")
+        .add_value("units")
+        .set_pivot("status")
+        .set_order("units", descending=True, pivot_values=("open",))
+    )
+    t = TablePivot(board, q)
+    # sorted by units within the 'open' column group: NY=10, TX=7, CA=5
+    assert t.rows() == [("NY",), ("TX",), ("CA",)]
+
+
+def test_average_total_counts_all_rows(board):
+    q = CubeQuery().add_axis("state").add_value("avg_price")
+    t = Table1D(board, q)
+    assert t.totals()["avg_price"] == pytest.approx(3.0)  # 15/5
