@@ -142,6 +142,15 @@ class Label:
     def lit(self, value) -> Column:
         return F.lit(value)
 
+    def sql_expr(self) -> str:
+        """SQL-text form for the pushdown backend (sql.py); labels whose
+        expression is a Column object are DataFrame-only."""
+        if isinstance(self._expr, str):
+            return self._expr
+        from .errors import QueryError
+
+        raise QueryError(f"label {self.name!r} has no SQL expression")
+
     def __repr__(self):  # pragma: no cover
         return f"<{type(self).__name__} {self.name!r}>"
 
@@ -278,6 +287,14 @@ class _DatePartLabel(Label):
     def base_column(self) -> Column:
         return F.col(self._base) if isinstance(self._base, str) else self._base
 
+    #: SQL template for sql_expr(); {base} is the base column name
+    sql_template: str | None = None
+
+    def sql_expr(self) -> str:
+        if self.sql_template and isinstance(self._base, str):
+            return self.sql_template.format(base=self._base)
+        return super().sql_expr()
+
     def column(self) -> Column:  # pragma: no cover - overridden
         raise NotImplementedError
 
@@ -300,6 +317,8 @@ class _DatePartLabel(Label):
 class YearLabel(_DatePartLabel):
     """date_trunc('year') (/root/reference/bacon/cubedef.py:788-807)."""
 
+    sql_template = "cast(date_trunc('year', {base}) as date)"
+
     def column(self):
         return F.date_trunc("year", self.base_column).cast("date")
 
@@ -319,6 +338,8 @@ class YearLabel(_DatePartLabel):
 class ISOYearLabel(_DatePartLabel):
     """extract(yearofweek) (/root/reference/bacon/cubedef.py:810-820)."""
 
+    sql_template = "extract(yearofweek from {base})"
+
     def column(self):
         return F.expr(f"extract(yearofweek from {self._sql_base()})").cast("int")
 
@@ -334,6 +355,8 @@ class ISOYearLabel(_DatePartLabel):
 class MonthLabel(_DatePartLabel):
     """date_trunc('month'); relative '-6' = 6 months ago
     (/root/reference/bacon/cubedef.py:823-852)."""
+
+    sql_template = "cast(date_trunc('month', {base}) as date)"
 
     relative_unit = "month"
 
@@ -359,6 +382,8 @@ class MonthLabel(_DatePartLabel):
 class MonthOfYearLabel(_DatePartLabel):
     """date_part('month') -> 1..12 (/root/reference/bacon/cubedef.py:855-868)."""
 
+    sql_template = "month({base})"
+
     def column(self):
         return F.month(self.base_column)
 
@@ -372,6 +397,8 @@ class MonthOfYearLabel(_DatePartLabel):
 class QuarterLabel(_DatePartLabel):
     """date_trunc('quarter'); relative quarters-ago
     (/root/reference/bacon/cubedef.py:871-901)."""
+
+    sql_template = "cast(date_trunc('quarter', {base}) as date)"
 
     relative_unit = "quarter"
 
@@ -403,6 +430,8 @@ class QuarterNumLabel(_DatePartLabel):
     implement the documented SQL semantics (1..4), per SURVEY §7.
     """
 
+    sql_template = "quarter({base})"
+
     def column(self):
         return F.quarter(self.base_column)
 
@@ -419,6 +448,8 @@ class QuarterNumLabel(_DatePartLabel):
 class WeekLabel(_DatePartLabel):
     """date_trunc('week') = Monday of week; relative weeks-ago
     (/root/reference/bacon/cubedef.py:917-949)."""
+
+    sql_template = "cast(date_trunc('week', {base}) as date)"
 
     relative_unit = "week"
 
@@ -441,6 +472,8 @@ class WeekLabel(_DatePartLabel):
 class ISOWeekNumLabel(_DatePartLabel):
     """date_part('week') ISO week number (/root/reference/bacon/cubedef.py:952-966)."""
 
+    sql_template = "weekofyear({base})"
+
     def column(self):
         return F.weekofyear(self.base_column)
 
@@ -451,6 +484,8 @@ class ISOWeekNumLabel(_DatePartLabel):
 class DayLabel(_DatePartLabel):
     """Raw date (no trunc — index-friendliness note in the reference,
     /root/reference/bacon/cubedef.py:969-1011); relative days-ago."""
+
+    sql_template = "to_date({base})"
 
     relative_unit = "day"
 
@@ -473,6 +508,8 @@ class DOYLabel(_DatePartLabel):
     semantics per SURVEY §7.
     """
 
+    sql_template = "dayofyear({base})"
+
     def column(self):
         return F.dayofyear(self.base_column)
 
@@ -483,6 +520,8 @@ class DOYLabel(_DatePartLabel):
 class HourLabel(_DatePartLabel):
     """date_trunc('hour'); relative hours-ago
     (/root/reference/bacon/cubedef.py:1028-1046)."""
+
+    sql_template = "date_trunc('hour', {base})"
 
     relative_unit = "hour"
 
@@ -511,6 +550,8 @@ class WeekdayLabel(_DatePartLabel):
     ``(dayofweek + 5) % 7 + 1`` — SURVEY §1.2 flags this.
     """
 
+    sql_template = "(dayofweek({base}) + 5) % 7 + 1"
+
     _NAMES = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday"]
 
     def column(self):
@@ -528,6 +569,8 @@ class WeekdayLabel(_DatePartLabel):
 
 class MonthdayLabel(_DatePartLabel):
     """date_part('day') 1..31 (/root/reference/bacon/cubedef.py:1065-1075)."""
+
+    sql_template = "dayofmonth({base})"
 
     def column(self):
         return F.dayofmonth(self.base_column)

@@ -1028,3 +1028,264 @@ def q31_cosine_topk(spark, sf_dir):
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     qvec = F.array(*[F.lit(float(v)) for v in qrow])
     return _sim.brute_force_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Streaming-compatible windows (batch mode pins streaming semantics),
+# window functions, raw-rows sink, remaining accumulators/set-ops
+# ---------------------------------------------------------------------------
+
+from .streaming import windows as _win  # noqa: E402
+
+
+@query(
+    "q32_tumbling_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n,
+           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q32_tumbling_window(spark, sf_dir):
+    """Tumbling-window aggregation via F.window — identical code path for
+    batch and Structured Streaming; epoch-aligned 1h windows match
+    date_trunc('hour')."""
+    ev = _read(spark, sf_dir, "events")
+    out = _win.tumbling_window_agg(
+        ev,
+        {
+            "n": F.count(F.lit(1)),
+            "sum_value": F.sum(F.expr(dec("value"))),
+        },
+        window="1 hour",
+        keys=("event_type",),
+    )
+    out = out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+    return finalize(out, {"sum_value": 2})
+
+
+@query(
+    "q33_session_window",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+    ),
+    sessions AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, value
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, sess_id
+    """,
+)
+def q33_session_window(spark, sf_dir):
+    """Session windows (30-minute gap) via F.session_window; the oracle is
+    the classic gaps-and-islands construction, proving the semantics match.
+    Session start is second-truncated for the string key (micro vs nano
+    parquet precision)."""
+    ev = _read(spark, sf_dir, "events")
+    out = _win.session_window_agg(
+        ev,
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum(F.expr(dec("value"))),
+        },
+        gap="30 minutes",
+        keys=("user_id",),
+    )
+    out = out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+        "sum_value",
+    )
+    return finalize(out, {"sum_value": 2})
+
+
+@query(
+    "q34_topk_per_group",
+    """
+    SELECT brand, pname, revenue, rk FROM (
+      SELECT p.p_brand AS brand, p.p_name AS pname,
+             round(cast(sum(cast(l.l_extendedprice*(1-l.l_discount) as decimal(38,6))) as double), 2) AS revenue,
+             cast(row_number() OVER (PARTITION BY p.p_brand
+                 ORDER BY round(cast(sum(cast(l.l_extendedprice*(1-l.l_discount) as decimal(38,6))) as double), 2) DESC,
+                          p.p_name ASC) as int) AS rk
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ) t WHERE rk <= 3
+    """,
+)
+def q34_topk_per_group(spark, sf_dir):
+    """Top-k per group via row_number window (SURVEY §2.5: window functions
+    absent in the reference, first-class here)."""
+    from pyspark.sql import Window
+
+    li = _read(spark, sf_dir, "lineitem")
+    p = _read(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("p_name").alias("pname"))
+        .agg(
+            F.round(
+                F.sum(F.expr(dec("l_extendedprice*(1-l_discount)", 6))).cast("double"), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("brand").orderBy(F.col("revenue").desc(), F.col("pname").asc())
+    return rev.withColumn("rk", F.row_number().over(w).cast("int")).filter(F.col("rk") <= 3)
+
+
+@query(
+    "q35_raw_rows",
+    """
+    SELECT * FROM (
+      SELECT o_orderkey AS orderkey, o_custkey AS custkey, o_totalprice AS totalprice
+      FROM orders
+      WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+      ORDER BY orderkey
+      LIMIT 25 OFFSET 10
+    ) t
+    """,
+)
+def q35_raw_rows(spark, sf_dir):
+    """Raw-rows sink: unaggregated filtered records with limit/offset
+    paging through CuttingBoard.rows (reference RowsProxy,
+    /root/reference/bacon/sql.py:340-370)."""
+    cd = CubeDef("orders")
+    cd.add_label(Label("orderstatus", "o_orderstatus"))
+    cd.add_label(Label("totalprice", "o_totalprice"))
+    q = (
+        CubeQuery()
+        .add_filter("orderstatus", "eq", "O")
+        .add_filter("totalprice", "gt", 100000)
+    )
+    b = board(cd, _read(spark, sf_dir, "orders").orderBy("o_orderkey"))
+    rows = b.rows(q, limit=25, offset=10)
+    return rows.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+
+
+@query(
+    "q36_labeled_acc",
+    """
+    SELECT c_nationkey AS nationkey,
+           CASE WHEN count(DISTINCT c_mktsegment)
+                     + max(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) <= 1
+                THEN round(cast(sum(cast(c_acctbal as decimal(38,4))) as double), 2) END AS guarded_bal,
+           count(*) AS n
+    FROM customer
+    WHERE c_custkey <= 200
+    GROUP BY 1
+    """,
+)
+def q36_labeled_acc(spark, sf_dir):
+    """LabeledAcc: inner Sum guarded by a context label — groups spanning
+    more than one mktsegment yield null (Inconsistent)
+    (/root/reference/bacon/accumulators.py:299-352)."""
+    from .accumulators import LabeledAcc
+
+    cd = CubeDef("cust")
+    cd.add_label(IntLabel("nationkey", "c_nationkey"))
+    cd.add_label(IntLabel("custkey", "c_custkey"))
+    cd.add_measure(
+        Measure("guarded_bal", dec("c_acctbal"), acc=LabeledAcc("c_mktsegment", Sum()))
+    )
+    cd.add_measure(Measure("n", "c_custkey", acc=Count()))
+    q = (
+        CubeQuery()
+        .add_axis("nationkey")
+        .add_value("guarded_bal")
+        .add_value("n")
+        .add_filter("custkey", "le", 200)
+    )
+    df = board(cd, _read(spark, sf_dir, "customer")).slice(q).to_df()
+    return finalize(df, {"guarded_bal": 2})
+
+
+@query(
+    "q37_set_ops_extended",
+    """
+    WITH tagged AS (
+      SELECT p_partkey, p_brand, list_sort(list_distinct(string_split(p_name, ' '))) AS tags
+      FROM part
+    )
+    SELECT p_brand AS brand,
+           count(CASE WHEN tags = ['red', 'widget'] THEN 1 END) AS n_equals,
+           count(CASE WHEN list_has_all(['red','widget','blue','bolt'], tags) THEN 1 END) AS n_subset,
+           count(CASE WHEN NOT list_has_all(tags, ['red','widget']) THEN 1 END) AS n_notsuperset
+    FROM tagged
+    GROUP BY 1
+    """,
+)
+def q37_set_ops_extended(spark, sf_dir):
+    """Remaining set algebra: hasonly/equals, subsetof, notsupersetof
+    (/root/reference/bacon/cutting.py:799-870) as conditional counts."""
+    from .filters import build_predicate
+
+    df = _read(spark, sf_dir, "part").withColumn("tags", F.split("p_name", " "))
+    tags = F.col("tags")
+    eq_pred = build_predicate(tags, "equals", frozenset({"red", "widget"}))
+    sub_pred = build_predicate(tags, "subsetof", frozenset({"red", "widget", "blue", "bolt"}))
+    nsup_pred = build_predicate(tags, "notsupersetof", frozenset({"red", "widget"}))
+    return df.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.when(eq_pred, 1)).alias("n_equals"),
+        F.count(F.when(sub_pred, 1)).alias("n_subset"),
+        F.count(F.when(nsup_pred, 1)).alias("n_notsuperset"),
+    )
+
+
+@query(
+    "q38_hidden_values",
+    """
+    SELECT c_mktsegment AS segment,
+           round(cast(sum(cast(o_totalprice as decimal(38,4))) as double)
+                 / count(*), 6) AS avg_order_value
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q38_hidden_values(spark, sf_dir):
+    """Hidden-but-computed values: total and count are computed (feeding
+    the visible ratio) but only the visible column is selected
+    (/root/reference/bacon/cutting.py:752-770)."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    cd = CubeDef("oc")
+    cd.add_label(Label("segment", "c_mktsegment"))
+    cd.add_measure(Measure("total", dec("o_totalprice"), acc=Sum()))
+    cd.add_measure(Measure("n", "o_orderkey", acc=Count()))
+    cd.add_measure(Measure("avg_order_value", dec("o_totalprice"), acc=Average()))
+    q = (
+        CubeQuery()
+        .add_axis("segment")
+        .add_value("total", visible=False)
+        .add_value("n", visible=False)
+        .add_value("avg_order_value")
+    )
+    sl = board(cd, joined).slice(q)
+    # renderers select only visible values; mirror that here
+    out = sl.to_df().select("segment", *sl.query.visible_values)
+    return out.select("segment", F.round(F.col("avg_order_value"), 6).alias("avg_order_value"))

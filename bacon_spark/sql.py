@@ -1,0 +1,207 @@
+"""SQL pushdown backend: compile a CubeQuery to a SQL string and execute it
+via ``spark.sql`` over a registered table/view.
+
+Re-expression of the reference's Postgres pushdown path
+(/root/reference/bacon/sql.py:218-265 + the immutable SqlQuery builder,
+sql.py:52-160): axes fold in via label SQL expressions, measures via each
+accumulator's ``sql`` form, filters via an op map with the same null
+special-casing as the in-memory path (/root/reference/bacon/cubedef.py:444-481).
+
+Target dialect is Spark SQL: the compiled text runs against temp views,
+catalog tables, or JDBC-backed tables — in each case Catalyst applies the
+same pushdown/pruning it gives the DataFrame path, so this backend exists
+for SQL-surface parity (tools that want query text), not performance. The
+reference's trick of re-running returned aggregates through the
+accumulators (aggregation of partial aggregates, sound by associativity)
+is unnecessary here: Spark executes the whole query.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field, replace
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .cubedef import CubeDef
+from .cubequery import MULTI_ARG_OPS, CubeQuery
+from .engine import Slice
+from .errors import QueryError
+
+
+def sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, dt.datetime):
+        return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S')}'"
+    if isinstance(v, dt.date):
+        return f"DATE '{v.isoformat()}'"
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def _lit_array(value) -> str:
+    items = sorted(
+        str(x) for x in value if x is not None and x != ""
+    )
+    return "array(" + ", ".join(sql_literal(x) for x in items) + ")"
+
+
+def _clean_set(expr: str) -> str:
+    """SQL form of make_set (/root/reference/bacon/cutting.py:788-796)."""
+    return (
+        f"array_distinct(filter(coalesce({expr}, array()), "
+        f"x -> x IS NOT NULL AND x <> ''))"
+    )
+
+
+def sql_filter(expr: str, op: str, value) -> str:
+    """Filter op -> SQL predicate, preserving the engine's null semantics
+    (see filters.py module docstring)."""
+    if op == "eq":
+        return f"{expr} IS NULL" if value is None else f"{expr} = {sql_literal(value)}"
+    if op == "ne":
+        if value is None:
+            return f"{expr} IS NOT NULL"
+        return f"({expr} IS NULL OR {expr} <> {sql_literal(value)})"
+    if op in ("gt", "ge", "lt", "le"):
+        sym = {"gt": ">", "ge": ">=", "lt": "<", "le": "<="}[op]
+        return f"{expr} {sym} {sql_literal(value)}"
+    if op in ("in", "ni"):
+        vals = value if isinstance(value, (set, frozenset, list, tuple)) else {value}
+        has_null = any(x is None for x in vals)
+        rest = sorted((str(x) for x in vals if x is not None))
+        in_list = f"{expr} IN ({', '.join(sql_literal(x) for x in rest)})" if rest else "FALSE"
+        if op == "in":
+            return f"({expr} IS NULL OR {in_list})" if has_null else in_list
+        if has_null:
+            return f"({expr} IS NOT NULL AND NOT {in_list})"
+        return f"({expr} IS NULL OR NOT {in_list})"
+    if op == "match":
+        return f"{expr} RLIKE {sql_literal(value)}"
+    if op == "nmatch":
+        return f"({expr} IS NULL OR NOT {expr} RLIKE {sql_literal(value)})"
+
+    s = _clean_set(expr)
+    b = _lit_array(value)
+    table = {
+        "hasall": f"size(array_except({b}, {s})) = 0",
+        "hasany": f"size(array_intersect({s}, {b})) > 0",
+        "hasnone": f"size(array_intersect({s}, {b})) = 0",
+        "hasonly": f"sort_array({s}) = {b}",
+        "equals": f"sort_array({s}) = {b}",
+        "subsetof": f"size(array_except({s}, {b})) = 0",
+        "supersetof": f"size(array_except({b}, {s})) = 0",
+        "disjointfrom": f"size(array_intersect({s}, {b})) = 0",
+        "intersects": f"size(array_intersect({s}, {b})) > 0",
+    }
+    neg = {
+        "hasnotall": "hasall",
+        "notsubsetof": "subsetof",
+        "notsupersetof": "supersetof",
+        "notequals": "equals",
+    }
+    if op in table:
+        return table[op]
+    if op in neg:
+        return f"NOT ({table[neg[op]]})"
+    raise QueryError(f"operator {op!r} has no SQL form")
+
+
+@dataclass(frozen=True)
+class SqlQuery:
+    """Immutable SELECT builder (reference SqlQuery,
+    /root/reference/bacon/sql.py:52-160); every mutator returns a copy."""
+
+    table: str = ""
+    groups: tuple[tuple[str, str], ...] = ()  # (alias, expr)
+    aggregates: tuple[tuple[str, str], ...] = ()  # (alias, expr)
+    filters: tuple[str, ...] = ()
+    order: tuple[str, ...] = ()
+    limit_n: int | None = None
+    offset_n: int = 0
+    ctes: tuple[tuple[str, str], ...] = ()
+
+    def add_cte(self, name: str, sql: str) -> SqlQuery:
+        return replace(self, ctes=self.ctes + ((name, sql),))
+
+    def add_group(self, alias: str, expr: str) -> SqlQuery:
+        return replace(self, groups=self.groups + ((alias, expr),))
+
+    def add_aggregate(self, alias: str, expr: str) -> SqlQuery:
+        return replace(self, aggregates=self.aggregates + ((alias, expr),))
+
+    def add_filter(self, pred: str) -> SqlQuery:
+        return replace(self, filters=self.filters + (pred,))
+
+    def add_order(self, expr: str) -> SqlQuery:
+        return replace(self, order=self.order + (expr,))
+
+    def limit(self, n: int | None, offset: int = 0) -> SqlQuery:
+        return replace(self, limit_n=n, offset_n=offset)
+
+    def to_sql(self) -> str:
+        parts = []
+        if self.ctes:
+            parts.append("WITH " + ", ".join(f"{n} AS ({s})" for n, s in self.ctes))
+        cols = [f"{e} AS {a}" for a, e in self.groups]
+        cols += [f"{e} AS {a}" for a, e in self.aggregates]
+        parts.append("SELECT " + (", ".join(cols) if cols else "*"))
+        parts.append(f"FROM {self.table}")
+        if self.filters:
+            parts.append("WHERE " + " AND ".join(f"({p})" for p in self.filters))
+        if self.groups and self.aggregates:
+            parts.append("GROUP BY " + ", ".join(a for a, _ in self.groups))
+        if self.order:
+            parts.append("ORDER BY " + ", ".join(self.order))
+        if self.limit_n is not None:
+            parts.append(f"LIMIT {self.limit_n}")
+        if self.offset_n:
+            parts.append(f"OFFSET {self.offset_n}")
+        return "\n".join(parts)
+
+
+class SqlCuttingBoard:
+    """CuttingBoard over a registered SQL table: compiles the query to SQL
+    text and executes with spark.sql (reference SqlCuttingBoard,
+    /root/reference/bacon/sql.py:218-265)."""
+
+    def __init__(self, cubedef: CubeDef, spark: SparkSession, table: str):
+        self.cubedef = cubedef
+        self.spark = spark
+        self.table = table
+
+    def compile(self, query: CubeQuery) -> str:
+        sq = SqlQuery(table=self.table)
+        for name, op, value in query.filters:
+            label = self.cubedef.get_label(name)
+            sq = sq.add_filter(sql_filter(self._label_sql(label), op, value))
+        for a in query.axes:
+            label = self.cubedef.get_label(a)
+            sq = sq.add_group(a, self._label_sql(label))
+        for v in query.values:
+            m = self.cubedef.get_value(v)
+            sq = sq.add_aggregate(v, m.acc.sql(self._label_sql(m)))
+        if query.order:
+            sign, value_name, _ = query.order
+            if value_name in query.values:
+                sq = sq.add_order(
+                    f"coalesce({value_name}, 0) {'DESC' if sign < 0 else 'ASC'}"
+                )
+        for a in query.axes:
+            rev = self.cubedef.get_label(a).reverse
+            sq = sq.add_order(f"{a} {'DESC NULLS LAST' if rev else 'ASC NULLS FIRST'}")
+        return sq.to_sql()
+
+    def _label_sql(self, label) -> str:
+        return label.sql_expr()
+
+    def df(self, query: CubeQuery) -> DataFrame:
+        return self.spark.sql(self.compile(query))
+
+    def slice(self, query: CubeQuery) -> Slice:
+        return Slice(self.cubedef, query, self.df(query))

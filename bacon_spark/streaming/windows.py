@@ -1,0 +1,174 @@
+"""Streaming cube extension: windowed aggregation over event streams.
+
+Entirely absent in the reference (SURVEY §2.10 — its nearest concept is the
+lazy re-pulled dataset, /root/reference/bacon/cutting.py:122-135); this is
+the north-star extension built on Structured Streaming.
+
+Design: every function here takes a DataFrame that may be BATCH or
+STREAMING — ``F.window``/``F.session_window`` and the agg expressions work
+identically in both modes, so batch runs (oracle-checkable against DuckDB)
+pin the semantics of the streaming runs. Watermarks bound state: at 100 TB/
+day stream volumes, state size is (windows in flight) × (groups), not event
+count, and late events beyond the watermark are dropped deterministically.
+
+The measure set reuses the engine's accumulators, so a streaming window agg
+is exactly "a cube whose time axis is a window label".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_watermark(df: DataFrame, ts_col: str = "ts", delay: str = "1 hour") -> DataFrame:
+    """Watermark wrapper (no-op on batch frames)."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, delay)
+    return df
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    aggs: dict[str, Column],
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = (),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Fixed windows aligned to the epoch; one result row per
+    (window, keys). Batch-mode output of window('1 hour') matches
+    date_trunc('hour') exactly (oracle q32)."""
+    if watermark:
+        df = with_watermark(df, ts_col, watermark)
+    gb = df.groupBy(F.window(ts_col, window), *keys)
+    out = gb.agg(*[c.alias(n) for n, c in aggs.items()])
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *keys,
+        *aggs.keys(),
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    aggs: dict[str, Column],
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = (),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Overlapping windows: each event lands in window/slide windows."""
+    if watermark:
+        df = with_watermark(df, ts_col, watermark)
+    gb = df.groupBy(F.window(ts_col, window, slide), *keys)
+    out = gb.agg(*[c.alias(n) for n, c in aggs.items()])
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *keys,
+        *aggs.keys(),
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    aggs: dict[str, Column],
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("user_id",),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based sessions: an event within *gap* of the previous extends the
+    session; exactly the gaps-and-islands construction (oracle q33 pins the
+    batch semantics against a lag/cumsum DuckDB query)."""
+    if watermark:
+        df = with_watermark(df, ts_col, watermark)
+    gb = df.groupBy(F.session_window(ts_col, gap), *keys)
+    out = gb.agg(*[c.alias(n) for n, c in aggs.items()])
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *keys,
+        *aggs.keys(),
+    )
+
+
+def dedup_within_watermark(
+    df: DataFrame, keys: tuple[str, ...] = ("event_id",), ts_col: str = "ts", delay: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: duplicates arriving within
+    the watermark horizon are dropped; state for old keys is evicted."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(list(keys))
+    return df.dropDuplicates(list(keys))
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"):
+    """Drive a streaming frame to a memory sink with availableNow (process
+    everything queued, then stop) — the test/verification harness path."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+RUNNING_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+_RUNNING_STATE_SCHEMA = "n bigint, total double"
+
+
+def _running_totals_fn(key, pdf_iter, state):
+    """Per-user running totals across micro-batches — the minimal custom
+    stateful operator: state survives between triggers, bounded by key
+    cardinality (not event count)."""
+    import pandas as pd
+
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_totals_stateful(df: DataFrame, ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
+    """Arbitrary stateful processing: per-user running (count, sum) kept in
+    explicit state via applyInPandasWithState (Arrow-batched, update mode).
+    The built-in windows above should be preferred whenever they fit — this
+    is the escape hatch the reference's Accumulator subclassing maps to in
+    a streaming world (SURVEY §2.11)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if not df.isStreaming:
+        # batch equivalent for oracle/tests
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("double")).alias("total_value"),
+        )
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals_fn,
+            RUNNING_TOTALS_SCHEMA,
+            _RUNNING_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,149 @@
+"""Structured Streaming tests: run the SAME operators in true streaming
+mode (file source -> memory sink, availableNow trigger) and check
+equivalence with batch plus watermark late-data semantics."""
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from bacon_spark.streaming import windows as W
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="bacon_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _rows():
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    out = []
+    for i in range(40):
+        out.append((i, t0 + dt.timedelta(minutes=7 * i), i % 3, "click", float(i)))
+    return out
+
+
+def test_stream_tumbling_equals_batch(spark, tmpdir):
+    rows = _rows()
+    _write_events(spark, tmpdir, rows)
+    batch_df = spark.read.schema(SCHEMA).parquet(tmpdir)
+    stream_df = spark.readStream.schema(SCHEMA).parquet(tmpdir)
+
+    aggs = {"n": F.count(F.lit(1)), "sv": F.sum("value")}
+    batch = W.tumbling_window_agg(batch_df, aggs, window="1 hour")
+    stream = W.tumbling_window_agg(stream_df, aggs, window="1 hour", watermark="1 hour")
+
+    W.run_stream_to_memory(stream, "t_tumble", mode="complete")
+    got = {
+        (r["window_start"], r["n"], r["sv"])
+        for r in spark.sql("select * from t_tumble").collect()
+    }
+    want = {(r["window_start"], r["n"], r["sv"]) for r in batch.collect()}
+    assert got == want and got
+
+
+def test_stream_session_equals_batch(spark, tmpdir):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "c", 1.0),
+        (2, t0 + dt.timedelta(minutes=10), 1, "c", 2.0),  # same session
+        (3, t0 + dt.timedelta(minutes=60), 1, "c", 3.0),  # new session
+        (4, t0, 2, "c", 4.0),
+    ]
+    _write_events(spark, tmpdir, rows)
+    aggs = {"n": F.count(F.lit(1))}
+    stream = W.session_window_agg(
+        spark.readStream.schema(SCHEMA).parquet(tmpdir),
+        aggs,
+        gap="30 minutes",
+        watermark="1 hour",
+    )
+    W.run_stream_to_memory(stream, "t_sess", mode="complete")
+    got = {
+        (r["user_id"], r["n"]) for r in spark.sql("select * from t_sess").collect()
+    }
+    assert got == {(1, 2), (1, 1), (2, 1)}
+
+
+def test_watermark_drops_late_events(spark, tmpdir):
+    """Two separate runs sharing a checkpoint: run 1 advances the watermark
+    to 04:00 (max 05:00 − 1h delay); run 2 delivers an event at 01:00 —
+    behind the watermark — which must be dropped, so its window never
+    reaches the append-mode output."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    data_dir = tmpdir + "/data"
+    out_dir = tmpdir + "/out"
+    ckpt = tmpdir + "/ckpt"
+
+    def run_once():
+        stream_df = spark.readStream.schema(SCHEMA).parquet(data_dir)
+        agg = W.tumbling_window_agg(
+            stream_df, {"n": F.count(F.lit(1))}, window="1 hour", watermark="1 hour"
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(out_dir)
+        return {r["window_start"] for r in out.collect()}
+
+    _write_events(spark, data_dir, [(1, t0 + dt.timedelta(hours=5), 1, "c", 1.0)])
+    starts1 = run_once()
+    _write_events(spark, data_dir, [(2, t0 + dt.timedelta(hours=1), 1, "c", 1.0)])
+    starts2 = run_once()
+
+    # the late 01:00 event was dropped: its window is emitted by neither run
+    assert dt.datetime(2024, 1, 1, 1, 0) not in (starts1 | starts2)
+
+
+def test_dedup_within_watermark_batch_and_stream(spark, tmpdir):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "c", 1.0),
+        (1, t0 + dt.timedelta(minutes=1), 1, "c", 1.0),  # dup id
+        (2, t0, 2, "c", 2.0),
+    ]
+    # batch mode
+    df = spark.createDataFrame(rows, SCHEMA)
+    assert W.dedup_within_watermark(df).count() == 2
+    # streaming mode
+    _write_events(spark, tmpdir, rows)
+    stream = W.dedup_within_watermark(
+        spark.readStream.schema(SCHEMA).parquet(tmpdir), delay="1 hour"
+    )
+    W.run_stream_to_memory(stream, "t_dedup", mode="append")
+    assert spark.sql("select count(*) from t_dedup").head()[0] == 2
+
+
+def test_stateful_running_totals(spark, tmpdir):
+    rows = _rows()
+    _write_events(spark, tmpdir, rows)
+    stream = W.running_totals_stateful(spark.readStream.schema(SCHEMA).parquet(tmpdir))
+    W.run_stream_to_memory(stream, "t_state", mode="update")
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            "select user_id, max(n_events) n_events, max(total_value) total_value "
+            "from t_state group by user_id"
+        ).collect()
+    }
+    batch = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in W.running_totals_stateful(spark.read.schema(SCHEMA).parquet(tmpdir)).collect()
+    }
+    assert got == batch and len(got) == 3
