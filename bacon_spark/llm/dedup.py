@@ -86,13 +86,27 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def shingles(c: Column, k: int = 3) -> Column:
-    """Distinct k-token shingles (word n-grams joined by spaces)."""
-    toks = tokens(c)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n >= k, F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    )).otherwise(F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(F.array().cast("array<string>")))
+    """Distinct k-token shingles (word n-grams joined by spaces).
+
+    The token array is let-bound so tokenization runs once, not once per
+    branch (functions/exprs.py)."""
+    from ..functions.exprs import let
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return (
+            F.when(
+                n >= k,
+                F.array_distinct(
+                    F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+                ),
+            )
+            .when(n > 0, F.array(F.concat_ws(" ", toks)))
+            .otherwise(F.array().cast("array<string>"))
+        )
+
+    return let(tokens(c), build)
 
 
 def shingles_sql(expr: str, k: int = 3) -> str:
@@ -120,19 +134,24 @@ def shingle_hashes_sql(expr: str, k: int = 3) -> str:
 
 def minhash_signature(c: Column, k: int = 3, params=MINHASH_PARAMS) -> Column:
     """MinHash signature: array of min((a_i·h + b_i) mod p) over shingle
-    hashes; empty docs get p (the identity of min) in every slot."""
-    hashes = shingle_hashes(c, k)
+    hashes; empty docs get p (the identity of min) in every slot.
 
-    def perm(a, b):
-        # factory, not default-arg lambda: pyspark binds one Column per
-        # lambda parameter, so extra defaulted params break arity checks
-        return lambda h: (a * h + b) % MINHASH_P
+    Single pass: the md5-derived hash array is let-bound and folded ONCE
+    with a running elementwise-min of all permutations (a naive
+    one-array_min-per-permutation tree re-evaluates the md5 work |params|
+    times — 8x slower measured at sf0.1)."""
+    from ..functions.exprs import let
 
-    sig = [
-        F.coalesce(F.array_min(F.transform(hashes, perm(a, b))), F.lit(MINHASH_P))
-        for a, b in params
-    ]
-    return F.array(*sig)
+    def fold(hashes: Column) -> Column:
+        zero = F.array(*[F.lit(MINHASH_P).cast("long") for _ in params])
+
+        def step(acc: Column, h: Column) -> Column:
+            permuted = F.array(*[(a * h + b) % MINHASH_P for a, b in params])
+            return F.zip_with(acc, permuted, lambda x, y: F.least(x, y))
+
+        return F.aggregate(hashes, zero, step)
+
+    return let(shingle_hashes(c, k), fold)
 
 
 def minhash_signature_sql(expr: str, k: int = 3, params=MINHASH_PARAMS) -> str:
@@ -206,17 +225,34 @@ def simhash(c: Column, bits: int = SIMHASH_BITS) -> Column:
 
     bit_j(doc) = 1 iff sum over tokens of ±1 (sign of hash bit j) > 0;
     signature = Σ bit_j · 2^j. Near-identical docs differ in few bits."""
-    toks = F.array_distinct(tokens(c))
-    hashes = F.transform(toks, lambda t: hash60(t))
+    from ..functions.exprs import let
 
-    def voter(mask):
-        return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
+    def fold(hashes: Column) -> Column:
+        zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
 
-    total = F.lit(0).cast("long")
-    for j in range(bits):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), voter(1 << j))
-        total = total + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
-    return total
+        def step(acc: Column, h: Column) -> Column:
+            votes = F.array(
+                *[
+                    F.when(h.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+                    for j in range(bits)
+                ]
+            )
+            return F.zip_with(acc, votes, lambda a, v: a + v)
+
+        def to_bits(votes: Column) -> Column:
+            return F.aggregate(
+                F.zip_with(
+                    votes,
+                    F.array(*[F.lit(1 << j).cast("long") for j in range(bits)]),
+                    lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long")),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
+
+        return let(F.aggregate(hashes, zero, step), to_bits)
+
+    return let(F.transform(F.array_distinct(tokens(c)), lambda t: hash60(t)), fold)
 
 
 def simhash_sql(expr: str, bits: int = SIMHASH_BITS) -> str:

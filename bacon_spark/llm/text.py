@@ -138,24 +138,34 @@ def _isin_filter(markers):
 
 def lang_id(c: Column) -> Column:
     """Marker-vocabulary language ID: distinct-token hits per language,
-    argmax with alphabetical tie-break; 'und' when nothing matches."""
-    toks = F.array_distinct(tokens(c))
-    hits = {
-        lang: F.size(F.filter(toks, _isin_filter(markers)))
-        for lang, markers in LANG_MARKERS.items()
-    }
+    argmax with alphabetical tie-break; 'und' when nothing matches.
+
+    Tokens and the hit counts are let-bound (one evaluation each,
+    functions/exprs.py); argmax is array_position-of-max, whose
+    first-occurrence rule IS the alphabetical tie-break since the hits
+    array is built in sorted language order. This compiles to a far
+    smaller codegen unit than an O(langs²) when-chain."""
+    from ..functions.exprs import let
+
     langs = sorted(LANG_MARKERS)
-    expr = F.lit("und")
-    # build the when-chain back to front so earlier (alphabetical) langs win ties
-    for lang in reversed(langs):
-        cond = hits[lang] > 0
-        for other in langs:
-            if other < lang:
-                cond = cond & (hits[lang] > hits[other])
-            elif other > lang:
-                cond = cond & (hits[lang] >= hits[other])
-        expr = F.when(cond, F.lit(lang)).otherwise(expr)
-    return expr
+    langs_arr = F.array(*[F.lit(lang) for lang in langs])
+
+    def pick(hits: Column) -> Column:
+        best = F.array_max(hits)
+        return F.when(
+            best > 0, F.element_at(langs_arr, F.array_position(hits, best).cast("int"))
+        ).otherwise(F.lit("und"))
+
+    def score(toks: Column) -> Column:
+        hits = F.array(
+            *[
+                F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])))
+                for lang in langs
+            ]
+        )
+        return let(hits, pick)
+
+    return let(F.array_distinct(tokens(c)), score)
 
 
 def lang_id_sql(expr: str) -> str:

@@ -93,6 +93,17 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return read_table(spark, sf_dir, table)
 
 
+def _read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, repartitioned for CPU-bound expression work.
+
+    The fixture ships documents as ONE parquet file -> one input partition
+    -> one core for the md5-heavy text operators. At real scale the corpus
+    is thousands of files and this is a no-op cost-wise; locally the small
+    round-robin shuffle buys full-width parallelism."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.repartition(spark.sparkContext.defaultParallelism)
+
+
 def board(cd: CubeDef, df: DataFrame) -> CuttingBoard:
     return CuttingBoard(cd, df, cache_results=False)
 
@@ -818,7 +829,7 @@ def q22_dedup_exact(spark, sf_dir):
     """Exact dedup: keep lowest doc_id per 60-bit text digest, then
     aggregate the survivors (hash-groupBy dedup; only (digest,id) pairs
     shuffle, never bodies)."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_docs(spark, sf_dir)
     deduped = _dd.exact_dedup(docs)
     return deduped.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -842,7 +853,7 @@ def q22_dedup_exact(spark, sf_dir):
 def q23_text_quality(spark, sf_dir):
     """Quality scoring: length / punctuation / stopword / token-shape
     features, all JVM-side expressions (no UDFs)."""
-    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs = _read_docs(spark, sf_dir).filter(F.col("doc_id") < 100)
     feats = _tx.quality_features(F.col("text"))
     return docs.select(
         "doc_id",
@@ -867,7 +878,7 @@ def q24_lang_id(spark, sf_dir):
     """Marker-vocabulary language ID crossed against the corpus's own lang
     tag (the synthetic text is English-ish regardless of tag — the operator
     and its determinism are what's under test)."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_docs(spark, sf_dir)
     return (
         docs.select(
             _tx.lang_id(F.col("text")).alias("detected_lang"),
@@ -892,7 +903,7 @@ def q24_lang_id(spark, sf_dir):
 def q25_token_counts(spark, sf_dir):
     """Token counting: whitespace tokens + BPE-ish regex pieces, aggregated
     per source."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_docs(spark, sf_dir)
     return docs.groupBy("source").agg(
         F.sum(_tx.whitespace_token_count(F.col("text"))).alias("ws_tokens"),
         F.sum(_tx.bpe_piece_count(F.col("text"))).alias("bpe_pieces"),
@@ -911,7 +922,7 @@ def q25_token_counts(spark, sf_dir):
 def q26_fingerprint(spark, sf_dir):
     """Document fingerprinting: 60-bit md5 digest of the sorted distinct
     token set (order/duplication-invariant content fingerprint)."""
-    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs = _read_docs(spark, sf_dir).filter(F.col("doc_id") < 50)
     return docs.select("doc_id", _tx.fingerprint(F.col("text")).alias("fp"))
 
 
@@ -926,7 +937,7 @@ def q26_fingerprint(spark, sf_dir):
 def q27_minhash_signature(spark, sf_dir):
     """MinHash signatures (8 permutations over 3-token shingles) — the
     map-side half of MinHash LSH dedup."""
-    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    docs = _read_docs(spark, sf_dir).filter(F.col("doc_id") < 30)
     return docs.select(
         "doc_id", _dd.minhash_signature(F.col("text")).alias("sig")
     )
@@ -965,7 +976,7 @@ _LSH_KEYED_CTE = f"""
 def q28_lsh_candidate_pairs(spark, sf_dir):
     """MinHash LSH banding: shingle→minhash→band→bucket-join candidate
     pairs; shuffle is O(bands·docs), the |docs|² blowup never appears."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_docs(spark, sf_dir)
     return _dd.lsh_candidate_pairs(docs, bands=4, rows=2)
 
 
@@ -980,7 +991,7 @@ def q28_lsh_candidate_pairs(spark, sf_dir):
 def q29_simhash(spark, sf_dir):
     """16-bit SimHash signatures (per-bit majority vote over token
     hashes)."""
-    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs = _read_docs(spark, sf_dir).filter(F.col("doc_id") < 50)
     return docs.select("doc_id", _dd.simhash(F.col("text")).alias("sh"))
 
 
@@ -1005,7 +1016,7 @@ def q29_simhash(spark, sf_dir):
 def q30_ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup verification: exact shingle Jaccard over LSH candidates
     only (quadratic term bounded by bucket sizes)."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_docs(spark, sf_dir)
     return _dd.ngram_jaccard_pairs(docs, threshold=0.2)
 
 

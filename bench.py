@@ -38,8 +38,21 @@ def main():
 
     from bacon_spark.queries import QUERIES
 
-    # warmup: JVM + parquet footer caches
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warmup pass: run every query shape once at the smallest SF so the
+    # timed pass measures EXECUTION, not whole-stage-codegen/Janino compile
+    # and JVM JIT (fixed per-session costs; 5-10s compile on the deep
+    # minhash/simhash trees would otherwise dominate and jitter the
+    # sub-second numbers). Results are not reused — different input dir.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name, fn in QUERIES.items():
+        try:
+            fn(spark, warm_dir).count()
+        except Exception:
+            pass
+
+    spark.catalog.clearCache()  # drop warmup persists; isolate queries
 
     per_query = {}
     total = 0.0

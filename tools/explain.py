@@ -1,0 +1,38 @@
+"""Print formatted physical plans for the headline queries — the plan-shape
+audit tool backing SCALE.md's claims (PushedFilters / BroadcastHashJoin /
+WholeStageCodegen / TakeOrderedAndProject).
+
+Usage: python tools/explain.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, "/root/repo")
+
+DEFAULT = ["q01_pricing_summary", "q02_revenue_by_region_nation", "q04_top_customers", "q28_lsh_candidate_pairs", "q31_cosine_topk"]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or DEFAULT
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from bacon_spark.queries import QUERIES
+
+    for name in names:
+        print(f"\n{'='*70}\n{name}\n{'='*70}")
+        QUERIES[name](spark, sf_dir).explain("formatted")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
