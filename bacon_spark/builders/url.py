@@ -134,12 +134,10 @@ class UrlQueryBuilder:
         for name in query.axes:
             yield ("p:" if name in query.pivots else "a:") + name
 
+        # interleave v:/hv: in values order so parse(unparse(q)) preserves
+        # the display ordering of the value list
         for name in query.values:
-            if name not in query.hidden_values:
-                yield "v:" + name
-        for name in query.values:
-            if name in query.hidden_values:
-                yield "hv:" + name
+            yield ("hv:" if name in query.hidden_values else "v:") + name
 
         if query.order:
             sign, name, pivot_values = query.order

@@ -182,7 +182,18 @@ class CubeQuery:
         return replace(self, filters=tuple(f for f in self.filters if keep(f)))
 
     def replace_filter(self, old: Filter, new: Filter) -> CubeQuery:
-        return replace(self, filters=tuple(new if f == tuple(old) else f for f in self.filters))
+        """Replace the FIRST matching filter (UI swap semantics; replacing
+        all occurrences would make invert non-self-inverse when a filter
+        and its antonym coexist)."""
+        out = []
+        done = False
+        for f in self.filters:
+            if not done and f == tuple(old):
+                out.append(new)
+                done = True
+            else:
+                out.append(f)
+        return replace(self, filters=tuple(out))
 
     def invert_filter(self, f: Filter) -> CubeQuery:
         """Swap a filter for its antonym

@@ -1,0 +1,87 @@
+"""Controller: request params -> query -> table -> rendered payload.
+
+Framework-agnostic re-expression of the reference's observer controller
+(/root/reference/bacon/observers/__init__.py:36-63): lazy query parsing
+from a params mapping, an app-overridable ``finish_query`` hook that forces
+mandatory values/axes (demo usage:
+/root/reference/bacon_demo/bacon_sales/views.py:15-19), and rendering to
+JSON/CSV. Web adapters (flask/django) only extract the params dict.
+"""
+
+from __future__ import annotations
+
+import io
+
+from ..builders.url import UrlQueryBuilder
+from ..cubequery import CubeQuery
+from ..engine import CuttingBoard
+from ..errors import QueryError
+from .csv import render_csv
+from .json import render_table_json
+from .tables import Page, Table1D, TablePivot
+
+
+class Controller:
+    """One cube endpoint: holds the board, parses ``q`` and ``page`` params,
+    applies finish_query, renders."""
+
+    query_param = "q"
+    page_param = "page"
+
+    def __init__(self, board: CuttingBoard):
+        self.board = board
+        self.builder = UrlQueryBuilder(board.cubedef)
+
+    # --- hook (override per app) -----------------------------------------
+    def finish_query(self, query: CubeQuery) -> CubeQuery:
+        """Force mandatory values/axes; identity by default."""
+        return query
+
+    # --- request handling ---------------------------------------------------
+    def parse(self, params: dict) -> CubeQuery:
+        q = self.builder.parse(params.get(self.query_param, "") or "")
+        return self.finish_query(q)
+
+    def table(self, params: dict):
+        query = self.parse(params)
+        page = Page.parse(params.get(self.page_param))
+        if query.pivots:
+            return TablePivot(self.board, query, page)
+        return Table1D(self.board, query, page)
+
+    def render_json(self, params: dict) -> dict:
+        t = self.table(params)
+        if isinstance(t, Table1D):
+            return render_table_json(t)
+        raise QueryError("JSON pivot rendering: use render_csv for pivots")
+
+    def render_csv(self, params: dict) -> str:
+        out = io.StringIO()
+        render_csv(out, self.table(params))
+        return out.getvalue()
+
+
+def make_flask_blueprint(controller: Controller, name: str = "bacon_spark"):
+    """Flask adapter (reference /root/reference/bacon/flask/builder.py:9-20:
+    the adapter's only job is extracting the request params)."""
+    from flask import Blueprint, Response, jsonify, request
+
+    bp = Blueprint(name, __name__)
+
+    @bp.route("/table.json")
+    def table_json():
+        try:
+            return jsonify(controller.render_json(request.args.to_dict()))
+        except QueryError as e:
+            return jsonify({"error": str(e)}), 404
+
+    @bp.route("/table.csv")
+    def table_csv():
+        try:
+            return Response(
+                controller.render_csv(request.args.to_dict()), mimetype="text/csv"
+            )
+        except QueryError as e:
+            return Response(str(e), status=404)
+
+    return bp

@@ -1,0 +1,113 @@
+"""Demo sales cube (CSV source) + Controller/flask adapter tests —
+the reference's end-to-end web path (SURVEY §3.1) minus the browser."""
+
+import json
+
+import pytest
+
+from bacon_spark import CubeQuery, CuttingBoard
+from bacon_spark.observers.controller import Controller, make_flask_blueprint
+from bacon_spark.observers.plot import TimePlotData
+from bacon_spark.sources.sales_demo import (
+    demo_cubedef,
+    read_sales_csv,
+    write_demo_csv,
+)
+
+
+@pytest.fixture(scope="module")
+def board(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("demo") / "sales_csv")
+    write_demo_csv(spark, path)
+    df = read_sales_csv(spark, path)
+    return CuttingBoard(demo_cubedef(), df)
+
+
+def test_csv_source_roundtrip(board):
+    assert board.df.count() == 34
+    assert dict(board.df.dtypes)["creation_date"] == "date"
+
+
+def test_demo_cube_query(board):
+    # the milestone-0 query: axes=[month, state], values=[units, amount],
+    # filter status='Sales Opportunity' (SURVEY §7 M0)
+    q = (
+        CubeQuery()
+        .add_axis("creation_date_month")
+        .add_axis("state")
+        .add_value("units")
+        .add_value("amount")
+        .add_filter("status", "eq", "Sales Opportunity")
+    )
+    sl = board.slice(q)
+    rows = sl.rows()
+    assert rows
+    # cross-check one cell against a direct computation
+    import pyspark.sql.functions as F
+
+    want = (
+        board.df.filter(F.col("status") == "Sales Opportunity")
+        .groupBy(F.date_trunc("month", "creation_date").cast("date").alias("m"), "state")
+        .agg(F.sum("units").alias("u"))
+        .collect()
+    )
+    want_map = {(r["m"], r["state"]): r["u"] for r in want}
+    got_map = {(r["creation_date_month"], r["state"]): r["units"] for r in rows}
+    assert got_map == want_map
+
+
+def test_nullable_status_filter(board):
+    # status '' token parses to None; eq None matches null rows
+    q = CubeQuery().add_value("n").add_filter("status", "eq", None)
+    n_null = board.slice(q).record["n"]
+    import pyspark.sql.functions as F
+
+    assert n_null == board.df.filter(F.col("status").isNull()).count() > 0
+
+
+def test_controller_json(board):
+    c = Controller(board)
+    doc = c.render_json({"q": "a:state/v:units/o:-units"})
+    assert doc["header"] == ["State", "Units"]
+    assert len(doc["rows"]) == 3
+    units = [r["values"]["units"] for r in doc["rows"]]
+    assert units == sorted(units, reverse=True)
+
+
+def test_controller_finish_query_hook(board):
+    class MyController(Controller):
+        def finish_query(self, query):
+            return query.add_value("units")  # mandatory value
+
+    c = MyController(board)
+    doc = c.render_json({"q": "a:state"})
+    assert doc["header"] == ["State", "Units"]
+
+
+def test_flask_adapter(board):
+    flask = pytest.importorskip("flask")
+    app = flask.Flask(__name__)
+    app.register_blueprint(make_flask_blueprint(Controller(board)))
+    client = app.test_client()
+
+    r = client.get("/table.json?q=a:state/v:units")
+    assert r.status_code == 200
+    doc = json.loads(r.data)
+    assert doc["nrows"] == 3
+
+    r = client.get("/table.csv?q=a:state/p:sales_stage/v:units")
+    assert r.status_code == 200
+    assert r.data.decode().startswith("State,")
+
+    # bad query -> 404 (reference middleware behavior,
+    # /root/reference/bacon/django/middleware.py:15-40)
+    r = client.get("/table.json?q=a:nope")
+    assert r.status_code == 404
+
+
+def test_time_plot_data(board):
+    q = CubeQuery().add_axis("creation_date_month").add_value("units").add_value("amount")
+    pd = TimePlotData(board, q)
+    assert len(pd.x) == len(set(pd.x))
+    assert set(pd.series) == {"units", "amount"}
+    assert pd.x == sorted(pd.x)
