@@ -1,0 +1,55 @@
+"""Scale operators: bucketed co-located joins and skew salting.
+
+These are the two knobs SCALE.md prescribes for the places where broadcast
+can't apply: a fact-to-fact join (bucket both sides -> shuffle-free
+SortMergeJoin) and a skewed aggregation key (salt -> two-phase aggregate).
+Both are pure plan shape — verified by asserting on the physical plan in
+tests, the same way a human would review `.explain()`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, key: str, buckets: int = 8, sort: bool = True
+) -> None:
+    """Persist as a bucketed (+sorted) catalog table: joins and aggregates
+    on *key* between same-bucketed tables need no shuffle (and no sort,
+    when sorted). This is how lineitem⋈orders stops broadcasting `orders`
+    at TB scale (SCALE.md §star-joins)."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table_name)
+
+
+def bucketed_join(spark, left_table: str, right_table: str, key_l: str, key_r: str) -> DataFrame:
+    l = spark.table(left_table)
+    r = spark.table(right_table)
+    return l.join(r, l[key_l] == r[key_r])
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, Column],
+    merges: dict[str, Column],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys: partial-agg on (key, salt),
+    then final-agg on key. The first shuffle spreads each hot key over
+    salt_buckets reducers; the second handles only (groups × salt) rows.
+
+    ``aggs`` build the partial columns; ``merges`` re-aggregate them (the
+    accumulator partial/final contract). Deterministic salt derived from a
+    hash of the whole row keeps results reproducible."""
+    salt = (F.abs(F.xxhash64(*[F.col(c) for c in df.columns])) % salt_buckets).alias("_salt")
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+    )
+    return partial.groupBy(key).agg(*[c.alias(n) for n, c in merges.items()])

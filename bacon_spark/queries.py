@@ -1300,3 +1300,75 @@ def q38_hidden_values(spark, sf_dir):
     # renderers select only visible values; mirror that here
     out = sl.to_df().select("segment", *sl.query.visible_values)
     return out.select("segment", F.round(F.col("avg_order_value"), 6).alias("avg_order_value"))
+
+
+# ---------------------------------------------------------------------------
+# Lattice precompute + embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q39_cube_lattice",
+    """
+    SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+           coalesce(l_linestatus, '(all)') AS linestatus,
+           cast(grouping(l_returnflag)*2 + grouping(l_linestatus) as int) AS lvl,
+           round(cast(sum(cast(l_quantity as decimal(38,4))) as double), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def q39_cube_lattice(spark, sf_dir):
+    """Full cube lattice in one pass (operators/lattice.py — the
+    Spark-idiomatic upgrade of the reference's roll-up reuse,
+    /root/reference/bacon/cutting.py:336-522): every grain is exact even
+    for non-additive accumulators because finished values are stored per
+    grouping set."""
+    from .operators.lattice import CubeLattice
+
+    cd = CubeDef("li")
+    cd.add_label(Label("returnflag", "l_returnflag"))
+    cd.add_label(Label("linestatus", "l_linestatus"))
+    cd.add_measure(Measure("sum_qty", dec("l_quantity"), acc=Sum()))
+    cd.add_measure(Measure("n", "l_orderkey", acc=Count()))
+    lat = CubeLattice(
+        cd,
+        _read(spark, sf_dir, "lineitem"),
+        axes=("returnflag", "linestatus"),
+        values=("sum_qty", "n"),
+        persist=False,
+    )
+    out = lat.lattice.select(
+        F.coalesce("returnflag", F.lit("(all)")).alias("returnflag"),
+        F.coalesce("linestatus", F.lit("(all)")).alias("linestatus"),
+        F.col("_gid").cast("int").alias("lvl"),
+        "sum_qty",
+        "n",
+    )
+    return finalize(out, {"sum_qty": 2})
+
+
+@query(
+    "q40_embedding_near_dup",
+    f"""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_sim.cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    WHERE round({_sim.cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.85
+    """,
+)
+def q40_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact verification form; the
+    LSH-bucketed scale path is llm/similarity.ann_lsh_topk — approximate,
+    so tested rather than oracle'd)."""
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = F.round(_sim.cosine(F.col("ea"), F.col("eb")), 6)
+    return (
+        pairs.select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.85)
+    )

@@ -1,0 +1,100 @@
+"""Plan-shape and semantics tests for the scale operators: cube lattice,
+bucketed joins (no Exchange), salted aggregation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bacon_spark import Average, Count, CubeDef, CubeQuery, CuttingBoard, Label, Measure, Sum
+from bacon_spark.operators.lattice import CubeLattice, grouping_sets_df
+from bacon_spark.operators.scale import salted_agg, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def sales(spark):
+    rows = []
+    for i in range(100):
+        rows.append((f"s{i % 3}", f"c{i % 5}", i % 7, float(i)))
+    return spark.createDataFrame(rows, "state string, city string, units long, price double")
+
+
+@pytest.fixture(scope="module")
+def cubedef():
+    cd = CubeDef("t")
+    cd.add_label(Label("state"))
+    cd.add_label(Label("city"))
+    cd.add_measure(Measure("units", acc=Sum()))
+    cd.add_measure(Measure("n", "units", acc=Count()))
+    cd.add_measure(Measure("avg_price", "price", acc=Average()))
+    return cd
+
+
+def test_lattice_serves_all_grains(sales, cubedef):
+    lat = CubeLattice(cubedef, sales, axes=("state", "city"), values=("units", "n", "avg_price"))
+    board = CuttingBoard(cubedef, sales, cache_results=False)
+
+    for wanted in [("state", "city"), ("state",), ("city",), ()]:
+        got = {
+            tuple(r[a] for a in wanted): (r["units"], r["n"], r["avg_price"])
+            for r in lat.slice_df(wanted).collect()
+        }
+        q = CubeQuery().add_value("units").add_value("n").add_value("avg_price")
+        for a in wanted:
+            q = q.add_axis(a)
+        want = {
+            tuple(r[a] for a in wanted): (r["units"], r["n"], r["avg_price"])
+            for r in board.slice(q).to_df().collect()
+        }
+        assert got == want, wanted
+    # non-additive accumulator (Average) is exact at EVERY grain because the
+    # lattice stores finished values per grouping set, not re-aggregations
+    lat.unpersist()
+
+
+def test_grouping_sets(sales, cubedef):
+    out = grouping_sets_df(
+        cubedef, sales, sets=[("state", "city"), ("state",), ()], values=("units",)
+    )
+    rows = out.collect()
+    gids = {r["_gid"] for r in rows}
+    assert len(gids) == 3
+    total = [r for r in rows if r["state"] is None and r["city"] is None]
+    assert len(total) == 1
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    left = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+    right = spark.range(0, 1000).select(F.col("id").alias("k2"), (F.col("id") * 3).alias("b"))
+    write_bucketed(left, "t_bucket_l", "k", buckets=4)
+    write_bucketed(right, "t_bucket_r", "k2", buckets=4)
+    # disable broadcast so the join strategy decision is about shuffles
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_bucket_l").join(
+            spark.table("t_bucket_r"), F.col("k") == F.col("k2")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: bucketing removed the shuffle
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_l")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_r")
+
+
+def test_salted_agg_matches_plain(spark):
+    # skewed: 90% of rows share one key
+    rows = [("hot" if i % 10 else f"k{i}", float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = salted_agg(
+        df,
+        "k",
+        aggs={"s": F.sum("v"), "c": F.count(F.lit(1))},
+        merges={"s": F.sum("s"), "c": F.sum("c")},
+    )
+    got = {r["k"]: (r["s"], r["c"]) for r in out.collect()}
+    want = {
+        r["k"]: (r["s"], r["c"])
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert got == want
