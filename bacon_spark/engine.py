@@ -326,3 +326,94 @@ class Slice:
             d.update({v: row[v] for v in visible})
             out.append(d)
         return out
+
+
+class SliceMatrix:
+    """Row×column matrix view of a slice — the reference's intended
+    consumption API, specified by its (skipped) tests
+    (/root/reference/tests/test_cutboard.py:95-212): ``rows()`` /
+    ``rows_with_label()`` / ``col_labels()`` / ``cols_with_label()`` /
+    ``series()`` / ``series_labels()``, with missing cells as None.
+
+    With one visible value, cells are scalars ("flat"); with several, cells
+    are namedtuples of the values (the non-flat form).
+    """
+
+    def __init__(self, slice_: Slice, col_axes: tuple[str, ...] = ()):
+        from collections import namedtuple
+
+        self.slice = slice_
+        query = slice_.query
+        self.col_axes = tuple(col_axes)
+        self.row_axes = tuple(a for a in query.axes if a not in self.col_axes)
+        self.values = query.visible_values
+        self._flat = len(self.values) == 1
+        self._tuple = namedtuple("Record", self.values)  # noqa: PYI024
+
+        cd = slice_.cubedef
+        raw = slice_.df.collect()
+        row_keys, col_keys, cells = [], [], {}
+        seen_r, seen_c = set(), set()
+        for r in raw:
+            rk = tuple(r[a] for a in self.row_axes)
+            ck = tuple(r[a] for a in self.col_axes)
+            if rk not in seen_r:
+                seen_r.add(rk)
+                row_keys.append(rk)
+            if ck not in seen_c:
+                seen_c.add(ck)
+                col_keys.append(ck)
+            vals = tuple(r[v] for v in self.values)
+            cells[(rk, ck)] = vals[0] if self._flat else self._tuple(*vals)
+
+        def keysort(keys, axes):
+            for i in range(len(axes) - 1, -1, -1):
+                label = cd.get_label(axes[i])
+                keys.sort(key=lambda k, i=i: (k[i] is not None, k[i]), reverse=label.reverse)
+            return keys
+
+        self._row_keys = keysort(row_keys, self.row_axes)
+        self._col_keys = keysort(col_keys, self.col_axes)
+        self._cells = cells
+
+    @staticmethod
+    def _unwrap(key: tuple):
+        return key[0] if len(key) == 1 else key
+
+    def value_labels(self) -> list[str]:
+        return list(self.values)
+
+    def row_labels(self) -> list:
+        return [self._unwrap(k) for k in self._row_keys]
+
+    def col_labels(self) -> list:
+        return [self._unwrap(k) for k in self._col_keys]
+
+    def cell(self, row_key, col_key=()):
+        rk = row_key if isinstance(row_key, tuple) else (row_key,)
+        ck = col_key if isinstance(col_key, tuple) else (col_key,)
+        return self._cells.get((rk, ck))
+
+    def rows(self):
+        for rk in self._row_keys:
+            yield [self._cells.get((rk, ck)) for ck in self._col_keys]
+
+    def rows_with_label(self):
+        for rk in self._row_keys:
+            yield self._unwrap(rk), [self._cells.get((rk, ck)) for ck in self._col_keys]
+
+    def cols_with_label(self):
+        for ck in self._col_keys:
+            yield self._unwrap(ck), [self._cells.get((rk, ck)) for rk in self._row_keys]
+
+    def series(self):
+        """1-D form: one cell per row (requires no column axes)."""
+        if self.col_axes:
+            raise QueryError("series() requires a slice without column axes")
+        for rk in self._row_keys:
+            yield self._cells.get((rk, ()))
+
+    def series_labels(self):
+        if self.col_axes:
+            raise QueryError("series_labels() requires a slice without column axes")
+        return self.row_labels()

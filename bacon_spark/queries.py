@@ -39,8 +39,11 @@ from .cubedef import (
     DOYLabel,
     HourLabel,
     IntLabel,
+    ISOWeekNumLabel,
+    ISOYearLabel,
     Label,
     Measure,
+    MonthdayLabel,
     MonthLabel,
     MonthOfYearLabel,
     QuarterLabel,
@@ -1372,3 +1375,98 @@ def q40_embedding_near_dup(spark, sf_dir):
         pairs.select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.85)
     )
+
+
+@query(
+    "q41_iso_date_parts",
+    """
+    SELECT cast(isoyear(o_orderdate) as int) AS iso_year,
+           cast(weekofyear(o_orderdate) as int) AS iso_week,
+           cast(dayofmonth(o_orderdate) as int) AS monthday,
+           count(*) AS n
+    FROM orders
+    WHERE cast(o_orderdate as date) >= DATE '1996-12-20'
+      AND cast(o_orderdate as date) < DATE '1997-01-10'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q41_iso_date_parts(spark, sf_dir):
+    """ISO year / ISO week number / monthday labels across a year boundary
+    (where isoyear != year — the interesting case, SURVEY §1.2)."""
+    cd = CubeDef("orders")
+    cd.add_label(ISOYearLabel("iso_year", "o_orderdate"))
+    cd.add_label(ISOWeekNumLabel("iso_week", "o_orderdate"))
+    cd.add_label(MonthdayLabel("monthday", "o_orderdate"))
+    cd.add_label(DayLabel("order_day", "o_orderdate"))
+    cd.add_measure(Measure("n", "o_orderkey", acc=Count()))
+    q = (
+        CubeQuery()
+        .add_axis("iso_year")
+        .add_axis("iso_week")
+        .add_axis("monthday")
+        .add_value("n")
+        .add_filter("order_day", "ge", dt.date(1996, 12, 20))
+        .add_filter("order_day", "lt", dt.date(1997, 1, 10))
+    )
+    return board(cd, _read(spark, sf_dir, "orders")).slice(q).to_df()
+
+
+@query(
+    "q42_table_set_ops",
+    """
+    WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE year(o_orderdate) = 1995),
+         y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE year(o_orderdate) = 1996)
+    SELECT 'both' AS bucket, count(*) AS n FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96) t
+    UNION ALL
+    SELECT 'only_1995' AS bucket, count(*) AS n FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96) t
+    UNION ALL
+    SELECT 'either' AS bucket, count(*) AS n FROM (SELECT * FROM y95 UNION SELECT * FROM y96) t
+    """,
+)
+def q42_table_set_ops(spark, sf_dir):
+    """Table-level set operations (absent in the reference, SURVEY §2.7 —
+    free in Spark): intersect / except / union of customer key sets."""
+    o = _read(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    counts = [
+        ("both", y95.intersect(y96)),
+        ("only_1995", y95.exceptAll(y96).distinct()),
+        ("either", y95.union(y96).distinct()),
+    ]
+    out = None
+    for name, df in counts:
+        one = df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(name).alias("bucket"), "n")
+        out = one if out is None else out.union(one)
+    return out
+
+
+@query(
+    "q43_pandas_udaf_median",
+    """
+    SELECT c_nationkey AS nationkey,
+           round(median(c_acctbal), 4) AS median_bal,
+           count(*) AS n
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def q43_pandas_udaf_median(spark, sf_dir):
+    """Custom UDAF via Arrow-batched pandas_udf GROUPED_AGG (the escape
+    hatch for aggregates Catalyst can't express — the reference's
+    Accumulator-subclass extension point, SURVEY §2.11). Median matches
+    DuckDB's interpolated median for doubles."""
+    from .functions.udaf import median_udaf
+
+    c = _read(spark, sf_dir, "customer")
+    # pandas GROUPED_AGG UDFs can't mix with JVM aggregates in one agg();
+    # compute the count separately and join (both tiny, broadcast)
+    med = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.round(median_udaf("c_acctbal"), 4).alias("median_bal")
+    )
+    n = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return med.join(F.broadcast(n), "nationkey")
