@@ -93,6 +93,10 @@ def finalize(df: DataFrame, rounds: dict[str, int] | None = None) -> DataFrame:
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     from .sources.star import read_table
 
+    # oracle safety: timestamp rendering (date_format over the converted
+    # events ts) is session-tz-sensitive; DuckDB is tz-naive. Pin UTC so
+    # results don't depend on the harness session's configuration.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return read_table(spark, sf_dir, table)
 
 

@@ -1,0 +1,64 @@
+"""Plan-shape regression tests: pin the physical-plan properties SCALE.md
+claims (pushdown, broadcast-only star joins, top-k without global sort).
+A change that silently degrades one of these should fail CI, not show up
+as a 10x bench regression later."""
+
+import pytest
+
+from bacon_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q01_filter_pushed_to_scan(spark):
+    df = QUERIES["q01_pricing_summary"](spark, SF)
+    explained = df._jdf.queryExecution().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in explained
+
+
+def test_q02_star_join_all_broadcast(spark):
+    plan = plan_of(spark, "q02_revenue_by_region_nation")
+    assert plan.count("BroadcastHashJoin") == 6
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q04_topk_is_take_ordered(spark):
+    plan = plan_of(spark, "q04_top_customers")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q31_cosine_topk_is_take_ordered(spark):
+    plan = plan_of(spark, "q31_cosine_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q22_dedup_shuffles_digest_not_bodies(spark):
+    # the exchange below the dedup aggregation must not carry the text
+    # column — only (digest, id)
+    opt = optimized_of(spark, "q22_dedup_exact")
+    import re
+
+    aggs = [ln for ln in opt.splitlines() if "Aggregate" in ln and "_digest" in ln]
+    assert aggs, opt
+    assert not any("text#" in ln for ln in aggs)
+
+
+def test_no_python_row_udfs_in_core_queries(spark):
+    # hot-path queries stay JVM-side: no BatchEvalPython (row-at-a-time
+    # python UDF) anywhere; ArrowEvalPython only in the declared UDAF query
+    for name in ["q01_pricing_summary", "q02_revenue_by_region_nation",
+                 "q24_lang_id", "q27_minhash_signature", "q31_cosine_topk"]:
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
