@@ -186,13 +186,17 @@ def q02_revenue_by_region_nation(spark, sf_dir):
     """Star-schema join (broadcast dims) + cube over the denormalized fact
     — bacon's pre-joined dataset re-expressed as declared joins (SURVEY
     §2.4)."""
+    from .sources.star import fact_for_cube
+
     cd = CubeDef("sales")
     cd.add_label(Label("region"))
     cd.add_label(Label("nation", child_of="region"))
     cd.add_measure(Measure("revenue", dec("l_extendedprice*(1-l_discount)", 6), acc=Sum()))
     cd.add_measure(Measure("n_items", "l_orderkey", acc=Count()))
     q = CubeQuery().add_axis("region").add_axis("nation").add_value("revenue").add_value("n_items")
-    df = board(cd, sales_fact(spark, sf_dir)).slice(q).to_df()
+    # join culling: part/supplier joins are dropped (query never touches them)
+    fact = fact_for_cube(spark, sf_dir, cd, q)
+    df = board(cd, fact).slice(q).to_df()
     return finalize(df, {"revenue": 2})
 
 
@@ -776,9 +780,11 @@ def q20_drilldown(spark, sf_dir):
         .add_value("revenue")
         .add_filter("orderstatus", "eq", "F")
     )
+    from .sources.star import fact_for_cube
+
     # drill: filter region='AMERICA', drop the region axis
     q1 = q0.add_filter("region", "eq", "AMERICA").remove_axis("region")
-    df = board(cd, sales_fact(spark, sf_dir)).slice(q1).to_df()
+    df = board(cd, fact_for_cube(spark, sf_dir, cd, q1)).slice(q1).to_df()
     return finalize(df, {"revenue": 2})
 
 

@@ -158,3 +158,131 @@ def sales_cubedef():
         RatioMeasure("discount_rate", "l_extendedprice * l_discount", "l_extendedprice")
     )
     return cd
+
+
+# ---------------------------------------------------------------------------
+# Join culling
+# ---------------------------------------------------------------------------
+
+#: column-name prefix -> (table, join build order dependency)
+_PREFIX_TABLE = {
+    "l_": "lineitem",
+    "o_": "orders",
+    "c_": "customer",
+    "n_": "nation",
+    "r_": "region",
+    "p_": "part",
+    "s_": "supplier",
+}
+#: derived fact-view columns -> the source prefixes they pull in
+_DERIVED = {
+    "revenue": {"l_"},
+    "charge": {"l_"},
+    "region": {"r_", "n_", "c_", "o_"},
+    "nation": {"n_", "c_", "o_"},
+}
+#: which joins each prefix requires (transitively, through the star)
+_REQUIRES = {
+    "o_": ("orders",),
+    "c_": ("orders", "customer"),
+    "n_": ("orders", "customer", "nation"),
+    "r_": ("orders", "customer", "nation", "region"),
+    "p_": ("part",),
+    "s_": ("supplier",),
+}
+
+_IDENT_RE = None
+
+
+def referenced_prefixes(exprs: list) -> set[str]:
+    """Source-column prefixes referenced by label/measure expressions.
+
+    String expressions are scanned for identifiers; Column objects are
+    conservatively treated as referencing everything (we can't introspect a
+    compiled Column cheaply)."""
+    import re
+
+    global _IDENT_RE
+    if _IDENT_RE is None:
+        _IDENT_RE = re.compile(r"\b([a-z])_[a-z_]+\b")
+    out: set[str] = set()
+    for e in exprs:
+        if isinstance(e, str):
+            for m in _IDENT_RE.finditer(e):
+                p = m.group(1) + "_"
+                if p in _PREFIX_TABLE:
+                    out.add(p)
+            for name, pulls in _DERIVED.items():
+                if re.search(rf"\b{name}\b", e):
+                    out |= pulls
+        else:
+            return set(_PREFIX_TABLE)  # unknown expr: keep everything
+    return out
+
+
+def sales_fact_for(
+    spark: SparkSession, sf_dir: str, prefixes: set[str], join_orders_broadcast: bool = True
+) -> DataFrame:
+    """The denormalized fact view with unused dimension joins CULLED.
+
+    Catalyst cannot drop an inner join on its own (it changes cardinality
+    only if keys mismatch — which the engine, knowing the star's FK
+    integrity, asserts). A cube query touching only lineitem+orders columns
+    therefore scans exactly those two tables. This is the reference's
+    Django `select_related` pushdown (/root/reference/bacon/sql.py:301-330)
+    re-expressed as join-graph pruning."""
+    needed: list[str] = []
+    for p in prefixes:
+        for t in _REQUIRES.get(p, ()):
+            if t not in needed:
+                needed.append(t)
+    order = ["orders", "customer", "nation", "region", "part", "supplier"]
+    needed.sort(key=order.index)
+
+    t = load_tables(spark, sf_dir, ("lineitem", *needed))
+    fact = t["lineitem"]
+    if "orders" in needed:
+        o = F.broadcast(t["orders"]) if join_orders_broadcast else t["orders"]
+        fact = fact.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    if "customer" in needed:
+        fact = fact.join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+    if "nation" in needed:
+        fact = fact.join(
+            F.broadcast(t["nation"].withColumnRenamed("n_name", "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    if "region" in needed:
+        fact = fact.join(
+            F.broadcast(t["region"].withColumnRenamed("r_name", "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    if "part" in needed:
+        fact = fact.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    if "supplier" in needed:
+        fact = fact.join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+    return fact.withColumn(
+        "revenue", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).withColumn(
+        "charge", F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    )
+
+
+def fact_for_cube(spark: SparkSession, sf_dir: str, cubedef, query) -> DataFrame:
+    """Build the minimal fact view for a specific query: collect every
+    expression the query references (axes, values incl. hidden, filters)
+    and cull unreferenced dimension joins."""
+    exprs = []
+    for a in query.axes:
+        exprs.append(getattr(cubedef.get_label(a), "_expr", None))
+    for v in query.values:
+        m = cubedef.get_value(v)
+        exprs.append(getattr(m, "_expr", None))
+        acc = m.acc
+        for attr in ("num", "den", "label_expr"):
+            e = getattr(acc, attr, None)
+            if e is not None:
+                exprs.append(e)
+    for name, _op, _val in query.filters:
+        exprs.append(getattr(cubedef.get_label(name), "_expr", None))
+    exprs = [e for e in exprs if e is not None]
+    return sales_fact_for(spark, sf_dir, referenced_prefixes(exprs))

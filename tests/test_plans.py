@@ -27,8 +27,9 @@ def test_q01_filter_pushed_to_scan(spark):
 
 
 def test_q02_star_join_all_broadcast(spark):
+    # 4 joins after culling (part+supplier dropped); all broadcast
     plan = plan_of(spark, "q02_revenue_by_region_nation")
-    assert plan.count("BroadcastHashJoin") == 6
+    assert plan.count("BroadcastHashJoin") == 4
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
 
@@ -62,3 +63,29 @@ def test_no_python_row_udfs_in_core_queries(spark):
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_join_culling(spark):
+    from bacon_spark import CubeDef, CubeQuery, Label, Measure, Sum
+    from bacon_spark.sources.star import fact_for_cube, referenced_prefixes
+
+    # expression scan
+    assert referenced_prefixes(["l_quantity * 2"]) == {"l_"}
+    assert referenced_prefixes(["cast(o_totalprice as decimal(38,4))"]) == {"o_"}
+    assert "r_" in referenced_prefixes(["region"])
+
+    cd = CubeDef("t")
+    cd.add_label(Label("orderstatus", "o_orderstatus"))
+    cd.add_measure(Measure("qty", "l_quantity", acc=Sum()))
+    q = CubeQuery().add_axis("orderstatus").add_value("qty")
+    fact = fact_for_cube(spark, "/root/testdata/sf0.001", cd, q)
+    plan = fact._jdf.queryExecution().executedPlan().toString()
+    # only the lineitem<->orders join remains; 5 dimension joins culled
+    assert plan.count("Join") == 1, plan
+
+    # q02's plan keeps the chain to region but culls part+supplier
+    from bacon_spark.queries import QUERIES
+
+    df = QUERIES["q02_revenue_by_region_nation"](spark, "/root/testdata/sf0.001")
+    plan2 = df._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("BroadcastHashJoin") == 4
