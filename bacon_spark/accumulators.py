@@ -187,6 +187,15 @@ class LabeledAcc(Accumulator):
         n_distinct = F.count_distinct(lab) + F.max(lab.isNull().cast("int"))
         return F.when(n_distinct <= 1, self.inner.agg(c))
 
+    def sql(self, expr):
+        le = self.label_expr
+        if not isinstance(le, str):
+            raise NotImplementedError("LabeledAcc SQL form needs a string label expr")
+        return (
+            f"CASE WHEN count(DISTINCT {le}) + max(CASE WHEN {le} IS NULL THEN 1 ELSE 0 END) <= 1 "
+            f"THEN {self.inner.sql(expr)} END"
+        )
+
 
 class RatioSum(Accumulator):
     """sum(num)/sum(den); null or zero denominator -> null

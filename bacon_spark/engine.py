@@ -190,6 +190,13 @@ class CuttingBoard:
             return df.groupBy(*[F.col(a) for a in query.axes]).agg(*aggs)
         return df.agg(*aggs)
 
+    # --- source resolution ---------------------------------------------------
+    def _frame_for(self, query: CubeQuery) -> DataFrame:
+        """The input frame for a query. Subclasses override to build a
+        query-minimal source (e.g. StarCuttingBoard culls unused dimension
+        joins); the base board uses its fixed DataFrame."""
+        return self.df
+
     # --- physical building blocks ------------------------------------------
     def _predicate(self, query: CubeQuery) -> Column | None:
         preds = []
@@ -199,7 +206,7 @@ class CuttingBoard:
         return combine_filters(preds)
 
     def _aggregate(self, query: CubeQuery) -> DataFrame:
-        df = self.df
+        df = self._frame_for(query)
         pred = self._predicate(query)
         if pred is not None:
             df = df.filter(pred)

@@ -1480,3 +1480,35 @@ def q43_pandas_udaf_median(spark, sf_dir):
         F.count(F.lit(1)).alias("n")
     )
     return med.join(F.broadcast(n), "nationkey")
+
+
+@query("q44_streaming_tumbling")  # no oracle: true streaming run, rows-only
+def q44_streaming_tumbling(spark, sf_dir):
+    """TRUE Structured Streaming execution in the correctness gate: stream
+    the events fixture through a watermarked tumbling-window agg into a
+    memory sink (availableNow), return the materialized result. q32 pins
+    the identical semantics against the DuckDB oracle in batch mode; this
+    entry proves the streaming path itself runs."""
+    import tempfile
+
+    from .streaming.windows import run_stream_to_memory, tumbling_window_agg
+
+    ev = _read(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="bacon_q44_")
+    ev.limit(5000).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(ev.schema).parquet(d)
+    agg = tumbling_window_agg(
+        stream,
+        {"n": F.count(F.lit(1)), "sum_value": F.round(F.sum(F.expr(dec("value"))).cast("double"), 2)},
+        window="1 hour",
+        keys=("event_type",),
+        watermark="1 hour",
+    )
+    out = agg.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+    run_stream_to_memory(out, "q44_stream", mode="complete")
+    return spark.table("q44_stream")

@@ -286,3 +286,21 @@ def fact_for_cube(spark: SparkSession, sf_dir: str, cubedef, query) -> DataFrame
         exprs.append(getattr(cubedef.get_label(name), "_expr", None))
     exprs = [e for e in exprs if e is not None]
     return sales_fact_for(spark, sf_dir, referenced_prefixes(exprs))
+
+
+class StarCuttingBoard:
+    """CuttingBoard over the star schema with automatic join culling: each
+    query gets the minimal fact view for the labels/measures/filters it
+    references (see fact_for_cube). Everything else — slice cache, reuse
+    strategies, ordering — is inherited."""
+
+    def __new__(cls, cubedef, spark: SparkSession, sf_dir: str, cache_results: bool = True):
+        from ..engine import CuttingBoard
+
+        class _Board(CuttingBoard):
+            def _frame_for(self, query):
+                return fact_for_cube(spark, sf_dir, self.cubedef, query)
+
+        full = sales_fact(spark, sf_dir)
+        board = _Board(cubedef, full, cache_results=cache_results)
+        return board

@@ -89,3 +89,27 @@ def test_join_culling(spark):
     df = QUERIES["q02_revenue_by_region_nation"](spark, "/root/testdata/sf0.001")
     plan2 = df._jdf.queryExecution().executedPlan().toString()
     assert plan2.count("BroadcastHashJoin") == 4
+
+
+def test_star_board_culls_per_query(spark):
+    from bacon_spark import CubeQuery
+    from bacon_spark.sources.star import StarCuttingBoard, sales_cubedef
+
+    board = StarCuttingBoard(sales_cubedef(), spark, "/root/testdata/sf0.001",
+                             cache_results=False)
+    # lineitem+orders query -> 1 join
+    q1 = CubeQuery().add_axis("orderstatus").add_value("quantity")
+    p1 = board.slice(q1).to_df()._jdf.queryExecution().executedPlan().toString()
+    assert p1.count("BroadcastHashJoin") == 1
+    # brand axis needs only lineitem<->part -> still 1 join, no orders scan
+    q2 = CubeQuery().add_axis("brand").add_value("quantity")
+    p2 = board.slice(q2).to_df()._jdf.queryExecution().executedPlan().toString()
+    assert p2.count("BroadcastHashJoin") == 1
+    assert "part.parquet" in p2 and "orders.parquet" not in p2
+    # both together -> 2 joins
+    q3 = CubeQuery().add_axis("brand").add_axis("orderstatus").add_value("quantity")
+    p3 = board.slice(q3).to_df()._jdf.queryExecution().executedPlan().toString()
+    assert p3.count("BroadcastHashJoin") == 2
+    # results still correct
+    got = {r["orderstatus"]: r["quantity"] for r in board.slice(q1).rows()}
+    assert got and all(v > 0 for v in got.values())
