@@ -238,3 +238,18 @@ class CollectSet(Accumulator):
 
     def agg(self, c):
         return F.sort_array(F.collect_set(c))
+
+
+class ApproxCountDistinct(Accumulator):
+    """Engine extension for 100 TB cardinalities: HyperLogLog++ distinct
+    estimate (constant memory per group vs exact count_distinct's
+    shuffle-every-value). rsd defaults to Spark's 5%."""
+
+    def __init__(self, rsd: float = 0.05):
+        self.rsd = rsd
+
+    def agg(self, c):
+        return F.approx_count_distinct(c, rsd=self.rsd)
+
+    def sql(self, expr):
+        return f"approx_count_distinct({expr})"

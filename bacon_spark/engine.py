@@ -77,7 +77,17 @@ class CuttingBoard:
         # key -> (query, result_df); LRU promote-on-hit like the reference
         # deque rotation (/root/reference/bacon/cutting.py:181-202)
         self._cache: OrderedDict = OrderedDict()
+        self._lattices: list = []  # registered CubeLattice materializations
         self._lock = threading.RLock()
+
+    def register_lattice(self, lattice) -> None:
+        """Register a precomputed CubeLattice (operators/lattice.py) as a
+        materialized view: any unfiltered query whose axes/values it covers
+        is answered by a grouping_id lookup instead of a base-table scan —
+        the engine-planner form of the reference's roll-up reuse
+        (/root/reference/bacon/cutting.py:336-522), but exact for every
+        accumulator because the lattice stores finished values per grain."""
+        self._lattices.append(lattice)
 
     # --- public API -------------------------------------------------------
     def slice(self, query: CubeQuery) -> Slice:
@@ -110,7 +120,11 @@ class CuttingBoard:
 
         Cost model mirrors the reference: 1 = pointer share, 2 = drill
         filter, 10 = re-aggregation
-        (/root/reference/bacon/cutting.py:146-167,262,313-314,378-381)."""
+        (/root/reference/bacon/cutting.py:146-167,262,313-314,378-381).
+        Registered lattices answer covered queries at cost ~1."""
+        lat_df = self._lattice_plan(query)
+        if lat_df is not None:
+            return self._order(lat_df, query)
         if not self.cache_results:
             return self._order(self._aggregate(query), query)
 
@@ -138,6 +152,15 @@ class CuttingBoard:
                 _, (_, old) = self._cache.popitem(last=False)
                 old.unpersist()
         return self._order(result, query)
+
+    def _lattice_plan(self, query: CubeQuery) -> DataFrame | None:
+        if query.filters:  # lattices are unfiltered materializations
+            return None
+        for lat in self._lattices:
+            if set(query.axes) <= set(lat.axes) and set(query.values) <= set(lat.values):
+                df = lat.slice_df(tuple(query.axes))
+                return df.select(*query.axes, *query.values)
+        return None
 
     def _reuse_plan(self, query: CubeQuery, cached_q: CubeQuery, cached_df: DataFrame):
         """Return (cost, thunk) if the cached slice can answer *query*."""

@@ -1512,3 +1512,42 @@ def q44_streaming_tumbling(spark, sf_dir):
     )
     run_stream_to_memory(out, "q44_stream", mode="complete")
     return spark.table("q44_stream")
+
+
+@query(
+    "q45_sliding_window",
+    """
+    WITH exploded AS (
+      SELECT e.*, time_bucket(INTERVAL 15 MINUTE, ts) - (off * INTERVAL 15 MINUTE) AS w
+      FROM events e, unnest([0, 1, 2, 3]) AS t(off)
+    )
+    SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n,
+           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS sum_value
+    FROM exploded
+    WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q45_sliding_window(spark, sf_dir):
+    """Sliding windows (1h window, 15min slide): each event lands in 4
+    overlapping windows. Oracle reconstructs window membership via
+    time_bucket + unnested offsets — every window w in
+    {floor15(ts) - k*15min, k=0..3} satisfies w <= ts < w+1h."""
+    from .streaming.windows import sliding_window_agg
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit(dt.datetime(2024, 1, 2))
+    )
+    out = sliding_window_agg(
+        ev,
+        {"n": F.count(F.lit(1)), "sum_value": F.sum(F.expr(dec("value")))},
+        window="1 hour",
+        slide="15 minutes",
+    )
+    out = out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n",
+        "sum_value",
+    )
+    return finalize(out, {"sum_value": 2})

@@ -98,3 +98,46 @@ def test_salted_agg_matches_plain(spark):
         for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")).collect()
     }
     assert got == want
+
+
+def test_lattice_registered_in_planner(sales, cubedef):
+    from bacon_spark import CubeQuery, CuttingBoard
+    from bacon_spark.operators.lattice import CubeLattice
+
+    board = CuttingBoard(cubedef, sales)
+    lat = CubeLattice(cubedef, sales, axes=("state", "city"), values=("units", "n"))
+    board.register_lattice(lat)
+    try:
+        q = CubeQuery().add_axis("state").add_value("units")
+        df = board.slice(q).to_df()
+        # answered from the lattice: no scan of the in-memory base relation
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "_gid" in plan  # grouping_id filter present -> lattice path
+        got = {r["state"]: r["units"] for r in df.collect()}
+        want = {
+            r["state"]: r["units"]
+            for r in sales.groupBy("state").agg(F.sum("units").alias("units")).collect()
+        }
+        assert got == want
+        # filtered queries bypass the lattice
+        q2 = q.add_filter("city", "eq", "c1")
+        df2 = board.slice(q2).to_df()
+        assert "_gid" not in df2._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        lat.unpersist()
+        board.clear_cache()
+
+
+def test_approx_count_distinct_tolerance(spark):
+    from bacon_spark import CubeDef, CubeQuery, CuttingBoard, Label, Measure
+    from bacon_spark.accumulators import ApproxCountDistinct
+
+    df = spark.range(0, 20000).selectExpr("cast(id % 7 as string) k", "id v")
+    cd = CubeDef("t")
+    cd.add_label(Label("k"))
+    cd.add_measure(Measure("nd", "v", acc=ApproxCountDistinct()))
+    q = CubeQuery().add_axis("k").add_value("nd")
+    rows = CuttingBoard(cd, df, cache_results=False).slice(q).rows()
+    for r in rows:
+        exact = 20000 / 7
+        assert abs(r["nd"] - exact) / exact < 0.15
