@@ -34,6 +34,7 @@ from .cubedef import (
     FloatLabel,
     HourLabel,
     IntLabel,
+    JsonLabel,
     ISOWeekNumLabel,
     ISOYearLabel,
     Label,

@@ -608,12 +608,43 @@ class Measure(Label):
 class RatioMeasure(Measure):
     """sum(num)/sum(den) measure (reference AttributeRatioMeasure,
     /root/reference/bacon/cubedef.py:1098-1119 + RatioSum accumulator,
-    /root/reference/bacon/accumulators.py:355-393)."""
+    /root/reference/bacon/accumulators.py:355-393).
+
+    The per-record form (used when the ratio is displayed/filtered rather
+    than aggregated) is sign-corrected ``num / |den|`` with null on
+    null/zero denominator, exactly the reference's ``extract``."""
 
     def __init__(self, name, num, den, **kw):
         from .accumulators import RatioSum
 
-        super().__init__(name, expr=F.lit(None), acc=RatioSum(num, den), **kw)
+        def per_record() -> Column:
+            n = F.expr(num) if isinstance(num, str) else num
+            d = F.expr(den) if isinstance(den, str) else den
+            return F.when(
+                n.isNotNull() & d.isNotNull() & (d != 0), n / F.abs(d)
+            )
+
+        super().__init__(name, expr=per_record, acc=RatioSum(num, den), **kw)
+
+
+class JsonLabel(Label):
+    """Label extracting a JSON path from a string column (engine extension;
+    the reference has no JSON scalars — SURVEY §2.9 'free in Spark')."""
+
+    def __init__(self, name, source: str, path: str, cast: str | None = None, **kw):
+        self.path = path
+        self._cast = cast
+
+        def extract() -> Column:
+            c = F.get_json_object(F.col(source), path)
+            return c.cast(cast) if cast else c
+
+        super().__init__(name, expr=extract, **kw)
+        self._source = source
+
+    def sql_expr(self) -> str:
+        base = f"get_json_object({self._source}, '{self.path}')"
+        return f"cast({base} as {self._cast})" if self._cast else base
 
 
 # --------------------------------------------------------------------------

@@ -1614,3 +1614,68 @@ def q47_ann_ivf_topk(spark, sf_dir):
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     idx = IVFIndex(emb, nlist=8, seed=42)
     return idx.topk([float(v) for v in qrow], k=10, nprobe=3)
+
+
+@query(
+    "q48_multi_pivot",
+    """
+    SELECT cast(year(o_orderdate) as int) AS order_year,
+           round(cast(sum(CASE WHEN l_returnflag='A' AND l_linestatus='F' THEN cast(l_quantity as decimal(38,4)) END) as double), 2) AS qty_A_F,
+           round(cast(sum(CASE WHEN l_returnflag='N' AND l_linestatus='F' THEN cast(l_quantity as decimal(38,4)) END) as double), 2) AS qty_N_F,
+           round(cast(sum(CASE WHEN l_returnflag='N' AND l_linestatus='O' THEN cast(l_quantity as decimal(38,4)) END) as double), 2) AS qty_N_O,
+           round(cast(sum(CASE WHEN l_returnflag='R' AND l_linestatus='F' THEN cast(l_quantity as decimal(38,4)) END) as double), 2) AS qty_R_F
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q48_multi_pivot(spark, sf_dir):
+    """Multi-axis pivot via a composed key (SURVEY §2.8: Spark pivot is
+    single-column; multiple pivot axes compose through concat), with
+    explicit value list so no discovery scan happens."""
+    from .sources.star import sales_fact_for
+
+    fact = sales_fact_for(spark, sf_dir, {"l_", "o_"})
+    combos = ["A_F", "N_F", "N_O", "R_F"]
+    df = (
+        fact.withColumn("pk", F.concat_ws("_", "l_returnflag", "l_linestatus"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .pivot("pk", combos)
+        .agg(F.sum(F.expr(dec("l_quantity"))))
+    )
+    for cbo in combos:
+        df = df.withColumnRenamed(cbo, f"qty_{cbo}")
+    return finalize(df, {f"qty_{cbo}": 2 for cbo in combos})
+
+
+@query(
+    "q49_json_label",
+    """
+    SELECT event_type,
+           cast(json_extract_string(props, '$.k') as int) // 25 AS k_bucket,
+           count(*) AS n,
+           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q49_json_label(spark, sf_dir):
+    """JsonLabel: a JSON-path dimension through the cube engine (engine
+    extension, SURVEY §2.9)."""
+    from .cubedef import JsonLabel
+
+    cd = CubeDef("events")
+    cd.add_label(Label("event_type"))
+    cd.add_label(JsonLabel("k_raw", "props", "$.k", cast="int"))
+    # derived bucket label on top of the JSON extraction
+    cd.add_label(Label("k_bucket", "cast(get_json_object(props, '$.k') as int) div 25"))
+    cd.add_measure(Measure("n", "event_id", acc=Count()))
+    cd.add_measure(Measure("sum_value", dec("value"), acc=Sum()))
+    q = (
+        CubeQuery()
+        .add_axis("event_type")
+        .add_axis("k_bucket")
+        .add_value("n")
+        .add_value("sum_value")
+    )
+    df = board(cd, _read(spark, sf_dir, "events")).slice(q).to_df()
+    return finalize(df, {"sum_value": 2})

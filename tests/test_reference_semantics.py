@@ -203,3 +203,24 @@ def test_hierarchy_cycle_rejected():
     cd.add_label(Label("b", child_of="a"))
     with pytest.raises(QueryError):
         cd.add_hierarchy("a", "b")
+
+
+def test_ratio_measure_per_record_sign_correction(spark):
+    # reference AttributeRatioMeasure.extract: num/|den|, null on null/zero
+    # denominator (/root/reference/bacon/cubedef.py:1098-1119)
+    from bacon_spark import RatioMeasure
+
+    rows = [(10.0, 2.0), (10.0, -2.0), (10.0, 0.0), (None, 2.0), (10.0, None)]
+    df = spark.createDataFrame(rows, "num double, den double")
+    m = RatioMeasure("r", "num", "den")
+    out = [r["r"] for r in df.select(m.column().alias("r")).collect()]
+    assert out == [5.0, 5.0, None, None, None]
+
+
+def test_json_label(spark):
+    from bacon_spark import JsonLabel
+
+    df = spark.createDataFrame([('{"k": 42, "s": "x"}',)], "props string")
+    lab = JsonLabel("k", "props", "$.k", cast="int")
+    assert df.select(lab.column().alias("k")).head()["k"] == 42
+    assert "get_json_object" in lab.sql_expr()
