@@ -1679,3 +1679,37 @@ def q49_json_label(spark, sf_dir):
     )
     df = board(cd, _read(spark, sf_dir, "events")).slice(q).to_df()
     return finalize(df, {"sum_value": 2})
+
+
+@query(
+    "q50_semi_anti_join",
+    """
+    SELECT n.n_name AS nation,
+           count(CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+                 THEN 1 END) AS with_orders,
+           count(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+                 THEN 1 END) AS without_orders
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def q50_semi_anti_join(spark, sf_dir):
+    """Semi/anti joins (EXISTS / NOT EXISTS): customers with and without
+    orders per nation. left_semi/left_anti shuffle only the keys — the
+    scale-correct existence check."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders").select("o_custkey")
+    n = _read(spark, sf_dir, "nation")
+    witho = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    tag = witho.withColumn("_has", F.lit(1)).unionByName(
+        without.withColumn("_has", F.lit(0))
+    )
+    return (
+        tag.join(F.broadcast(n), tag.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.when(F.col("_has") == 1, 1)).alias("with_orders"),
+            F.count(F.when(F.col("_has") == 0, 1)).alias("without_orders"),
+        )
+    )
