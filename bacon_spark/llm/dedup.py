@@ -315,3 +315,86 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 10,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cluster duplicate pairs into groups: connected components by
+    iterative min-label propagation over DataFrames (no graph library).
+
+    Each node starts labeled with itself; every round, each node adopts the
+    smallest label among itself and its neighbors; converges in O(component
+    diameter) rounds — near-dup components are tiny (chains of similar
+    docs), so the default cap is generous. All joins are on ids only; at
+    corpus scale the edge list is the LSH candidate output, already
+    sub-quadratic.
+
+    Returns (doc_id, cluster_id) where cluster_id = min doc id in the
+    component.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    bands: int = 4,
+    rows: int = 2,
+) -> DataFrame:
+    """End-to-end near-dup clustering: LSH candidates -> exact Jaccard
+    verification -> connected components. The full
+    shingle->minhash->band->bucket->verify->cluster pipeline."""
+    verified = ngram_jaccard_pairs(df, text_col, id_col, k, threshold, bands, rows)
+    return dup_clusters(verified, id_a="id_a", id_b="id_b")

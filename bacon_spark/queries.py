@@ -1409,10 +1409,22 @@ def q40_embedding_near_dup(spark, sf_dir):
     LSH-bucketed scale path is llm/similarity.ann_lsh_topk — approximate,
     so tested rather than oracle'd)."""
     emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    # precompute norms once per vector (identical doubles to the oracle's
+    # per-pair norms — same math, evaluated once instead of O(n) times)
+    normed = emb.select(
+        "vec_id", "embedding", _sim.norm(F.col("embedding")).alias("nrm")
+    )
+    a = normed.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = normed.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = F.round(_sim.cosine(F.col("ea"), F.col("eb")), 6)
+    denom = F.col("na") * F.col("nb")
+    sim = F.round(
+        F.when(denom > 0, _sim.dot(F.col("ea"), F.col("eb")) / denom).otherwise(F.lit(0.0)), 6
+    )
     return (
         pairs.select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.3)

@@ -169,3 +169,21 @@ def test_frame_sample_plan(spark):
     assert kinds == {2}
     ts = sorted({r["frame_ts_ms"] for r in rows if r["asset_id"] == 2})
     assert ts[:3] == [0, 500, 1000]
+
+
+def test_dup_clusters_connected_components(spark):
+    # components: {1,2,3,4} via chain, {7,8}; singletons excluded
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dd.dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_near_dup_clusters_end_to_end(docs):
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.near_dup_clusters(docs, threshold=0.5).collect()
+    }
+    # exact dups 0 and 1 must share a cluster rooted at 0
+    assert out.get(0) == 0 and out.get(1) == 0
