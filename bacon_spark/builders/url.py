@@ -158,3 +158,26 @@ def parse_query(s: str, cubedef: CubeDef) -> CubeQuery:
 
 def unparse_query(query: CubeQuery, cubedef: CubeDef) -> str:
     return UrlQueryBuilder(cubedef).unparse(query)
+
+
+def get_url(
+    query: CubeQuery,
+    cubedef: CubeDef,
+    base_url: str = ".",
+    param: str = "q",
+    extra_params: dict | None = None,
+) -> str:
+    """Full URL form: serialized query percent-encoded into a query-string
+    parameter (reference get_url/encode_query,
+    /root/reference/bacon/builders/url.py:14-28,152-175). ':' and '/' stay
+    literal — they are the DSL's own separators and URL-safe in a query
+    string."""
+    from urllib.parse import quote_plus
+
+    parts = {param: unparse_query(query, cubedef)}
+    if extra_params:
+        parts.update(extra_params)
+    qs = "&".join(
+        f"{quote_plus(k)}={quote_plus(str(v), safe=':/')}" for k, v in parts.items()
+    )
+    return f"{base_url}?{qs}"

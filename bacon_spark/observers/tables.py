@@ -208,3 +208,18 @@ class TablePivot:
 
     def grand_total(self) -> dict:
         return _totals_record(self.board, self.query)
+
+
+def page_list(page: Page, total: int, max_pages: int = 10) -> list[Page]:
+    """Page links around the current offset (reference page-list UI,
+    /root/reference/bacon/observers/tables.py:16-130): one Page per
+    offset step, capped at max_pages centered on the current page."""
+    if not page.limit or total <= page.limit:
+        return []
+    n_pages = (total + page.limit - 1) // page.limit
+    cur = page.offset // page.limit
+    start = max(0, min(cur - max_pages // 2, n_pages - max_pages))
+    out = []
+    for i in range(start, min(start + max_pages, n_pages)):
+        out.append(Page(limit=page.limit, offset=i * page.limit, nrows=total))
+    return out

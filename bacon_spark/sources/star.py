@@ -304,3 +304,36 @@ class StarCuttingBoard:
         full = sales_fact(spark, sf_dir)
         board = _Board(cubedef, full, cache_results=cache_results)
         return board
+
+
+def events_cubedef():
+    """Cube over the events stream table: time hierarchy on ts, event-type
+    label, JSON prop label, sum/count measures — the batch-side twin of the
+    streaming window aggs."""
+    from ..accumulators import Average, Count, Sum
+    from ..cubedef import (
+        CubeDef,
+        DayLabel,
+        HourLabel,
+        IntLabel,
+        JsonLabel,
+        Label,
+        Measure,
+        MonthLabel,
+        WeekdayLabel,
+    )
+
+    cd = CubeDef("events")
+    cd.add_label(DayLabel("event_day", "ts"))
+    cd.add_label(HourLabel("event_hour", "ts"))
+    cd.add_label(MonthLabel("event_month", "ts"))
+    cd.add_label(WeekdayLabel("event_weekday", "ts"))
+    cd.add_hierarchy("event_day", "event_month")
+    cd.add_hierarchy("event_hour", "event_day")
+    cd.add_label(Label("event_type"))
+    cd.add_label(IntLabel("user_id"))
+    cd.add_label(JsonLabel("prop_k", "props", "$.k", cast="int"))
+    cd.add_measure(Measure("n", "event_id", acc=Count()))
+    cd.add_measure(Measure("total_value", "value", acc=Sum()))
+    cd.add_measure(Measure("avg_value", "value", acc=Average()))
+    return cd

@@ -193,3 +193,35 @@ def test_row_detail(cubedef):
     q2 = nav.row_detail({"state": "NY"})
     assert q2.axes == ()
     assert set(q2.filters) == {("size", "gt", 1), ("state", "eq", "NY")}
+
+
+def test_get_url(cubedef):
+    from bacon_spark.builders.url import get_url
+
+    q = CubeQuery().add_axis("state").add_value("amount").add_filter("state", "eq", "New York")
+    url = get_url(q, cubedef, base_url="/cube", extra_params={"page": "10:0:"})
+    assert url == "/cube?q=f:state:New+York/a:state/v:amount&page=10:0:"
+
+
+def test_page_list():
+    from bacon_spark.observers.tables import Page, page_list
+
+    pages = page_list(Page(limit=10, offset=30, nrows=95), total=95)
+    assert len(pages) == 10
+    assert [p.offset for p in pages][:4] == [0, 10, 20, 30]
+    assert page_list(Page(limit=None), total=95) == []
+    assert page_list(Page(limit=50), total=40) == []
+
+
+def test_events_cubedef(spark):
+    from bacon_spark import CubeQuery, CuttingBoard
+    from bacon_spark.sources.star import events_cubedef, read_table
+
+    cd = events_cubedef()
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    board = CuttingBoard(cd, ev, cache_results=False)
+    q = CubeQuery().add_axis("event_type").add_value("n").add_value("total_value")
+    rows = board.slice(q).rows()
+    assert rows and all(r["n"] > 0 for r in rows)
+    q2 = CubeQuery().add_axis("prop_k").add_value("n").add_filter("event_type", "eq", "click")
+    assert board.slice(q2).rows()
