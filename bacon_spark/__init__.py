@@ -52,7 +52,7 @@ from .cubedef import (
     YearLabel,
 )
 from .cubequery import CubeQuery
-from .engine import CuttingBoard, Slice
+from .engine import CuttingBoard, Slice, SliceMatrix
 from .errors import BaconSparkError, DataError, QueryError
 
 __version__ = "0.1.0"
