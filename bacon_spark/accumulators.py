@@ -74,7 +74,10 @@ class Count(Accumulator):
     """Counts ROWS, not non-null values
     (/root/reference/bacon/accumulators.py:137-154)."""
 
-    reaggregatable = False  # merging needs sum, not count
+    # rollup reuse re-aggregates via merge() (sum of finished counts), which
+    # is exact — counts coarsen soundly, like the reference's Count.__iadd__
+    # (/root/reference/bacon/accumulators.py:148-151)
+    reaggregatable = True
 
     def agg(self, c):
         return F.count(F.lit(1))
@@ -253,3 +256,63 @@ class ApproxCountDistinct(Accumulator):
 
     def sql(self, expr):
         return f"approx_count_distinct({expr})"
+
+
+class Percentile(Accumulator):
+    """Engine extension: exact continuous percentile (linear interpolation
+    between closest ranks — same definition as SQL ``percentile_cont`` /
+    DuckDB ``quantile_cont``). The reference has no percentile accumulator;
+    its users would post-process collected slices.
+
+    Exactness costs memory proportional to the number of distinct values per
+    group (Spark aggregates a value->count map); at 100 TB cardinalities use
+    ``ApproxPercentile`` instead. For cross-engine oracle determinism feed it
+    integer-valued expressions (interpolation of integers < 2^52 is
+    IEEE-exact in every engine)."""
+
+    def __init__(self, p: float = 0.5):
+        if not 0.0 <= p <= 1.0:
+            raise ValueError("percentile must be in [0, 1]")
+        self.p = p
+
+    def agg(self, c):
+        return F.percentile(c, F.lit(self.p))
+
+    def sql(self, expr):
+        return f"quantile_cont({expr}, {self.p})"
+
+
+class ApproxPercentile(Accumulator):
+    """Engine extension, the 100 TB percentile path: Greenwald-Khanna sketch
+    (``percentile_approx``) — bounded memory per group regardless of
+    cardinality, mergeable partials (sketches combine), rank error <=
+    1/accuracy. No SQL oracle form: the sketch is engine-specific, so
+    queries using it are verified by bounded-error tests instead."""
+
+    def __init__(self, p: float = 0.5, accuracy: int = 10000):
+        self.p = p
+        self.accuracy = accuracy
+
+    def agg(self, c):
+        return F.percentile_approx(c, self.p, self.accuracy)
+
+
+class CappedCollectSet(Accumulator):
+    """Engine extension: the first *cap* distinct values per group in sort
+    order. This in-aggregate form bounds the RESULT but not the intermediate
+    collect_set state; for inputs where per-group cardinality itself is the
+    hazard (100 TB), use ``operators.scale.capped_distinct`` which drops
+    rows beyond the cap with a window BEFORE collecting, bounding state
+    end-to-end. Result shape matches so the two are interchangeable."""
+
+    def __init__(self, cap: int):
+        if cap < 1:
+            raise ValueError("cap must be >= 1")
+        self.cap = cap
+
+    def agg(self, c):
+        return F.slice(F.sort_array(F.collect_set(c)), 1, self.cap)
+
+    def sql(self, expr):
+        # DuckDB list_slice is 1-based inclusive, same as Spark's slice
+        return f"list_slice(list_sort(list(DISTINCT {expr})), 1, {self.cap})"

@@ -42,7 +42,33 @@ from .cubequery import CubeQuery
 from .errors import QueryError
 from .filters import build_predicate, combine_filters
 
-__all__ = ["CuttingBoard", "Slice"]
+__all__ = ["CuttingBoard", "Slice", "keyset_page"]
+
+
+def keyset_page(df: DataFrame, keys: list[str], after: tuple | None, limit: int) -> DataFrame:
+    """Keyset (seek) pagination: the next *limit* rows strictly after the
+    composite key *after* in lexicographic (ascending) key order.
+
+    The scale-correct replacement for OFFSET paging (reference pagination,
+    /root/reference/bacon/observers/tables.py:16-130, /root/reference/bacon/
+    sql.py:100-108): OFFSET n scans and discards n rows on every page — cost
+    grows linearly as a user pages through 100 TB — while the seek predicate
+    ``(k1, k2) > (a1, a2)`` is sargable, so Catalyst pushes it to the scan
+    (parquet min/max skipping; partition pruning when data is laid out by
+    the key) and each page costs the same. Keys must uniquely identify rows
+    (add a tiebreaker column if not) and be non-null."""
+    if after is not None:
+        if len(after) != len(keys):
+            raise QueryError(f"after-key arity {len(after)} != key arity {len(keys)}")
+        # (k1 > a1) OR (k1 = a1 AND k2 > a2) OR ... — each disjunct sargable
+        pred = None
+        for i in range(len(keys)):
+            term = F.col(keys[i]) > F.lit(after[i])
+            for j in range(i):
+                term = (F.col(keys[j]) == F.lit(after[j])) & term
+            pred = term if pred is None else pred | term
+        df = df.filter(pred)
+    return df.orderBy(*[F.col(k).asc() for k in keys]).limit(limit)
 
 
 def _freeze_value(v):
@@ -108,11 +134,54 @@ class CuttingBoard:
             df = df.limit(limit)
         return df
 
+    def rows_keyset(
+        self, query: CubeQuery, keys: list[str], after: tuple | None, limit: int
+    ) -> DataFrame:
+        """Keyset-paged raw rows: filtered records after the composite key
+        *after*, in key order (see ``keyset_page``). The scale path the
+        reference's offset paging cannot take."""
+        df = self.df
+        pred = self._predicate(query)
+        if pred is not None:
+            df = df.filter(pred)
+        return keyset_page(df, keys, after, limit)
+
     def clear_cache(self) -> None:
         with self._lock:
             for _, cached_df in self._cache.values():
                 cached_df.unpersist()
             self._cache.clear()
+
+    def refresh(self, delta_df: DataFrame) -> None:
+        """Incrementally fold *delta_df* (newly-arrived rows, same schema)
+        into the board: the base frame grows, and every cached slice whose
+        measures are mergeable is updated by aggregating ONLY the delta and
+        merging partials into the cached result — never re-scanning the full
+        base. Non-mergeable slices (Average/Group/ratio finished values
+        cannot absorb partials) are evicted and recompute lazily.
+
+        This is the incremental-view-maintenance form of the reference's
+        dataset-refresh story — its lazy callable dataset re-pulled on cache
+        invalidation (/root/reference/bacon/cutting.py:122-135,
+        /root/reference/bacon/utils/cache.py:93-127) — made sound by the
+        accumulator partial/final contract. At scale this is the
+        foreachBatch pattern: each micro-batch is a delta_df."""
+        self.df = self.df.unionByName(delta_df)
+        with self._lock:
+            entries = list(self._cache.items())
+            for key, (cq, cdf) in entries:
+                if not all(
+                    self.cubedef.get_value(v).acc.reaggregatable for v in cq.values
+                ):
+                    del self._cache[key]
+                    cdf.unpersist()
+                    continue
+                delta_slice = self._aggregate_frame(cq, delta_df)
+                merged = self._reaggregate(cdf.unionByName(delta_slice), cq).persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
+                self._cache[key] = (cq, merged)
+                cdf.unpersist()
 
     # --- planning ----------------------------------------------------------
     def _plan(self, query: CubeQuery) -> DataFrame:
@@ -229,7 +298,9 @@ class CuttingBoard:
         return combine_filters(preds)
 
     def _aggregate(self, query: CubeQuery) -> DataFrame:
-        df = self._frame_for(query)
+        return self._aggregate_frame(query, self._frame_for(query))
+
+    def _aggregate_frame(self, query: CubeQuery, df: DataFrame) -> DataFrame:
         pred = self._predicate(query)
         if pred is not None:
             df = df.filter(pred)

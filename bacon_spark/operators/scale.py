@@ -53,3 +53,32 @@ def salted_agg(
         .agg(*[c.alias(n) for n, c in aggs.items()])
     )
     return partial.groupBy(key).agg(*[c.alias(n) for n, c in merges.items()])
+
+
+def capped_distinct(
+    df: DataFrame, keys: list[str], col: str, cap: int, out: str | None = None
+) -> DataFrame:
+    """The first *cap* distinct values of *col* per *keys* group, in sort
+    order, with per-group state bounded END-TO-END.
+
+    ``collect_set`` (and the reference's Union accumulator,
+    /root/reference/bacon/accumulators.py:53-76) accumulates every distinct
+    value per group before any cap applies — at 100 TB a single hot group
+    can hold millions of values and OOM its reducer. Here the cap is applied
+    BEFORE collection: distinct (partial-aggregating shuffle), rank within
+    group (sort-based window, spills), keep rank <= cap, then collect at
+    most *cap* values per group. Result is identical to
+    ``accumulators.CappedCollectSet`` — use that form when per-group
+    cardinality is known-small, this one when it is not."""
+    from pyspark.sql.window import Window
+
+    out = out or f"{col}_capped"
+    w = Window.partitionBy(*keys).orderBy(F.col(col).asc())
+    return (
+        df.select(*keys, col)
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .groupBy(*keys)
+        .agg(F.sort_array(F.collect_list(col)).alias(out))
+    )

@@ -1725,3 +1725,102 @@ def q50_semi_anti_join(spark, sf_dir):
             F.count(F.when(F.col("_has") == 0, 1)).alias("without_orders"),
         )
     )
+
+
+@query(
+    "q51_percentile",
+    """
+    SELECT l_returnflag AS returnflag,
+           quantile_cont(cast(l_quantity as bigint), 0.5) AS median_qty,
+           quantile_cont(cast(l_quantity as bigint), 0.9) AS p90_qty,
+           quantile_cont(cast(round(l_extendedprice*100, 0) as bigint), 0.5) AS median_price_cents,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q51_percentile(spark, sf_dir):
+    """Percentile accumulator (engine extension): exact continuous
+    percentiles through the cube engine. Determinism: inputs are
+    integer-valued (quantity; price scaled to cents with an explicit
+    half-up round), so the closest-rank interpolation is IEEE-exact in
+    both engines — no output rounding needed."""
+    from .accumulators import Percentile
+
+    cd = CubeDef("lineitem")
+    cd.add_label(Label("returnflag", "l_returnflag"))
+    qty = "cast(l_quantity as bigint)"
+    cents = "cast(round(l_extendedprice*100, 0) as bigint)"
+    cd.add_measure(Measure("median_qty", qty, acc=Percentile(0.5)))
+    cd.add_measure(Measure("p90_qty", qty, acc=Percentile(0.9)))
+    cd.add_measure(Measure("median_price_cents", cents, acc=Percentile(0.5)))
+    cd.add_measure(Measure("n", "l_quantity", acc=Count()))
+    q = (
+        CubeQuery()
+        .add_axis("returnflag")
+        .add_value("median_qty")
+        .add_value("p90_qty")
+        .add_value("median_price_cents")
+        .add_value("n")
+    )
+    return board(cd, _read(spark, sf_dir, "lineitem")).slice(q).to_df()
+
+
+@query(
+    "q52_keyset_page",
+    """
+    SELECT cast(o_orderdate as date) AS orderdate,
+           o_orderkey AS orderkey,
+           o_totalprice AS totalprice
+    FROM orders
+    WHERE cast(o_orderdate as date) > DATE '1995-06-15'
+       OR (cast(o_orderdate as date) = DATE '1995-06-15' AND o_orderkey > 3000)
+    ORDER BY 1, 2
+    LIMIT 20
+    """,
+)
+def q52_keyset_page(spark, sf_dir):
+    """Keyset (seek) pagination: the page after composite key
+    (1995-06-15, 3000) — the scale-correct replacement for the reference's
+    OFFSET paging (engine.keyset_page; the seek predicate is sargable so
+    parquet min/max skipping prunes earlier pages at scale). The unique
+    orderkey tiebreaker makes the page set deterministic."""
+    from .engine import keyset_page
+
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("orderdate"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    return keyset_page(o, ["orderdate", "orderkey"], (dt.date(1995, 6, 15), 3000), 20)
+
+
+@query(
+    "q53_capped_distinct",
+    """
+    SELECT o_orderpriority AS priority,
+           list_slice(list_sort(list(DISTINCT o_custkey)), 1, 10) AS first_custkeys,
+           count(DISTINCT o_custkey) AS n_cust
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q53_capped_distinct(spark, sf_dir):
+    """Capped distinct collection (engine extension): first-10 distinct
+    customers per priority via the CappedCollectSet accumulator. The
+    bounded-intermediate twin (operators.scale.capped_distinct) produces
+    the identical result with per-group state capped end-to-end — the
+    100 TB form; equivalence is asserted in tests."""
+    from .accumulators import CappedCollectSet
+
+    cd = CubeDef("orders")
+    cd.add_label(Label("priority", "o_orderpriority"))
+    cd.add_measure(Measure("first_custkeys", "o_custkey", acc=CappedCollectSet(10)))
+    cd.add_measure(Measure("n_cust", "o_custkey", acc=CountDistinct()))
+    q = (
+        CubeQuery()
+        .add_axis("priority")
+        .add_value("first_custkeys")
+        .add_value("n_cust")
+    )
+    return board(cd, _read(spark, sf_dir, "orders")).slice(q).to_df()
