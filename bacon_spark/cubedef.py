@@ -298,6 +298,42 @@ class _DatePartLabel(Label):
     def column(self) -> Column:  # pragma: no cover - overridden
         raise NotImplementedError
 
+    def _next_boundary(self, v):
+        """The first truncation boundary strictly after *v* — defined only
+        by MONOTONIC truncation labels (year/quarter/month/week/day/hour,
+        where trunc(base) <= base < next_boundary(trunc(base))). Periodic
+        part labels (month-of-year, weekday, ...) return None: a filter on
+        them constrains no contiguous base range."""
+        return None
+
+    def sargable_extra(self, op, value):
+        """Redundant raw-column predicate implied by ``trunc(base) OP value``
+        — the reference's sargability rewrite
+        (/root/reference/bacon/cubedef.py:728-741: add ``base >= v`` next to
+        ``date_trunc(...) >= v`` so Postgres can use the raw-column index).
+        Spark analogue: ``date_trunc(base) >= v`` is an opaque expression the
+        parquet reader can't skip on, while the implied raw bound reaches
+        PushedFilters, enabling row-group min/max skipping and partition
+        pruning when data is laid out by the base column.
+
+        Soundness (superset): trunc(base) <= base always, and any base in
+        the bucket of v is < next_boundary(v); the extra predicate never
+        removes a row the label predicate keeps."""
+        if value is None or op not in ("ge", "gt", "le", "lt", "eq"):
+            return None
+        nb = self._next_boundary(value)
+        if nb is None:
+            return None
+        base = self.base_column
+        if op == "ge":
+            return base >= F.lit(value)
+        if op == "gt":
+            # trunc(base) > v  =>  trunc(base) >= next boundary  =>  base >= it
+            return base >= F.lit(nb)
+        if op in ("le", "lt"):
+            return base < F.lit(nb)
+        return (base >= F.lit(value)) & (base < F.lit(nb))  # eq
+
     def parse(self, s: str):
         if self.relative_unit and _RELATIVE_RE.match(s):
             return self._relative(int(s))
@@ -321,6 +357,9 @@ class YearLabel(_DatePartLabel):
 
     def column(self):
         return F.date_trunc("year", self.base_column).cast("date")
+
+    def _next_boundary(self, v):
+        return dt.date(v.year + 1, 1, 1)
 
     def _parse(self, s):
         try:
@@ -363,6 +402,9 @@ class MonthLabel(_DatePartLabel):
     def column(self):
         return F.date_trunc("month", self.base_column).cast("date")
 
+    def _next_boundary(self, v):
+        return dt.date(v.year + v.month // 12, v.month % 12 + 1, 1)
+
     def _parse(self, s):
         d = self._parse_date(s if len(s) > 7 else s + "-01", self.name)
         return d.replace(day=1)
@@ -404,6 +446,10 @@ class QuarterLabel(_DatePartLabel):
 
     def column(self):
         return F.date_trunc("quarter", self.base_column).cast("date")
+
+    def _next_boundary(self, v):
+        m = ((v.month - 1) // 3 + 1) * 3 + 1  # first month after v's quarter
+        return dt.date(v.year + (m - 1) // 12, (m - 1) % 12 + 1, 1)
 
     def _parse(self, s):
         d = self._parse_date(s if len(s) > 7 else s + "-01", self.name)
@@ -456,6 +502,10 @@ class WeekLabel(_DatePartLabel):
     def column(self):
         return F.date_trunc("week", self.base_column).cast("date")
 
+    def _next_boundary(self, v):
+        monday = v - dt.timedelta(days=v.weekday())
+        return monday + dt.timedelta(days=7)
+
     def _parse(self, s):
         d = self._parse_date(s, self.name)
         return d - dt.timedelta(days=d.weekday())
@@ -492,6 +542,9 @@ class DayLabel(_DatePartLabel):
     def column(self):
         return F.to_date(self.base_column)
 
+    def _next_boundary(self, v):
+        return v + dt.timedelta(days=1)
+
     def _parse(self, s):
         return self._parse_date(s, self.name)
 
@@ -527,6 +580,10 @@ class HourLabel(_DatePartLabel):
 
     def column(self):
         return F.date_trunc("hour", self.base_column)
+
+    def _next_boundary(self, v):
+        floor = v.replace(minute=0, second=0, microsecond=0)
+        return floor + dt.timedelta(hours=1)
 
     def _parse(self, s):
         try:

@@ -295,6 +295,15 @@ class CuttingBoard:
         for name, op, value in query.filters:
             label = self.cubedef.get_label(name)
             preds.append(build_predicate(label.column(), op, value))
+            # sargability rewrite: truncating date labels add the implied
+            # raw-column bound so the scan can skip (reference
+            # /root/reference/bacon/cubedef.py:728-741; here it reaches
+            # parquet PushedFilters instead of a Postgres index)
+            extra = getattr(label, "sargable_extra", None)
+            if extra is not None:
+                ep = extra(op, value)
+                if ep is not None:
+                    preds.append(ep)
         return combine_filters(preds)
 
     def _aggregate(self, query: CubeQuery) -> DataFrame:

@@ -112,6 +112,35 @@ def sql_filter(expr: str, op: str, value) -> str:
     raise QueryError(f"operator {op!r} has no SQL form")
 
 
+def sargable_extra_sql(label, op, value) -> str | None:
+    """SQL form of the sargability rewrite (reference
+    /root/reference/bacon/cubedef.py:728-741): the redundant raw-column
+    bound implied by ``trunc(base) OP value``, so the executing engine can
+    use a raw-column index / zone map. Only truncating date labels (those
+    defining ``_next_boundary``) with a named base column qualify."""
+    base = getattr(label, "_base", None)
+    nb_f = getattr(label, "_next_boundary", None)
+    if (
+        value is None
+        or op not in ("ge", "gt", "le", "lt", "eq")
+        or not isinstance(base, str)
+        or nb_f is None
+    ):
+        return None
+    nb = nb_f(value)
+    if nb is None:
+        return None
+    if op == "ge":
+        return f"{base} >= {sql_literal(value)}"
+    if op == "gt":
+        return f"{base} >= {sql_literal(nb)}"
+    if op in ("le", "lt"):
+        return f"{base} < {sql_literal(nb)}"
+    if op == "eq":
+        return f"({base} >= {sql_literal(value)} AND {base} < {sql_literal(nb)})"
+    return None
+
+
 @dataclass(frozen=True)
 class SqlQuery:
     """Immutable SELECT builder (reference SqlQuery,
@@ -180,6 +209,9 @@ class SqlCuttingBoard:
         for name, op, value in query.filters:
             label = self.cubedef.get_label(name)
             sq = sq.add_filter(sql_filter(self._label_sql(label), op, value))
+            extra = sargable_extra_sql(label, op, value)
+            if extra is not None:
+                sq = sq.add_filter(extra)
         for a in query.axes:
             label = self.cubedef.get_label(a)
             sq = sq.add_group(a, self._label_sql(label))
