@@ -96,10 +96,25 @@ class CuttingBoard:
 
     CACHE_SIZE = 20  # reference cap (/root/reference/bacon/cutting.py:183)
 
-    def __init__(self, cubedef: CubeDef, df: DataFrame, cache_results: bool = True):
+    def __init__(
+        self,
+        cubedef: CubeDef,
+        df: DataFrame,
+        cache_results: bool = True,
+        snapshot_cache: bool = False,
+    ):
         self.cubedef = cubedef
         self.df = df
         self.cache_results = cache_results
+        # snapshot_cache pins cached slices via localCheckpoint instead of
+        # persist: a persisted plan that reads a path is INVALIDATED (and
+        # silently recomputed over the new file listing) whenever anything
+        # writes to that path (Spark refreshByPath) — fatal for incremental
+        # maintenance, where the delta lands in the very path the base
+        # reads. A localCheckpoint truncates the plan to the computed rows,
+        # immune to source churn. Default off: for plain batch boards,
+        # recompute-on-invalidation is the CORRECT freshness behavior.
+        self.snapshot_cache = snapshot_cache
         # key -> (query, result_df); LRU promote-on-hit like the reference
         # deque rotation (/root/reference/bacon/cutting.py:181-202)
         self._cache: OrderedDict = OrderedDict()
@@ -152,7 +167,7 @@ class CuttingBoard:
                 cached_df.unpersist()
             self._cache.clear()
 
-    def refresh(self, delta_df: DataFrame) -> None:
+    def refresh(self, delta_df: DataFrame, grow_base: bool = True) -> None:
         """Incrementally fold *delta_df* (newly-arrived rows, same schema)
         into the board: the base frame grows, and every cached slice whose
         measures are mergeable is updated by aggregating ONLY the delta and
@@ -165,8 +180,14 @@ class CuttingBoard:
         invalidation (/root/reference/bacon/cutting.py:122-135,
         /root/reference/bacon/utils/cache.py:93-127) — made sound by the
         accumulator partial/final contract. At scale this is the
-        foreachBatch pattern: each micro-batch is a delta_df."""
-        self.df = self.df.unionByName(delta_df)
+        foreachBatch pattern: each micro-batch is a delta_df.
+
+        ``grow_base=False`` skips extending the base frame — pass it when
+        the base already references the storage the deltas land in (the
+        streaming-maintenance case, streaming/incremental.py), where a
+        union per micro-batch would grow the plan tree without bound."""
+        if grow_base:
+            self.df = self.df.unionByName(delta_df)
         with self._lock:
             entries = list(self._cache.items())
             for key, (cq, cdf) in entries:
@@ -177,9 +198,14 @@ class CuttingBoard:
                     cdf.unpersist()
                     continue
                 delta_slice = self._aggregate_frame(cq, delta_df)
-                merged = self._reaggregate(cdf.unionByName(delta_slice), cq).persist(
-                    StorageLevel.MEMORY_AND_DISK
-                )
+                # snapshot the merge (localCheckpoint = compute now, forget
+                # lineage): its plan reads the old cached slice and the
+                # delta — a micro-batch only readable during its batch —
+                # and left lazy it could silently recompute over a base
+                # that already contains the delta (double count)
+                merged = self._reaggregate(
+                    cdf.unionByName(delta_slice), cq
+                ).localCheckpoint(eager=True)
                 self._cache[key] = (cq, merged)
                 cdf.unpersist()
 
@@ -214,7 +240,10 @@ class CuttingBoard:
             return self._order(make(), query)
 
         result = self._aggregate(query)
-        result = result.persist(StorageLevel.MEMORY_AND_DISK)
+        if self.snapshot_cache:
+            result = result.localCheckpoint(eager=True)
+        else:
+            result = result.persist(StorageLevel.MEMORY_AND_DISK)
         with self._lock:
             self._cache[_cache_key(query)] = (query, result)
             while len(self._cache) > self.CACHE_SIZE:

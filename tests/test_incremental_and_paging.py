@@ -202,3 +202,30 @@ def test_percentile_golden(spark):
 def test_percentile_validates_p():
     with pytest.raises(ValueError):
         Percentile(1.5)
+
+
+def test_snapshot_cache_survives_source_writes(spark, tmp_path):
+    """Writing to the base path invalidates persisted plans (refreshByPath)
+    — a snapshot_cache board pins cached slices against that, so refresh
+    never double-counts a delta that also landed in the base dir."""
+    path = str(tmp_path / "data")
+    spark.createDataFrame(BASE, SCHEMA).write.mode("append").parquet(path)
+
+    cd = CubeDef("sells")
+    cd.add_label(Label("item"))
+    cd.add_measure(Measure("number", acc=Sum()))
+    b = CuttingBoard(cd, spark.read.schema(SCHEMA).parquet(path), snapshot_cache=True)
+    q = CubeQuery().add_axis("item").add_value("number")
+    assert b.slice(q)["apples"].record["number"] == 230
+
+    # delta lands in the SAME path (what a stream sink does), then refresh
+    spark.createDataFrame(DELTA, SCHEMA).write.mode("append").parquet(path)
+    key, (cq, cdf) = next(iter(b._cache.items()))
+    frozen = {r["item"]: r["number"] for r in cdf.collect()}
+    assert frozen["apples"] == 230  # snapshot did NOT absorb the new files
+
+    b.refresh(spark.createDataFrame(DELTA, SCHEMA), grow_base=False)
+    s = b.slice(q)
+    assert s["apples"].record["number"] == 250  # 230 + 20, not 250 + 20
+    assert s["pears"].record["number"] == 101 + 7
+    b.clear_cache()
