@@ -1824,3 +1824,52 @@ def q53_capped_distinct(spark, sf_dir):
         .add_value("n_cust")
     )
     return board(cd, _read(spark, sf_dir, "orders")).slice(q).to_df()
+
+
+@query(
+    "q54_incremental_maintenance",
+    """
+    SELECT event_type,
+           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS total_value,
+           count(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q54_incremental_maintenance(spark, sf_dir):
+    """Incremental view maintenance, end to end: half the events land
+    first and a cached slice is primed from them; the other half arrives
+    as a streaming micro-batch that CuttingBoard.refresh folds in by
+    partial-aggregate merge (streaming/incremental.py). The oracle is the
+    full recompute over ALL events — the merged slice must match it
+    exactly, proving the accumulator partial/final contract under
+    maintenance (no rescan of the primed half ever happens)."""
+    import os
+    import tempfile
+
+    from .accumulators import Sum as SumAcc
+    from .engine import CuttingBoard
+    from .streaming.incremental import stream_into_board
+
+    events = _read(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="bacon_ivm_")
+    data, ckpt = os.path.join(d, "data"), os.path.join(d, "ckpt")
+    events.filter("event_id % 2 = 0").write.mode("overwrite").parquet(data)
+
+    cd = CubeDef("events")
+    cd.add_label(Label("event_type"))
+    cd.add_measure(Measure("total_value", dec("value"), acc=SumAcc()))
+    cd.add_measure(Measure("n", "event_id", acc=Count()))
+    q = CubeQuery().add_axis("event_type").add_value("total_value").add_value("n")
+
+    b = CuttingBoard(cd, spark.read.parquet(data), snapshot_cache=True)
+    stream = spark.readStream.schema(spark.read.parquet(data).schema).parquet(data)
+    sq = stream_into_board(stream, b, ckpt)
+    try:
+        sq.processAllAvailable()  # catch up before priming (consistency contract)
+        b.slice(q).rows()  # prime the cached slice from the first half
+        events.filter("event_id % 2 = 1").write.mode("append").parquet(data)
+        sq.processAllAvailable()  # delta micro-batch -> refresh merge
+    finally:
+        sq.stop()
+    return finalize(b.slice(q).to_df(), {"total_value": 2})
