@@ -1,0 +1,137 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB corpus is never trained on whole: it is subsampled, stratified,
+and mixed from many sources at target weights. These operators implement
+those steps *deterministically* — keep/drop is a pure function of a stable
+key column plus a salt string, never of RNG state — so a pipeline re-run
+(or a re-run on a different cluster / different partitioning) selects the
+exact same rows. That property is what `df.sample()` / `df.sampleBy()`
+cannot give (their Bernoulli draws depend on partition iteration order),
+and it is what makes every operator here oracle-checkable against DuckDB.
+
+Mechanism: the shared 60-bit md5 hash (llm/dedup.hash60 — identical SQL in
+Spark and DuckDB) of ``salt || key``, reduced mod 1e6, gives a uniform
+draw in [0, 1e6); keep iff draw < rate·1e6. Different salts give
+independent draws from the same keys.
+
+Scale notes (100 TB):
+
+* ``hash_sample`` / ``stratified_sample`` / ``mix_sources`` are pure
+  map-side filters — no shuffle, no state, arbitrarily parallel; Catalyst
+  pushes surviving-column pruning into the scan (the md5 sits above it).
+* ``group_sample`` needs the one shuffle the semantics require (hash by
+  group) + a per-group sort bounded by group size. For hot groups the
+  window sort is the cost; rows are first cut to the sample's upper bound
+  map-side only when a per-partition pre-filter is provided by the caller
+  (e.g. a coarse ``hash_sample`` at k/|group| · safety-factor, then the
+  exact top-k — the classic two-phase reservoir).
+* Mixture weights are resolved to per-source rates driver-side from
+  cheap ``count()``s (metadata-only on parquet); the data path is again a
+  map-side filter per source plus a zero-shuffle ``unionByName``.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..llm.dedup import hash60, hash60_sql
+
+#: granularity of the uniform draw; rates are exact multiples of 1e-6
+RESOLUTION = 1_000_000
+
+
+def _draw(key: Column, salt: str) -> Column:
+    """Deterministic uniform draw in [0, RESOLUTION) from (salt, key)."""
+    return hash60(F.concat(F.lit(salt + ":"), key.cast("string"))) % RESOLUTION
+
+
+def draw_sql(key_expr: str, salt: str) -> str:
+    """DuckDB-identical SQL form of :func:`_draw` (oracle building block)."""
+    h = hash60_sql(f"'{salt}:' || cast({key_expr} as varchar)")
+    return f"({h} % {RESOLUTION})"
+
+
+def hash_sample(df: DataFrame, key: Column | str, rate: float, salt: str = "") -> DataFrame:
+    """Deterministic Bernoulli sample: keep ≈``rate`` of rows, chosen by
+    the hash of *key* — reproducible across runs, engines, and cluster
+    layouts. Map-side only (no shuffle)."""
+    key = F.col(key) if isinstance(key, str) else key
+    return df.filter(_draw(key, salt) < int(rate * RESOLUTION))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: Column | str,
+    key: Column | str,
+    fractions: Mapping[str, float],
+    default: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic ``sampleBy``: per-stratum keep rates. A stratum not in
+    *fractions* keeps ``default``. Still a pure map-side filter — the
+    per-stratum threshold is a CASE expression, not a join."""
+    strata = F.col(strata) if isinstance(strata, str) else strata
+    key = F.col(key) if isinstance(key, str) else key
+    threshold: Column = F.lit(int(default * RESOLUTION))
+    for value, rate in fractions.items():
+        threshold = F.when(strata == value, int(rate * RESOLUTION)).otherwise(threshold)
+    return df.filter(_draw(key, salt) < threshold)
+
+
+def group_sample(
+    df: DataFrame,
+    groups: Sequence[str],
+    key: Column | str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic uniform-without-replacement sample of *k* rows per
+    group (reservoir-sampling semantics, reproducibly): rank rows within
+    each group by their hash draw and keep the k smallest. Ties broken by
+    the key itself so the result is a total order."""
+    key = F.col(key) if isinstance(key, str) else key
+    w = Window.partitionBy(*groups).orderBy(_draw(key, salt).asc(), key.asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def mixture_rates(
+    counts: Mapping[str, int], weights: Mapping[str, float], target_total: int
+) -> dict[str, float]:
+    """Resolve mixture *weights* (relative source proportions in the output)
+    into per-source sampling rates for :func:`mix_sources`, given each
+    source's row count. Rates are capped at 1.0 (no upsampling)."""
+    wsum = sum(weights.values())
+    return {
+        name: min(1.0, (weights[name] / wsum) * target_total / max(counts[name], 1))
+        for name in weights
+    }
+
+
+def mix_sources(
+    sources: Mapping[str, DataFrame],
+    rates: Mapping[str, float],
+    key: Column | str,
+    salt: str = "",
+    tag_column: str = "mix_source",
+) -> DataFrame:
+    """Deterministically mix several source DataFrames at per-source rates
+    (from :func:`mixture_rates` or given directly), tagging each row with
+    its source name. The plan is N map-side filters + a zero-shuffle
+    union — mixing 100 TB is exactly as parallel as scanning it."""
+    parts = [
+        hash_sample(df, key, rates[name], salt=f"{salt}/{name}").withColumn(
+            tag_column, F.lit(name)
+        )
+        for name, df in sources.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

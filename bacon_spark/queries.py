@@ -1873,3 +1873,113 @@ def q54_incremental_maintenance(spark, sf_dir):
     finally:
         sq.stop()
     return finalize(b.slice(q).to_df(), {"total_value": 2})
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: deterministic sampling, mixing, decontamination
+# ---------------------------------------------------------------------------
+
+from .llm import decontam as _decon  # noqa: E402
+from .operators import sampling as _samp  # noqa: E402
+
+_S55_DRAW = "(cast(('0x' || substr(md5('s55:' || cast(doc_id as varchar)), 1, 15)) as bigint) % 1000000)"
+_S56_DRAW = "(cast(('0x' || substr(md5('s56:' || cast(event_id as varchar)), 1, 15)) as bigint) % 1000000)"
+_S58_DRAW = "(cast(('0x' || substr(md5('s58/' || source || ':' || cast(doc_id as varchar)), 1, 15)) as bigint) % 1000000)"
+
+
+@query(
+    "q55_stratified_sample",
+    f"""
+    SELECT lang, count(*) AS n_kept, cast(sum(n_chars) as bigint) AS sum_chars
+    FROM documents
+    WHERE {_S55_DRAW} <
+          CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 200000 ELSE 100000 END
+    GROUP BY 1
+    """,
+)
+def q55_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (operators/sampling.py): keep 50%
+    of 'en', 20% of 'de', 10% of everything else, chosen by a salted md5
+    draw on doc_id — reproducible across runs/engines/partitionings, unlike
+    df.sampleBy. Pure map-side filter; the oracle recomputes the identical
+    draw in DuckDB."""
+    docs = _read_docs(spark, sf_dir)
+    kept = _samp.stratified_sample(
+        docs, "lang", "doc_id", {"en": 0.5, "de": 0.2}, default=0.1, salt="s55"
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+@query(
+    "q56_group_reservoir",
+    f"""
+    SELECT event_type, event_id FROM (
+      SELECT event_type, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY {_S56_DRAW}, event_id) AS rn
+      FROM events) t
+    WHERE rn <= 5
+    """,
+)
+def q56_group_reservoir(spark, sf_dir):
+    """Deterministic per-group reservoir sample (operators/sampling.py):
+    the 5 uniformly-chosen events per event_type, selected by ranking the
+    salted hash draw inside each group — reservoir-sampling semantics with
+    exact reproducibility. One shuffle (by group), as the semantics
+    require."""
+    ev = _read(spark, sf_dir, "events")
+    return _samp.group_sample(ev, ["event_type"], "event_id", k=5, salt="s56").select(
+        "event_type", "event_id"
+    )
+
+
+@query(
+    "q57_decontamination",
+    f"""
+    WITH ev AS MATERIALIZED (
+      SELECT DISTINCT unnest({_dd.shingles_sql('text', 4)}) AS gram
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    tr AS (SELECT doc_id, unnest({_dd.shingles_sql('text', 4)}) AS gram
+           FROM documents WHERE doc_id % 20 <> 0)
+    SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (gram)
+    """,
+)
+def q57_decontamination(spark, sf_dir):
+    """Test-set decontamination (llm/decontam.py): training docs sharing
+    any word 4-gram with the (broadcast) eval set's shingle set. The train
+    side is never shuffled — map-side explode + broadcast semi-join, then
+    a distinct on ids only."""
+    docs = _read_docs(spark, sf_dir)
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return _decon.contaminated_ids(train, eval_df, "text", "doc_id", k=4)
+
+
+@query(
+    "q58_source_mixture",
+    f"""
+    SELECT source AS mix_source, count(*) AS n, cast(sum(n_chars) as bigint) AS sum_chars
+    FROM documents
+    WHERE source IN ('src0', 'src1', 'src2')
+      AND {_S58_DRAW} <
+          CASE source WHEN 'src0' THEN 800000 WHEN 'src1' THEN 400000 ELSE 100000 END
+    GROUP BY 1
+    """,
+)
+def q58_source_mixture(spark, sf_dir):
+    """Deterministic source mixing (operators/sampling.py): three source
+    corpora sampled at 80% / 40% / 10% with independent per-source salted
+    draws, then unioned with a source tag — N map-side filters + a
+    zero-shuffle unionByName. mixture_rates() resolves target weights to
+    these rates from driver-side counts at pipeline-build time."""
+    docs = _read_docs(spark, sf_dir)
+    sources = {name: docs.filter(F.col("source") == name) for name in ("src0", "src1", "src2")}
+    mixed = _samp.mix_sources(
+        sources, {"src0": 0.8, "src1": 0.4, "src2": 0.1}, "doc_id", salt="s58"
+    )
+    return mixed.groupBy("mix_source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("sum_chars")
+    )

@@ -1,0 +1,99 @@
+"""Deterministic sampling + decontamination operators (operators/sampling.py,
+llm/decontam.py): semantics, determinism, and the plan shapes the 100 TB
+design depends on (map-side-only filters, broadcast probe)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bacon_spark.llm.decontam import contaminated_ids, decontaminate
+from bacon_spark.operators.sampling import (
+    group_sample,
+    hash_sample,
+    mix_sources,
+    mixture_rates,
+    stratified_sample,
+)
+from bacon_spark.sources.star import read_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents")
+
+
+def test_hash_sample_rate_and_determinism(docs):
+    total = docs.count()
+    kept = hash_sample(docs, "doc_id", 0.3, salt="t")
+    n = kept.count()
+    assert abs(n / total - 0.3) < 0.1  # uniform draw, small-sample tolerance
+    # re-running selects the exact same rows (pure function of key+salt)
+    again = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3, salt="t").collect()}
+    assert {r.doc_id for r in kept.collect()} == again
+    # a different salt gives an independent (different) selection
+    other = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3, salt="u").collect()}
+    assert again != other
+
+
+def test_hash_sample_is_map_side_only(docs):
+    plan = hash_sample(docs, "doc_id", 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle: a pure filter over the scan
+
+
+def test_stratified_sample_respects_fractions(docs):
+    kept = stratified_sample(docs, "lang", "doc_id", {"en": 1.0}, default=0.0)
+    langs = {r.lang for r in kept.select("lang").distinct().collect()}
+    assert langs == {"en"}
+    assert kept.count() == docs.filter("lang = 'en'").count()  # rate 1.0 keeps all
+
+
+def test_group_sample_k_per_group_and_uniqueness(docs):
+    out = group_sample(docs, ["lang"], "doc_id", k=3, salt="g")
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    per_group = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(3, per_group[lang])
+    assert out.count() == out.select("doc_id").distinct().count()  # without replacement
+
+
+def test_mixture_rates_resolution():
+    rates = mixture_rates(
+        counts={"a": 1000, "b": 1000}, weights={"a": 3, "b": 1}, target_total=400
+    )
+    assert rates == {"a": 0.3, "b": 0.1}
+    # upsampling is capped at 1.0
+    capped = mixture_rates(counts={"a": 10}, weights={"a": 1}, target_total=1000)
+    assert capped == {"a": 1.0}
+
+
+def test_mix_sources_tags_and_unions(docs):
+    srcs = {n: docs.filter(F.col("source") == n) for n in ("src0", "src1")}
+    mixed = mix_sources(srcs, {"src0": 1.0, "src1": 0.0}, "doc_id")
+    tags = {r.mix_source for r in mixed.select("mix_source").distinct().collect()}
+    assert tags == {"src0"}  # rate-0 source contributes nothing
+    assert mixed.count() == docs.filter("source = 'src0'").count()
+    plan = mixed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # filters + union: still zero-shuffle
+
+
+def test_decontaminate_partitions_train(docs):
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    bad = contaminated_ids(train, eval_df, k=3)
+    clean = decontaminate(train, eval_df, k=3)
+    n_bad, n_clean, n_train = bad.count(), clean.count(), train.count()
+    assert n_bad > 0  # synthetic vocab guarantees 3-gram collisions
+    assert n_bad + n_clean == n_train
+    # clean set really shares no 3-gram with eval
+    assert clean.join(bad, "doc_id", "left_semi").count() == 0
+
+
+def test_decontam_probe_is_broadcast(docs):
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    plan = (
+        contaminated_ids(train, eval_df, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan  # eval shingles broadcast; train never shuffles
