@@ -252,11 +252,27 @@ class CuttingBoard:
         return self._order(result, query)
 
     def _lattice_plan(self, query: CubeQuery) -> DataFrame | None:
-        if query.filters:  # lattices are unfiltered materializations
+        """Serve from a registered lattice when it covers the query.
+
+        Unfiltered queries read the grouping set at exactly query.axes.
+        Eq-filtered queries on lattice axes drill INTO the lattice: read
+        the grouping set at grain (query.axes ∪ filter axes), apply the
+        filters, and project. Each eq filter pins a single value of its
+        axis, so the projection down to query.axes is one-to-one — the
+        finished values are exact with no re-aggregation, for any
+        accumulator. Cost is a grouping_id filter over the materialized
+        lattice (partition pruning when written partitioned by _gid)."""
+        fil = query.filters
+        if any(op != "eq" for _, op, _v in fil):
             return None
+        fnames = {n for n, _, _ in fil}
+        wanted = set(query.axes) | fnames
         for lat in self._lattices:
-            if set(query.axes) <= set(lat.axes) and set(query.values) <= set(lat.values):
-                df = lat.slice_df(tuple(query.axes))
+            if wanted <= set(lat.axes) and set(query.values) <= set(lat.values):
+                grain = tuple(a for a in lat.axes if a in wanted)
+                df = lat.slice_df(grain)
+                for n, _, v in fil:
+                    df = df.filter(F.col(n).isNull() if v is None else F.col(n) == F.lit(v))
                 return df.select(*query.axes, *query.values)
         return None
 

@@ -119,10 +119,24 @@ def test_lattice_registered_in_planner(sales, cubedef):
             for r in sales.groupBy("state").agg(F.sum("units").alias("units")).collect()
         }
         assert got == want
-        # filtered queries bypass the lattice
+        # eq-filter on a lattice axis drills INTO the lattice: read grain
+        # (state, city), pin city, project — exact for any accumulator
         q2 = q.add_filter("city", "eq", "c1")
         df2 = board.slice(q2).to_df()
-        assert "_gid" not in df2._jdf.queryExecution().optimizedPlan().toString()
+        assert "_gid" in df2._jdf.queryExecution().optimizedPlan().toString()
+        got2 = {r["state"]: r["units"] for r in df2.collect()}
+        want2 = {
+            r["state"]: r["units"]
+            for r in sales.filter(F.col("city") == "c1")
+            .groupBy("state")
+            .agg(F.sum("units").alias("units"))
+            .collect()
+        }
+        assert got2 == want2
+        # non-eq filters still bypass the lattice
+        q3 = CubeQuery().add_axis("state").add_value("units").add_filter("city", "ne", "c1")
+        df3 = board.slice(q3).to_df()
+        assert "_gid" not in df3._jdf.queryExecution().optimizedPlan().toString()
     finally:
         lat.unpersist()
         board.clear_cache()
