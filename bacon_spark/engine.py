@@ -40,7 +40,7 @@ from pyspark.storagelevel import StorageLevel
 from .cubedef import CubeDef
 from .cubequery import CubeQuery
 from .errors import QueryError
-from .filters import build_predicate, combine_filters
+from .filters import FILTER_OPS, build_predicate, combine_filters
 
 __all__ = ["CuttingBoard", "Slice", "keyset_page"]
 
@@ -255,24 +255,33 @@ class CuttingBoard:
         """Serve from a registered lattice when it covers the query.
 
         Unfiltered queries read the grouping set at exactly query.axes.
-        Eq-filtered queries on lattice axes drill INTO the lattice: read
-        the grouping set at grain (query.axes ∪ filter axes), apply the
-        filters, and project. Each eq filter pins a single value of its
-        axis, so the projection down to query.axes is one-to-one — the
-        finished values are exact with no re-aggregation, for any
-        accumulator. Cost is a grouping_id filter over the materialized
-        lattice (partition pruning when written partitioned by _gid)."""
+        Eq/in-filtered queries on lattice axes drill INTO the lattice:
+        read the grouping set at grain (query.axes ∪ filter axes), apply
+        the filters (reference null semantics via FILTER_OPS), and
+        project. An eq filter pins a single value of its axis, so the
+        projection down to query.axes is one-to-one over finished values —
+        exact for any accumulator. An `in` filter on an axis that is then
+        dropped leaves several rows per output group, so that path merges
+        finished values and is gated on every value being reaggregatable.
+        Cost is a grouping_id filter over the materialized lattice
+        (partition pruning when written partitioned by _gid)."""
         fil = query.filters
-        if any(op != "eq" for _, op, _v in fil):
+        if any(op not in ("eq", "in") for _, op, _v in fil):
             return None
         fnames = {n for n, _, _ in fil}
         wanted = set(query.axes) | fnames
+        dropped = fnames - set(query.axes)
+        needs_reagg = any(op == "in" and n in dropped for n, op, _ in fil)
+        if needs_reagg and not self._reaggregatable(query, needed=True):
+            return None
         for lat in self._lattices:
             if wanted <= set(lat.axes) and set(query.values) <= set(lat.values):
                 grain = tuple(a for a in lat.axes if a in wanted)
                 df = lat.slice_df(grain)
-                for n, _, v in fil:
-                    df = df.filter(F.col(n).isNull() if v is None else F.col(n) == F.lit(v))
+                for n, op, v in fil:
+                    df = df.filter(FILTER_OPS[op](F.col(n), v))
+                if needs_reagg:
+                    return self._reaggregate(df, query)
                 return df.select(*query.axes, *query.values)
         return None
 

@@ -133,10 +133,47 @@ def test_lattice_registered_in_planner(sales, cubedef):
             .collect()
         }
         assert got2 == want2
-        # non-eq filters still bypass the lattice
-        q3 = CubeQuery().add_axis("state").add_value("units").add_filter("city", "ne", "c1")
+        # `in` filter on a dropped axis: several pinned rows per output
+        # group -> merge of finished values, allowed because Sum is
+        # reaggregatable
+        q3 = (
+            CubeQuery()
+            .add_axis("state")
+            .add_value("units")
+            .add_filter("city", "in", ("c1", "c2"))
+        )
         df3 = board.slice(q3).to_df()
-        assert "_gid" not in df3._jdf.queryExecution().optimizedPlan().toString()
+        assert "_gid" in df3._jdf.queryExecution().optimizedPlan().toString()
+        got3 = {r["state"]: r["units"] for r in df3.collect()}
+        want3 = {
+            r["state"]: r["units"]
+            for r in sales.filter(F.col("city").isin("c1", "c2"))
+            .groupBy("state")
+            .agg(F.sum("units").alias("units"))
+            .collect()
+        }
+        assert got3 == want3
+        # same `in` drill with a non-reaggregatable value (Average) must
+        # bypass the lattice — merging finished averages would be wrong
+        board2 = CuttingBoard(cubedef, sales)
+        lat2 = CubeLattice(
+            cubedef, sales, axes=("state", "city"), values=("units", "avg_price")
+        )
+        board2.register_lattice(lat2)
+        q4 = (
+            CubeQuery()
+            .add_axis("state")
+            .add_value("avg_price")
+            .add_filter("city", "in", ("c1", "c2"))
+        )
+        df4 = board2.slice(q4).to_df()
+        assert "_gid" not in df4._jdf.queryExecution().optimizedPlan().toString()
+        lat2.unpersist()
+        board2.clear_cache()
+        # non-eq/in filters still bypass the lattice
+        q5 = CubeQuery().add_axis("state").add_value("units").add_filter("city", "ne", "c1")
+        df5 = board.slice(q5).to_df()
+        assert "_gid" not in df5._jdf.queryExecution().optimizedPlan().toString()
     finally:
         lat.unpersist()
         board.clear_cache()
