@@ -1,0 +1,155 @@
+"""Temporal joins: as-of join and range (interval) join.
+
+Absent from the reference (it has no joins at all, SURVEY §2.4 —
+/root/reference/bacon/sql.py:301-330 is the closest thing); these are the
+two temporal operators a time-series/training-data pipeline needs and that
+Spark lacks as built-ins.
+
+Scale design (100 TB):
+
+* ``asof_join`` is the union+window formulation: tag both inputs, union,
+  sort each key partition once by (ts, tag), and carry the latest right
+  payload forward with ``last(ignorenulls)``.  That is ONE shuffle of
+  left+right on the key — no per-key range explosion, no nested-loop
+  join, and skew behaves like any window (AQE-visible).  The pandas-style
+  alternative (per-key merge in applyInPandas) moves every byte through
+  Python; this stays whole-stage-codegen except nothing — it is pure JVM.
+* ``range_join`` with equality keys is a plain shuffled join with the
+  interval as a residual predicate.  WITHOUT equality keys Spark would
+  plan BroadcastNestedLoopJoin (quadratic scans); instead we bucketize
+  the time axis: each left point gets one bucket id, each right interval
+  explodes to the few bucket ids it covers, and the join runs on bucket
+  equality with the interval as residual — a hash join whose fan-out is
+  bounded by interval_length/bucket + 1.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str | None = None,
+    *,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    tolerance_us: int | None = None,
+    prefix: str = "",
+) -> DataFrame:
+    """Left as-of join: for every left row, the single right row with the
+    nearest ``right_ts`` at-or-before (``backward``) / at-or-after
+    (``forward``) the left row's ``left_ts``, matching on the equality
+    columns ``on`` (same names both sides).  Unmatched left rows keep
+    nulls (left-join semantics).
+
+    Every non-key right column (including ``right_ts``) appears in the
+    output as ``prefix + name``.  ``tolerance_us`` nulls the match when
+    ``|left_ts - right_ts|`` exceeds that many microseconds.  When several
+    right rows share (key, ts) the winner is the greatest payload struct —
+    deterministic, but callers should de-duplicate for meaningful output.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    rt = right_ts or left_ts
+    on = list(on)
+    payload_cols = [c for c in right.columns if c not in on]
+    r2 = right.select(
+        *on,
+        F.col(rt).alias("_asof_ts"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_asof"),
+    )
+    l2 = left.withColumn("_asof_ts", F.col(left_ts))
+
+    # Tie handling via the tag sort key: the window frame is anchored at
+    # the left row, so a right row with equal ts is included iff it sorts
+    # on the frame's side of the left row.
+    left_tag = 1
+    if direction == "backward":
+        right_tag = 0 if allow_exact_matches else 2
+        frame = (Window.unboundedPreceding, Window.currentRow)
+        pick = F.last
+    else:
+        right_tag = 2 if allow_exact_matches else 0
+        frame = (Window.currentRow, Window.unboundedFollowing)
+        pick = F.first
+
+    merged = r2.withColumn("_tag", F.lit(right_tag)).unionByName(
+        l2.withColumn("_tag", F.lit(left_tag)), allowMissingColumns=True
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_asof_ts"), F.col("_tag"), F.col("_asof").asc_nulls_first())
+        .rowsBetween(*frame)
+    )
+    matched = merged.withColumn("_m", pick("_asof", ignorenulls=True).over(w)).filter(
+        F.col("_tag") == left_tag
+    )
+    m = F.col("_m")
+    if tolerance_us is not None:
+        gap = F.abs(
+            F.unix_micros(F.col(left_ts)) - F.unix_micros(m.getField(rt))
+        )
+        m = F.when(gap <= F.lit(tolerance_us), F.col("_m"))
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols += [m.getField(c).alias(prefix + c) for c in payload_cols]
+    return matched.select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point: str,
+    lower: str,
+    upper: str,
+    on: Sequence[str] = (),
+    *,
+    how: str = "inner",
+    bucket_us: int | None = None,
+    extra: Column | None = None,
+) -> DataFrame:
+    """Join left points to right intervals: ``lower <= point < upper``
+    (plus optional equality keys ``on`` and an ``extra`` residual
+    predicate).  ``point``/``lower``/``upper`` are timestamp columns
+    (``point`` on left, bounds on right).
+
+    With equality keys the interval is a residual on a normal shuffled
+    equi-join.  Without keys, pass ``bucket_us``: both sides are mapped to
+    time-bucket ids (intervals explode to every bucket they cover) and the
+    join runs on bucket equality — a hash join instead of the
+    BroadcastNestedLoopJoin Spark plans for pure inequality joins.
+    Pick ``bucket_us`` near the typical interval length so intervals
+    explode to ~2 buckets.
+    """
+    p_us = F.unix_micros(F.col(point))
+    lo_us = F.unix_micros(F.col(lower))
+    up_us = F.unix_micros(F.col(upper))
+    cond = (p_us >= lo_us) & (p_us < up_us)
+    if extra is not None:
+        cond = cond & extra
+    for k in on:
+        cond = cond & (left[k] == right[k])
+    if on or bucket_us is None:
+        return left.join(right, cond, how)
+
+    b = F.lit(bucket_us)
+
+    def bkt(us: Column) -> Column:
+        # exact integer bucketing: (us - us % b) is an exact multiple of b
+        # and both fit a double's 53-bit mantissa, so the division is
+        # exact — a bare us/b float division can round across a bucket
+        # boundary at epoch magnitudes
+        return ((us - us % b) / b).cast("long")
+
+    l2 = left.withColumn("_bkt", bkt(p_us))
+    r2 = right.withColumn("_bkt", F.explode(F.sequence(bkt(lo_us), bkt(up_us))))
+    joined = l2.join(r2, (l2["_bkt"] == r2["_bkt"]) & cond, how)
+    return joined.drop(l2["_bkt"]).drop(r2["_bkt"])

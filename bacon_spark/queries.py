@@ -1993,3 +1993,91 @@ def q58_source_mixture(spark, sf_dir):
     return mixed.groupBy("mix_source").agg(
         F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("sum_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (operators/temporal.py — scale-out extension; the
+# reference has no joins at all, SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+from .operators import temporal as _temporal  # noqa: E402
+
+
+@query(
+    "q59_asof_join",
+    """
+    SELECT e.event_id, e.user_id, e.value,
+           c.event_id AS click_event_id,
+           epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def q59_asof_join(spark, sf_dir):
+    """As-of join (operators/temporal.py): each purchase event matched to
+    the same user's most recent click at-or-before it; purchases with no
+    prior click keep nulls. Union+window formulation — one shuffle on
+    user_id, no join node, no per-key range explosion."""
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = _temporal.asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", prefix="click_"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("click_event_id"),
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+
+
+@query(
+    "q60_range_join",
+    """
+    SELECT e.event_id AS error_id,
+           count(x.event_id) AS n_events,
+           round(cast(sum(cast(x.value as decimal(38,4))) as double), 2) AS sum_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN events x
+      ON x.ts >= e.ts AND x.ts < e.ts + INTERVAL 60 SECOND
+     AND x.event_id <> e.event_id
+    GROUP BY 1
+    """,
+)
+def q60_range_join(spark, sf_dir):
+    """Range join (operators/temporal.py): events inside the 60s window
+    after each error event, with NO equality key — the bucketed path
+    (points and exploded intervals hash-join on a 60s time bucket) replaces
+    the BroadcastNestedLoopJoin Spark would plan for a pure inequality
+    join. Interval fan-out is bounded at 2 buckets per error."""
+    ev = _read(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("interval 60 seconds")).alias("hi"),
+    )
+    points = ev.select(
+        F.col("event_id").alias("x_id"), F.col("ts").alias("pts"),
+        F.col("value").cast("decimal(38,4)").alias("x_value"),
+    )
+    joined = _temporal.range_join(
+        points,
+        errors,
+        point="pts",
+        lower="lo",
+        upper="hi",
+        how="right",
+        bucket_us=60_000_000,
+        extra=F.col("x_id") != F.col("error_id"),
+    )
+    out = joined.groupBy("error_id").agg(
+        F.count("x_id").alias("n_events"), F.sum("x_value").alias("sum_value")
+    )
+    return finalize(out, {"sum_value": 2})

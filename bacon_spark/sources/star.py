@@ -46,7 +46,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # `div` (integer division) = floor for positive epochs — the
+            # same truncation DuckDB's parquet reader applies to ns
+            # timestamps, so sub-second arithmetic agrees with the oracle.
+            # A float `/ 1000` drifts ±1us at 2024 epoch magnitudes
+            # (ns values exceed double's 53-bit mantissa).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

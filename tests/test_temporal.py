@@ -1,0 +1,166 @@
+"""As-of join and range join (operators/temporal.py).
+
+The reference has no joins (SURVEY §2.4); these are scale-out extensions.
+Correctness is pinned against hand-computed expectations and (for the
+gate queries) the DuckDB oracle; plan shape is asserted because the whole
+point of both operators is avoiding the quadratic physical plans Spark
+would otherwise pick.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bacon_spark.operators.temporal import asof_join, range_join
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def ts(sec):
+    return T0 + dt.timedelta(seconds=sec)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    # key, ts, price — the "right" side
+    return spark.createDataFrame(
+        [
+            Row(sym="A", qts=ts(0), price=10.0),
+            Row(sym="A", qts=ts(10), price=11.0),
+            Row(sym="A", qts=ts(20), price=12.0),
+            Row(sym="B", qts=ts(5), price=100.0),
+        ]
+    )
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            Row(sym="A", tts=ts(10), qty=1),   # exactly on a quote
+            Row(sym="A", tts=ts(15), qty=2),   # between quotes
+            Row(sym="A", tts=ts(25), qty=3),   # after last quote
+            Row(sym="B", tts=ts(1), qty=4),    # before any quote of B
+            Row(sym="C", tts=ts(9), qty=5),    # key with no quotes at all
+        ]
+    )
+
+
+def _by_qty(rows):
+    return {r["qty"]: (r["q_price"], r["q_qts"]) for r in rows}
+
+
+def test_asof_backward_exact(quotes, trades):
+    out = asof_join(trades, quotes, on=["sym"], left_ts="tts", right_ts="qts", prefix="q_")
+    got = _by_qty(out.collect())
+    assert got[1] == (11.0, ts(10))   # exact match included
+    assert got[2] == (11.0, ts(10))   # most recent before
+    assert got[3] == (12.0, ts(20))
+    assert got[4] == (None, None)     # no quote yet
+    assert got[5] == (None, None)     # key absent from right
+    assert out.count() == 5           # left-join row preservation
+
+
+def test_asof_backward_strict(quotes, trades):
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="tts", right_ts="qts",
+        allow_exact_matches=False, prefix="q_",
+    )
+    got = _by_qty(out.collect())
+    assert got[1] == (10.0, ts(0))    # equal-ts quote excluded
+
+
+def test_asof_forward(quotes, trades):
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="tts", right_ts="qts",
+        direction="forward", prefix="q_",
+    )
+    got = _by_qty(out.collect())
+    assert got[1] == (11.0, ts(10))   # exact match included
+    assert got[2] == (12.0, ts(20))   # next quote after
+    assert got[3] == (None, None)     # nothing later
+    assert got[4] == (100.0, ts(5))
+
+
+def test_asof_forward_strict(quotes, trades):
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="tts", right_ts="qts",
+        direction="forward", allow_exact_matches=False, prefix="q_",
+    )
+    got = _by_qty(out.collect())
+    assert got[1] == (12.0, ts(20))   # equal-ts quote skipped forward
+
+
+def test_asof_tolerance(quotes, trades):
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="tts", right_ts="qts",
+        tolerance_us=5_000_000, prefix="q_",
+    )
+    got = _by_qty(out.collect())
+    assert got[1] == (11.0, ts(10))   # gap 0 <= 5s
+    assert got[2] == (11.0, ts(10))   # gap 5s, on the boundary -> kept
+    assert got[3] == (12.0, ts(20))   # gap 5s, kept
+    assert got[4] == (None, None)     # no earlier quote at all
+
+
+def test_asof_plan_has_no_join(quotes, trades):
+    out = asof_join(trades, quotes, on=["sym"], left_ts="tts", right_ts="qts", prefix="q_")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan  # union+window formulation: one shuffle, no join
+
+
+def test_range_join_keyed(spark, quotes):
+    # intervals per key: [qts, qts+10s) with the quote's price
+    ivals = quotes.select(
+        "sym", F.col("qts").alias("lo"),
+        (F.col("qts") + F.expr("interval 10 seconds")).alias("hi"), "price",
+    )
+    pts = spark.createDataFrame(
+        [Row(sym="A", pts=ts(12), tag="x"), Row(sym="A", pts=ts(45), tag="y")]
+    )
+    out = range_join(pts, ivals, point="pts", lower="lo", upper="hi", on=["sym"])
+    rows = {r["tag"]: r["price"] for r in out.collect()}
+    assert rows == {"x": 11.0}  # ts(45) matches nothing; inner join drops it
+
+
+def test_range_join_bucketed_correct_and_hash_joined(spark):
+    # no equality key: every point vs every interval would be a
+    # BroadcastNestedLoopJoin; the bucketed path must give the same rows
+    # through a hash join on the bucket id.
+    pts = spark.createDataFrame(
+        [Row(pid=i, pts=ts(i * 7)) for i in range(30)]
+    )
+    ivals = spark.createDataFrame(
+        [
+            Row(iid=1, lo=ts(10), hi=ts(40)),
+            Row(iid=2, lo=ts(35), hi=ts(36)),   # narrow, overlaps iid=1
+            Row(iid=3, lo=ts(100), hi=ts(130)),
+            Row(iid=4, lo=ts(500), hi=ts(600)), # matches nothing
+        ]
+    )
+    naive = pts.join(
+        ivals,
+        (F.col("pts") >= F.col("lo")) & (F.col("pts") < F.col("hi")),
+        "inner",
+    )
+    want = sorted((r["pid"], r["iid"]) for r in naive.collect())
+    assert want  # sanity: fixture produces matches
+
+    out = range_join(
+        pts, ivals, point="pts", lower="lo", upper="hi", bucket_us=30_000_000
+    )
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_bucketed_no_duplicate_pairs(spark):
+    # an interval spanning many buckets must still yield each pair once
+    pts = spark.createDataFrame([Row(pid=1, pts=ts(50))])
+    ivals = spark.createDataFrame([Row(iid=1, lo=ts(0), hi=ts(300))])
+    out = range_join(pts, ivals, point="pts", lower="lo", upper="hi", bucket_us=10_000_000)
+    assert out.count() == 1
