@@ -14,15 +14,23 @@ from pyspark.sql import functions as F
 
 
 def write_bucketed(
-    df: DataFrame, table_name: str, key: str, buckets: int = 8, sort: bool = True
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    buckets: int = 8,
+    sort: bool = True,
+    path: str | None = None,
 ) -> None:
     """Persist as a bucketed (+sorted) catalog table: joins and aggregates
     on *key* between same-bucketed tables need no shuffle (and no sort,
     when sorted). This is how lineitem⋈orders stops broadcasting `orders`
-    at TB scale (SCALE.md §star-joins)."""
+    at TB scale (SCALE.md §star-joins). ``path`` pins the data directory
+    (external table) instead of the session's warehouse dir."""
     w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
     w.saveAsTable(table_name)
 
 

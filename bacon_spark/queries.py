@@ -2081,3 +2081,68 @@ def q60_range_join(spark, sf_dir):
         F.count("x_id").alias("n_events"), F.sum("x_value").alias("sum_value")
     )
     return finalize(out, {"sum_value": 2})
+
+
+# ---------------------------------------------------------------------------
+# Bucketed star join (operators/scale.py — the fact-to-fact path that
+# replaces broadcasting `orders` at TB scale, wired into the gate)
+# ---------------------------------------------------------------------------
+
+from .operators import scale as _scale  # noqa: E402
+
+_BUCKETED_BUILT: set = set()
+
+
+def bucketed_star_tables(spark, sf_dir: str) -> tuple[str, str]:
+    """Bucketed lineitem/orders catalog tables for *sf_dir*, built once
+    per (session, sf). Both sides bucket+sort on the order key, so the
+    join plans as a zero-exchange SortMergeJoin (asserted in
+    tests/test_scale_ops.py). Data lands under the repo's spark-warehouse
+    regardless of the session's cwd-relative warehouse dir."""
+    import hashlib
+    import os
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    li, od = f"lineitem_bkt_{h}", f"orders_bkt_{h}"
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _BUCKETED_BUILT:
+        base = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            "spark-warehouse")
+        _scale.write_bucketed(
+            _read(spark, sf_dir, "lineitem"), li, "l_orderkey", buckets=16,
+            path=os.path.join(base, li),
+        )
+        _scale.write_bucketed(
+            _read(spark, sf_dir, "orders"), od, "o_orderkey", buckets=16,
+            path=os.path.join(base, od),
+        )
+        _BUCKETED_BUILT.add(key)
+    return li, od
+
+
+@query(
+    "q61_bucketed_star_join",
+    """
+    SELECT o.o_orderpriority AS priority,
+           count(*) AS n_items,
+           round(cast(sum(cast(l.l_extendedprice * (1 - l.l_discount) as decimal(38,4))) as double), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+)
+def q61_bucketed_star_join(spark, sf_dir):
+    """Fact-to-fact join on co-bucketed tables: lineitem and orders are
+    bucket+sorted on the order key, so the SortMergeJoin needs no exchange
+    and no sort on either side — the plan a 100 TB fact join must have
+    once `orders` outgrows broadcast (SCALE.md §star-joins)."""
+    li, od = bucketed_star_tables(spark, sf_dir)
+    l, o = spark.table(li), spark.table(od)
+    joined = l.join(o, l["l_orderkey"] == o["o_orderkey"]).filter(
+        F.col("o_orderstatus") == "F"
+    )
+    out = joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,4)")).alias("revenue"),
+    )
+    return finalize(out, {"revenue": 2})

@@ -192,3 +192,30 @@ def test_approx_count_distinct_tolerance(spark):
     for r in rows:
         exact = 20000 / 7
         assert abs(r["nd"] - exact) / exact < 0.15
+
+
+def test_q61_join_is_exchange_free_up_to_aggregation(spark, sf_dir):
+    """The gate query's fact-to-fact join must read both bucketed tables
+    without an Exchange or Sort below the SortMergeJoin — only the final
+    small groupBy may shuffle."""
+    from bacon_spark.queries import bucketed_star_tables
+
+    li, od = bucketed_star_tables(spark, sf_dir)
+    # at sf0.001 orders fits under the broadcast threshold and Catalyst
+    # rightly broadcasts; disable it to see the shape the plan takes once
+    # orders outgrows broadcast — the scenario bucketing exists for
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        l, o = spark.table(li), spark.table(od)
+        j = l.join(o, l["l_orderkey"] == o["o_orderkey"]).filter(
+            F.col("o_orderstatus") == "F"
+        )
+        j.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql(f"DROP TABLE IF EXISTS {li}")
+        spark.sql(f"DROP TABLE IF EXISTS {od}")
