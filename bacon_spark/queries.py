@@ -2146,3 +2146,51 @@ def q61_bucketed_star_join(spark, sf_dir):
         F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,4)")).alias("revenue"),
     )
     return finalize(out, {"revenue": 2})
+
+
+@query(
+    "q62_streaming_oracle",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n,
+           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q62_streaming_oracle(spark, sf_dir):
+    """TRUE Structured Streaming run checked against the batch oracle: the
+    FULL events fixture streams through a tumbling-window aggregation in
+    complete mode (availableNow), and the final materialized state must
+    hash-match DuckDB's batch GROUP BY — i.e. the streaming path computes
+    exactly the batch answer on bounded input, which is the invariant
+    incremental view maintenance relies on (q54). Unlike q44 (rows-only,
+    limit-sampled input), the input here is deterministic, so the oracle
+    is exact."""
+    import tempfile
+
+    from .streaming.windows import run_stream_to_memory, tumbling_window_agg
+
+    ev = _read(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="bacon_q62_")
+    ev.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(ev.schema).parquet(d)
+    agg = tumbling_window_agg(
+        stream,
+        {
+            "n": F.count(F.lit(1)),
+            "sum_value": F.round(F.sum(F.expr(dec("value"))).cast("double"), 2),
+        },
+        window="1 hour",
+        keys=("event_type",),
+        watermark="1 hour",
+    )
+    out = agg.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+    run_stream_to_memory(out, "q62_stream", mode="complete")
+    return spark.table("q62_stream")
