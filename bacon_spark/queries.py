@@ -2090,9 +2090,6 @@ def q60_range_join(spark, sf_dir):
 
 from .operators import scale as _scale  # noqa: E402
 
-_BUCKETED_BUILT: set = set()
-
-
 def bucketed_star_tables(spark, sf_dir: str) -> tuple[str, str]:
     """Bucketed lineitem/orders catalog tables for *sf_dir*, built once
     per (session, sf). Both sides bucket+sort on the order key, so the
@@ -2104,19 +2101,32 @@ def bucketed_star_tables(spark, sf_dir: str) -> tuple[str, str]:
 
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     li, od = f"lineitem_bkt_{h}", f"orders_bkt_{h}"
-    key = (id(spark.sparkContext), sf_dir)
-    if key not in _BUCKETED_BUILT:
-        base = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                            "spark-warehouse")
-        _scale.write_bucketed(
-            _read(spark, sf_dir, "lineitem"), li, "l_orderkey", buckets=16,
-            path=os.path.join(base, li),
-        )
-        _scale.write_bucketed(
-            _read(spark, sf_dir, "orders"), od, "o_orderkey", buckets=16,
-            path=os.path.join(base, od),
-        )
-        _BUCKETED_BUILT.add(key)
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "spark-warehouse"
+    )
+    for name, table, bkey in (
+        ("lineitem", li, "l_orderkey"),
+        ("orders", od, "o_orderkey"),
+    ):
+        path = os.path.join(base, table)
+        if spark.catalog.tableExists(table):
+            continue
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            # fixtures are immutable: re-register the bucketed files a
+            # previous session wrote instead of rewriting them (bucket
+            # ids live in the file names, so an external CLUSTERED BY
+            # table over them keeps the zero-exchange join plan)
+            schema = _read(spark, sf_dir, name).schema
+            ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+            spark.sql(
+                f"CREATE TABLE {table} ({ddl}) USING parquet "
+                f"CLUSTERED BY ({bkey}) SORTED BY ({bkey}) INTO 16 BUCKETS "
+                f"LOCATION '{path}'"
+            )
+        else:
+            _scale.write_bucketed(
+                _read(spark, sf_dir, name), table, bkey, buckets=16, path=path
+            )
     return li, od
 
 
