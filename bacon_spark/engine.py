@@ -188,6 +188,16 @@ class CuttingBoard:
         union per micro-batch would grow the plan tree without bound."""
         if grow_base:
             self.df = self.df.unionByName(delta_df)
+        # registered lattices are consulted FIRST by the planner, so they
+        # must absorb the delta too (or stop being consulted): mergeable
+        # lattices fold it in, non-mergeable ones are unregistered and
+        # queries fall back to cache/compute over the grown base
+        for lat in list(self._lattices):
+            if lat.reaggregatable:
+                lat.refresh(delta_df)
+            else:
+                self._lattices.remove(lat)
+                lat.unpersist()
         with self._lock:
             entries = list(self._cache.items())
             for key, (cq, cdf) in entries:

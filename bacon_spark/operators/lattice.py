@@ -32,27 +32,70 @@ class CubeLattice:
         mode: str = "cube",  # cube | rollup
         persist: bool = True,
     ):
-        for v in values:
-            if not cubedef.get_value(v).acc.reaggregatable and mode:
-                # the lattice stores FINISHED values per grouping set, so
-                # every grain is exact — no re-aggregation happens at read
-                # time; any accumulator is admissible.
-                pass
+        # the lattice stores FINISHED values per grouping set, so every
+        # grain is exact with no read-time re-aggregation — any
+        # accumulator is admissible at build time; only refresh() needs
+        # the reaggregatable contract.
         self.cubedef = cubedef
         self.axes = tuple(axes)
         self.values = tuple(values)
-        axis_cols = [cubedef.get_label(a).column().alias(a) for a in axes]
-        agg_cols = [cubedef.get_value(v).agg_column().alias(v) for v in values]
-        passthrough = [c for c in df.columns if c not in set(axes)]
-        projected = df.select(*axis_cols, *passthrough)
-        grouped = projected.cube(*[F.col(a) for a in axes]) if mode == "cube" else projected.rollup(
-            *[F.col(a) for a in axes]
-        )
-        self.lattice = grouped.agg(
-            F.grouping_id(*[F.col(a) for a in axes]).alias("_gid"), *agg_cols
-        )
+        self.mode = mode
+        self._persist = persist
+        self.lattice = self._build(df)
         if persist:
             self.lattice = self.lattice.persist()
+
+    def _build(self, df: DataFrame) -> DataFrame:
+        axis_cols = [self.cubedef.get_label(a).column().alias(a) for a in self.axes]
+        agg_cols = [self.cubedef.get_value(v).agg_column().alias(v) for v in self.values]
+        passthrough = [c for c in df.columns if c not in set(self.axes)]
+        projected = df.select(*axis_cols, *passthrough)
+        grouped = (
+            projected.cube(*[F.col(a) for a in self.axes])
+            if self.mode == "cube"
+            else projected.rollup(*[F.col(a) for a in self.axes])
+        )
+        return grouped.agg(
+            F.grouping_id(*[F.col(a) for a in self.axes]).alias("_gid"), *agg_cols
+        )
+
+    @property
+    def reaggregatable(self) -> bool:
+        return all(
+            self.cubedef.get_value(v).acc.reaggregatable for v in self.values
+        )
+
+    def refresh(self, delta_df: DataFrame) -> None:
+        """Fold newly-arrived rows into the materialized lattice: aggregate
+        ONLY the delta into its own (tiny) lattice, then merge finished
+        values per (axes, _gid) group — grouping on _gid keeps the
+        aggregated-away nulls of each grouping set separate from genuine
+        null axis values. One pass over the delta + a shuffle of
+        lattice-sized (aggregate-cardinality) rows; the base is never
+        re-scanned — the same IVM contract as CuttingBoard.refresh.
+        localCheckpoint pins the merge so repeated refreshes don't grow
+        the plan (and can't silently recompute over a micro-batch source
+        that is no longer readable)."""
+        if not self.reaggregatable:
+            raise QueryError(
+                "lattice refresh needs reaggregatable accumulators; "
+                "rebuild the lattice instead"
+            )
+        delta = self._build(delta_df)
+        merges = [
+            self.cubedef.get_value(v).acc.merge(F.col(v)).alias(v)
+            for v in self.values
+        ]
+        merged = (
+            self.lattice.unionByName(delta)
+            .groupBy(*[F.col(a) for a in self.axes], F.col("_gid"))
+            .agg(*merges)
+            .localCheckpoint(eager=True)
+        )
+        old = self.lattice
+        self.lattice = merged
+        if self._persist:
+            old.unpersist()
 
     def _gid_for(self, wanted: tuple[str, ...]) -> int:
         """grouping_id with bit=1 for each AGGREGATED-AWAY axis."""

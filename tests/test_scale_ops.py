@@ -219,3 +219,88 @@ def test_q61_join_is_exchange_free_up_to_aggregation(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql(f"DROP TABLE IF EXISTS {li}")
         spark.sql(f"DROP TABLE IF EXISTS {od}")
+
+
+def test_lattice_refresh_matches_full_rebuild(spark, sales, cubedef):
+    first = sales.filter(F.col("units") < 4)
+    delta = sales.filter(F.col("units") >= 4)
+    lat = CubeLattice(cubedef, first, axes=("state", "city"), values=("units", "n"))
+    try:
+        lat.refresh(delta)
+        full = CubeLattice(cubedef, sales, axes=("state", "city"), values=("units", "n"))
+        for wanted in [("state", "city"), ("state",), ("city",), ()]:
+            got = {
+                tuple(r[a] for a in wanted): (r["units"], r["n"])
+                for r in lat.slice_df(wanted).collect()
+            }
+            want = {
+                tuple(r[a] for a in wanted): (r["units"], r["n"])
+                for r in full.slice_df(wanted).collect()
+            }
+            assert got == want, wanted
+        full.unpersist()
+    finally:
+        lat.unpersist()
+
+
+def test_lattice_refresh_rejects_non_reaggregatable(sales, cubedef):
+    from bacon_spark.errors import QueryError
+
+    lat = CubeLattice(cubedef, sales, axes=("state",), values=("avg_price",))
+    try:
+        with pytest.raises(QueryError):
+            lat.refresh(sales.limit(1))
+    finally:
+        lat.unpersist()
+
+
+def test_board_refresh_keeps_registered_lattice_fresh(spark, sales, cubedef):
+    """Regression: the planner consults lattices FIRST, so a board refresh
+    must fold the delta into them (stale-lattice bug)."""
+    first = sales.filter(F.col("units") < 4)
+    delta = sales.filter(F.col("units") >= 4)
+    board = CuttingBoard(cubedef, first)
+    lat = CubeLattice(cubedef, first, axes=("state", "city"), values=("units", "n"))
+    board.register_lattice(lat)
+    try:
+        board.refresh(delta)
+        q = CubeQuery().add_axis("state").add_value("units").add_value("n")
+        df = board.slice(q).to_df()
+        assert "_gid" in df._jdf.queryExecution().optimizedPlan().toString()
+        got = {r["state"]: (r["units"], r["n"]) for r in df.collect()}
+        want = {
+            r["state"]: (r["units"], r["n"])
+            for r in sales.groupBy("state")
+            .agg(F.sum("units").alias("units"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        lat.unpersist()
+        board.clear_cache()
+
+
+def test_board_refresh_unregisters_non_mergeable_lattice(spark, sales, cubedef):
+    first = sales.filter(F.col("units") < 4)
+    delta = sales.filter(F.col("units") >= 4)
+    board = CuttingBoard(cubedef, first)
+    lat = CubeLattice(
+        cubedef, first, axes=("state", "city"), values=("units", "avg_price")
+    )
+    board.register_lattice(lat)
+    try:
+        board.refresh(delta)
+        q = CubeQuery().add_axis("state").add_value("avg_price")
+        df = board.slice(q).to_df()
+        # lattice dropped -> computed fresh over the grown base, and correct
+        assert "_gid" not in df._jdf.queryExecution().optimizedPlan().toString()
+        got = {r["state"]: round(r["avg_price"], 9) for r in df.collect()}
+        want = {
+            r["state"]: round(r["w"], 9)
+            for r in sales.groupBy("state")
+            .agg((F.sum("price") / F.count(F.lit(1))).alias("w"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        board.clear_cache()
