@@ -127,7 +127,10 @@ def range_join(
     join runs on bucket equality — a hash join instead of the
     BroadcastNestedLoopJoin Spark plans for pure inequality joins.
     Pick ``bucket_us`` near the typical interval length so intervals
-    explode to ~2 buckets.
+    explode to ~2 buckets.  ``bucket_us`` composes with keys too: joining
+    on (keys, bucket) splits a skewed key's rows across time, so one hot
+    key with millions of intervals no longer meets every one of its
+    points in a single hash bucket.
     """
     p_us = F.unix_micros(F.col(point))
     lo_us = F.unix_micros(F.col(lower))
@@ -137,7 +140,15 @@ def range_join(
         cond = cond & extra
     for k in on:
         cond = cond & (left[k] == right[k])
-    if on or bucket_us is None:
+    if bucket_us is None:
+        if not on:
+            import warnings
+
+            warnings.warn(
+                "range_join without keys or bucket_us plans a nested-loop "
+                "join; pass bucket_us for a hash join",
+                stacklevel=2,
+            )
         return left.join(right, cond, how)
 
     b = F.lit(bucket_us)
@@ -151,5 +162,11 @@ def range_join(
 
     l2 = left.withColumn("_bkt", bkt(p_us))
     r2 = right.withColumn("_bkt", F.explode(F.sequence(bkt(lo_us), bkt(up_us))))
-    joined = l2.join(r2, (l2["_bkt"] == r2["_bkt"]) & cond, how)
+    jcond = l2["_bkt"] == r2["_bkt"]
+    for k in on:
+        jcond = jcond & (l2[k] == r2[k])
+    jcond = jcond & (p_us >= lo_us) & (p_us < up_us)
+    if extra is not None:
+        jcond = jcond & extra
+    joined = l2.join(r2, jcond, how)
     return joined.drop(l2["_bkt"]).drop(r2["_bkt"])

@@ -164,3 +164,26 @@ def test_range_join_bucketed_no_duplicate_pairs(spark):
     ivals = spark.createDataFrame([Row(iid=1, lo=ts(0), hi=ts(300))])
     out = range_join(pts, ivals, point="pts", lower="lo", upper="hi", bucket_us=10_000_000)
     assert out.count() == 1
+
+
+def test_range_join_keyed_and_bucketed_match(spark, quotes):
+    # bucket_us composes with equality keys (skewed-key split): results
+    # must be identical to the plain keyed residual join
+    ivals = quotes.select(
+        "sym", F.col("qts").alias("lo"),
+        (F.col("qts") + F.expr("interval 10 seconds")).alias("hi"), "price",
+    )
+    pts = spark.createDataFrame(
+        [Row(sym="A", pts=ts(s), tag=f"t{s}") for s in (0, 3, 12, 21, 29, 45)]
+        + [Row(sym="B", pts=ts(7), tag="b7")]
+    )
+    plain = range_join(pts, ivals, point="pts", lower="lo", upper="hi", on=["sym"])
+    bucketed = range_join(
+        pts, ivals, point="pts", lower="lo", upper="hi", on=["sym"],
+        bucket_us=5_000_000,
+    )
+    want = sorted((r["tag"], r["price"]) for r in plain.collect())
+    got = sorted((r["tag"], r["price"]) for r in bucketed.collect())
+    assert got == want and want
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -13,7 +13,16 @@ from pyspark.sql import SparkSession
 
 sys.path.insert(0, "/root/repo")
 
-DEFAULT = ["q01_pricing_summary", "q02_revenue_by_region_nation", "q04_top_customers", "q28_lsh_candidate_pairs", "q31_cosine_topk"]
+DEFAULT = [
+    "q01_pricing_summary",
+    "q02_revenue_by_region_nation",
+    "q04_top_customers",
+    "q28_lsh_candidate_pairs",
+    "q31_cosine_topk",
+    "q59_asof_join",
+    "q60_range_join",
+    "q61_bucketed_star_join",
+]
 
 
 def main():
