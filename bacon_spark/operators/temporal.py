@@ -44,6 +44,7 @@ def asof_join(
     allow_exact_matches: bool = True,
     tolerance_us: int | None = None,
     prefix: str = "",
+    chunk_us: int | None = None,
 ) -> DataFrame:
     """Left as-of join: for every left row, the single right row with the
     nearest ``right_ts`` at-or-before (``backward``) / at-or-after
@@ -56,9 +57,20 @@ def asof_join(
     ``|left_ts - right_ts|`` exceeds that many microseconds.  When several
     right rows share (key, ts) the winner is the greatest payload struct —
     deterministic, but callers should de-duplicate for meaningful output.
+
+    ``chunk_us`` is the hot-key scale path (backward only): the window
+    normally sorts each key in ONE task, so a key holding a large share
+    of the data serializes.  With chunking, rows partition by
+    (key, time-chunk) — a hot key splits across chunks — and matches that
+    cross a chunk boundary are patched from a per-(key, chunk) "carry"
+    table of each chunk's latest right row, itself tiny (≤ one row per
+    key per chunk) and prefix-scanned per key.  Results are identical to
+    the unchunked path (equivalence-tested).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if chunk_us is not None and direction != "backward":
+        raise ValueError("chunk_us currently supports direction='backward' only")
     rt = right_ts or left_ts
     on = list(on)
     payload_cols = [c for c in right.columns if c not in on]
@@ -85,15 +97,55 @@ def asof_join(
     merged = r2.withColumn("_tag", F.lit(right_tag)).unionByName(
         l2.withColumn("_tag", F.lit(left_tag)), allowMissingColumns=True
     )
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("_asof_ts"), F.col("_tag"), F.col("_asof").asc_nulls_first())
-        .rowsBetween(*frame)
-    )
-    matched = merged.withColumn("_m", pick("_asof", ignorenulls=True).over(w)).filter(
-        F.col("_tag") == left_tag
-    )
-    m = F.col("_m")
+    order = [F.col("_asof_ts"), F.col("_tag"), F.col("_asof").asc_nulls_first()]
+    if chunk_us is None:
+        w = Window.partitionBy(*on).orderBy(*order).rowsBetween(*frame)
+        matched = merged.withColumn(
+            "_m", pick("_asof", ignorenulls=True).over(w)
+        ).filter(F.col("_tag") == left_tag)
+        m = F.col("_m")
+    else:
+        b = F.lit(chunk_us)
+        us = F.unix_micros(F.col("_asof_ts"))
+        merged = merged.withColumn("_chk", ((us - us % b) / b).cast("long"))
+        # per-(key, chunk) latest right row: struct max = (max ts, then max
+        # payload) — the same winner the in-chunk window's `last` picks
+        chunk_last = (
+            r2.withColumn(
+                "_chk",
+                (
+                    (F.unix_micros(F.col("_asof_ts")) - F.unix_micros(F.col("_asof_ts")) % b)
+                    / b
+                ).cast("long"),
+            )
+            .groupBy(*on, "_chk")
+            .agg(F.max(F.struct(F.col("_asof_ts"), F.col("_asof"))).alias("_cl"))
+        )
+        # carry into a chunk = latest right row of ANY earlier chunk: a
+        # running max over the (key, chunk) sequence — which must include
+        # every chunk the LEFT visits too (a chunk with no right rows
+        # still inherits the carry from before it). Rows here number at
+        # most keys x chunks (distinct is map-side-combined down to
+        # that), so this window is cheap and, unlike the data window,
+        # never hot.
+        chunk_ids = merged.select(*on, "_chk").distinct()
+        wc = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_chk"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            chunk_ids.join(chunk_last, on=[*on, "_chk"], how="left")
+            .select(*on, "_chk", F.max("_cl").over(wc).getField("_asof").alias("_carry"))
+        )
+        w = Window.partitionBy(*on, "_chk").orderBy(*order).rowsBetween(*frame)
+        matched = (
+            merged.withColumn("_m0", pick("_asof", ignorenulls=True).over(w))
+            .filter(F.col("_tag") == left_tag)
+            .join(carry, on=[*on, "_chk"], how="left")
+            .withColumn("_m", F.coalesce(F.col("_m0"), F.col("_carry")))
+        )
+        m = F.col("_m")
     if tolerance_us is not None:
         gap = F.abs(
             F.unix_micros(F.col(left_ts)) - F.unix_micros(m.getField(rt))

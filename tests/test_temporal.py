@@ -187,3 +187,42 @@ def test_range_join_keyed_and_bucketed_match(spark, quotes):
     assert got == want and want
     plan = bucketed._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_chunked_matches_plain(spark, quotes, trades):
+    plain = asof_join(trades, quotes, on=["sym"], left_ts="tts", right_ts="qts", prefix="q_")
+    chunked = asof_join(
+        trades, quotes, on=["sym"], left_ts="tts", right_ts="qts", prefix="q_",
+        chunk_us=7_000_000,
+    )
+    assert _by_qty(chunked.collect()) == _by_qty(plain.collect())
+
+
+def test_asof_chunked_matches_plain_dense(spark):
+    # denser interleaving across many chunk boundaries, incl. chunks with
+    # no right rows (carry must jump several chunks) and strict ties
+    lrows = [Row(k=i % 3, lts=ts((i * 37) % 500), lid=i) for i in range(200)]
+    rrows = [Row(k=i % 3, rts=ts((i * 91) % 300), rid=i) for i in range(60)]
+    left = spark.createDataFrame(lrows)
+    right = spark.createDataFrame(rrows).dropDuplicates(["k", "rts"])
+    for exact in (True, False):
+        plain = asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            allow_exact_matches=exact, prefix="r_",
+        )
+        chunked = asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            allow_exact_matches=exact, prefix="r_", chunk_us=25_000_000,
+        )
+        got = {r["lid"]: (r["r_rid"], r["r_rts"]) for r in chunked.collect()}
+        want = {r["lid"]: (r["r_rid"], r["r_rts"]) for r in plain.collect()}
+        assert got == want
+
+
+def test_asof_chunked_partitions_by_key_and_chunk(spark, quotes, trades):
+    chunked = asof_join(
+        trades, quotes, on=["sym"], left_ts="tts", right_ts="qts", prefix="q_",
+        chunk_us=7_000_000,
+    )
+    plan = chunked._jdf.queryExecution().optimizedPlan().toString()
+    assert "_chk" in plan  # data window runs per (key, chunk), not per key
