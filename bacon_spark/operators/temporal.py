@@ -30,7 +30,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "overlap_join", "range_join"]
 
 
 def asof_join(
@@ -218,6 +218,89 @@ def range_join(
     for k in on:
         jcond = jcond & (l2[k] == r2[k])
     jcond = jcond & (p_us >= lo_us) & (p_us < up_us)
+    if extra is not None:
+        jcond = jcond & extra
+    joined = l2.join(r2, jcond, how)
+    return joined.drop(l2["_bkt"]).drop(r2["_bkt"])
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lower: str,
+    left_upper: str,
+    lower: str,
+    upper: str,
+    on: Sequence[str] = (),
+    *,
+    how: str = "inner",
+    bucket_us: int | None = None,
+    extra: Column | None = None,
+) -> DataFrame:
+    """Interval-overlap join: match when ``[left_lower, left_upper)``
+    intersects ``[right.lower, right.upper)`` (half-open on both sides),
+    plus optional equality keys and an ``extra`` residual.  The
+    interval-x-interval sibling of ``range_join`` (sessions x maintenance
+    windows, readings x outages).
+
+    Without ``bucket_us`` the interval test rides a keyed equi-join (or,
+    keyless, a warned nested-loop).  With ``bucket_us`` BOTH sides
+    explode onto the time buckets they cover and join on bucket
+    equality; a pair sharing several buckets would duplicate, so a match
+    is emitted only in the FIRST bucket the two intervals share —
+    ``floor(max(lowers)/bucket)`` — which keeps each pair exactly once
+    without a distinct pass.  Column names must be unambiguous across
+    the two frames (rename before a self-join).
+
+    The bucketed path supports ``how='inner'`` only: outer semantics
+    over an exploded left side would need a row identity to collapse
+    per-bucket unmatched copies.  Recover left-join behavior at the call
+    site by re-joining the inner result (or its aggregate) onto the
+    original left frame.
+    """
+    if bucket_us is not None and how != "inner":
+        raise ValueError("bucketed overlap_join supports how='inner' only")
+    llo = F.unix_micros(F.col(left_lower))
+    lup = F.unix_micros(F.col(left_upper))
+    rlo = F.unix_micros(F.col(lower))
+    rup = F.unix_micros(F.col(upper))
+    cond = (llo < rup) & (rlo < lup)
+    if extra is not None:
+        cond = cond & extra
+    for k in on:
+        cond = cond & (left[k] == right[k])
+    if bucket_us is None:
+        if not on:
+            import warnings
+
+            warnings.warn(
+                "overlap_join without keys or bucket_us plans a nested-loop "
+                "join; pass bucket_us for a hash join",
+                stacklevel=2,
+            )
+        return left.join(right, cond, how)
+
+    b = F.lit(bucket_us)
+
+    def bkt(us: Column) -> Column:
+        return ((us - us % b) / b).cast("long")
+
+    # upper bounds are exclusive: the last covered bucket is the one
+    # holding (upper - 1us), so zero-length intervals cover nothing and
+    # an interval ending exactly on a boundary doesn't leak into the
+    # next bucket
+    l2 = left.withColumn(
+        "_bkt", F.explode(F.sequence(bkt(llo), bkt(lup - F.lit(1))))
+    )
+    r2 = right.withColumn(
+        "_bkt", F.explode(F.sequence(bkt(rlo), bkt(rup - F.lit(1))))
+    )
+    jcond = l2["_bkt"] == r2["_bkt"]
+    for k in on:
+        jcond = jcond & (l2[k] == r2[k])
+    jcond = jcond & (llo < rup) & (rlo < lup)
+    # dedup: emit only in the first shared bucket
+    jcond = jcond & (l2["_bkt"] == bkt(F.greatest(llo, rlo)))
     if extra is not None:
         jcond = jcond & extra
     joined = l2.join(r2, jcond, how)

@@ -2204,3 +2204,69 @@ def q62_streaming_oracle(spark, sf_dir):
     )
     run_stream_to_memory(out, "q62_stream", mode="complete")
     return spark.table("q62_stream")
+
+
+@query(
+    "q63_overlap_join",
+    """
+    WITH spans AS (
+      SELECT user_id, event_type,
+             date_trunc('week', ts) AS wk,
+             min(ts) AS lo,
+             max(ts) + INTERVAL 1 MICROSECOND AS hi
+      FROM events GROUP BY 1, 2, 3
+    ),
+    err AS (SELECT * FROM spans WHERE event_type = 'error'),
+    pur AS (SELECT * FROM spans WHERE event_type = 'purchase')
+    SELECT err.user_id, strftime(err.wk, '%Y-%m-%d') AS week,
+           count(pur.user_id) AS n_overlaps
+    FROM err LEFT JOIN pur
+      ON err.lo < pur.hi AND pur.lo < err.hi
+    GROUP BY 1, 2
+    """,
+)
+def q63_overlap_join(spark, sf_dir):
+    """Interval-overlap join (operators/temporal.py): per-(user, week)
+    error-activity spans overlap-joined against ALL purchase-activity
+    spans with NO equality key — the bucketed path (both interval sides
+    explode onto day buckets, match emitted only in the first shared
+    bucket) keeps it a hash join. Half-open spans [min_ts, max_ts+1us)."""
+    ev = _read(spark, sf_dir, "events")
+    spans = (
+        ev.groupBy(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).alias("wk"),
+            "event_type",
+        )
+        .agg(
+            F.min("ts").alias("lo"),
+            (F.max("ts") + F.expr("interval 1 microsecond")).alias("hi"),
+        )
+    )
+    err = spans.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("wk").alias("err_wk"),
+        F.col("lo").alias("err_lo"), F.col("hi").alias("err_hi"),
+    )
+    pur = spans.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("lo").alias("p_lo"), F.col("hi").alias("p_hi"),
+    )
+    joined = _temporal.overlap_join(
+        err, pur, "err_lo", "err_hi", "p_lo", "p_hi",
+        bucket_us=86_400_000_000,
+    )
+    counts = joined.groupBy("user_id", "err_wk").agg(
+        F.count("p_user").alias("n_overlaps")
+    )
+    # left-join semantics (error spans with zero overlaps) recovered by
+    # re-joining the inner-join counts onto the span frame — the bucketed
+    # path is inner-only by design
+    return (
+        err.select("user_id", "err_wk")
+        .join(counts, ["user_id", "err_wk"], "left")
+        .select(
+            "user_id",
+            F.date_format("err_wk", "yyyy-MM-dd").alias("week"),
+            F.coalesce(F.col("n_overlaps"), F.lit(0)).alias("n_overlaps"),
+        )
+    )

@@ -226,3 +226,63 @@ def test_asof_chunked_partitions_by_key_and_chunk(spark, quotes, trades):
     )
     plan = chunked._jdf.queryExecution().optimizedPlan().toString()
     assert "_chk" in plan  # data window runs per (key, chunk), not per key
+
+
+def test_overlap_join_bucketed_matches_naive(spark):
+    from bacon_spark.operators.temporal import overlap_join
+
+    # sessions x windows, many shared buckets per pair (dedup must hold),
+    # boundary-touching intervals (half-open: no match), zero-length
+    sess = spark.createDataFrame(
+        [
+            Row(sid=1, s_lo=ts(0), s_hi=ts(100)),
+            Row(sid=2, s_lo=ts(95), s_hi=ts(105)),
+            Row(sid=3, s_lo=ts(200), s_hi=ts(200)),   # zero-length
+            Row(sid=4, s_lo=ts(300), s_hi=ts(310)),
+        ]
+    )
+    wins = spark.createDataFrame(
+        [
+            Row(wid=1, w_lo=ts(50), w_hi=ts(300)),    # spans many buckets
+            Row(wid=2, w_lo=ts(100), w_hi=ts(110)),   # touches sid=1 boundary only
+            Row(wid=3, w_lo=ts(310), w_hi=ts(320)),   # touches sid=4 upper
+        ]
+    )
+    naive = sess.join(
+        wins,
+        (F.col("s_lo") < F.col("w_hi")) & (F.col("w_lo") < F.col("s_hi")),
+        "inner",
+    )
+    want = sorted((r["sid"], r["wid"]) for r in naive.collect())
+    assert want  # sanity
+    got_rows = overlap_join(
+        sess, wins, "s_lo", "s_hi", "w_lo", "w_hi", bucket_us=10_000_000
+    ).collect()
+    got = sorted((r["sid"], r["wid"]) for r in got_rows)
+    assert got == want
+    assert (1, 2) not in got  # half-open: [0,100) vs [100,110) don't overlap
+    plan = overlap_join(
+        sess, wins, "s_lo", "s_hi", "w_lo", "w_hi", bucket_us=10_000_000
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_overlap_join_keyed(spark):
+    from bacon_spark.operators.temporal import overlap_join
+
+    sess = spark.createDataFrame(
+        [Row(k="a", sid=1, s_lo=ts(0), s_hi=ts(50)),
+         Row(k="b", sid=2, s_lo=ts(0), s_hi=ts(50))]
+    )
+    wins = spark.createDataFrame([Row(k="a", wid=1, w_lo=ts(10), w_hi=ts(20))])
+    out = overlap_join(sess, wins, "s_lo", "s_hi", "w_lo", "w_hi", on=["k"])
+    assert [(r["sid"], r["wid"]) for r in out.collect()] == [(1, 1)]
+
+
+def test_overlap_join_bucketed_rejects_outer(spark):
+    from bacon_spark.operators.temporal import overlap_join
+
+    df = spark.createDataFrame([Row(lo=ts(0), hi=ts(10))])
+    df2 = df.select(F.col("lo").alias("lo2"), F.col("hi").alias("hi2"))
+    with pytest.raises(ValueError):
+        overlap_join(df, df2, "lo", "hi", "lo2", "hi2", how="left", bucket_us=1_000_000)
