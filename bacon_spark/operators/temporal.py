@@ -58,19 +58,18 @@ def asof_join(
     right rows share (key, ts) the winner is the greatest payload struct —
     deterministic, but callers should de-duplicate for meaningful output.
 
-    ``chunk_us`` is the hot-key scale path (backward only): the window
-    normally sorts each key in ONE task, so a key holding a large share
-    of the data serializes.  With chunking, rows partition by
-    (key, time-chunk) — a hot key splits across chunks — and matches that
-    cross a chunk boundary are patched from a per-(key, chunk) "carry"
-    table of each chunk's latest right row, itself tiny (≤ one row per
-    key per chunk) and prefix-scanned per key.  Results are identical to
-    the unchunked path (equivalence-tested).
+    ``chunk_us`` is the hot-key scale path: the window normally sorts
+    each key in ONE task, so a key holding a large share of the data
+    serializes.  With chunking, rows partition by (key, time-chunk) — a
+    hot key splits across chunks — and matches that cross a chunk
+    boundary are patched from a per-(key, chunk) "carry" table of each
+    chunk's latest (backward) / earliest (forward) right row, itself
+    tiny (≤ one row per key per chunk) and prefix-/suffix-scanned per
+    key.  Results are identical to the unchunked path
+    (equivalence-tested both directions).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
-    if chunk_us is not None and direction != "backward":
-        raise ValueError("chunk_us currently supports direction='backward' only")
     rt = right_ts or left_ts
     on = list(on)
     payload_cols = [c for c in right.columns if c not in on]
@@ -108,9 +107,12 @@ def asof_join(
         b = F.lit(chunk_us)
         us = F.unix_micros(F.col("_asof_ts"))
         merged = merged.withColumn("_chk", ((us - us % b) / b).cast("long"))
-        # per-(key, chunk) latest right row: struct max = (max ts, then max
-        # payload) — the same winner the in-chunk window's `last` picks
-        chunk_last = (
+        # per-(key, chunk) best right row as a struct extremum on
+        # (ts, payload): backward wants the latest (struct max = max ts,
+        # then max payload — the winner the in-chunk `last` picks),
+        # forward the earliest (struct min — the in-chunk `first` winner)
+        chunk_agg = F.max if direction == "backward" else F.min
+        chunk_best = (
             r2.withColumn(
                 "_chk",
                 (
@@ -119,24 +121,35 @@ def asof_join(
                 ).cast("long"),
             )
             .groupBy(*on, "_chk")
-            .agg(F.max(F.struct(F.col("_asof_ts"), F.col("_asof"))).alias("_cl"))
+            .agg(chunk_agg(F.struct(F.col("_asof_ts"), F.col("_asof"))).alias("_cl"))
         )
-        # carry into a chunk = latest right row of ANY earlier chunk: a
-        # running max over the (key, chunk) sequence — which must include
-        # every chunk the LEFT visits too (a chunk with no right rows
-        # still inherits the carry from before it). Rows here number at
+        # carry into a chunk = best right row of ANY earlier chunk
+        # (backward) / later chunk (forward): a running extremum over the
+        # (key, chunk) sequence — which must include every chunk the LEFT
+        # visits too (a chunk with no right rows still inherits the carry
+        # across it). Exactness never matters here: rows in another chunk
+        # are strictly before/after every ts in this one. Rows number at
         # most keys x chunks (distinct is map-side-combined down to
         # that), so this window is cheap and, unlike the data window,
         # never hot.
         chunk_ids = merged.select(*on, "_chk").distinct()
+        carry_frame = (
+            (Window.unboundedPreceding, -1)
+            if direction == "backward"
+            else (1, Window.unboundedFollowing)
+        )
         wc = (
             Window.partitionBy(*on)
             .orderBy(F.col("_chk"))
-            .rowsBetween(Window.unboundedPreceding, -1)
+            .rowsBetween(*carry_frame)
         )
         carry = (
-            chunk_ids.join(chunk_last, on=[*on, "_chk"], how="left")
-            .select(*on, "_chk", F.max("_cl").over(wc).getField("_asof").alias("_carry"))
+            chunk_ids.join(chunk_best, on=[*on, "_chk"], how="left")
+            .select(
+                *on,
+                "_chk",
+                chunk_agg("_cl").over(wc).getField("_asof").alias("_carry"),
+            )
         )
         w = Window.partitionBy(*on, "_chk").orderBy(*order).rowsBetween(*frame)
         matched = (

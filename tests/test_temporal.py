@@ -200,23 +200,39 @@ def test_asof_chunked_matches_plain(spark, quotes, trades):
 
 def test_asof_chunked_matches_plain_dense(spark):
     # denser interleaving across many chunk boundaries, incl. chunks with
-    # no right rows (carry must jump several chunks) and strict ties
+    # no right rows (carry must jump several chunks) and strict ties,
+    # both directions
     lrows = [Row(k=i % 3, lts=ts((i * 37) % 500), lid=i) for i in range(200)]
     rrows = [Row(k=i % 3, rts=ts((i * 91) % 300), rid=i) for i in range(60)]
     left = spark.createDataFrame(lrows)
     right = spark.createDataFrame(rrows).dropDuplicates(["k", "rts"])
-    for exact in (True, False):
-        plain = asof_join(
-            left, right, on=["k"], left_ts="lts", right_ts="rts",
-            allow_exact_matches=exact, prefix="r_",
-        )
-        chunked = asof_join(
-            left, right, on=["k"], left_ts="lts", right_ts="rts",
-            allow_exact_matches=exact, prefix="r_", chunk_us=25_000_000,
-        )
-        got = {r["lid"]: (r["r_rid"], r["r_rts"]) for r in chunked.collect()}
-        want = {r["lid"]: (r["r_rid"], r["r_rts"]) for r in plain.collect()}
-        assert got == want
+    for direction in ("backward", "forward"):
+        for exact in (True, False):
+            plain = asof_join(
+                left, right, on=["k"], left_ts="lts", right_ts="rts",
+                direction=direction, allow_exact_matches=exact, prefix="r_",
+            )
+            chunked = asof_join(
+                left, right, on=["k"], left_ts="lts", right_ts="rts",
+                direction=direction, allow_exact_matches=exact, prefix="r_",
+                chunk_us=25_000_000,
+            )
+            got = {r["lid"]: (r["r_rid"], r["r_rts"]) for r in chunked.collect()}
+            want = {r["lid"]: (r["r_rid"], r["r_rts"]) for r in plain.collect()}
+            assert got == want, (direction, exact)
+
+
+def test_asof_chunked_forward_boundary(spark, quotes, trades):
+    # forward carry: a trade in a chunk with no later in-chunk quote must
+    # pick the earliest quote from a later chunk
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="tts", right_ts="qts",
+        direction="forward", prefix="q_", chunk_us=7_000_000,
+    )
+    got = _by_qty(out.collect())
+    assert got[2] == (12.0, ts(20))   # ts(15) -> quote at ts(20), next chunk
+    assert got[3] == (None, None)     # nothing later in any chunk
+    assert got[4] == (100.0, ts(5))
 
 
 def test_asof_chunked_partitions_by_key_and_chunk(spark, quotes, trades):
