@@ -1540,12 +1540,12 @@ def q44_streaming_tumbling(spark, sf_dir):
     memory sink (availableNow), return the materialized result. q32 pins
     the identical semantics against the DuckDB oracle in batch mode; this
     entry proves the streaming path itself runs."""
-    import tempfile
+    import shutil
 
-    from .streaming.windows import run_stream_to_memory, tumbling_window_agg
+    from .streaming.windows import run_stream_to_memory, scratch_dir, tumbling_window_agg
 
     ev = _read(spark, sf_dir, "events")
-    d = tempfile.mkdtemp(prefix="bacon_q44_")
+    d = scratch_dir("bacon_q44_")
     ev.limit(5000).write.mode("overwrite").parquet(d)
     stream = spark.readStream.schema(ev.schema).parquet(d)
     agg = tumbling_window_agg(
@@ -1561,7 +1561,10 @@ def q44_streaming_tumbling(spark, sf_dir):
         "n",
         "sum_value",
     )
-    run_stream_to_memory(out, "q44_stream", mode="complete")
+    try:
+        run_stream_to_memory(out, "q44_stream", mode="complete")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     return spark.table("q44_stream")
 
 
@@ -2178,12 +2181,10 @@ def q62_streaming_oracle(spark, sf_dir):
     incremental view maintenance relies on (q54). Unlike q44 (rows-only,
     limit-sampled input), the input here is deterministic, so the oracle
     is exact."""
-    import tempfile
-
-    from .streaming.windows import run_stream_to_memory, tumbling_window_agg
+    from .streaming.windows import run_stream_to_memory, scratch_dir, tumbling_window_agg
 
     ev = _read(spark, sf_dir, "events")
-    d = tempfile.mkdtemp(prefix="bacon_q62_")
+    d = scratch_dir("bacon_q62_")
     ev.write.mode("overwrite").parquet(d)
     stream = spark.readStream.schema(ev.schema).parquet(d)
     agg = tumbling_window_agg(
@@ -2202,7 +2203,12 @@ def q62_streaming_oracle(spark, sf_dir):
         "n",
         "sum_value",
     )
-    run_stream_to_memory(out, "q62_stream", mode="complete")
+    import shutil
+
+    try:
+        run_stream_to_memory(out, "q62_stream", mode="complete")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     return spark.table("q62_stream")
 
 
@@ -2268,5 +2274,98 @@ def q63_overlap_join(spark, sf_dir):
             "user_id",
             F.date_format("err_wk", "yyyy-MM-dd").alias("week"),
             F.coalesce(F.col("n_overlaps"), F.lit(0)).alias("n_overlaps"),
+        )
+    )
+
+
+@query(
+    "q64_streaming_asof",
+    """
+    SELECT e.event_id, e.user_id, e.value,
+           c.event_id AS click_event_id,
+           epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def q64_streaming_asof(spark, sf_dir):
+    """TRUE streaming as-of join (streaming/asof.py, applyInPandasWithState)
+    with an EXACT oracle: q59's purchases-to-latest-click join, but the two
+    sides stream file-by-file through the stateful operator. The input
+    files are staged DRIVER-side with pyarrow on tmpfs (one Spark job
+    collects both sides of the few-MB verification fixture; file order
+    pinned by explicit mtimes), and a far-future sentinel purchase
+    advances the final watermark past every real row, flushing all group
+    state; the appended output must then equal the batch join exactly."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .streaming.asof import streaming_asof_join
+    from .streaming.windows import run_stream_to_memory, scratch_dir
+
+    ev = _read(spark, sf_dir, "events")
+    both = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .select("event_type", "event_id", "user_id", "ts", "value")
+        .toPandas()
+    )
+    pcols, ccols = ["event_id", "user_id", "ts", "value"], ["user_id", "ts", "event_id"]
+    pdf = both[both["event_type"] == "purchase"][pcols]
+    cdf = both[both["event_type"] == "click"][ccols]
+    hi = both["ts"].max()
+    d = scratch_dir("bacon_q64_")
+    ldir, rdir = d + "/purchases", d + "/clicks"
+    os.makedirs(ldir), os.makedirs(rdir)
+    sent = pdf.iloc[:1].copy()
+    sent["event_id"], sent["user_id"], sent["value"] = -1, -1, 0.0
+    sent["ts"] = hi + dt.timedelta(hours=3)
+    # one data file per side + the sentinel: 3 triggers — real rows land in
+    # batch 0 and are emitted from STATE in batches 1-2 once the sentinel
+    # advances the watermark (the unit test covers many-file interleaving;
+    # the gate run keeps trigger count, i.e. fixed micro-batch cost, low)
+    stage = [
+        (ldir + "/f0.parquet", pdf),
+        (rdir + "/f0.parquet", cdf),
+        (ldir + "/f1.parquet", sent),
+    ]
+    for i, (path, frame) in enumerate(stage):
+        pq.write_table(
+            pa.Table.from_pandas(frame, preserve_index=False),
+            path, coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+        os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    pschema = "event_id long, user_id long, ts timestamp, value double"
+    cschema = "user_id long, ts timestamp, event_id long"
+    out = streaming_asof_join(
+        spark.readStream.schema(pschema)
+        .option("maxFilesPerTrigger", 1).parquet(ldir),
+        spark.readStream.schema(cschema)
+        .option("maxFilesPerTrigger", 1).parquet(rdir),
+        on=["user_id"], left_ts="ts", prefix="click_", delay="30 minutes",
+        shards=32,
+    )
+    # fewer state-store tasks per trigger: the stateful shuffle width is
+    # fixed at stream start, and 8 partitions are plenty at bench scale
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_stream_to_memory(out, "q64_stream", mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(d, ignore_errors=True)
+    return (
+        spark.table("q64_stream")
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            "click_event_id",
+            (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
         )
     )

@@ -1,0 +1,239 @@
+"""Streaming as-of join: enrich a left event stream with the latest
+right row at-or-before each event, as a custom stateful operator.
+
+Absent in the reference (it has no joins at all, SURVEY §2.4, and no
+streaming); Structured Streaming's built-in stream-stream join cannot
+express "the single LATEST match" (its range join emits every right row
+in the window), so this is the ``applyInPandasWithState`` escape hatch
+the task calls for.
+
+Design (scale): both streams are tagged, reduced to (key-JSON,
+event-time, payload-JSON), unioned, watermarked once, and grouped by
+``hash(keys) % shards`` — NOT by raw key.  Sharding matters twice at
+100 TB: the number of state-store groups (and per-trigger Python
+invocations) is bounded by ``shards`` instead of key cardinality, and
+within a shard the per-key as-of matching is one vectorized
+``pd.merge_asof(by=key)`` call (C merge over Arrow batches) rather than
+per-key Python.  State per shard is two buffers:
+
+* left rows not yet finalizable (event time >= watermark: an earlier
+  right row could still arrive), and
+* right rows at-or-after the watermark, plus — per key — ONE carry row,
+  the latest right row strictly before it (everything older can never
+  be the best match for any future left row).
+
+So state is bounded by (rows inside the watermark horizon) + (one carry
+row per key), not by stream length.  Left rows finalize — emit exactly
+once, append mode — when the watermark passes their event time; shards
+with nothing new flush via event-time timeouts.  Payloads and keys
+cross the Python boundary as JSON strings so the state schema stays
+fixed for any input schema; column types are restored from the declared
+output schema (timestamps included, parsed vectorized per emitted
+frame), which limits key/payload columns to JSON-round-trippable types
+(numbers, strings, booleans, timestamps — no nested arrays/structs).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["streaming_asof_join"]
+
+_STATE_SCHEMA = (
+    "lkey array<string>, lts array<long>, lpay array<string>, "
+    "rkey array<string>, rts array<long>, rpay array<string>"
+)
+
+
+def _make_fn(
+    key_names: list[str],
+    left_cols: list[str],
+    payload_cols: list[str],
+    ts_names: set[str],
+    prefix: str,
+    allow_exact_matches: bool,
+    tolerance_us: int | None,
+):
+    out_names = [*key_names, *left_cols, *[prefix + c for c in payload_cols]]
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            st = state.get
+            bufs = [list(x) for x in st]
+        else:
+            bufs = [[], [], [], [], [], []]
+        lkey, lts, lpay, rkey, rts, rpay = bufs
+
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                us = (
+                    pd.to_datetime(pdf["_asof_ts"])
+                    .astype("datetime64[ns]")
+                    .astype("int64")
+                    // 1000
+                )
+                is_l = (pdf["_tag"] == 1).to_numpy()
+                lkey.extend(pdf["_kj"][is_l]), rkey.extend(pdf["_kj"][~is_l])
+                lts.extend(us[is_l]), rts.extend(us[~is_l])
+                lpay.extend(pdf["_pay"][is_l]), rpay.extend(pdf["_pay"][~is_l])
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        dt = {"_kj": "object", "_ts": "int64", "_pay": "object"}
+        ldf = pd.DataFrame({"_kj": lkey, "_ts": lts, "_pay": lpay}).astype(dt)
+        rdf = pd.DataFrame({"_kj": rkey, "_ts": rts, "_pay": rpay}).astype(dt)
+        rdf = rdf.sort_values(["_ts", "_pay"], kind="stable", ignore_index=True)
+
+        matured = ldf[ldf["_ts"] < wm_us]
+        keep_l = ldf[ldf["_ts"] >= wm_us]
+
+        emitted = None
+        if len(matured):
+            # vectorized per-key as-of: right sorted by (_ts, _pay) so the
+            # "last row <= t" merge_asof picks is the greatest (ts, payload)
+            # pair — the deterministic tie-break the batch operator uses
+            emitted = pd.merge_asof(
+                matured.sort_values("_ts", kind="stable", ignore_index=True),
+                rdf.rename(columns={"_pay": "_rpay"}),
+                on="_ts",
+                by="_kj",
+                direction="backward",
+                allow_exact_matches=allow_exact_matches,
+                tolerance=tolerance_us,
+            )
+
+        # prune rights: all at-or-after the watermark + per key the latest
+        # strictly-before row (the carry a future left may still match)
+        before = rdf[rdf["_ts"] < wm_us]
+        carry = before.groupby("_kj", sort=False).tail(1)
+        keep_r = pd.concat([carry, rdf[rdf["_ts"] >= wm_us]])
+
+        if len(keep_l) or len(keep_r):
+            state.update(
+                (
+                    keep_l["_kj"].tolist(), keep_l["_ts"].tolist(),
+                    keep_l["_pay"].tolist(), keep_r["_kj"].tolist(),
+                    keep_r["_ts"].tolist(), keep_r["_pay"].tolist(),
+                )
+            )
+            if len(keep_l):
+                # flush on the next watermark advance (must be > current wm)
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        elif state.exists:
+            state.remove()
+
+        if emitted is None or not len(emitted):
+            return
+        krecs = [json.loads(s) for s in emitted["_kj"]]
+        lrecs = [json.loads(s) for s in emitted["_pay"]]
+        rrecs = [
+            json.loads(s) if isinstance(s, str) else None
+            for s in emitted["_rpay"]
+        ]
+        out = {}
+        for c in key_names:
+            out[c] = [k.get(c) for k in krecs]
+        for c in left_cols:
+            out[c] = [r.get(c) for r in lrecs]
+        for c in payload_cols:
+            out[prefix + c] = [None if r is None else r.get(c) for r in rrecs]
+        pdf = pd.DataFrame(out, columns=out_names)
+        for n in out_names:
+            if n in ts_names:
+                pdf[n] = (
+                    pd.to_datetime(pdf[n], format="ISO8601", utc=True)
+                    .dt.tz_localize(None)
+                )
+        yield pdf
+
+    return fn
+
+
+def streaming_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str | None = None,
+    *,
+    allow_exact_matches: bool = True,
+    tolerance_us: int | None = None,
+    prefix: str = "",
+    delay: str = "1 hour",
+    shards: int = 128,
+) -> DataFrame:
+    """Backward as-of join of two STREAMING frames (left-join semantics,
+    append output): each left row is emitted exactly once — when the
+    watermark passes its event time — carrying the latest right row with
+    ``right_ts`` at-or-before its ``left_ts`` on the same ``on`` keys.
+
+    On batch frames this delegates to the batch ``asof_join`` (same
+    contract), so batch runs pin the streaming semantics for the oracle.
+    A left row later than ``delay`` behind the stream's max event time is
+    dropped (standard watermark semantics); conversely rows within the
+    final watermark horizon stay buffered in state until a later trigger
+    advances the watermark past them — drive bounded verification runs
+    with a max-timestamp sentinel row.  When several right rows share
+    (key, ts) the winner is the greatest (ts, JSON payload) pair —
+    deterministic, mirroring the batch operator's struct-max tie-break.
+    ``shards`` bounds state-store groups (and per-trigger Python calls);
+    raise it when a single shard's in-horizon rows outgrow one task.
+    """
+    if not (left.isStreaming or right.isStreaming):
+        from ..operators.temporal import asof_join
+
+        return asof_join(
+            left, right, on, left_ts, right_ts,
+            allow_exact_matches=allow_exact_matches,
+            tolerance_us=tolerance_us, prefix=prefix,
+        )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    rt = right_ts or left_ts
+    on = list(on)
+    left_cols = [c for c in left.columns if c not in on]
+    payload_cols = [c for c in right.columns if c not in on]
+
+    # default to_json truncates timestamps to milliseconds; force µs
+    jopt = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+    kj = F.to_json(F.struct(*[F.col(c) for c in on]), jopt)
+    l2 = left.select(
+        kj.alias("_kj"),
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias("_tag"),
+        F.to_json(F.struct(*[F.col(c) for c in left_cols]), jopt).alias("_pay"),
+    )
+    r2 = right.select(
+        kj.alias("_kj"),
+        F.col(rt).alias("_asof_ts"),
+        F.lit(0).alias("_tag"),
+        F.to_json(F.struct(*[F.col(c) for c in payload_cols]), jopt).alias("_pay"),
+    )
+    merged = (
+        l2.unionByName(r2)
+        .withColumn("_shard", F.pmod(F.hash("_kj"), F.lit(shards)))
+        .withWatermark("_asof_ts", delay)
+    )
+
+    lf = {f.name: f for f in left.schema.fields}
+    rf = {f.name: f for f in right.schema.fields}
+    out_fields = (
+        [(k, lf[k].dataType.simpleString()) for k in on]
+        + [(c, lf[c].dataType.simpleString()) for c in left_cols]
+        + [(prefix + c, rf[c].dataType.simpleString()) for c in payload_cols]
+    )
+    ddl = ", ".join(f"`{n}` {t}" for n, t in out_fields)
+    ts_names = {n for n, t in out_fields if t.startswith("timestamp")}
+
+    fn = _make_fn(
+        on, left_cols, payload_cols, ts_names, prefix,
+        allow_exact_matches, tolerance_us,
+    )
+    return merged.groupBy("_shard").applyInPandasWithState(
+        fn, ddl, _STATE_SCHEMA, "append", GroupStateTimeout.EventTimeTimeout
+    )

@@ -106,17 +106,41 @@ def dedup_within_watermark(
     return df.dropDuplicates(list(keys))
 
 
-def run_stream_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"):
+def scratch_dir(prefix: str) -> str:
+    """Temp dir for stream staging/checkpoints, on tmpfs when available:
+    every micro-batch fsyncs offset/commit WALs and state files, so
+    disk-backed /tmp adds run-to-run jitter a verification run doesn't
+    need to pay (durability across process crashes is irrelevant here)."""
+    import os
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, name: str, mode: str = "complete",
+    checkpoint: str | None = None,
+):
     """Drive a streaming frame to a memory sink with availableNow (process
     everything queued, then stop) — the test/verification harness path."""
-    q = (
+    w = (
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(mode)
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination()
+    own_ckpt = checkpoint is None
+    if own_ckpt:
+        checkpoint = scratch_dir(f"ckpt_{name}_")
+    q = w.option("checkpointLocation", checkpoint).start()
+    try:
+        q.awaitTermination()
+    finally:
+        if own_ckpt:
+            import shutil
+
+            shutil.rmtree(checkpoint, ignore_errors=True)
     return q
 
 

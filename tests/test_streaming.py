@@ -192,3 +192,86 @@ def test_streaming_incremental_cube_maintenance(spark, tmpdir):
     s = board.slice(q)
     want_total = sum(r[4] for r in _rows())
     assert s["click"].record == {"total": pytest.approx(want_total), "n": 40}
+
+
+def test_streaming_asof_join_equals_batch(spark, tmpdir):
+    """True streaming as-of: trades and quotes stream file-by-file (several
+    micro-batches, watermark advancing between them); the appended output
+    must equal the batch asof_join on every real trade. A far-future
+    sentinel trade pushes the final watermark past all real rows so state
+    flushes before availableNow terminates."""
+    import os
+
+    from bacon_spark.operators.temporal import asof_join
+    from bacon_spark.streaming.asof import streaming_asof_join
+    from bacon_spark.streaming.windows import run_stream_to_memory
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    tdir, qdir = os.path.join(tmpdir, "trades"), os.path.join(tmpdir, "quotes")
+    TSCH = "sym string, tts timestamp, qty long"
+    QSCH = "sym string, qts timestamp, price double"
+    # interleaved files: quotes arrive ahead of / behind trades across batches
+    tfiles = [
+        [("A", mk(10), 1), ("B", mk(12), 2)],
+        [("A", mk(30), 3), ("C", mk(31), 4)],        # C has no quotes
+        [("A", mk(50), 5), ("B", mk(55), 6)],
+        [("ZZ", mk(100_000), 99)],                    # sentinel: flush
+    ]
+    qfiles = [
+        [("A", mk(0), 1.0), ("B", mk(5), 10.0)],
+        [("A", mk(30), 2.0)],                         # exact tie with trade
+        [("A", mk(45), 3.0), ("B", mk(40), 11.0)],
+        [("A", mk(60), 9.9)],                         # after all real trades
+    ]
+    for i, rows in enumerate(tfiles):
+        spark.createDataFrame(rows, TSCH).coalesce(1).write.mode("append").parquet(tdir)
+    for i, rows in enumerate(qfiles):
+        spark.createDataFrame(rows, QSCH).coalesce(1).write.mode("append").parquet(qdir)
+
+    lstream = (
+        spark.readStream.schema(TSCH).option("maxFilesPerTrigger", 1).parquet(tdir)
+    )
+    rstream = (
+        spark.readStream.schema(QSCH).option("maxFilesPerTrigger", 1).parquet(qdir)
+    )
+    out = streaming_asof_join(
+        lstream, rstream, on=["sym"], left_ts="tts", right_ts="qts",
+        prefix="q_", delay="10 seconds",
+    )
+    run_stream_to_memory(out, "t_asof", mode="append")
+    got = {
+        r["qty"]: (r["q_price"], r["q_qts"])
+        for r in spark.sql("select * from t_asof").collect()
+        if r["sym"] != "ZZ"
+    }
+
+    batch = asof_join(
+        spark.read.schema(TSCH).parquet(tdir).filter("sym <> 'ZZ'"),
+        spark.read.schema(QSCH).parquet(qdir),
+        on=["sym"], left_ts="tts", right_ts="qts", prefix="q_",
+    )
+    want = {r["qty"]: (r["q_price"], r["q_qts"]) for r in batch.collect()}
+    assert got == want and len(got) == 6
+    # the exact-tie case and the no-quote key, explicitly
+    assert got[3] == (2.0, mk(30))
+    assert got[4] == (None, None)
+
+
+def test_streaming_asof_join_batch_delegates(spark):
+    from bacon_spark.streaming.asof import streaming_asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    trades = spark.createDataFrame(
+        [("A", t0 + dt.timedelta(seconds=10), 1)], "sym string, tts timestamp, qty long"
+    )
+    quotes = spark.createDataFrame(
+        [("A", t0, 5.0)], "sym string, qts timestamp, price double"
+    )
+    out = streaming_asof_join(
+        trades, quotes, on=["sym"], left_ts="tts", right_ts="qts", prefix="q_"
+    )
+    assert [(r["qty"], r["q_price"]) for r in out.collect()] == [(1, 5.0)]
