@@ -265,23 +265,28 @@ class CuttingBoard:
         """Serve from a registered lattice when it covers the query.
 
         Unfiltered queries read the grouping set at exactly query.axes.
-        Eq/in-filtered queries on lattice axes drill INTO the lattice:
-        read the grouping set at grain (query.axes ∪ filter axes), apply
-        the filters (reference null semantics via FILTER_OPS), and
-        project. An eq filter pins a single value of its axis, so the
-        projection down to query.axes is one-to-one over finished values —
-        exact for any accumulator. An `in` filter on an axis that is then
-        dropped leaves several rows per output group, so that path merges
-        finished values and is gated on every value being reaggregatable.
-        Cost is a grouping_id filter over the materialized lattice
-        (partition pruning when written partitioned by _gid)."""
+        ANY row-level filter on lattice axes drills INTO the lattice —
+        eq/in, ranges (gt/ge/lt/le), ne/ni, regex, set algebra: read the
+        grouping set at grain (query.axes ∪ filter axes), apply the
+        filters to the axis VALUES (reference null semantics via
+        FILTER_OPS — sound because the lattice stores label values, the
+        same column the scan path filters), and project. An eq filter
+        pins a single value of its axis, so the projection down to
+        query.axes is one-to-one over finished values — exact for any
+        accumulator. Any other op on an axis that is then dropped leaves
+        several finished rows per output group (e.g. a date-range drill
+        summed into totals), so that path merges finished values and is
+        gated on every value being reaggregatable. Cost is a grouping_id
+        filter plus an axis-value scan bound over the materialized
+        lattice (partition pruning on _gid, min/max skipping on axis
+        values, when the lattice is written out that way)."""
         fil = query.filters
-        if any(op not in ("eq", "in") for _, op, _v in fil):
+        if any(op not in FILTER_OPS for _, op, _v in fil):
             return None
         fnames = {n for n, _, _ in fil}
         wanted = set(query.axes) | fnames
         dropped = fnames - set(query.axes)
-        needs_reagg = any(op == "in" and n in dropped for n, op, _ in fil)
+        needs_reagg = any(op != "eq" and n in dropped for n, op, _ in fil)
         if needs_reagg and not self._reaggregatable(query, needed=True):
             return None
         for lat in self._lattices:

@@ -2369,3 +2369,48 @@ def q64_streaming_asof(spark, sf_dir):
             (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
         )
     )
+
+
+@query(
+    "q65_lattice_range_drill",
+    """
+    SELECT l_returnflag AS returnflag,
+           round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(38,4))) as double), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE date_trunc('month', l_shipdate) >= DATE '1997-06-01'
+    GROUP BY 1
+    """,
+)
+def q65_lattice_range_drill(spark, sf_dir):
+    """Range-filtered query served FROM a registered cube lattice: the
+    planner reads the (returnflag, ship_month) grain, applies the >= bound
+    to the materialized month values (a scan-bound over aggregate-sized
+    data, not a base re-scan), and merges finished values down to
+    returnflag — allowed because Sum/Count are reaggregatable. Extends the
+    eq/in lattice drills to every row-level filter op (engine._lattice_plan);
+    plan shape asserted in tests/test_scale_ops.py."""
+    from .operators.lattice import CubeLattice
+
+    cd = CubeDef("li")
+    cd.add_label(Label("returnflag", "l_returnflag"))
+    cd.add_label(Label("ship_month", "cast(date_trunc('month', l_shipdate) as date)"))
+    cd.add_measure(
+        Measure("revenue", dec("l_extendedprice * (1 - l_discount)"), acc=Sum())
+    )
+    cd.add_measure(Measure("n", "l_orderkey", acc=Count()))
+    li = _read(spark, sf_dir, "lineitem")
+    board = CuttingBoard(cd, li, cache_results=False)
+    lat = CubeLattice(
+        cd, li, axes=("returnflag", "ship_month"),
+        values=("revenue", "n"), persist=False,
+    )
+    board.register_lattice(lat)
+    q = (
+        CubeQuery()
+        .add_axis("returnflag")
+        .add_value("revenue")
+        .add_value("n")
+        .add_filter("ship_month", "ge", dt.date(1997, 6, 1))
+    )
+    return finalize(board.slice(q).to_df(), {"revenue": 2})

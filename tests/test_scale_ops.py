@@ -168,12 +168,63 @@ def test_lattice_registered_in_planner(sales, cubedef):
         )
         df4 = board2.slice(q4).to_df()
         assert "_gid" not in df4._jdf.queryExecution().optimizedPlan().toString()
+        # ...and a RANGE drill on a dropped axis is gated the same way
+        q4r = (
+            CubeQuery()
+            .add_axis("state")
+            .add_value("avg_price")
+            .add_filter("city", "ge", "c2")
+        )
+        assert "_gid" not in (
+            board2.slice(q4r).to_df()._jdf.queryExecution().optimizedPlan().toString()
+        )
         lat2.unpersist()
         board2.clear_cache()
-        # non-eq/in filters still bypass the lattice
-        q5 = CubeQuery().add_axis("state").add_value("units").add_filter("city", "ne", "c1")
-        df5 = board.slice(q5).to_df()
-        assert "_gid" not in df5._jdf.queryExecution().optimizedPlan().toString()
+        # range/ne filters on a dropped lattice axis drill in too (merge of
+        # finished values, reaggregatable-gated): scan bounds over the
+        # materialized grain instead of a base re-scan
+        for op, val, pred in (
+            ("ne", "c1", F.col("city") != "c1"),
+            ("ge", "c2", F.col("city") >= "c2"),
+            ("lt", "c2", F.col("city") < "c2"),
+        ):
+            q5 = (
+                CubeQuery()
+                .add_axis("state")
+                .add_value("units")
+                .add_filter("city", op, val)
+            )
+            df5 = board.slice(q5).to_df()
+            assert "_gid" in df5._jdf.queryExecution().optimizedPlan().toString(), op
+            got5 = {r["state"]: r["units"] for r in df5.collect()}
+            want5 = {
+                r["state"]: r["units"]
+                for r in sales.filter(pred)
+                .groupBy("state")
+                .agg(F.sum("units").alias("units"))
+                .collect()
+            }
+            assert got5 == want5, op
+        # a range filter on a KEPT axis projects one-to-one — no reagg, so
+        # it serves even non-reaggregatable values
+        q6 = (
+            CubeQuery()
+            .add_axis("state")
+            .add_axis("city")
+            .add_value("units")
+            .add_filter("city", "ge", "c2")
+        )
+        df6 = board.slice(q6).to_df()
+        assert "_gid" in df6._jdf.queryExecution().optimizedPlan().toString()
+        got6 = {(r["state"], r["city"]): r["units"] for r in df6.collect()}
+        want6 = {
+            (r["state"], r["city"]): r["units"]
+            for r in sales.filter(F.col("city") >= "c2")
+            .groupBy("state", "city")
+            .agg(F.sum("units").alias("units"))
+            .collect()
+        }
+        assert got6 == want6
     finally:
         lat.unpersist()
         board.clear_cache()
