@@ -2414,3 +2414,97 @@ def q65_lattice_range_drill(spark, sf_dir):
         .add_filter("ship_month", "ge", dt.date(1997, 6, 1))
     )
     return finalize(board.slice(q).to_df(), {"revenue": 2})
+
+
+@query(
+    "q66_streaming_asof_forward",
+    """
+    SELECT e.event_id, e.user_id, e.value,
+           CASE WHEN epoch_us(c.ts) - epoch_us(e.ts) <= 86400000000
+                THEN c.event_id END AS next_click_event_id,
+           CASE WHEN epoch_us(c.ts) - epoch_us(e.ts) <= 86400000000
+                THEN epoch_us(c.ts) - epoch_us(e.ts) END AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts <= c.ts
+    """,
+)
+def q66_streaming_asof_forward(spark, sf_dir):
+    """TRUE streaming FORWARD as-of join with an EXACT oracle: each
+    purchase matched to the user's EARLIEST click at-or-after it, within a
+    1-day tolerance (forward streaming as-of requires the tolerance — it
+    bounds both when a left row can finalize and how much right state is
+    retained; streaming/asof.py). Same staging as q64: both sides stream
+    file-by-file, a sentinel purchase past max_ts + tolerance + delay
+    flushes all state, and the appended output must hash-match DuckDB's
+    forward ASOF JOIN with the tolerance applied as a post-filter (the
+    nearest forward match is beyond tolerance iff no match is within it)."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .streaming.asof import streaming_asof_join
+    from .streaming.windows import run_stream_to_memory, scratch_dir
+
+    TOL_US = 86_400_000_000  # 1 day
+    ev = _read(spark, sf_dir, "events")
+    both = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .select("event_type", "event_id", "user_id", "ts", "value")
+        .toPandas()
+    )
+    pcols, ccols = ["event_id", "user_id", "ts", "value"], ["user_id", "ts", "event_id"]
+    pdf = both[both["event_type"] == "purchase"][pcols]
+    cdf = both[both["event_type"] == "click"][ccols]
+    hi = both["ts"].max()
+    d = scratch_dir("bacon_q66_")
+    ldir, rdir = d + "/purchases", d + "/clicks"
+    os.makedirs(ldir), os.makedirs(rdir)
+    sent = pdf.iloc[:1].copy()
+    sent["event_id"], sent["user_id"], sent["value"] = -1, -1, 0.0
+    # watermark must clear max left_ts + tolerance for every real purchase
+    # to finalize: sentinel at hi + tolerance + 2h with a 30-minute delay
+    sent["ts"] = hi + dt.timedelta(days=1, hours=2)
+    stage = [
+        (ldir + "/f0.parquet", pdf),
+        (rdir + "/f0.parquet", cdf),
+        (ldir + "/f1.parquet", sent),
+    ]
+    for i, (path, frame) in enumerate(stage):
+        pq.write_table(
+            pa.Table.from_pandas(frame, preserve_index=False),
+            path, coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+        os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    pschema = "event_id long, user_id long, ts timestamp, value double"
+    cschema = "user_id long, ts timestamp, event_id long"
+    out = streaming_asof_join(
+        spark.readStream.schema(pschema)
+        .option("maxFilesPerTrigger", 1).parquet(ldir),
+        spark.readStream.schema(cschema)
+        .option("maxFilesPerTrigger", 1).parquet(rdir),
+        on=["user_id"], left_ts="ts", prefix="click_",
+        direction="forward", tolerance_us=TOL_US,
+        delay="30 minutes", shards=32,
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_stream_to_memory(out, "q66_stream", mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(d, ignore_errors=True)
+    return (
+        spark.table("q66_stream")
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.col("click_event_id").alias("next_click_event_id"),
+            (F.unix_micros("click_ts") - F.unix_micros("ts")).alias("gap_us"),
+        )
+    )

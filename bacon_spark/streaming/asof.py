@@ -16,11 +16,13 @@ within a shard the per-key as-of matching is one vectorized
 ``pd.merge_asof(by=key)`` call (C merge over Arrow batches) rather than
 per-key Python.  State per shard is two buffers:
 
-* left rows not yet finalizable (event time >= watermark: an earlier
-  right row could still arrive), and
-* right rows at-or-after the watermark, plus — per key — ONE carry row,
-  the latest right row strictly before it (everything older can never
-  be the best match for any future left row).
+* left rows not yet finalizable (a right row that beats the current
+  match could still arrive), and
+* the right rows a pending or future left could still match: backward,
+  everything at-or-after the watermark plus — per key — ONE carry row,
+  the latest right row strictly before it; forward, everything after
+  watermark - tolerance (forward match windows are tolerance-bounded,
+  so no carry row exists or is needed).
 
 So state is bounded by (rows inside the watermark horizon) + (one carry
 row per key), not by stream length.  Left rows finalize — emit exactly
@@ -55,10 +57,15 @@ def _make_fn(
     payload_cols: list[str],
     ts_names: set[str],
     prefix: str,
+    direction: str,
     allow_exact_matches: bool,
     tolerance_us: int | None,
 ):
     out_names = [*key_names, *left_cols, *[prefix + c for c in payload_cols]]
+    # a left row is final once no future right can land in its match
+    # window: backward windows end AT the left ts, forward windows extend
+    # tolerance_us past it (forward requires a tolerance, enforced below)
+    horizon_us = tolerance_us if direction == "forward" else 0
 
     def fn(key, pdf_iter, state):
         import pandas as pd
@@ -89,29 +96,38 @@ def _make_fn(
         rdf = pd.DataFrame({"_kj": rkey, "_ts": rts, "_pay": rpay}).astype(dt)
         rdf = rdf.sort_values(["_ts", "_pay"], kind="stable", ignore_index=True)
 
-        matured = ldf[ldf["_ts"] < wm_us]
-        keep_l = ldf[ldf["_ts"] >= wm_us]
+        matured = ldf[ldf["_ts"] < wm_us - horizon_us]
+        keep_l = ldf[ldf["_ts"] >= wm_us - horizon_us]
 
         emitted = None
         if len(matured):
-            # vectorized per-key as-of: right sorted by (_ts, _pay) so the
-            # "last row <= t" merge_asof picks is the greatest (ts, payload)
-            # pair — the deterministic tie-break the batch operator uses
+            # vectorized per-key as-of over rights sorted by (_ts, _pay):
+            # among equal-ts rights, backward merge_asof picks the LAST
+            # (greatest payload) and forward the FIRST (least payload) —
+            # the same deterministic extremum-struct tie-breaks the batch
+            # operator's window/carry formulation uses
             emitted = pd.merge_asof(
                 matured.sort_values("_ts", kind="stable", ignore_index=True),
                 rdf.rename(columns={"_pay": "_rpay"}),
                 on="_ts",
                 by="_kj",
-                direction="backward",
+                direction=direction,
                 allow_exact_matches=allow_exact_matches,
                 tolerance=tolerance_us,
             )
 
-        # prune rights: all at-or-after the watermark + per key the latest
-        # strictly-before row (the carry a future left may still match)
-        before = rdf[rdf["_ts"] < wm_us]
-        carry = before.groupby("_kj", sort=False).tail(1)
-        keep_r = pd.concat([carry, rdf[rdf["_ts"] >= wm_us]])
+        if direction == "backward":
+            # prune rights: all at-or-after the watermark + per key the
+            # latest strictly-before row (the carry a future left may
+            # still match)
+            before = rdf[rdf["_ts"] < wm_us]
+            carry = before.groupby("_kj", sort=False).tail(1)
+            keep_r = pd.concat([carry, rdf[rdf["_ts"] >= wm_us]])
+        else:
+            # forward: surviving lefts have ts >= wm - tolerance and
+            # future lefts have ts >= wm, so no right below wm - tolerance
+            # can start a match window — no carry row needed
+            keep_r = rdf[rdf["_ts"] >= wm_us - horizon_us]
 
         if len(keep_l) or len(keep_r):
             state.update(
@@ -161,16 +177,23 @@ def streaming_asof_join(
     left_ts: str,
     right_ts: str | None = None,
     *,
+    direction: str = "backward",
     allow_exact_matches: bool = True,
     tolerance_us: int | None = None,
     prefix: str = "",
     delay: str = "1 hour",
     shards: int = 128,
 ) -> DataFrame:
-    """Backward as-of join of two STREAMING frames (left-join semantics,
-    append output): each left row is emitted exactly once — when the
-    watermark passes its event time — carrying the latest right row with
-    ``right_ts`` at-or-before its ``left_ts`` on the same ``on`` keys.
+    """As-of join of two STREAMING frames (left-join semantics, append
+    output): each left row is emitted exactly once, carrying the latest
+    right row with ``right_ts`` at-or-before its ``left_ts``
+    (``backward``, emitted when the watermark passes the left event
+    time) or the earliest right row at-or-after it (``forward``, emitted
+    when the watermark passes left time + tolerance), matched on the
+    same ``on`` keys.  ``forward`` REQUIRES ``tolerance_us``: without a
+    bound on the match window a left row could wait forever for a right
+    and state would grow with stream length; with it, state stays
+    (rows within horizon + tolerance) and needs no carry row.
 
     On batch frames this delegates to the batch ``asof_join`` (same
     contract), so batch runs pin the streaming semantics for the oracle.
@@ -184,11 +207,16 @@ def streaming_asof_join(
     ``shards`` bounds state-store groups (and per-trigger Python calls);
     raise it when a single shard's in-horizon rows outgrow one task.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction == "forward" and tolerance_us is None:
+        raise ValueError("forward streaming as-of join requires tolerance_us")
     if not (left.isStreaming or right.isStreaming):
         from ..operators.temporal import asof_join
 
         return asof_join(
             left, right, on, left_ts, right_ts,
+            direction=direction,
             allow_exact_matches=allow_exact_matches,
             tolerance_us=tolerance_us, prefix=prefix,
         )
@@ -232,7 +260,7 @@ def streaming_asof_join(
 
     fn = _make_fn(
         on, left_cols, payload_cols, ts_names, prefix,
-        allow_exact_matches, tolerance_us,
+        direction, allow_exact_matches, tolerance_us,
     )
     return merged.groupBy("_shard").applyInPandasWithState(
         fn, ddl, _STATE_SCHEMA, "append", GroupStateTimeout.EventTimeTimeout

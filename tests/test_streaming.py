@@ -261,6 +261,80 @@ def test_streaming_asof_join_equals_batch(spark, tmpdir):
     assert got[4] == (None, None)
 
 
+def test_streaming_asof_join_forward_equals_batch(spark, tmpdir):
+    """Forward direction: each trade matches the EARLIEST quote at-or-after
+    it within tolerance; a trade only finalizes once the watermark clears
+    its whole match window (tts + tolerance). Same file-by-file streaming
+    setup as the backward test; output must equal the batch forward join."""
+    import os
+
+    import pytest
+
+    from bacon_spark.operators.temporal import asof_join
+    from bacon_spark.streaming.asof import streaming_asof_join
+    from bacon_spark.streaming.windows import run_stream_to_memory
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    tdir, qdir = os.path.join(tmpdir, "ftrades"), os.path.join(tmpdir, "fquotes")
+    TSCH = "sym string, tts timestamp, qty long"
+    QSCH = "sym string, qts timestamp, price double"
+    tfiles = [
+        [("A", mk(10), 1), ("B", mk(12), 2)],
+        [("A", mk(30), 3), ("C", mk(31), 4)],         # C has no quotes
+        [("A", mk(50), 5), ("B", mk(55), 6)],
+        [("ZZ", mk(100_000), 99)],                    # sentinel: flush
+    ]
+    qfiles = [
+        [("A", mk(0), 1.0), ("B", mk(5), 10.0)],
+        [("A", mk(30), 2.0)],                         # exact tie with trade
+        [("A", mk(45), 3.0), ("B", mk(40), 11.0)],    # B gap 28s > tolerance
+        [("A", mk(60), 9.9)],
+    ]
+    for rows in tfiles:
+        spark.createDataFrame(rows, TSCH).coalesce(1).write.mode("append").parquet(tdir)
+    for rows in qfiles:
+        spark.createDataFrame(rows, QSCH).coalesce(1).write.mode("append").parquet(qdir)
+
+    kw = dict(
+        on=["sym"], left_ts="tts", right_ts="qts", prefix="q_",
+        direction="forward", tolerance_us=20_000_000,
+    )
+    out = streaming_asof_join(
+        spark.readStream.schema(TSCH).option("maxFilesPerTrigger", 1).parquet(tdir),
+        spark.readStream.schema(QSCH).option("maxFilesPerTrigger", 1).parquet(qdir),
+        delay="10 seconds", **kw,
+    )
+    run_stream_to_memory(out, "t_asof_fwd", mode="append")
+    got = {
+        r["qty"]: (r["q_price"], r["q_qts"])
+        for r in spark.sql("select * from t_asof_fwd").collect()
+        if r["sym"] != "ZZ"
+    }
+    batch = asof_join(
+        spark.read.schema(TSCH).parquet(tdir).filter("sym <> 'ZZ'"),
+        spark.read.schema(QSCH).parquet(qdir), **kw,
+    )
+    want = {r["qty"]: (r["q_price"], r["q_qts"]) for r in batch.collect()}
+    assert got == want and len(got) == 6
+    # spot-check the semantics, not just the equivalence:
+    assert got[1] == (2.0, mk(30))    # earliest at-or-after, exactly at tol
+    assert got[3] == (2.0, mk(30))    # exact-match tie
+    assert got[2] == (None, None)     # next quote beyond tolerance
+    assert got[4] == (None, None)     # keyless
+    assert got[5] == (9.9, mk(60))
+
+    with pytest.raises(ValueError, match="tolerance_us"):
+        streaming_asof_join(
+            spark.readStream.schema(TSCH).parquet(tdir),
+            spark.readStream.schema(QSCH).parquet(qdir),
+            on=["sym"], left_ts="tts", right_ts="qts", direction="forward",
+        )
+
+
 def test_streaming_asof_join_batch_delegates(spark):
     from bacon_spark.streaming.asof import streaming_asof_join
 
