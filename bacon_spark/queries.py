@@ -2508,3 +2508,95 @@ def q66_streaming_asof_forward(spark, sf_dir):
             (F.unix_micros("click_ts") - F.unix_micros("ts")).alias("gap_us"),
         )
     )
+
+
+@query(
+    "q67_streaming_overlap_join",
+    """
+    WITH spans AS (
+      SELECT user_id, event_type, date_trunc('day', ts) AS d,
+             min(ts) AS lo, max(ts) + INTERVAL 1 MICROSECOND AS hi
+      FROM events GROUP BY 1, 2, 3
+    ),
+    err AS (SELECT * FROM spans WHERE event_type = 'error'),
+    pur AS (SELECT user_id, date_trunc('week', lo) AS wk,
+                   min(lo) AS lo, max(hi) AS hi
+            FROM spans WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT err.user_id, strftime(err.d, '%Y-%m-%d') AS day,
+           strftime(pur.wk, '%Y-%m-%d') AS week
+    FROM err JOIN pur
+      ON err.user_id = pur.user_id AND err.lo < pur.hi AND pur.lo < err.hi
+    """,
+)
+def q67_streaming_overlap_join(spark, sf_dir):
+    """TRUE streaming interval-overlap join with an EXACT oracle
+    (streaming/overlap.py): per-(user, day) error-activity spans stream
+    against per-(user, week) purchase-activity spans; every overlapping
+    pair is emitted exactly once, in the micro-batch where the second
+    side arrives — no watermark wait and no flush sentinel, unlike the
+    streaming as-of queries, because symmetric-join emission only needs
+    both rows present. The delay exceeds the fixture's one-month time
+    span so the cross-side watermark cannot drop the later-staged side;
+    state pruning under a tight watermark is covered by the unit tests."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .streaming.overlap import streaming_overlap_join
+    from .streaming.windows import run_stream_to_memory, scratch_dir
+
+    ev = _read(spark, sf_dir, "events")
+    spans = (
+        ev.filter(F.col("event_type").isin("error", "purchase"))
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("d"), "event_type")
+        .agg(
+            F.min("ts").alias("lo"),
+            (F.max("ts") + F.expr("interval 1 microsecond")).alias("hi"),
+        )
+    )
+    err = (
+        spans.filter(F.col("event_type") == "error")
+        .select("user_id", "d", F.col("lo").alias("e_lo"), F.col("hi").alias("e_up"))
+        .toPandas()
+    )
+    pur = (
+        spans.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("week", F.col("lo")).alias("wk"))
+        .agg(F.min("lo").alias("p_lo"), F.max("hi").alias("p_up"))
+        .toPandas()
+    )
+    d = scratch_dir("bacon_q67_")
+    ldir, rdir = d + "/errors", d + "/purchases"
+    os.makedirs(ldir), os.makedirs(rdir)
+    stage = [(ldir + "/f0.parquet", err), (rdir + "/f0.parquet", pur)]
+    for i, (path, frame) in enumerate(stage):
+        pq.write_table(
+            pa.Table.from_pandas(frame, preserve_index=False),
+            path, coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+        os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    eschema = "user_id long, d timestamp, e_lo timestamp, e_up timestamp"
+    pschema = "user_id long, wk timestamp, p_lo timestamp, p_up timestamp"
+    out = streaming_overlap_join(
+        spark.readStream.schema(eschema)
+        .option("maxFilesPerTrigger", 1).parquet(ldir),
+        spark.readStream.schema(pschema)
+        .option("maxFilesPerTrigger", 1).parquet(rdir),
+        "e_lo", "e_up", "p_lo", "p_up",
+        on=["user_id"], prefix="r_", delay="35 days", shards=32,
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_stream_to_memory(out, "q67_stream", mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table("q67_stream").select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.date_format("r_wk", "yyyy-MM-dd").alias("week"),
+    )

@@ -335,6 +335,94 @@ def test_streaming_asof_join_forward_equals_batch(spark, tmpdir):
         )
 
 
+def _overlap_fixture(spark, tmpdir, subdir):
+    """Two streams of keyed intervals, staged file-by-file so pairs form
+    across micro-batches: sessions (left) and incidents (right)."""
+    import os
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    sdir = os.path.join(tmpdir, subdir + "_s")
+    idir = os.path.join(tmpdir, subdir + "_i")
+    SSCH = "sym string, s_lo timestamp, s_up timestamp, sid long"
+    ISCH = "sym string, i_lo timestamp, i_up timestamp, iid long"
+    sfiles = [
+        [("A", mk(0), mk(100), 1), ("B", mk(10), mk(20), 2)],
+        [("A", mk(150), mk(160), 3), ("C", mk(0), mk(50), 4)],
+        # long session arriving late-ish: overlaps incidents already seen
+        [("A", mk(5), mk(400), 5), ("B", mk(300), mk(310), 6)],
+    ]
+    ifiles = [
+        [("A", mk(90), mk(210), 10)],                  # meets sid 1 and later 5
+        [("B", mk(15), mk(16), 11), ("A", mk(380), mk(500), 12)],
+        [("B", mk(305), mk(306), 13), ("C", mk(60), mk(70), 14)],  # 14: no pair
+    ]
+    for rows in sfiles:
+        spark.createDataFrame(rows, SSCH).coalesce(1).write.mode("append").parquet(sdir)
+    for rows in ifiles:
+        spark.createDataFrame(rows, ISCH).coalesce(1).write.mode("append").parquet(idir)
+    return sdir, idir, SSCH, ISCH
+
+
+@pytest.mark.parametrize("bucket_us", [None, 60_000_000])
+def test_streaming_overlap_join_equals_batch(spark, tmpdir, bucket_us):
+    """Every overlapping (session, incident) pair appears exactly once in
+    the appended output, equal to the batch overlap join — in both the
+    keyed mode and the (key, time-bucket) mode, where interval pairs
+    sharing several buckets must still emit single (sid 5 x iid 10 share
+    minutes 1-3; sid 5 x iid 12 share 380-400)."""
+    from bacon_spark.streaming.overlap import streaming_overlap_join
+    from bacon_spark.streaming.windows import run_stream_to_memory
+
+    sdir, idir, SSCH, ISCH = _overlap_fixture(
+        spark, tmpdir, f"ov{1 if bucket_us else 0}"
+    )
+    kw = dict(on=["sym"], prefix="i_", bucket_us=bucket_us)
+    out = streaming_overlap_join(
+        spark.readStream.schema(SSCH).option("maxFilesPerTrigger", 1).parquet(sdir),
+        spark.readStream.schema(ISCH).option("maxFilesPerTrigger", 1).parquet(idir),
+        "s_lo", "s_up", "i_lo", "i_up", delay="10 minutes", **kw,
+    )
+    name = f"t_ov_{1 if bucket_us else 0}"
+    run_stream_to_memory(out, name, mode="append")
+    got = sorted(
+        (r["sid"], r["i_iid"]) for r in spark.sql(f"select * from {name}").collect()
+    )
+    batch = streaming_overlap_join(
+        spark.read.schema(SSCH).parquet(sdir),
+        spark.read.schema(ISCH).parquet(idir),
+        "s_lo", "s_up", "i_lo", "i_up", **kw,
+    )
+    want = sorted((r["sid"], r["i_iid"]) for r in batch.collect())
+    assert got == want
+    assert got == [(1, 10), (2, 11), (3, 10), (5, 10), (5, 12), (6, 13)]
+    # exactly-once: no pair duplicated even across shared buckets
+    assert len(got) == len(set(got))
+
+
+def test_streaming_overlap_join_validation(spark, tmpdir):
+    from bacon_spark.streaming.overlap import streaming_overlap_join
+
+    sdir, idir, SSCH, ISCH = _overlap_fixture(spark, tmpdir, "ovv")
+    with pytest.raises(ValueError, match="keys or bucket_us"):
+        streaming_overlap_join(
+            spark.readStream.schema(SSCH).parquet(sdir),
+            spark.readStream.schema(ISCH).parquet(idir),
+            "s_lo", "s_up", "i_lo", "i_up",
+        )
+    with pytest.raises(ValueError, match="collision"):
+        streaming_overlap_join(
+            spark.readStream.schema(SSCH).parquet(sdir),
+            spark.readStream.schema(
+                "sym string, s_lo timestamp, s_up timestamp, x long"
+            ).parquet(idir),
+            "s_lo", "s_up", "s_lo", "s_up", on=["sym"], prefix="",
+        )
+
+
 def test_streaming_asof_join_batch_delegates(spark):
     from bacon_spark.streaming.asof import streaming_asof_join
 
