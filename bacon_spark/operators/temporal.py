@@ -48,9 +48,13 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join: for every left row, the single right row with the
     nearest ``right_ts`` at-or-before (``backward``) / at-or-after
-    (``forward``) the left row's ``left_ts``, matching on the equality
+    (``forward``) / closest in absolute distance (``nearest``, ties
+    break backward) the left row's ``left_ts``, matching on the equality
     columns ``on`` (same names both sides).  Unmatched left rows keep
-    nulls (left-join semantics).
+    nulls (left-join semantics).  ``nearest`` computes both directional
+    candidates over the SAME union — still one shuffle on the key (two
+    sorts inside one exchange) — and picks per row after applying
+    ``tolerance_us`` to each side independently.
 
     Every non-key right column (including ``right_ts``) appears in the
     output as ``prefix + name``.  ``tolerance_us`` nulls the match when
@@ -68,8 +72,11 @@ def asof_join(
     key.  Results are identical to the unchunked path
     (equivalence-tested both directions).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
+    dirs = ("backward", "forward") if direction == "nearest" else (direction,)
     rt = right_ts or left_ts
     on = list(on)
     payload_cols = [c for c in right.columns if c not in on]
@@ -80,49 +87,47 @@ def asof_join(
     )
     l2 = left.withColumn("_asof_ts", F.col(left_ts))
 
-    # Tie handling via the tag sort key: the window frame is anchored at
-    # the left row, so a right row with equal ts is included iff it sorts
-    # on the frame's side of the left row.
-    left_tag = 1
-    if direction == "backward":
-        right_tag = 0 if allow_exact_matches else 2
-        frame = (Window.unboundedPreceding, Window.currentRow)
-        pick = F.last
-    else:
-        right_tag = 2 if allow_exact_matches else 0
-        frame = (Window.currentRow, Window.unboundedFollowing)
-        pick = F.first
+    # Tie handling via a per-direction sort tag: the window frame is
+    # anchored at the left row (tag 1), so a right row with equal ts is
+    # included iff it sorts on the frame's side of the left row.
+    def right_tag(d: str) -> int:
+        if d == "backward":
+            return 0 if allow_exact_matches else 2
+        return 2 if allow_exact_matches else 0
 
-    merged = r2.withColumn("_tag", F.lit(right_tag)).unionByName(
-        l2.withColumn("_tag", F.lit(left_tag)), allowMissingColumns=True
-    )
-    order = [F.col("_asof_ts"), F.col("_tag"), F.col("_asof").asc_nulls_first()]
+    FRAMES = {
+        "backward": (Window.unboundedPreceding, Window.currentRow),
+        "forward": (Window.currentRow, Window.unboundedFollowing),
+    }
+    PICKS = {"backward": F.last, "forward": F.first}
+
+    rr, ll = r2.withColumn("_tag", F.lit(0)), l2.withColumn("_tag", F.lit(1))
+    for d in dirs:
+        rr = rr.withColumn(f"_ot_{d}", F.lit(right_tag(d)))
+        ll = ll.withColumn(f"_ot_{d}", F.lit(1))
+    merged = rr.unionByName(ll, allowMissingColumns=True)
+
+    def order(d: str):
+        return [
+            F.col("_asof_ts"),
+            F.col(f"_ot_{d}"),
+            F.col("_asof").asc_nulls_first(),
+        ]
+
     if chunk_us is None:
-        w = Window.partitionBy(*on).orderBy(*order).rowsBetween(*frame)
-        matched = merged.withColumn(
-            "_m", pick("_asof", ignorenulls=True).over(w)
-        ).filter(F.col("_tag") == left_tag)
-        m = F.col("_m")
+        # all windows share partitionBy(on): ONE exchange, one sort per
+        # direction inside it
+        matched = merged
+        for d in dirs:
+            w = Window.partitionBy(*on).orderBy(*order(d)).rowsBetween(*FRAMES[d])
+            matched = matched.withColumn(
+                f"_m_{d}", PICKS[d]("_asof", ignorenulls=True).over(w)
+            )
+        matched = matched.filter(F.col("_tag") == 1)
     else:
         b = F.lit(chunk_us)
         us = F.unix_micros(F.col("_asof_ts"))
         merged = merged.withColumn("_chk", ((us - us % b) / b).cast("long"))
-        # per-(key, chunk) best right row as a struct extremum on
-        # (ts, payload): backward wants the latest (struct max = max ts,
-        # then max payload — the winner the in-chunk `last` picks),
-        # forward the earliest (struct min — the in-chunk `first` winner)
-        chunk_agg = F.max if direction == "backward" else F.min
-        chunk_best = (
-            r2.withColumn(
-                "_chk",
-                (
-                    (F.unix_micros(F.col("_asof_ts")) - F.unix_micros(F.col("_asof_ts")) % b)
-                    / b
-                ).cast("long"),
-            )
-            .groupBy(*on, "_chk")
-            .agg(chunk_agg(F.struct(F.col("_asof_ts"), F.col("_asof"))).alias("_cl"))
-        )
         # carry into a chunk = best right row of ANY earlier chunk
         # (backward) / later chunk (forward): a running extremum over the
         # (key, chunk) sequence — which must include every chunk the LEFT
@@ -133,37 +138,75 @@ def asof_join(
         # that), so this window is cheap and, unlike the data window,
         # never hot.
         chunk_ids = merged.select(*on, "_chk").distinct()
-        carry_frame = (
-            (Window.unboundedPreceding, -1)
-            if direction == "backward"
-            else (1, Window.unboundedFollowing)
+        r_chunked = r2.withColumn(
+            "_chk",
+            (
+                (F.unix_micros(F.col("_asof_ts")) - F.unix_micros(F.col("_asof_ts")) % b)
+                / b
+            ).cast("long"),
         )
-        wc = (
-            Window.partitionBy(*on)
-            .orderBy(F.col("_chk"))
-            .rowsBetween(*carry_frame)
-        )
-        carry = (
-            chunk_ids.join(chunk_best, on=[*on, "_chk"], how="left")
-            .select(
-                *on,
-                "_chk",
-                chunk_agg("_cl").over(wc).getField("_asof").alias("_carry"),
+        matched = merged
+        carries = []
+        for d in dirs:
+            # per-(key, chunk) best right row as a struct extremum on
+            # (ts, payload): backward wants the latest (struct max = max
+            # ts, then max payload — the winner the in-chunk `last`
+            # picks), forward the earliest (struct min — the in-chunk
+            # `first` winner)
+            chunk_agg = F.max if d == "backward" else F.min
+            chunk_best = r_chunked.groupBy(*on, "_chk").agg(
+                chunk_agg(F.struct(F.col("_asof_ts"), F.col("_asof"))).alias("_cl")
             )
+            carry_frame = (
+                (Window.unboundedPreceding, -1)
+                if d == "backward"
+                else (1, Window.unboundedFollowing)
+            )
+            wc = (
+                Window.partitionBy(*on)
+                .orderBy(F.col("_chk"))
+                .rowsBetween(*carry_frame)
+            )
+            carries.append(
+                chunk_ids.join(chunk_best, on=[*on, "_chk"], how="left").select(
+                    *on,
+                    "_chk",
+                    chunk_agg("_cl").over(wc).getField("_asof").alias(f"_carry_{d}"),
+                )
+            )
+            w = (
+                Window.partitionBy(*on, "_chk")
+                .orderBy(*order(d))
+                .rowsBetween(*FRAMES[d])
+            )
+            matched = matched.withColumn(
+                f"_m0_{d}", PICKS[d]("_asof", ignorenulls=True).over(w)
+            )
+        matched = matched.filter(F.col("_tag") == 1)
+        for d, carry in zip(dirs, carries):
+            matched = matched.join(carry, on=[*on, "_chk"], how="left").withColumn(
+                f"_m_{d}", F.coalesce(F.col(f"_m0_{d}"), F.col(f"_carry_{d}"))
+            )
+
+    def with_tol(m: Column) -> Column:
+        if tolerance_us is None:
+            return m
+        gap = F.abs(F.unix_micros(F.col(left_ts)) - F.unix_micros(m.getField(rt)))
+        return F.when(gap <= F.lit(tolerance_us), m)
+
+    if direction != "nearest":
+        m = with_tol(F.col(f"_m_{direction}"))
+    else:
+        mb = with_tol(F.col("_m_backward"))
+        mf = with_tol(F.col("_m_forward"))
+        gb = F.unix_micros(F.col(left_ts)) - F.unix_micros(mb.getField(rt))
+        gf = F.unix_micros(mf.getField(rt)) - F.unix_micros(F.col(left_ts))
+        m = (
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(gf < gb, mf)
+            .otherwise(mb)
         )
-        w = Window.partitionBy(*on, "_chk").orderBy(*order).rowsBetween(*frame)
-        matched = (
-            merged.withColumn("_m0", pick("_asof", ignorenulls=True).over(w))
-            .filter(F.col("_tag") == left_tag)
-            .join(carry, on=[*on, "_chk"], how="left")
-            .withColumn("_m", F.coalesce(F.col("_m0"), F.col("_carry")))
-        )
-        m = F.col("_m")
-    if tolerance_us is not None:
-        gap = F.abs(
-            F.unix_micros(F.col(left_ts)) - F.unix_micros(m.getField(rt))
-        )
-        m = F.when(gap <= F.lit(tolerance_us), F.col("_m"))
     out_cols = [F.col(c) for c in left.columns]
     out_cols += [m.getField(c).alias(prefix + c) for c in payload_cols]
     return matched.select(*out_cols)

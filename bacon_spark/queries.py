@@ -2600,3 +2600,59 @@ def q67_streaming_overlap_join(spark, sf_dir):
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         F.date_format("r_wk", "yyyy-MM-dd").alias("week"),
     )
+
+
+@query(
+    "q68_asof_nearest",
+    """
+    WITH e AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    b AS (SELECT e.event_id, c.event_id AS bid, c.ts AS bts
+          FROM e ASOF LEFT JOIN c
+            ON e.user_id = c.user_id AND e.ts >= c.ts),
+    f AS (SELECT e.event_id, c.event_id AS fid, c.ts AS fts
+          FROM e ASOF LEFT JOIN c
+            ON e.user_id = c.user_id AND e.ts <= c.ts)
+    SELECT e.event_id, e.user_id,
+      CASE WHEN b.bid IS NULL THEN f.fid
+           WHEN f.fid IS NULL THEN b.bid
+           WHEN epoch_us(f.fts) - epoch_us(e.ts)
+              < epoch_us(e.ts) - epoch_us(b.bts) THEN f.fid
+           ELSE b.bid END AS click_event_id,
+      CASE WHEN b.bid IS NULL THEN epoch_us(f.fts) - epoch_us(e.ts)
+           WHEN f.fid IS NULL THEN epoch_us(b.bts) - epoch_us(e.ts)
+           WHEN epoch_us(f.fts) - epoch_us(e.ts)
+              < epoch_us(e.ts) - epoch_us(b.bts)
+             THEN epoch_us(f.fts) - epoch_us(e.ts)
+           ELSE epoch_us(b.bts) - epoch_us(e.ts) END AS gap_us
+    FROM e
+    JOIN b USING (event_id)
+    JOIN f USING (event_id)
+    """,
+)
+def q68_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of join (operators/temporal.py): each
+    purchase matched to the same user's click closest in time, either
+    side, ties breaking backward. One shuffle on user_id — both
+    directional candidates come from two window passes inside the same
+    exchange, no join node. The oracle reconstructs 'nearest' from
+    DuckDB's backward and forward ASOF joins plus a CASE pick, which
+    also pins the tie-break (forward wins only on strictly smaller
+    gap)."""
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = _temporal.asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts",
+        direction="nearest", prefix="click_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("click_event_id"),
+        (F.unix_micros("click_ts") - F.unix_micros("ts")).alias("gap_us"),
+    )

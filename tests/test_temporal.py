@@ -302,3 +302,87 @@ def test_overlap_join_bucketed_rejects_outer(spark):
     df2 = df.select(F.col("lo").alias("lo2"), F.col("hi").alias("hi2"))
     with pytest.raises(ValueError):
         overlap_join(df, df2, "lo", "hi", "lo2", "hi2", how="left", bucket_us=1_000_000)
+
+
+def test_asof_nearest(quotes, trades):
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="tts", right_ts="qts",
+        direction="nearest", prefix="q_",
+    )
+    got = _by_qty(out.collect())
+    assert got[1] == (11.0, ts(10))   # exact match, distance 0
+    assert got[2] == (11.0, ts(10))   # 5s back == 5s fwd -> tie breaks backward
+    assert got[3] == (12.0, ts(20))   # only a backward candidate
+    assert got[4] == (100.0, ts(5))   # only a forward candidate
+    assert got[5] == (None, None)     # key absent from right
+    assert out.count() == 5
+
+
+def test_asof_nearest_tolerance_per_side(quotes, trades):
+    # tolerance nulls each directional candidate independently BEFORE the
+    # nearest pick: qty=3 sits 5s after its only (backward) quote, so a
+    # 4s tolerance leaves it unmatched rather than falling further back
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="tts", right_ts="qts",
+        direction="nearest", tolerance_us=4_000_000, prefix="q_",
+    )
+    got = _by_qty(out.collect())
+    assert got[1] == (11.0, ts(10))
+    assert got[2] == (None, None)     # both candidates 5s away > 4s
+    assert got[3] == (None, None)
+    assert got[4] == (100.0, ts(5))
+
+
+def test_asof_nearest_strict_excludes_exact(quotes, trades):
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="tts", right_ts="qts",
+        direction="nearest", allow_exact_matches=False, prefix="q_",
+    )
+    got = _by_qty(out.collect())
+    # trade at ts(10): quote at ts(10) excluded; ts(0) is 10s back,
+    # ts(20) is 10s forward -> tie breaks backward
+    assert got[1] == (10.0, ts(0))
+
+
+def test_asof_nearest_matches_bruteforce(spark):
+    # pin against a driver-side brute force over a dense interleaving,
+    # plain and chunked paths both
+    lrows = [Row(k=i % 3, lts=ts((i * 37) % 500), lid=i) for i in range(200)]
+    rrows = [Row(k=i % 3, rts=ts((i * 91) % 300), rid=i) for i in range(60)]
+    left = spark.createDataFrame(lrows)
+    right = spark.createDataFrame(rrows).dropDuplicates(["k", "rts"])
+    rmap = {}
+    for r in right.collect():
+        rmap.setdefault(r["k"], []).append((r["rts"], r["rid"]))
+
+    def brute(lrow):
+        best = None
+        for rts, rid in rmap.get(lrow["k"], []):
+            gap = abs((rts - lrow["lts"]).total_seconds())
+            # tie -> backward (rts <= lts beats rts > lts at equal gap)
+            rank = (gap, rts > lrow["lts"], -rid)
+            if best is None or rank < best[0]:
+                best = (rank, rid)
+        return best[1] if best else None
+
+    want = {r["lid"]: brute(r) for r in left.collect()}
+    for kw in ({}, {"chunk_us": 25_000_000}):
+        out = asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            direction="nearest", prefix="r_", **kw,
+        )
+        got = {r["lid"]: r["r_rid"] for r in out.collect()}
+        assert got == want, kw
+
+
+def test_asof_nearest_single_shuffle(quotes, trades):
+    # both directional windows share one hash partitioning: exactly one
+    # exchange, and still no join node
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="tts", right_ts="qts",
+        direction="nearest", prefix="q_",
+    )
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in opt
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange hashpartitioning") == 1
