@@ -22,14 +22,29 @@ Spark primitives over plain parquet directories:
   trade Delta's Z-ORDER makes (each dimension keeps ~bits/n of its
   selectivity instead of the first sort column keeping everything).
 
-The rewrite stages into a sibling directory and atomically renames on the
-same filesystem — readers see either the old or the new layout. On an
-object store this swap step is what a table format's transaction log
-replaces; everything above it (the rewrite plans) is unchanged.
+The rewrite commits in one of two ways:
+
+* default: stage into a sibling directory and atomically rename on the
+  same filesystem — readers see either the old or the new layout.
+  Correct on a local/HDFS-style filesystem, NOT on an object store
+  (multi-object "rename" is copy+delete, observable half-done).
+* ``manifest=True``: a Delta-log-shaped commit. Data files are immutable
+  and never renamed; the table's current snapshot is whatever the
+  highest-numbered manifest (``_manifest/vNNNNNNNNNN.json``, a list of
+  relative file paths) says it is. Committing a compaction = writing the
+  new files under a fresh subdirectory, then publishing ONE small
+  manifest file with a create-exclusive link — atomic, and exactly the
+  put-if-absent primitive object stores offer — so a reader pinned to
+  any manifest version always resolves a complete, consistent file set.
+  Losers of a concurrent commit race get ``ManifestConflict`` (their
+  staged files are rolled back; retry re-reads the new snapshot).
+  Old versions stay readable (time travel) until ``vacuum`` drops
+  unreferenced files.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -38,7 +53,24 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["compact", "table_files", "zorder_key"]
+__all__ = [
+    "ManifestConflict",
+    "commit_manifest",
+    "compact",
+    "manifest_read",
+    "manifest_versions",
+    "read_manifest",
+    "table_files",
+    "vacuum",
+    "zorder_key",
+]
+
+_MANIFEST_DIR = "_manifest"
+
+
+class ManifestConflict(RuntimeError):
+    """Another writer committed the same version first (optimistic
+    concurrency): re-read the latest manifest and retry."""
 
 
 def table_files(path: str) -> list[tuple[str, int]]:
@@ -52,6 +84,138 @@ def table_files(path: str) -> list[tuple[str, int]]:
                 full = os.path.join(root, f)
                 out.append((full, os.path.getsize(full)))
     return sorted(out)
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(path, _MANIFEST_DIR, f"v{version:010d}.json")
+
+
+def manifest_versions(path: str) -> list[int]:
+    """Committed manifest versions for the table at *path*, ascending."""
+    d = os.path.join(path, _MANIFEST_DIR)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.startswith("v") and f.endswith(".json"):
+            try:
+                out.append(int(f[1:-5]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def read_manifest(path: str, version: int | None = None) -> dict | None:
+    """The manifest dict at *version* (default: latest), or None when the
+    table has no manifest log yet."""
+    vs = manifest_versions(path)
+    if not vs:
+        return None
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"no manifest v{v} under {path} (have {vs})")
+    with open(_manifest_path(path, v)) as fh:
+        return json.load(fh)
+
+
+def commit_manifest(
+    path: str,
+    files: Sequence[tuple[str, int]],
+    *,
+    base_version: int | None = None,
+    op: str = "commit",
+) -> int:
+    """Publish ``base_version + 1`` listing *files* (relative path, bytes).
+
+    The manifest is fully written and fsynced to a hidden temp name, then
+    linked to its final name with create-exclusive semantics: concurrent
+    committers of the same version — one manifest file name — race on one
+    atomic filesystem op, and every loser gets ``ManifestConflict``. (On
+    an object store, the link becomes a put-if-absent of the same single
+    object.) A reader can never observe a partially written manifest.
+    """
+    d = os.path.join(path, _MANIFEST_DIR)
+    os.makedirs(d, exist_ok=True)
+    if base_version is None:
+        vs = manifest_versions(path)
+        base_version = vs[-1] if vs else 0
+    version = base_version + 1
+    entry = {
+        "version": version,
+        "parent": base_version or None,
+        "op": op,
+        "files": [{"path": p, "bytes": b} for p, b in files],
+    }
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(entry, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, _manifest_path(path, version))
+    except FileExistsError:
+        raise ManifestConflict(
+            f"manifest v{version} already committed under {path}"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    return version
+
+
+def _bootstrap_manifest(path: str) -> dict:
+    """v1 = the current directory listing (converts a plain parquet dir
+    into a manifest table without touching any data file)."""
+    files = [(os.path.relpath(f, path), b) for f, b in table_files(path)]
+    commit_manifest(path, files, base_version=0, op="bootstrap")
+    return read_manifest(path)
+
+
+def manifest_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The table as of *version* (default: latest committed snapshot).
+    Tables without a manifest log fall back to a plain directory read.
+    Only files the manifest lists are scanned, so a half-finished or
+    conflicted compaction's data files are invisible."""
+    man = read_manifest(path, version)
+    if man is None:
+        return spark.read.parquet(path)
+    return spark.read.parquet(*[os.path.join(path, f["path"]) for f in man["files"]])
+
+
+def vacuum(path: str, keep_versions: int = 1) -> dict:
+    """Delete data files referenced by none of the newest *keep_versions*
+    manifests (and drop the older manifests). The destructive half of the
+    manifest protocol — run it only when no reader still holds a doomed
+    version; commits themselves never delete anything."""
+    vs = manifest_versions(path)
+    if not vs:
+        return {"deleted_files": 0, "deleted_bytes": 0, "kept_versions": []}
+    keep = vs[-keep_versions:] if keep_versions > 0 else []
+    referenced = {
+        os.path.normpath(f["path"])
+        for v in keep
+        for f in read_manifest(path, v)["files"]
+    }
+    deleted = freed = 0
+    for full, b in table_files(path):
+        if os.path.normpath(os.path.relpath(full, path)) not in referenced:
+            os.unlink(full)
+            deleted += 1
+            freed += b
+    for v in vs[: len(vs) - len(keep)]:
+        os.unlink(_manifest_path(path, v))
+    # prune data subdirectories holding nothing but _SUCCESS/.crc
+    # markers (cosmetic on a real object store, where directories don't
+    # exist)
+    for root, _dirs, _files in os.walk(path, topdown=False):
+        if os.path.normpath(root) == os.path.normpath(path):
+            continue
+        if os.path.basename(root) == _MANIFEST_DIR:
+            continue
+        if all(e.startswith(("_", ".")) for e in os.listdir(root)):
+            shutil.rmtree(root)
+    return {"deleted_files": deleted, "deleted_bytes": freed, "kept_versions": keep}
 
 
 def zorder_key(
@@ -95,14 +259,29 @@ def compact(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     cluster_by: Sequence[str] | Column | None = None,
+    manifest: bool = False,
 ) -> dict:
     """Rewrite the parquet directory *path* into ~target-sized files,
     optionally range-clustered on ``cluster_by`` (column names, or a
     single expression such as a ``zorder_key``). Returns before/after
-    stats. The swap is atomic on a local filesystem (stage + rename)."""
-    before = table_files(path)
+    stats.
+
+    ``manifest=False``: stage + directory rename, atomic on a local
+    filesystem only. ``manifest=True``: log-commit protocol (see module
+    docstring) — input is the latest manifest snapshot (a plain
+    directory is bootstrapped to v1 first), output lands in a fresh
+    immutable subdirectory, and the commit is one put-if-absent of the
+    next manifest; old snapshots remain readable via ``manifest_read``
+    until ``vacuum``. On conflict the staged files are removed and
+    ``ManifestConflict`` propagates."""
+    if manifest:
+        man = read_manifest(path) or _bootstrap_manifest(path)
+        before = [(os.path.join(path, f["path"]), f["bytes"]) for f in man["files"]]
+        df = spark.read.parquet(*[p for p, _ in before])
+    else:
+        before = table_files(path)
+        df = spark.read.parquet(path)
     in_bytes = sum(b for _, b in before)
-    df = spark.read.parquet(path)
     # parquet encodes ~2-4x smaller than its in-memory width; sizing the
     # partition count off the CURRENT file bytes self-corrects because
     # input and output are both parquet
@@ -117,6 +296,24 @@ def compact(
         )
         out = df.repartitionByRange(n_files, *keys).sortWithinPartitions(*keys)
 
+    if manifest:
+        datadir = os.path.join(path, f"compact-{uuid.uuid4().hex[:8]}")
+        out.write.parquet(datadir)
+        after = [(os.path.relpath(f, path), b) for f, b in table_files(datadir)]
+        try:
+            version = commit_manifest(
+                path, after, base_version=man["version"], op="compact"
+            )
+        except ManifestConflict:
+            shutil.rmtree(datadir)
+            raise
+        return {
+            "files_before": len(before),
+            "files_after": len(after),
+            "bytes_before": in_bytes,
+            "bytes_after": sum(b for _, b in after),
+            "version": version,
+        }
     staged = f"{path.rstrip('/')}.__compact_{uuid.uuid4().hex[:8]}"
     out.write.mode("overwrite").parquet(staged)
     old = f"{path.rstrip('/')}.__old_{uuid.uuid4().hex[:8]}"

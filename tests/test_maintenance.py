@@ -102,3 +102,106 @@ def test_zorder_compact_roundtrip(spark, small_files_dir):
         u = t.column("user_id").to_pylist()
         spans.append(max(u) - min(u))
     assert min(spans) < 96  # at least some files see a narrowed user range
+
+
+def test_manifest_compact_snapshot_isolation(spark, small_files_dir):
+    import os
+
+    from bacon_spark.operators.maintenance import (
+        manifest_read,
+        manifest_versions,
+    )
+
+    before = _content_fingerprint(spark, small_files_dir)
+    total = sum(b for _, b in table_files(small_files_dir))
+    stats = compact(
+        spark, small_files_dir, target_file_bytes=total // 4, manifest=True
+    )
+    # v1 = bootstrap of the original listing, v2 = the compaction
+    assert manifest_versions(small_files_dir) == [1, 2]
+    assert stats["version"] == 2 and stats["files_after"] == 4
+    got = manifest_read(spark, small_files_dir)
+    n, h = before
+    row = got.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.hash("event_id", "user_id", "value").cast("long")).alias("h"),
+    ).collect()[0]
+    assert (row["n"], row["h"]) == (n, h)
+    # time travel: v1 still resolves — no data file was renamed or deleted
+    old = manifest_read(spark, small_files_dir, version=1)
+    assert old.count() == n
+    # both file generations coexist on disk until vacuum
+    names = [f for f, _ in table_files(small_files_dir)]
+    assert any("compact-" in f for f in names)
+    assert any("compact-" not in f for f in names)
+    assert os.path.isdir(os.path.join(small_files_dir, "_manifest"))
+
+
+def test_manifest_commit_conflict_and_rollback(spark, small_files_dir, monkeypatch):
+    import os
+
+    import bacon_spark.operators.maintenance as M
+
+    total = sum(b for _, b in table_files(small_files_dir))
+    compact(spark, small_files_dir, target_file_bytes=total // 4, manifest=True)
+
+    # the primitive: two committers from the same base race on one
+    # create-exclusive file; the loser raises, nothing is half-written
+    man = M.read_manifest(small_files_dir)
+    files = [(f["path"], f["bytes"]) for f in man["files"]]
+    M.commit_manifest(small_files_dir, files, base_version=man["version"])
+    with pytest.raises(M.ManifestConflict):
+        M.commit_manifest(small_files_dir, files, base_version=man["version"])
+
+    # compact loses the race mid-commit: staged data files are rolled back
+    real = M.commit_manifest
+
+    def racer(path, fs, *, base_version=None, op="commit"):
+        real(path, fs, base_version=base_version, op="racer")
+        return real(path, fs, base_version=base_version, op=op)
+
+    monkeypatch.setattr(M, "commit_manifest", racer)
+    staged_before = {
+        d for d in os.listdir(small_files_dir) if d.startswith("compact-")
+    }
+    with pytest.raises(M.ManifestConflict):
+        M.compact(spark, small_files_dir, target_file_bytes=total // 2, manifest=True)
+    staged_after = {
+        d for d in os.listdir(small_files_dir) if d.startswith("compact-")
+    }
+    assert staged_after == staged_before  # loser's files are gone
+
+
+def test_manifest_vacuum_drops_unreferenced(spark, small_files_dir):
+    from bacon_spark.operators.maintenance import (
+        manifest_read,
+        manifest_versions,
+        read_manifest,
+        vacuum,
+    )
+
+    before = _content_fingerprint(spark, small_files_dir)
+    total = sum(b for _, b in table_files(small_files_dir))
+    compact(spark, small_files_dir, target_file_bytes=total // 4, manifest=True)
+    stats = vacuum(small_files_dir, keep_versions=1)
+    assert stats["deleted_files"] == 64        # the original fragments
+    assert stats["kept_versions"] == [2]
+    assert manifest_versions(small_files_dir) == [2]
+    # the live snapshot is intact, and only its files remain on disk
+    got = manifest_read(spark, small_files_dir)
+    n, h = before
+    row = got.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.hash("event_id", "user_id", "value").cast("long")).alias("h"),
+    ).collect()[0]
+    assert (row["n"], row["h"]) == (n, h)
+    live = {f["path"] for f in read_manifest(small_files_dir)["files"]}
+    import os
+
+    on_disk = {
+        os.path.relpath(f, small_files_dir)
+        for f, _ in table_files(small_files_dir)
+    }
+    assert on_disk == live
+    with pytest.raises(FileNotFoundError):
+        read_manifest(small_files_dir, version=1)
