@@ -1,0 +1,114 @@
+"""Connected components over an edge DataFrame — the clustering step of
+near-duplicate removal (LSH/Jaccard pairs are edges; a duplicate cluster
+is a component, canonically labeled by its minimum member).
+
+Absent from the reference (no graph ops anywhere; nearest concept is the
+set-valued filters, SURVEY §2.2). At 100 TB this is the operator that
+turns pairwise similarity output into keep/drop decisions, so it has to
+be a distributed fixpoint, not a driver-side union-find: we implement
+the alternating large-star/small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", 2014), which converges
+in O(log n) rounds on any graph — unlike plain min-label propagation,
+whose round count is the graph diameter (fine for clique-ish duplicate
+clusters, catastrophic for chains).
+
+Each round is two star operations; each star is one groupBy + one
+co-partitioned join on the same key (Catalyst reuses the exchange), all
+JVM-side. Lineage is cut per round with ``localCheckpoint`` — an
+iterative driver loop otherwise compounds the plan until analysis cost
+dominates. On a real cluster prefer reliable checkpointing
+(``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``) so a lost
+executor doesn't recompute the whole prefix; the loop structure is
+unchanged.
+
+Convergence is detected by an (edge-count, xxhash64-sum) signature of
+the canonical edge set being stable across a round — one tiny aggregate
+action per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components"]
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("_md"))
+        .select("src", F.least(F.col("src"), F.col("_md")).alias("_m"))
+    )
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Within each node's strictly-smaller neighborhood (plus itself),
+    connect everything to the minimum."""
+    e2 = e.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = e2.groupBy("u").agg(F.min("v").alias("_m"))
+    out = (
+        e2.join(mins, "u")
+        .select(F.col("v").alias("src"), F.col("_m").alias("dst"))
+        .union(mins.select(F.col("u").alias("src"), F.col("_m").alias("dst")))
+    )
+    return out.where(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Component labels for every vertex appearing in *edges* (any
+    orderable id type; both columns must share it). Returns columns
+    ``(id, component)`` where ``component`` is the minimum vertex id of
+    the component — a canonical, deterministic cluster label.
+
+    Vertices with no edges don't appear (a caller de-duplicating
+    documents left-joins this onto the full corpus and treats null as
+    "its own singleton cluster").
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev:
+            break
+        prev = sig
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    # at the fixpoint the edge set is a union of stars rooted at each
+    # component's minimum: node -> root from the edges, roots map to
+    # themselves
+    m = e.groupBy("src").agg(F.min("dst").alias("component"))
+    roots = m.select(F.col("component").alias("src"), F.col("component")).distinct()
+    return (
+        m.unionByName(roots)
+        .groupBy("src")
+        .agg(F.min("component").alias("component"))
+        .select(F.col("src").alias("id"), "component")
+    )

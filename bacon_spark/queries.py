@@ -2656,3 +2656,55 @@ def q68_asof_nearest(spark, sf_dir):
         F.col("click_event_id"),
         (F.unix_micros("click_ts") - F.unix_micros("ts")).alias("gap_us"),
     )
+
+
+from .operators import graph as _graph  # noqa: E402
+
+
+@query(
+    "q69_dup_clusters",
+    f"""
+    WITH RECURSIVE {_LSH_KEYED_CTE},
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keyed a JOIN keyed b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sh AS MATERIALIZED (SELECT doc_id, {_dd.shingles_sql('text')} AS s FROM documents),
+    edges AS MATERIALIZED (
+      SELECT c.id_a AS a, c.id_b AS b
+      FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id
+      WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE
+                  / len(list_distinct(list_concat(sa.s, sb.s)))::DOUBLE, 8) >= 0.2
+    ),
+    sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+    reach(id, lbl) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.id
+    ),
+    comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+    SELECT id AS doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp
+    """,
+)
+def q69_dup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS: the LSH-candidate + exact-Jaccard pairs
+    of q30 become edges, and connected components
+    (operators/graph.py, alternating large-star/small-star — O(log n)
+    distributed rounds, no driver-side union-find) labels every involved
+    document with its cluster minimum. The oracle recomputes components
+    in DuckDB with a recursive min-label-propagation CTE — genuinely
+    iterative semantics, hash-checked exactly."""
+    from pyspark.sql import Window
+
+    docs = _read_docs(spark, sf_dir)
+    pairs = _dd.ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    cc = _graph.connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        cc.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+        .withColumn(
+            "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+        )
+    )
