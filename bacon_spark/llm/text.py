@@ -203,3 +203,48 @@ def fingerprint(c: Column) -> Column:
 def fingerprint_sql(expr: str) -> str:
     canon = f"array_to_string(list_sort(list_distinct({tokens_sql(expr)})), ' ')"
     return f"cast(('0x' || substr(md5({canon}), 1, 15)) as bigint)"
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: name -> regex, applied in INSERTION ORDER on both engines (order is part
+#: of the semantics: earlier replacements must not create later matches).
+#: Conservative syntax only — the same pattern string must mean the same
+#: thing to Java regex (Spark) and RE2 (DuckDB): \b, \d, classes, bounded
+#: repetition; no lookaround, no backrefs.
+PII_PATTERNS: dict[str, str] = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4": "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "ssn": "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "phone": "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b",
+}
+
+
+def redact_pii(c: Column, patterns: dict[str, str] = PII_PATTERNS) -> Column:
+    """Replace every PII match with ``<NAME>`` — a sequential
+    regexp_replace chain, pure codegen, no Python in the row path."""
+    for name, pat in patterns.items():
+        c = F.regexp_replace(c, pat, f"<{name.upper()}>")
+    return c
+
+
+def redact_pii_sql(expr: str, patterns: dict[str, str] = PII_PATTERNS) -> str:
+    for name, pat in patterns.items():
+        expr = f"regexp_replace({expr}, '{pat}', '<{name.upper()}>', 'g')"
+    return expr
+
+
+def pii_counts(c: Column, patterns: dict[str, str] = PII_PATTERNS) -> dict[str, Column]:
+    """Per-category match counts on the UNredacted text."""
+    return {
+        name: F.regexp_count(c, F.lit(pat)).cast("long") for name, pat in patterns.items()
+    }
+
+
+def pii_counts_sql(expr: str, patterns: dict[str, str] = PII_PATTERNS) -> dict[str, str]:
+    return {
+        name: f"len(regexp_extract_all({expr}, '{pat}'))"
+        for name, pat in patterns.items()
+    }

@@ -2708,3 +2708,58 @@ def q69_dup_clusters(spark, sf_dir):
             "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
         )
     )
+
+
+_PII_AUG_SQL = """
+      SELECT doc_id,
+             text || ' contact u' || doc_id || '@example.com via 10.0.' ||
+             (doc_id % 256) || '.' || ((doc_id * 7) % 256) ||
+             ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+             (CASE WHEN doc_id % 2 = 0 THEN ' tel 555-867-5309' ELSE '' END)
+             AS aug
+      FROM documents
+"""
+
+
+@query(
+    "q70_pii_redaction",
+    f"""
+    WITH aug AS ({_PII_AUG_SQL})
+    SELECT doc_id, {_tx.redact_pii_sql('aug')} AS redacted,
+           {', '.join(f"{s} AS n_{n}" for n, s in _tx.pii_counts_sql('aug').items())}
+    FROM aug
+    """,
+)
+def q70_pii_redaction(spark, sf_dir):
+    """PII scrub over the corpus (llm/text.py): email / IPv4 / SSN /
+    phone patterns replaced in a fixed order by a pure-codegen
+    regexp_replace chain, with per-category match counts from the
+    unredacted text. The fixture corpus contains no PII, so the query
+    deterministically injects PII-shaped tokens derived from doc_id —
+    identically in Spark and in the oracle SQL — making the redaction
+    path's verification non-vacuous (every replacement position lands in
+    the value hash)."""
+    docs = _read_docs(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(" tel 555-867-5309")).otherwise(
+                F.lit("")
+            ),
+        ).alias("aug"),
+    )
+    counts = _tx.pii_counts(F.col("aug"))
+    return aug.select(
+        "doc_id",
+        _tx.redact_pii(F.col("aug")).alias("redacted"),
+        *[c.alias(f"n_{n}") for n, c in counts.items()],
+    )

@@ -187,3 +187,34 @@ def test_near_dup_clusters_end_to_end(docs):
     }
     # exact dups 0 and 1 must share a cluster rooted at 0
     assert out.get(0) == 0 and out.get(1) == 0
+
+
+def test_redact_pii_all_classes_and_idempotent(spark):
+    from pyspark.sql import Row
+
+    from bacon_spark.llm import text as tx
+
+    df = spark.createDataFrame(
+        [
+            Row(s="mail bob.smith+x@corp.example.org now"),
+            Row(s="host 192.168.001.1 and 10.0.0.255 up"),
+            Row(s="ssn 123-45-6789 tel 555-867-5309 alt 555.123.4567"),
+            Row(s="no pii here, just words and 42 numbers"),
+        ]
+    )
+    out = df.select(
+        tx.redact_pii(df["s"]).alias("r"),
+        *[c.alias(n) for n, c in tx.pii_counts(df["s"]).items()],
+    ).collect()
+    assert out[0]["r"] == "mail <EMAIL> now"
+    assert out[1]["r"] == "host <IPV4> and <IPV4> up"
+    assert out[2]["r"] == "ssn <SSN> tel <PHONE> alt <PHONE>"
+    assert out[3]["r"] == "no pii here, just words and 42 numbers"
+    assert [r["email"] for r in out] == [1, 0, 0, 0]
+    assert [r["ipv4"] for r in out] == [0, 2, 0, 0]
+    assert [r["ssn"] for r in out] == [0, 0, 1, 0]
+    assert [r["phone"] for r in out] == [0, 0, 2, 0]
+    # idempotent: redacting the redacted text changes nothing
+    rdf = df.select(tx.redact_pii(df["s"]).alias("s"))
+    again = rdf.select(tx.redact_pii(rdf["s"]).alias("r")).collect()
+    assert [a["r"] for a in again] == [o["r"] for o in out]
