@@ -1,0 +1,126 @@
+"""Lexical relevance ranking over the corpus: BM25 and TF-IDF.
+
+Engine extensions beyond the reference (no text scoring anywhere in it;
+SURVEY §2 north-star list) — the retrieval/quality-weighting step of a
+training-data pipeline.
+
+Scale design: everything is built-in expressions (tokenize via
+``llm.text.tokens``, explode, hash-agg) so the hot path is
+whole-stage-codegen JVM work.  For BM25 the per-term work is filtered to
+the QUERY's terms before the (doc, term) shuffle — corpus-sized input,
+query-sized state — and the document-frequency table (≤ |query| rows) is
+broadcast back.  Corpus stats (N, total token count) are two scalar
+aggregates collected once driver-side.
+
+Determinism discipline (oracle hash-matching): every per-term double is
+rounded, summed exactly as decimal (associativity-proof), cast back and
+rounded — the same recipe the aggregate queries use — and every floating
+expression is written with the identical operator shape on both engines
+so IEEE evaluation order matches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens, tokens_sql
+
+__all__ = ["bm25_scores", "bm25_scores_sql"]
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    *,
+    limit: int = 20,
+) -> DataFrame:
+    """Top-*limit* documents by BM25 score against *query_terms*
+    (Lucene-style idf ``ln((N - df + 0.5)/(df + 0.5) + 1)``), ordered by
+    rounded score then id — deterministic under ties."""
+    toks = docs.select(id_col, tokens(F.col(text_col)).alias("_toks"))
+    dl = toks.select(id_col, F.size("_toks").alias("dl"))
+    n_docs = docs.count()
+    sum_dl = dl.agg(F.sum("dl")).first()[0]
+    avgdl = sum_dl / n_docs  # exact-int sum, one IEEE division: = SQL's
+    tf = (
+        toks.select(id_col, F.explode("_toks").alias("term"))
+        .where(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    per = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, id_col)
+        .select(
+            id_col,
+            F.round(idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom, 7).alias("s"),
+        )
+    )
+    return (
+        per.groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("s").cast("decimal(38,10)")).cast("double"), 5
+            ).alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(limit)
+    )
+
+
+def bm25_scores_sql(
+    query_terms: Sequence[str],
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    *,
+    limit: int = 20,
+    table: str = "documents",
+) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, {tokens_sql(text_expr)} AS t FROM {table}
+    ),
+    dl AS (SELECT {id_col}, len(t) AS dl FROM toks),
+    stats AS (
+      SELECT (SELECT count(*) FROM {table}) AS n,
+             (SELECT sum(dl)::DOUBLE / count(*) FROM dl) AS avgdl
+    ),
+    tf AS (
+      SELECT {id_col}, term, count(*) AS tf
+      FROM (SELECT {id_col}, unnest(t) AS term FROM toks)
+      WHERE term IN ({terms})
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    per AS (
+      SELECT tf.{id_col},
+             round(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * {k1 + 1.0}) / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)),
+                   7) AS s
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl USING ({id_col}), stats
+    )
+    SELECT {id_col},
+           round(cast(sum(cast(s AS decimal(38,10))) AS double), 5) AS bm25
+    FROM per GROUP BY 1
+    ORDER BY bm25 DESC, {id_col} LIMIT {limit}
+    """

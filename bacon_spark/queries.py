@@ -2763,3 +2763,22 @@ def q70_pii_redaction(spark, sf_dir):
         _tx.redact_pii(F.col("aug")).alias("redacted"),
         *[c.alias(f"n_{n}") for n, c in counts.items()],
     )
+
+
+from .llm import ranking as _rank  # noqa: E402
+
+_BM25_TERMS = ("spark", "join", "window", "stream")
+
+
+@query("q71_bm25_topk", _rank.bm25_scores_sql(_BM25_TERMS))
+def q71_bm25_topk(spark, sf_dir):
+    """BM25 top-20 documents for a fixed query (llm/ranking.py): the
+    (doc, term) shuffle carries only the QUERY's terms, the tiny df
+    table is broadcast back, corpus stats are two scalar aggregates —
+    query-sized state over corpus-sized input. Per-term scores are
+    rounded then decimal-summed so the double sum is
+    associativity-proof; both engines evaluate the identical floating
+    expression shape (the oracle SQL is emitted from the same
+    function)."""
+    docs = _read_docs(spark, sf_dir)
+    return _rank.bm25_scores(docs, _BM25_TERMS)

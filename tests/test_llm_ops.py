@@ -218,3 +218,41 @@ def test_redact_pii_all_classes_and_idempotent(spark):
     rdf = df.select(tx.redact_pii(df["s"]).alias("s"))
     again = rdf.select(tx.redact_pii(rdf["s"]).alias("r")).collect()
     assert [a["r"] for a in again] == [o["r"] for o in out]
+
+
+def test_bm25_matches_hand_computation(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from bacon_spark.llm.ranking import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="cat dog cat"),
+            Row(doc_id=2, text="dog dog dog dog"),
+            Row(doc_id=3, text="bird fish"),
+        ]
+    )
+    out = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, ["cat", "dog"]).collect()}
+
+    def score(tf, df, dl, n=3, avgdl=3.0, k1=1.2, b=0.75):
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        return round(idf * (tf * 2.2) / (tf + k1 * (1 - b + b * dl / avgdl)), 7)
+
+    want1 = round(score(2, 1, 3) + score(1, 2, 3), 5)   # cat x2, dog x1
+    want2 = round(score(4, 2, 4), 5)                     # dog x4
+    assert out.keys() == {1, 2}                          # doc 3 has no query term
+    assert out[1] == pytest.approx(want1, abs=1e-9)
+    assert out[2] == pytest.approx(want2, abs=1e-9)
+
+
+def test_bm25_broadcasts_df_table(spark):
+    from pyspark.sql import Row
+
+    from bacon_spark.llm.ranking import bm25_scores
+
+    docs = spark.createDataFrame([Row(doc_id=i, text="a b c") for i in range(10)])
+    out = bm25_scores(docs, ["a", "b"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
