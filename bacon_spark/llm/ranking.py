@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from .text import tokens, tokens_sql
 
-__all__ = ["bm25_scores", "bm25_scores_sql"]
+__all__ = ["bm25_scores", "bm25_scores_sql", "tfidf_top_terms", "tfidf_top_terms_sql"]
 
 
 def bm25_scores(
@@ -123,4 +123,75 @@ def bm25_scores_sql(
            round(cast(sum(cast(s AS decimal(38,10))) AS double), 5) AS bm25
     FROM per GROUP BY 1
     ORDER BY bm25 DESC, {id_col} LIMIT {limit}
+    """
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-*k* characteristic terms per document by tf·idf
+    (``idf = ln(N/df)``), ranked by rounded score then term.
+
+    The full-vocabulary sibling of BM25: document frequency comes from a
+    count window over the (doc, term) table partitioned by term —
+    reusing the aggregated tf rows (vocab·docs scale, already
+    map-side-combined) instead of joining a vocabulary dim that may not
+    broadcast at corpus scale. Three key-partitioned shuffles total:
+    (doc, term) → term → doc."""
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    tf = (
+        docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = tf.withColumn(
+        "s",
+        F.round(
+            F.col("tf")
+            * F.log(
+                F.lit(float(n_docs))
+                / F.count(F.lit(1)).over(Window.partitionBy("term"))
+            ),
+            7,
+        ),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.col("s").desc(), F.col("term"))
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .where(F.col("rk") <= k)
+        .select(id_col, "term", F.col("s").alias("tfidf"), "rk")
+    )
+
+
+def tfidf_top_terms_sql(
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    *,
+    table: str = "documents",
+) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, unnest({tokens_sql(text_expr)}) AS term FROM {table}
+    ),
+    tf AS (SELECT {id_col}, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    n AS (SELECT count(*)::DOUBLE AS c FROM {table}),
+    scored AS (
+      SELECT {id_col}, term,
+             round(tf * ln(c / count(*) OVER (PARTITION BY term)), 7) AS s
+      FROM tf, n
+    ),
+    ranked AS (
+      SELECT {id_col}, term, s,
+             row_number() OVER (PARTITION BY {id_col} ORDER BY s DESC, term) AS rk
+      FROM scored
+    )
+    SELECT {id_col}, term, s AS tfidf, rk FROM ranked WHERE rk <= {k}
     """

@@ -2782,3 +2782,14 @@ def q71_bm25_topk(spark, sf_dir):
     function)."""
     docs = _read_docs(spark, sf_dir)
     return _rank.bm25_scores(docs, _BM25_TERMS)
+
+
+@query("q72_tfidf_top_terms", _rank.tfidf_top_terms_sql())
+def q72_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-5 characteristic terms by tf-idf
+    (llm/ranking.py): document frequency via a count window over the
+    already-aggregated (doc, term) rows — no vocabulary-dim join that
+    would stop broadcasting at corpus scale — then row_number per doc
+    on (rounded score, term). Exactly three key-partitioned shuffles."""
+    docs = _read_docs(spark, sf_dir)
+    return _rank.tfidf_top_terms(docs)

@@ -256,3 +256,28 @@ def test_bm25_broadcasts_df_table(spark):
     out = bm25_scores(docs, ["a", "b"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_top_terms_hand_checked(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from bacon_spark.llm.ranking import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="cat cat dog"),
+            Row(doc_id=2, text="dog fish"),
+            Row(doc_id=3, text="fish fish fish"),
+        ]
+    )
+    out = tfidf_top_terms(docs, k=2).collect()
+    got = {(r["doc_id"], r["rk"]): (r["term"], r["tfidf"]) for r in out}
+    ln = math.log
+    # doc 1: cat tf=2 df=1 -> 2*ln(3); dog tf=1 df=2 -> ln(1.5)
+    assert got[(1, 1)] == ("cat", round(2 * ln(3.0), 7))
+    assert got[(1, 2)] == ("dog", round(ln(3.0 / 2), 7))
+    # doc 3: fish tf=3 df=2 -> 3*ln(1.5); only one distinct term
+    assert got[(3, 1)] == ("fish", round(3 * ln(3.0 / 2), 7))
+    assert (3, 2) not in got
