@@ -38,20 +38,32 @@ TABLES = (
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table.
 
-    ``events.parquet`` is written with nanosecond timestamps, which Spark's
-    parquet reader rejects; read them as long via the legacy conf and
-    convert to a microsecond timestamp column JVM-side (stays distributed —
-    no driver round-trip, pushdown on the other columns unaffected)."""
+    ``events.parquet`` is written with nanosecond timestamps. Depending on
+    the Spark version the parquet reader surfaces the ns column as either
+    ``bigint`` (with ``spark.sql.legacy.parquet.nanosAsLong``; Spark ≤3.x
+    behavior) or ``timestamp_ntz`` (Spark 4.x reads ns natively, truncated
+    to µs, timezone-naive). Both paths are normalized to a session-local
+    ``timestamp`` (LTZ) column JVM-side — stays distributed, pushdown on
+    the other columns unaffected. Every downstream consumer
+    (``withWatermark``, ``unix_micros``, window functions) requires LTZ.
+    Callers pin ``spark.sql.session.timeZone=UTC`` (queries.py:_read), so
+    the NTZ→LTZ cast is exact and matches DuckDB's tz-naive reading."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        dtype = dict(df.dtypes).get("ts")
+        if dtype == "bigint":
             # `div` (integer division) = floor for positive epochs — the
             # same truncation DuckDB's parquet reader applies to ns
             # timestamps, so sub-second arithmetic agrees with the oracle.
             # A float `/ 1000` drifts ±1us at 2024 epoch magnitudes
             # (ns values exceed double's 53-bit mantissa).
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dtype == "timestamp_ntz":
+            # Spark 4.x: ns parquet → NTZ µs. Cast reinterprets the naive
+            # wall-clock in the session TZ (UTC) — the same instant DuckDB
+            # computes, and the LTZ type watermarks/temporal ops need.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
