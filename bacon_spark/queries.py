@@ -555,7 +555,7 @@ def q12_set_filters(spark, sf_dir):
       FROM part
     )
     SELECT p_brand AS brand,
-           list_sort(list_distinct(flatten(list(tags)))) AS tag_union,
+           array_to_string(list_sort(list_distinct(flatten(list(tags)))), ',') AS tag_union,
            max(CASE WHEN len(tags) = 0 THEN 1 ELSE 0 END) = 1 AS included_empty
     FROM tagged
     GROUP BY 1
@@ -564,7 +564,11 @@ def q12_set_filters(spark, sf_dir):
 def q13_union_accumulator(spark, sf_dir):
     """Union accumulator: set union + saw-empty flag
     (/root/reference/bacon/accumulators.py:53-76), exposed as two flat
-    columns for the oracle."""
+    columns for the oracle.
+
+    The set-valued column is emitted as a sorted comma-joined STRING, not
+    array<string>: the driver's canonicalizer sorts via pandas, which
+    cannot factorize list cells (round-1 q13 'unhashable type: list')."""
     df = _read(spark, sf_dir, "part").withColumn("tags", F.split("p_type", " "))
     cd = CubeDef("part")
     cd.add_label(Label("brand", "p_brand"))
@@ -573,7 +577,7 @@ def q13_union_accumulator(spark, sf_dir):
     out = board(cd, df).slice(q).to_df()
     return out.select(
         "brand",
-        F.col("u.values").alias("tag_union"),
+        F.array_join(F.array_sort("u.values"), ",").alias("tag_union"),
         F.col("u.included_empty").alias("included_empty"),
     )
 
@@ -974,17 +978,24 @@ def q26_fingerprint(spark, sf_dir):
 @query(
     "q27_minhash_signature",
     f"""
-    SELECT doc_id, {_dd.minhash_signature_sql('text')} AS sig
+    SELECT doc_id,
+           array_to_string(list_transform({_dd.minhash_signature_sql('text')}, x -> x::VARCHAR), ',') AS sig
     FROM documents
     WHERE doc_id < 30
     """,
 )
 def q27_minhash_signature(spark, sf_dir):
     """MinHash signatures (8 permutations over 3-token shingles) — the
-    map-side half of MinHash LSH dedup."""
+    map-side half of MinHash LSH dedup.
+
+    Emitted comma-joined (positional — NOT sorted; slot i is permutation
+    i's min) so the driver's pandas canonicalizer can hash the column
+    (round-1 q27 failed on the raw array<bigint>)."""
     docs = _read_docs(spark, sf_dir).filter(F.col("doc_id") < 30)
+    sig = _dd.minhash_signature(F.col("text"))
     return docs.select(
-        "doc_id", _dd.minhash_signature(F.col("text")).alias("sig")
+        "doc_id",
+        F.array_join(F.transform(sig, lambda x: x.cast("string")), ",").alias("sig"),
     )
 
 
