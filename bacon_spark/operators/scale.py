@@ -9,8 +9,29 @@ tests, the same way a human would review `.explain()`.
 
 from __future__ import annotations
 
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _drop_table_and_orphaned_location(spark, table_name: str, path: str | None) -> None:
+    """Idempotency guard for ``saveAsTable``: a fresh (derby) metastore
+    paired with a stale warehouse directory from a previous session makes
+    ``mode("overwrite").saveAsTable`` throw LOCATION_ALREADY_EXISTS — the
+    catalog doesn't know the table, so overwrite can't clean the dir.
+    Drop the catalog entry if present, then remove the on-disk location
+    the table would claim."""
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+    if path is None:
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+        if wh.scheme not in ("", "file"):
+            return  # non-local warehouse: nothing to clean from the driver
+        path = f"{wh.path}/{table_name.lower()}"
+    else:
+        path = urlparse(path).path or path
+    shutil.rmtree(path, ignore_errors=True)
 
 
 def write_bucketed(
@@ -25,7 +46,10 @@ def write_bucketed(
     on *key* between same-bucketed tables need no shuffle (and no sort,
     when sorted). This is how lineitem⋈orders stops broadcasting `orders`
     at TB scale (SCALE.md §star-joins). ``path`` pins the data directory
-    (external table) instead of the session's warehouse dir."""
+    (external table) instead of the session's warehouse dir. Idempotent:
+    tolerates both an existing table and an orphaned location left by an
+    earlier session."""
+    _drop_table_and_orphaned_location(df.sparkSession, table_name, path)
     w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)

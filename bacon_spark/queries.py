@@ -2123,9 +2123,13 @@ def bucketed_star_tables(spark, sf_dir: str) -> tuple[str, str]:
         ("orders", od, "o_orderkey"),
     ):
         path = os.path.join(base, table)
+        has_data = os.path.exists(os.path.join(path, "_SUCCESS"))
         if spark.catalog.tableExists(table):
-            continue
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            if has_data:
+                continue
+            # catalog entry whose data dir was deleted: rebuild below
+            spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+        if has_data:
             # fixtures are immutable: re-register the bucketed files a
             # previous session wrote instead of rewriting them (bucket
             # ids live in the file names, so an external CLUSTERED BY
