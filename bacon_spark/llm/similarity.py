@@ -112,6 +112,75 @@ def hyperplane_bits(vec: Column, dim: int, seeds=HYPERPLANE_SEEDS) -> Column:
     return bucket
 
 
+def blocked_all_pairs_cosine(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    blocks: int = 8,
+) -> DataFrame:
+    """EXACT all-pairs cosine >= threshold via block-partitioned
+    comparison — the scale shape for exact pairwise similarity.
+
+    A naive ``a.join(b, id_a < id_b)`` plans a BroadcastNestedLoopJoin
+    (round-1 q40): a single-task cartesian that cannot distribute. Exact
+    all-pairs is inherently O(N²) compares, but the *distribution* is
+    fixable: assign each vector to one of B blocks, build the B(B+1)/2
+    unordered block pairs as a tiny broadcast relation, replicate each
+    side to its block pairs, and equi-join on the block-pair id. Every
+    vector pair is compared exactly once; work is spread over B(B+1)/2
+    shuffle keys (size B ≈ sqrt(2·parallelism) to the cluster); each
+    vector is replicated (B+1)/2 ≈ O(√tasks) times — the standard
+    triangle-partitioning trade for blocked all-pairs similarity.
+
+    LSH (hyperplane_bits) is NOT used here on purpose: at thresholds as
+    low as 0.3 (≈72°) sign-bit LSH recall is poor, so a bucketed variant
+    would be approximate. For high-threshold near-dup (>0.8) compose
+    hyperplane buckets with exact verification instead (ann_lsh_topk /
+    q28→q30 pattern).
+
+    Norms are computed once per vector (not per pair); the final
+    ``least/greatest`` canonicalization plus the ``gi<gj OR id_a<id_b``
+    predicate dedupes orderings."""
+    spark = df.sparkSession
+    normed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        norm(F.col(vec_col)).alias("_nrm"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).alias("_g"),
+    )
+    pair_rows = [
+        (gi * blocks + gj, gi, gj) for gi in range(blocks) for gj in range(gi, blocks)
+    ]
+    bp = spark.createDataFrame(pair_rows, "pid int, gi int, gj int")
+    a = normed.join(F.broadcast(bp), normed["_g"] == bp["gi"]).select(
+        "pid", "gi", "gj",
+        F.col("_id").alias("id_a"), F.col("_vec").alias("ea"), F.col("_nrm").alias("na"),
+    )
+    b = normed.join(
+        F.broadcast(bp.select("pid", F.col("gj").alias("gj2"))),
+        normed["_g"] == F.col("gj2"),
+    ).select(
+        F.col("pid").alias("pid2"),
+        F.col("_id").alias("id_b"), F.col("_vec").alias("eb"), F.col("_nrm").alias("nb"),
+    )
+    joined = a.join(b, a["pid"] == b["pid2"]).filter(
+        (F.col("gi") < F.col("gj")) | (F.col("id_a") < F.col("id_b"))
+    )
+    denom = F.col("na") * F.col("nb")
+    sim = F.round(
+        F.when(denom > 0, dot(F.col("ea"), F.col("eb")) / denom).otherwise(F.lit(0.0)), 6
+    )
+    return (
+        joined.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+    )
+
+
 def ann_lsh_topk(
     df: DataFrame,
     query_vec_row: list[float],

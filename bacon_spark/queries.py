@@ -1423,30 +1423,14 @@ def q39_cube_lattice(spark, sf_dir):
     """,
 )
 def q40_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (exact verification form; the
-    LSH-bucketed scale path is llm/similarity.ann_lsh_topk — approximate,
-    so tested rather than oracle'd)."""
+    """Embedding-cosine near-duplicate pairs, EXACT, via block-partitioned
+    all-pairs (llm/similarity.blocked_all_pairs_cosine): every pair is
+    compared exactly once through an equi-join on block-pair ids — no
+    BroadcastNestedLoopJoin / cartesian anywhere in the plan (asserted in
+    tests/test_plans.py). At 0.3 cosine LSH recall is poor, so the
+    bucketed-approximate path (ann_lsh_topk) is deliberately not used."""
     emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    # precompute norms once per vector (identical doubles to the oracle's
-    # per-pair norms — same math, evaluated once instead of O(n) times)
-    normed = emb.select(
-        "vec_id", "embedding", _sim.norm(F.col("embedding")).alias("nrm")
-    )
-    a = normed.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
-    )
-    b = normed.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
-    )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    denom = F.col("na") * F.col("nb")
-    sim = F.round(
-        F.when(denom > 0, _sim.dot(F.col("ea"), F.col("eb")) / denom).otherwise(F.lit(0.0)), 6
-    )
-    return (
-        pairs.select("id_a", "id_b", sim.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.3)
-    )
+    return _sim.blocked_all_pairs_cosine(emb, threshold=0.3, blocks=8)
 
 
 @query(

@@ -113,3 +113,35 @@ def test_star_board_culls_per_query(spark):
     # results still correct
     got = {r["orderstatus"]: r["quantity"] for r in board.slice(q1).rows()}
     assert got and all(v > 0 for v in got.values())
+
+
+def test_q40_no_cartesian_or_bnlj(spark):
+    # exact all-pairs via block-partitioned equi-join: the round-1
+    # BroadcastNestedLoopJoin (single-task cartesian) must never return
+    plan = plan_of(spark, "q40_embedding_near_dup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_blocked_all_pairs_matches_naive(spark, sf_dir):
+    # exactness: block decomposition compares every unordered pair once
+    from pyspark.sql import functions as F
+
+    from bacon_spark.llm import similarity as sim
+    from bacon_spark.sources.star import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in sim.blocked_all_pairs_cosine(emb, 0.2, blocks=4).collect()
+    }
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    naive = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(sim.cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.2)
+        .collect()
+    }
+    assert blocked == naive
