@@ -84,8 +84,20 @@ class IVFIndex:
         self.vec_col = vec_col
         self.nlist = nlist
         budget = train_sample or TRAIN_PER_CELL * nlist
-        sample = df.select(F.col(vec_col).cast("array<double>")).limit(budget).collect()
-        X = np.array([r[0] for r in sample], dtype=np.float64)
+        # Training sample must be key-spread, not positional: limit(N)
+        # takes the first N rows of whatever partition order yields — at
+        # scale that is one file's worth of possibly-skewed vectors.
+        # hash_sample draws a deterministic Bernoulli sample over the id
+        # hash (map-side, reproducible), oversampled 1.2x then capped.
+        from ..operators.sampling import hash_sample
+
+        n = df.count()
+        vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        if n > budget:
+            rate = min(1.0, 1.2 * budget / n)
+            vecs = hash_sample(vecs, F.col(id_col), rate, salt="ivf-train").limit(budget)
+        sample = vecs.collect()
+        X = np.array([r[1] for r in sample], dtype=np.float64)
         self.centroids = [[float(x) for x in c] for c in _lloyd(X, nlist, seed, max_iter)]
         self.indexed = df.withColumn(
             "cell", nearest_cell(F.col(vec_col), self.centroids)
