@@ -20,6 +20,23 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 
 def main():
+    # The driver parses stdout as ONE JSON line. Anything the JVM, py4j,
+    # ivy, or a worker traceback writes to fd 1 corrupts it (round 1:
+    # BENCH parsed=null). Point fd 1 at stderr for the entire run — the
+    # JVM inherits the redirected fd at launch — and restore the real
+    # stdout only for the final JSON print.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    try:
+        result = _run()
+    finally:
+        sys.stdout.flush()
+        os.dup2(real_stdout, 1)
+        os.close(real_stdout)
+    print(json.dumps(result), flush=True)
+
+
+def _run():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
@@ -69,18 +86,14 @@ def main():
             print(f"bench error in {name}: {e}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
     spark.stop()
+    return {
+        "metric": "total_query_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
 
 
 if __name__ == "__main__":
