@@ -2297,46 +2297,34 @@ def q64_streaming_asof(spark, sf_dir):
     pinned by explicit mtimes), and a far-future sentinel purchase
     advances the final watermark past every real row, flushing all group
     state; the appended output must then equal the batch join exactly."""
-    import os
     import shutil
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     from .streaming.asof import streaming_asof_join
-    from .streaming.windows import run_stream_to_memory, scratch_dir
+    from .streaming.windows import run_stream_to_memory, scratch_dir, stage_ordered_files
 
     ev = _read(spark, sf_dir, "events")
-    both = (
-        ev.filter(F.col("event_type").isin("purchase", "click"))
-        .select("event_type", "event_id", "user_id", "ts", "value")
-        .toPandas()
+    pdf = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
     )
-    pcols, ccols = ["event_id", "user_id", "ts", "value"], ["user_id", "ts", "event_id"]
-    pdf = both[both["event_type"] == "purchase"][pcols]
-    cdf = both[both["event_type"] == "click"][ccols]
-    hi = both["ts"].max()
+    cdf = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    # scalar max for the sentinel timestamp: result-sized collect
+    hi = ev.agg(F.max("ts")).first()[0]
     d = scratch_dir("bacon_q64_")
     ldir, rdir = d + "/purchases", d + "/clicks"
-    os.makedirs(ldir), os.makedirs(rdir)
-    sent = pdf.iloc[:1].copy()
-    sent["event_id"], sent["user_id"], sent["value"] = -1, -1, 0.0
-    sent["ts"] = hi + dt.timedelta(hours=3)
+    sent = spark.createDataFrame(
+        [(-1, -1, hi + dt.timedelta(hours=3), 0.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
     # one data file per side + the sentinel: 3 triggers — real rows land in
     # batch 0 and are emitted from STATE in batches 1-2 once the sentinel
     # advances the watermark (the unit test covers many-file interleaving;
-    # the gate run keeps trigger count, i.e. fixed micro-batch cost, low)
-    stage = [
-        (ldir + "/f0.parquet", pdf),
-        (rdir + "/f0.parquet", cdf),
-        (ldir + "/f1.parquet", sent),
-    ]
-    for i, (path, frame) in enumerate(stage):
-        pq.write_table(
-            pa.Table.from_pandas(frame, preserve_index=False),
-            path, coerce_timestamps="us", allow_truncated_timestamps=True,
-        )
-        os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
+    # the gate run keeps trigger count, i.e. fixed micro-batch cost, low).
+    # All three frames are written by Spark — no toPandas round-trip.
+    stage_ordered_files([
+        (ldir, pdf, "overwrite"),
+        (rdir, cdf, "overwrite"),
+        (ldir, sent, "append"),
+    ])
 
     pschema = "event_id long, user_id long, ts timestamp, value double"
     cschema = "user_id long, ts timestamp, event_id long"
@@ -2438,45 +2426,31 @@ def q66_streaming_asof_forward(spark, sf_dir):
     flushes all state, and the appended output must hash-match DuckDB's
     forward ASOF JOIN with the tolerance applied as a post-filter (the
     nearest forward match is beyond tolerance iff no match is within it)."""
-    import os
     import shutil
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     from .streaming.asof import streaming_asof_join
-    from .streaming.windows import run_stream_to_memory, scratch_dir
+    from .streaming.windows import run_stream_to_memory, scratch_dir, stage_ordered_files
 
     TOL_US = 86_400_000_000  # 1 day
     ev = _read(spark, sf_dir, "events")
-    both = (
-        ev.filter(F.col("event_type").isin("purchase", "click"))
-        .select("event_type", "event_id", "user_id", "ts", "value")
-        .toPandas()
+    pdf = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
     )
-    pcols, ccols = ["event_id", "user_id", "ts", "value"], ["user_id", "ts", "event_id"]
-    pdf = both[both["event_type"] == "purchase"][pcols]
-    cdf = both[both["event_type"] == "click"][ccols]
-    hi = both["ts"].max()
+    cdf = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    hi = ev.agg(F.max("ts")).first()[0]
     d = scratch_dir("bacon_q66_")
     ldir, rdir = d + "/purchases", d + "/clicks"
-    os.makedirs(ldir), os.makedirs(rdir)
-    sent = pdf.iloc[:1].copy()
-    sent["event_id"], sent["user_id"], sent["value"] = -1, -1, 0.0
     # watermark must clear max left_ts + tolerance for every real purchase
     # to finalize: sentinel at hi + tolerance + 2h with a 30-minute delay
-    sent["ts"] = hi + dt.timedelta(days=1, hours=2)
-    stage = [
-        (ldir + "/f0.parquet", pdf),
-        (rdir + "/f0.parquet", cdf),
-        (ldir + "/f1.parquet", sent),
-    ]
-    for i, (path, frame) in enumerate(stage):
-        pq.write_table(
-            pa.Table.from_pandas(frame, preserve_index=False),
-            path, coerce_timestamps="us", allow_truncated_timestamps=True,
-        )
-        os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
+    sent = spark.createDataFrame(
+        [(-1, -1, hi + dt.timedelta(days=1, hours=2), 0.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    stage_ordered_files([
+        (ldir, pdf, "overwrite"),
+        (rdir, cdf, "overwrite"),
+        (ldir, sent, "append"),
+    ])
 
     pschema = "event_id long, user_id long, ts timestamp, value double"
     cschema = "user_id long, ts timestamp, event_id long"
@@ -2537,14 +2511,10 @@ def q67_streaming_overlap_join(spark, sf_dir):
     both rows present. The delay exceeds the fixture's one-month time
     span so the cross-side watermark cannot drop the later-staged side;
     state pruning under a tight watermark is covered by the unit tests."""
-    import os
     import shutil
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     from .streaming.overlap import streaming_overlap_join
-    from .streaming.windows import run_stream_to_memory, scratch_dir
+    from .streaming.windows import run_stream_to_memory, scratch_dir, stage_ordered_files
 
     ev = _read(spark, sf_dir, "events")
     spans = (
@@ -2555,27 +2525,19 @@ def q67_streaming_overlap_join(spark, sf_dir):
             (F.max("ts") + F.expr("interval 1 microsecond")).alias("hi"),
         )
     )
-    err = (
-        spans.filter(F.col("event_type") == "error")
-        .select("user_id", "d", F.col("lo").alias("e_lo"), F.col("hi").alias("e_up"))
-        .toPandas()
+    err = spans.filter(F.col("event_type") == "error").select(
+        "user_id", "d", F.col("lo").alias("e_lo"), F.col("hi").alias("e_up")
     )
     pur = (
         spans.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", F.date_trunc("week", F.col("lo")).alias("wk"))
         .agg(F.min("lo").alias("p_lo"), F.max("hi").alias("p_up"))
-        .toPandas()
     )
     d = scratch_dir("bacon_q67_")
     ldir, rdir = d + "/errors", d + "/purchases"
-    os.makedirs(ldir), os.makedirs(rdir)
-    stage = [(ldir + "/f0.parquet", err), (rdir + "/f0.parquet", pur)]
-    for i, (path, frame) in enumerate(stage):
-        pq.write_table(
-            pa.Table.from_pandas(frame, preserve_index=False),
-            path, coerce_timestamps="us", allow_truncated_timestamps=True,
-        )
-        os.utime(path, (1_000_000_000 + i, 1_000_000_000 + i))
+    # span frames stay distributed end-to-end: Spark writes the staged
+    # files directly (no toPandas), mtimes fix the arrival order
+    stage_ordered_files([(ldir, err, "overwrite"), (rdir, pur, "overwrite")])
 
     eschema = "user_id long, d timestamp, e_lo timestamp, e_up timestamp"
     pschema = "user_id long, wk timestamp, p_lo timestamp, p_up timestamp"

@@ -196,3 +196,28 @@ def running_totals_stateful(df: DataFrame, ts_col: str = "ts", watermark: str = 
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stage_ordered_files(stages) -> None:
+    """Stage streaming file-source input DISTRIBUTEDLY, in arrival order.
+
+    *stages* is a sequence of ``(dir, df, mode)``: each frame is written
+    by Spark itself (``coalesce(1)`` — staging frames are micro-batch
+    sized by construction; no driver ``toPandas()`` round-trip, so the
+    gate queries stay honest when the staged slice grows with SF), then
+    every not-yet-stamped part file gets a strictly increasing mtime so
+    ``maxFilesPerTrigger=1`` replays the files in the intended order
+    (FileStreamSource orders by modification time, then path).
+    """
+    import glob
+    import os
+
+    stamped: set[str] = set()
+    t = 1_000_000_000
+    for dir_, df, mode in stages:
+        df.coalesce(1).write.mode(mode).parquet(dir_)
+        for f in sorted(glob.glob(dir_ + "/*.parquet")):
+            if f not in stamped:
+                os.utime(f, (t, t))
+                stamped.add(f)
+                t += 1
