@@ -128,3 +128,78 @@ def test_json_sink(spark, sales, cubedef):
     import json
 
     json.dumps(doc)  # JSON-able end to end
+
+
+def _sheet_xml(data: bytes) -> str:
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        assert set(z.namelist()) >= {
+            "[Content_Types].xml", "xl/workbook.xml",
+            "xl/worksheets/sheet1.xml", "xl/styles.xml",
+        }
+        return z.read("xl/worksheets/sheet1.xml").decode()
+
+
+def test_excel_sink_1d(spark, sales, cubedef):
+    import xml.etree.ElementTree as ET
+
+    from bacon_spark.observers.excel import render_excel
+
+    board = CuttingBoard(cubedef, sales, cache_results=False)
+    q = CubeQuery().add_axis("state").add_value("units")
+    xml = _sheet_xml(render_excel(Table1D(board, q), now=dt.datetime(2024, 1, 1)))
+    # parseable OOXML, frozen title row, bold totals row with the grand total
+    root = ET.fromstring(xml)
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    pane = root.find(".//m:pane", ns)
+    assert pane is not None and pane.get("ySplit") == "1" and pane.get("state") == "frozen"
+    rows = root.findall(".//m:row", ns)
+    texts = ["".join(t.text or "" for t in r.findall(".//m:t", ns)) for r in rows]
+    assert texts[0] == "StateUnits"          # title row
+    assert "Total" in texts[3]               # totals row after CA, NY
+    vals = [c.find("m:v", ns).text for c in rows[3].findall("m:c", ns) if c.find("m:v", ns) is not None]
+    assert vals == ["35"]
+    assert "Report generated on 01/01/2024" in texts[-1]
+
+
+def test_excel_sink_pivot(spark, sales, cubedef):
+    import xml.etree.ElementTree as ET
+
+    from bacon_spark.observers.excel import render_excel
+
+    board = CuttingBoard(cubedef, sales, cache_results=False)
+    q = (
+        CubeQuery()
+        .add_axis("state")
+        .add_axis("status")
+        .add_value("units")
+        .set_pivot("status")
+    )
+    xml = _sheet_xml(render_excel(TablePivot(board, q)))
+    root = ET.fromstring(xml)
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    rows = root.findall(".//m:row", ns)
+    texts = ["".join(t.text or "" for t in r.findall(".//m:t", ns)) for r in rows]
+    assert texts[0] == "Stateclosed: Unitsopen: UnitsTotal: Units"
+    # grand-total row: col totals 20, 15 and grand 35, all bold (s=3)
+    total_cells = rows[3].findall("m:c", ns)
+    assert [c.get("s") for c in total_cells] == ["3", "3", "3", "3"]
+    assert [c.find("m:v", ns).text for c in total_cells if c.find("m:v", ns) is not None] == ["20", "15", "35"]
+
+
+def test_svg_plot_fallback(spark, sales, cubedef):
+    import xml.etree.ElementTree as ET
+
+    from bacon_spark.observers.plot import TimePlotData
+
+    board = CuttingBoard(cubedef, sales, cache_results=False)
+    q = CubeQuery().add_axis("month").add_value("units").add_value("n")
+    plot = TimePlotData(board, q)
+    svg = plot.render_svg()
+    root = ET.fromstring(svg)
+    assert root.tag.endswith("svg")
+    polylines = [e for e in root.iter() if e.tag.endswith("polyline")]
+    assert len(polylines) == 2  # one per series
+    text = svg
+    assert "Units" in text and "N" in text  # legend entries
