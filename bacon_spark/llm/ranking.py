@@ -135,12 +135,15 @@ def tfidf_top_terms(
     """Top-*k* characteristic terms per document by tf·idf
     (``idf = ln(N/df)``), ranked by rounded score then term.
 
-    The full-vocabulary sibling of BM25: document frequency comes from a
-    count window over the (doc, term) table partitioned by term —
-    reusing the aggregated tf rows (vocab·docs scale, already
-    map-side-combined) instead of joining a vocabulary dim that may not
-    broadcast at corpus scale. Three key-partitioned shuffles total:
-    (doc, term) → term → doc."""
+    The full-vocabulary sibling of BM25: document frequency is an
+    aggregate over the (doc, term) tf rows (vocab·docs scale, already
+    map-side-combined) joined back on term — NOT a count window
+    partitioned by term: WindowExec buffers the whole partition, so a
+    ubiquitous term (df ≈ N, stopwords) would concentrate N rows in one
+    task's memory. The groupBy+join costs the same term-keyed shuffles
+    but carries one aggregated row per term, and a skewed term key is
+    AQE-splittable in a join where a window partition is not. Three
+    key-partitioned shuffles total: (doc, term) → term → doc."""
     from pyspark.sql import Window
 
     n_docs = docs.count()
@@ -149,16 +152,10 @@ def tfidf_top_terms(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    scored = tf.withColumn(
+    df_by_term = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_by_term, "term").withColumn(
         "s",
-        F.round(
-            F.col("tf")
-            * F.log(
-                F.lit(float(n_docs))
-                / F.count(F.lit(1)).over(Window.partitionBy("term"))
-            ),
-            7,
-        ),
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 7),
     )
     rk = F.row_number().over(
         Window.partitionBy(id_col).orderBy(F.col("s").desc(), F.col("term"))
