@@ -181,6 +181,86 @@ def blocked_all_pairs_cosine(
     )
 
 
+def lsh_bucket_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seeds=HYPERPLANE_SEEDS,
+) -> DataFrame:
+    """Candidate pairs from shared hyperplane-LSH buckets, verified with
+    exact cosine — the embedding twin of the MinHash band→bucket→verify
+    pipeline (q28→q30).
+
+    Each vector gets ONE bucket (its sign-bit signature), so the
+    self-join on bucket compares only same-bucket pairs: O(Σ bucket²)
+    work instead of O(N²), and at scale the table is written partitioned
+    by bucket so the join is partition-local. Approximate by
+    construction (a pair split across buckets is never compared) — the
+    deterministic md5 hyperplanes make the *same* candidate set
+    reproducible in any engine, which is what the oracle pins."""
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col), hyperplane_bits(F.col(vec_col), dim, seeds).alias("bucket")
+    )
+    a = bucketed.select(
+        "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("ea")
+    )
+    b = bucketed.select(
+        "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("eb")
+    )
+    sim = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "bucket", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+    )
+
+
+def hyperplane_planes_sql_cte(dim: int, seeds=HYPERPLANE_SEEDS) -> str:
+    """DuckDB CTE body computing the same pseudo-hyperplanes as
+    hyperplane_bits: one row per seed index with the component list."""
+    from .dedup import hash60_sql
+
+    comp = hash60_sql("(si + 1)::VARCHAR || ':' || j::VARCHAR")
+    return (
+        f"SELECT si, list_transform(range(0, {dim}), "
+        f"j -> (({comp}) % 2001 - 1000)::DOUBLE) AS plane "
+        f"FROM (SELECT unnest(range(0, {len(seeds)})) AS si)"
+    )
+
+
+def lsh_bucket_pairs_sql(
+    dim: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+    seeds=HYPERPLANE_SEEDS,
+) -> str:
+    """Oracle SQL twin of lsh_bucket_pairs (identical buckets, identical
+    candidate set, identical rounded cosines)."""
+    proj = (
+        f"list_sum(list_transform(list_zip({vec_col}, plane), "
+        f"p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+    )
+    return f"""
+    WITH planes AS ({hyperplane_planes_sql_cte(dim, seeds)}),
+    bucketed AS (
+      SELECT {id_col}, {vec_col},
+             sum(CASE WHEN {proj} > 0 THEN (1::BIGINT << si) ELSE 0 END)::BIGINT AS bucket
+      FROM {table} CROSS JOIN planes
+      GROUP BY 1, 2
+    )
+    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, a.bucket,
+           round({cosine_sql(f'a.{vec_col}', f'b.{vec_col}')}, 6) AS cos_sim
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.{id_col} < b.{id_col}
+    WHERE round({cosine_sql(f'a.{vec_col}', f'b.{vec_col}')}, 6) >= {threshold}
+    """
+
+
 def ann_lsh_topk(
     df: DataFrame,
     query_vec_row: list[float],

@@ -2754,3 +2754,96 @@ def q72_tfidf_top_terms(spark, sf_dir):
     on (rounded score, term). Exactly three key-partitioned shuffles."""
     docs = _read_docs(spark, sf_dir)
     return _rank.tfidf_top_terms(docs)
+
+
+# ---------------------------------------------------------------------------
+# Round 2 additions: embedding LSH pairs, sequence packing, streaming dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q73_embedding_lsh_pairs",
+    _sim.lsh_bucket_pairs_sql(dim=64, threshold=0.2),
+)
+def q73_embedding_lsh_pairs(spark, sf_dir):
+    """Hyperplane-LSH candidate generation over embeddings with exact
+    cosine verification inside buckets (llm/similarity.lsh_bucket_pairs)
+    — the embedding twin of the MinHash band pipeline (q28→q30) and the
+    scale path q40's exact form deliberately avoids. The md5-derived
+    hyperplanes are engine-reproducible, so the ORACLE REPLICATES THE
+    BUCKETING: same buckets, same candidate set, same rounded cosines —
+    pinning the approximate algorithm's exact behavior, not just row
+    counts."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return _sim.lsh_bucket_pairs(emb, dim=64, threshold=0.2)
+
+
+from .operators.packing import pack_chunks, pack_chunks_sql  # noqa: E402
+
+_WS_TOKENS_SQL = _tx.whitespace_token_count_sql("text")
+
+
+@query(
+    "q74_sequence_packing",
+    pack_chunks_sql(_WS_TOKENS_SQL, chunk_tokens=512, shards=8),
+)
+def q74_sequence_packing(spark, sf_dir):
+    """Concat-then-chunk sequence packing (operators/packing.py): token
+    spans mapped onto fixed 512-token training chunks, sharded by
+    doc_id % 8 so the cumulative-sum window runs per shard instead of
+    as one total-order bottleneck. The window state is (id, n_tokens)
+    pairs only — document bodies never enter the shuffle."""
+    docs = _read_docs(spark, sf_dir)
+    return pack_chunks(
+        docs, _tx.whitespace_token_count(F.col("text")), chunk_tokens=512, shards=8
+    )
+
+
+@query(
+    "q75_streaming_dedup_groups",
+    f"""
+    SELECT {_dd.hash60_sql('text')} AS digest,
+           min(doc_id) AS keep_id,
+           count(*) AS n
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q75_streaming_dedup_groups(spark, sf_dir):
+    """TRUE streaming exact-dedup maintenance with an exact oracle: the
+    documents corpus streams in two micro-batches (split by doc_id
+    parity, staged distributedly) through a digest-keyed aggregate
+    (min id = keeper, count = multiplicity) in complete mode — the
+    incremental form of q22's batch dedup. State is one row per distinct
+    digest (digest + two longs), the same asymptotic state batch dedup
+    holds in its aggregation; on an unbounded stream the key set is
+    bounded by watermarked windows or dropDuplicatesWithinWatermark,
+    covered in tests/test_streaming.py."""
+    import shutil
+
+    from .streaming.windows import run_stream_to_memory, scratch_dir, stage_ordered_files
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = scratch_dir("bacon_q75_")
+    stage_ordered_files([
+        (d, docs.filter(F.col("doc_id") % 2 == 0), "overwrite"),
+        (d, docs.filter(F.col("doc_id") % 2 == 1), "append"),
+    ])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = (
+        stream.select("doc_id", _dd.hash60(F.col("text")).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n"))
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_stream_to_memory(agg, "q75_stream", mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table("q75_stream")
