@@ -15,7 +15,7 @@ import io
 from ..builders.url import UrlQueryBuilder
 from ..cubequery import CubeQuery
 from ..engine import CuttingBoard
-from ..errors import QueryError
+from ..errors import BaconSparkError, QueryError
 from .csv import render_csv
 from .json import render_table_json
 from .tables import Page, Table1D, TablePivot
@@ -68,11 +68,14 @@ def make_flask_blueprint(controller: Controller, name: str = "bacon_spark"):
 
     bp = Blueprint(name, __name__)
 
+    # any engine error -> 404, the reference's ErrorTo404Middleware
+    # contract (/root/reference/bacon/django/middleware.py:14-40): a
+    # malformed/hand-edited query URL is a client problem, not a 500
     @bp.route("/table.json")
     def table_json():
         try:
             return jsonify(controller.render_json(request.args.to_dict()))
-        except QueryError as e:
+        except BaconSparkError as e:
             return jsonify({"error": str(e)}), 404
 
     @bp.route("/table.csv")
@@ -81,7 +84,7 @@ def make_flask_blueprint(controller: Controller, name: str = "bacon_spark"):
             return Response(
                 controller.render_csv(request.args.to_dict()), mimetype="text/csv"
             )
-        except QueryError as e:
+        except BaconSparkError as e:
             return Response(str(e), status=404)
 
     return bp

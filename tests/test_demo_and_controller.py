@@ -104,6 +104,14 @@ def test_flask_adapter(board):
     r = client.get("/table.json?q=a:nope")
     assert r.status_code == 404
 
+    # unparseable filter VALUE (DataError) -> 404 too: the reference
+    # middleware converts every AppError, not just unknown labels
+    r = client.get("/table.json?q=a:state/f:creation_date_month=zzz/v:units")
+    assert r.status_code == 404
+    # and the csv route applies the same mapping
+    r = client.get("/table.csv?q=a:nope")
+    assert r.status_code == 404
+
 
 def test_time_plot_data(board):
     q = CubeQuery().add_axis("creation_date_month").add_value("units").add_value("amount")
