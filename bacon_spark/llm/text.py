@@ -122,6 +122,95 @@ def quality_features_sql(expr: str) -> dict[str, str]:
 
 
 # ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality heuristics)
+# ---------------------------------------------------------------------------
+
+
+def repetition_signals(c: Column) -> dict[str, Column]:
+    """Within-document repetition heuristics: duplicate-line ratio, the
+    frequency share of the most repeated line, and duplicate word-bigram
+    ratio. Pure map-side expression work (per-doc O(L²) on the distinct
+    LINE set, bounded by document size, never a shuffle); the standard
+    filters for boilerplate / template / spam documents in pretraining
+    corpora."""
+    from ..functions.exprs import let
+
+    lines_raw = F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)), lambda x: x != F.lit("")
+    )
+
+    def with_lines(lines: Column) -> dict[str, Column]:
+        n = F.size(lines)
+        nd = F.size(F.array_distinct(lines))
+        max_freq = F.when(
+            n > 0,
+            F.array_max(
+                F.transform(
+                    F.array_distinct(lines),
+                    lambda d: F.size(F.filter(lines, lambda x: x == d)),
+                )
+            ),
+        ).otherwise(F.lit(0))
+        return n, nd, max_freq
+
+    toks = tokens(c)
+
+    def bigram_cols(t: Column) -> tuple[Column, Column]:
+        n = F.size(t)
+        grams = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.size(grams), F.size(F.array_distinct(grams))
+
+    out: dict[str, Column] = {}
+    n, nd, mx = with_lines(lines_raw)
+    ng, ndg = bigram_cols(toks)
+    out["n_lines"] = n
+    out["dup_line_ratio"] = F.round(_ratio(n - nd, n), 8)
+    out["max_line_share"] = F.round(_ratio(mx, n), 8)
+    out["dup_bigram_ratio"] = F.round(_ratio(ng - ndg, ng), 8)
+    return out
+
+
+def repetition_signals_sql(expr: str) -> dict[str, str]:
+    lines = (
+        f"list_filter(list_transform(string_split({expr}, chr(10)), x -> trim(x)), "
+        f"x -> x <> '')"
+    )
+    toks = tokens_sql(expr)
+    grams = (
+        f"CASE WHEN len({toks}) >= 2 THEN list_transform(range(1, len({toks})), "
+        f"i -> array_to_string(list_slice({toks}, i, i + 1), ' ')) ELSE [] END"
+    )
+
+    def ratio(num, den):
+        return (
+            f"round(CASE WHEN {den} > 0 THEN cast({num} as double) / cast({den} as double) "
+            f"ELSE 0.0 END, 8)"
+        )
+
+    n = f"len({lines})"
+    nd = f"len(list_distinct({lines}))"
+    mx = (
+        f"CASE WHEN len({lines}) > 0 THEN list_max(list_transform("
+        f"list_distinct({lines}), d -> len(list_filter({lines}, x -> x = d)))) "
+        f"ELSE 0 END"
+    )
+    ng = f"len({grams})"
+    ndg = f"len(list_distinct({grams}))"
+    return {
+        "n_lines": f"cast({n} as int)",
+        "dup_line_ratio": ratio(f"{n} - {nd}", n),
+        "max_line_share": ratio(mx, n),
+        "dup_bigram_ratio": ratio(f"{ng} - {ndg}", ng),
+    }
+
+
+# ---------------------------------------------------------------------------
 # Language ID
 # ---------------------------------------------------------------------------
 

@@ -2847,3 +2847,43 @@ def q75_streaming_dedup_groups(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(d, ignore_errors=True)
     return spark.table("q75_stream")
+
+
+from .operators.profile import profile as _profile, profile_sql as _profile_sql  # noqa: E402
+
+_PROFILE_COLS = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+
+
+@query("q76_table_profile", _profile_sql("orders", _PROFILE_COLS))
+def q76_table_profile(spark, sf_dir):
+    """ANALYZE-style table profile (operators/profile.py): per-column
+    null count, exact distinct count, min/max in ONE aggregation pass
+    (Catalyst multi-distinct Expand — each shuffle carries one column's
+    values with map-side partials), unpivoted JVM-side via stack."""
+    orders = _read(spark, sf_dir, "orders")
+    return _profile(orders, _PROFILE_COLS)
+
+
+_REP_SIGS = _tx.repetition_signals_sql("text")
+
+
+@query(
+    "q77_repetition_signals",
+    f"""
+    SELECT doc_id,
+           {_REP_SIGS['n_lines']} AS n_lines,
+           {_REP_SIGS['dup_line_ratio']} AS dup_line_ratio,
+           {_REP_SIGS['max_line_share']} AS max_line_share,
+           {_REP_SIGS['dup_bigram_ratio']} AS dup_bigram_ratio
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def q77_repetition_signals(spark, sf_dir):
+    """Gopher-style within-document repetition heuristics (llm/text.py):
+    duplicate-line ratio, most-repeated-line share, duplicate word-bigram
+    ratio — map-side expression work only, the standard boilerplate /
+    template / spam filters for pretraining corpora."""
+    docs = _read_docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    sigs = _tx.repetition_signals(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in sigs.items()])
