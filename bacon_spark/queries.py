@@ -2887,3 +2887,38 @@ def q77_repetition_signals(spark, sf_dir):
     docs = _read_docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     sigs = _tx.repetition_signals(F.col("text"))
     return docs.select("doc_id", *[c.alias(n) for n, c in sigs.items()])
+
+
+@query(
+    "q78_salted_agg",
+    """
+    SELECT l_returnflag AS returnflag,
+           round(cast(sum(cast(l_quantity as decimal(38,4))) as double), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q78_salted_agg(spark, sf_dir):
+    """Skew-salted two-phase aggregation in the gate
+    (operators/scale.salted_agg): l_returnflag has only 3 values — the
+    canonical hot-key shape — so the partial aggregate groups on
+    (key, salt) to spread each hot key over 16 reducers, and the final
+    merge handles 3×16 rows. Decimal partials keep the re-aggregated
+    double sum bit-identical to the oracle's single-phase GROUP BY."""
+    from .operators.scale import salted_agg
+
+    li = _read(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li.select("l_returnflag", "l_quantity"),
+        key="l_returnflag",
+        aggs={
+            "p_sum": F.sum(F.expr(dec("l_quantity"))),
+            "p_n": F.count(F.lit(1)),
+        },
+        merges={
+            "sum_qty": F.round(F.sum("p_sum").cast("double"), 2),
+            "n": F.sum("p_n"),
+        },
+    )
+    return out.select(F.col("l_returnflag").alias("returnflag"), "sum_qty", "n")
