@@ -254,6 +254,29 @@ def zorder_key(
     return key
 
 
+def zorder_key_sql(
+    cols: Sequence[tuple[str, int, int]], bits: int = 12
+) -> str:
+    """DuckDB twin of :func:`zorder_key` — same quantization (round,
+    clamp) and the same bit-interleaving loop, emitted as one SQL
+    expression so the oracle can pin the clustering key bit-for-bit."""
+    quantized = []
+    for expr, lo, hi in cols:
+        span = max(hi - lo, 1)
+        scaled = f"(({expr})::DOUBLE - {float(lo)}) / {float(span)} * {float((1 << bits) - 1)}"
+        quantized.append(
+            f"least(greatest(round({scaled})::BIGINT, 0), {(1 << bits) - 1})"
+        )
+    n = len(quantized)
+    terms = []
+    for b in range(bits - 1, -1, -1):
+        for j, q in enumerate(quantized):
+            out_pos = (bits - 1 - b) * n + j
+            shift = (bits * n - 1) - out_pos
+            terms.append(f"(((({q}) >> {b}) & 1) << {shift})")
+    return "(" + " + ".join(terms) + ")"
+
+
 def compact(
     spark: SparkSession,
     path: str,

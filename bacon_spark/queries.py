@@ -2922,3 +2922,33 @@ def q78_salted_agg(spark, sf_dir):
         },
     )
     return out.select(F.col("l_returnflag").alias("returnflag"), "sum_qty", "n")
+
+
+from .operators.maintenance import zorder_key, zorder_key_sql  # noqa: E402
+
+_Z_BITS = 8
+_Z_COLS = [("l_partkey", 0, 1 << 20), ("l_suppkey", 0, 1 << 14)]
+
+
+@query(
+    "q79_zorder_key",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           {zorder_key_sql(_Z_COLS, bits=_Z_BITS)} AS zkey
+    FROM lineitem
+    WHERE l_orderkey < 500
+    """,
+)
+def q79_zorder_key(spark, sf_dir):
+    """Morton (z-order) clustering key in the gate
+    (operators/maintenance.zorder_key): bit-interleaved quantized
+    (l_partkey, l_suppkey) — the key `compact(cluster_by=...)` sorts on
+    so multi-dimension range predicates prune files. Pure codegen bit
+    arithmetic; the oracle replicates quantization and interleaving
+    bit-for-bit."""
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_key(_Z_COLS, bits=_Z_BITS).alias("zkey"),
+    )
