@@ -145,3 +145,26 @@ def test_blocked_all_pairs_matches_naive(spark, sf_dir):
         .collect()
     }
     assert blocked == naive
+
+
+def test_q73_lsh_join_is_equi_join(spark):
+    # candidate generation must join on the bucket key, never BNLJ
+    plan = plan_of(spark, "q73_embedding_lsh_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q74_packing_single_window_exchange(spark):
+    # one hash exchange on shard feeds the cumulative-sum window; no
+    # total-order (rangepartitioning over all rows) anywhere
+    plan = plan_of(spark, "q74_sequence_packing")
+    assert plan.count("Window") == 1
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_q78_salted_agg_two_phase(spark):
+    # partial agg on (key, salt) then final on key: exactly two
+    # aggregate exchanges, no single-key hot reducer
+    plan = plan_of(spark, "q78_salted_agg")
+    assert "_salt" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
