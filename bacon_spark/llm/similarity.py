@@ -86,23 +86,36 @@ def brute_force_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def plane_constants(dim: int, seeds=HYPERPLANE_SEEDS) -> list[list[float]]:
+    """The deterministic pseudo-hyperplane components, computed ONCE
+    driver-side: c_j = md5-hash60(f"{seed}:{j}") mod 2001 - 1000, a fixed
+    pseudo-random integer in [-1000, 1000]. Identical to the SQL-side
+    construction (hash60_sql) — DuckDB oracles recompute it and match."""
+    import hashlib
+
+    planes = []
+    for seed in seeds:
+        comps = []
+        for j in range(dim):
+            h = int(hashlib.md5(f"{seed}:{j}".encode()).hexdigest()[:15], 16)
+            comps.append(float(h % 2001 - 1000))
+        planes.append(comps)
+    return planes
+
+
 def hyperplane_bits(vec: Column, dim: int, seeds=HYPERPLANE_SEEDS) -> Column:
-    """Sign-bit bucket id from deterministic pseudo-hyperplanes.
+    """Sign-bit bucket id from deterministic pseudo-hyperplanes:
+    bit_s = [v · h_s > 0].
 
-    Hyperplane s has component c_j = hash60(s:j) mod 2001 - 1000 (a fixed
-    pseudo-random integer in [-1000, 1000]); bit_s = [v · h_s > 0]. Same
-    construction is reproducible in any engine (md5-based)."""
-    from .dedup import hash60
-
-    def plane_component(seed):
-        return lambda j: (
-            hash60(F.concat_ws(":", F.lit(str(seed)), j.cast("string"))) % 2001 - 1000
-        ).cast("double")
-
+    The plane components are row-independent, so they are computed once
+    on the driver (plane_constants) and shipped as array literals — the
+    previous per-row form re-derived 8·dim md5 hashes for EVERY vector
+    (~0.5M JVM md5 calls per 1k rows), dominating bucket assignment
+    cost. The dot-product fold order is unchanged, so bucket ids are
+    bit-identical to the md5-in-SQL oracle construction."""
     bucket = F.lit(0).cast("long")
-    for si, seed in enumerate(seeds):
-        comp = F.sequence(F.lit(0), F.lit(dim - 1))
-        plane = F.transform(comp, plane_component(seed))
+    for si, comps in enumerate(plane_constants(dim, seeds)):
+        plane = F.array(*[F.lit(c) for c in comps])
         proj = F.aggregate(
             F.zip_with(vec, plane, lambda x, h: x.cast("double") * h),
             F.lit(0.0),
