@@ -2328,13 +2328,16 @@ def q64_streaming_asof(spark, sf_dir):
 
     pschema = "event_id long, user_id long, ts timestamp, value double"
     cschema = "user_id long, ts timestamp, event_id long"
+    # shards = the 8 state partitions this run uses: each extra shard is
+    # an extra pandas/arrow state round-trip per trigger (32 shards cost
+    # 2x wall time at bench scale); on a real cluster raise both together
     out = streaming_asof_join(
         spark.readStream.schema(pschema)
         .option("maxFilesPerTrigger", 1).parquet(ldir),
         spark.readStream.schema(cschema)
         .option("maxFilesPerTrigger", 1).parquet(rdir),
         on=["user_id"], left_ts="ts", prefix="click_", delay="30 minutes",
-        shards=32,
+        shards=8,
     )
     # fewer state-store tasks per trigger: the stateful shuffle width is
     # fixed at stream start, and 8 partitions are plenty at bench scale
@@ -2461,7 +2464,7 @@ def q66_streaming_asof_forward(spark, sf_dir):
         .option("maxFilesPerTrigger", 1).parquet(rdir),
         on=["user_id"], left_ts="ts", prefix="click_",
         direction="forward", tolerance_us=TOL_US,
-        delay="30 minutes", shards=32,
+        delay="30 minutes", shards=8,
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -2547,7 +2550,7 @@ def q67_streaming_overlap_join(spark, sf_dir):
         spark.readStream.schema(pschema)
         .option("maxFilesPerTrigger", 1).parquet(rdir),
         "e_lo", "e_up", "p_lo", "p_up",
-        on=["user_id"], prefix="r_", delay="35 days", shards=32,
+        on=["user_id"], prefix="r_", delay="35 days", shards=8,
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
