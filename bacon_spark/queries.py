@@ -2862,8 +2862,15 @@ def q76_table_profile(spark, sf_dir):
     """ANALYZE-style table profile (operators/profile.py): per-column
     null count, exact distinct count, min/max in ONE aggregation pass
     (Catalyst multi-distinct Expand — each shuffle carries one column's
-    values with map-side partials), unpivoted JVM-side via stack."""
-    orders = _read(spark, sf_dir, "orders")
+    values with map-side partials), unpivoted JVM-side via stack.
+
+    The repartition spreads the Expand's x5 row multiplication across
+    cores — the fixture ships orders as ONE file/partition; at real
+    scale file count makes this a no-op (same rationale as
+    _read_docs)."""
+    orders = _read(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return _profile(orders, _PROFILE_COLS)
 
 
@@ -2955,3 +2962,50 @@ def q79_zorder_key(spark, sf_dir):
         "l_linenumber",
         zorder_key(_Z_COLS, bits=_Z_BITS).alias("zkey"),
     )
+
+
+@query(
+    "q80_synthetic_source",
+    """
+    WITH g AS (
+      SELECT i, cast(('0x' || substr(md5('42:' || i::VARCHAR), 1, 15)) as bigint) AS h
+      FROM range(0, 5000) t(i)
+    ),
+    ev AS (
+      SELECT i AS event_id,
+             ['view','click','purchase','error'][(h % 4) + 1] AS event_type,
+             round((h % 1000000) / 100.0, 2) AS value
+      FROM g
+    )
+    SELECT event_type, count(*) AS n,
+           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS total
+    FROM ev GROUP BY 1
+    """,
+)
+def q80_synthetic_source(spark, sf_dir):
+    """Custom Python DataSource in the gate (sources/synthetic.py,
+    Spark 4 DataSource API): the seeded generator plans real input
+    partitions and runs distributedly; the oracle regenerates the same
+    rows from range() via the shared md5 construction, so the source's
+    CONTENT is hash-checked, not just its row count. Falls back to a
+    driver-built DataFrame of the same generator when the API is absent
+    (content identical — gen_row is the single source of truth)."""
+    from .sources import synthetic
+
+    if synthetic.register(spark):
+        ev = (
+            spark.read.format("synthetic_events")
+            .option("numRows", 5000)
+            .option("seed", 42)
+            .option("numPartitions", 8)
+            .load()
+        )
+    else:  # pragma: no cover - pyspark without the DataSource API
+        ev = spark.createDataFrame(
+            [synthetic.gen_row(42, i) for i in range(5000)], synthetic.SCHEMA
+        )
+    out = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr(dec("value"))).alias("total"),
+    )
+    return finalize(out, {"total": 2})

@@ -45,12 +45,6 @@ def _run():
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # fixture tables are single small parquet files; split them into
-        # row-group-bounded byte ranges so scans and map-side work engage
-        # all cores BEFORE the first shuffle (at real scale file count
-        # provides this for free — this is the same knob, not a rewrite)
-        .config("spark.sql.files.maxPartitionBytes", "4m")
-        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "16g")
