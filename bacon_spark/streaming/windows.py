@@ -215,7 +215,14 @@ def stage_ordered_files(stages) -> None:
     stamped: set[str] = set()
     t = 1_000_000_000
     for dir_, df, mode in stages:
-        df.coalesce(1).write.mode(mode).parquet(dir_)
+        # one file per staged frame (file count = trigger count under
+        # maxFilesPerTrigger=1). repartition(1), NOT coalesce(1):
+        # coalesce on a parallelized local relation (a one-row sentinel
+        # spread over defaultParallelism empty slices) degenerates to a
+        # multi-second write, while the one-row shuffle is ~free.
+        if df.rdd.getNumPartitions() > 1:
+            df = df.repartition(1)
+        df.write.mode(mode).parquet(dir_)
         for f in sorted(glob.glob(dir_ + "/*.parquet")):
             if f not in stamped:
                 os.utime(f, (t, t))
