@@ -3009,3 +3009,42 @@ def q80_synthetic_source(spark, sf_dir):
         F.sum(F.expr(dec("value"))).alias("total"),
     )
     return finalize(out, {"total": 2})
+
+
+@query(
+    "q81_cdc_latest_by_key",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events
+    )
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           round(value, 2) AS value
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q81_cdc_latest_by_key(spark, sf_dir):
+    """CDC / upsert compaction: latest record per key (event time, then
+    id as the deterministic tie-break) — the canonical changelog
+    materialization. One hash shuffle on the key + a per-partition sort;
+    row_number (not max+join-back) so the whole row survives without a
+    second pass. At table scale this is the MERGE-less way to compact an
+    append log into current state."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+            F.round("value", 2).alias("value"),
+        )
+    )
