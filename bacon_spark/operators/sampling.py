@@ -135,3 +135,45 @@ def mix_sources(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def dataset_split(
+    df: DataFrame,
+    key: Column | str,
+    fractions: Mapping[str, float],
+    salt: str = "split",
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in exactly
+    one named split, chosen by its key's hash draw against cumulative
+    fraction thresholds. Map-side only, reproducible across engines,
+    partitionings, and runs — the property a dataset split MUST have so
+    re-running the pipeline never migrates a row between train and eval.
+    Fractions must sum to 1 (validated to RESOLUTION granularity)."""
+    total = round(sum(fractions.values()) * RESOLUTION)
+    if total != RESOLUTION:
+        raise ValueError(f"fractions must sum to 1, got {sum(fractions.values())}")
+    key = F.col(key) if isinstance(key, str) else key
+    draw = _draw(key, salt)
+    expr: Column | None = None
+    cum = 0
+    for name, frac in fractions.items():
+        cum += round(frac * RESOLUTION)
+        cond = draw < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out, expr)
+
+
+def dataset_split_sql(
+    key_expr: str,
+    fractions: Mapping[str, float],
+    salt: str = "split",
+) -> str:
+    """DuckDB twin of :func:`dataset_split`'s split expression."""
+    draw = draw_sql(key_expr, salt)
+    cases = []
+    cum = 0
+    for name, frac in fractions.items():
+        cum += round(frac * RESOLUTION)
+        cases.append(f"WHEN {draw} < {cum} THEN '{name}'")
+    return "CASE " + " ".join(cases) + " END"

@@ -3048,3 +3048,35 @@ def q81_cdc_latest_by_key(spark, sf_dir):
             F.round("value", 2).alias("value"),
         )
     )
+
+
+from .operators.sampling import dataset_split, dataset_split_sql  # noqa: E402
+
+_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+@query(
+    "q82_dataset_split",
+    f"""
+    SELECT {dataset_split_sql('doc_id', _SPLITS)} AS split,
+           count(*) AS n,
+           cast(sum({_tx.whitespace_token_count_sql('text')}) as bigint) AS total_tokens,
+           min(doc_id) AS min_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q82_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test split (operators/sampling.
+    dataset_split): each document lands in exactly one split by its id
+    hash against cumulative thresholds — map-side, engine-reproducible,
+    so re-running the pipeline never migrates a row between train and
+    eval. Aggregated per split with token mass (the number a mixture
+    planner actually needs)."""
+    docs = _read_docs(spark, sf_dir)
+    out = dataset_split(docs, "doc_id", _SPLITS)
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_tx.whitespace_token_count(F.col("text")).cast("long")).alias("total_tokens"),
+        F.min("doc_id").alias("min_id"),
+    )
