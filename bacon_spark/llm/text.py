@@ -337,3 +337,62 @@ def pii_counts_sql(expr: str, patterns: dict[str, str] = PII_PATTERNS) -> dict[s
         name: f"len(regexp_extract_all({expr}, '{pat}'))"
         for name, pat in patterns.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Text chunking (RAG / pretraining context windows)
+# ---------------------------------------------------------------------------
+
+
+def chunk_tokens(
+    c: Column, chunk: int = 64, stride: int = 48
+) -> Column:
+    """Overlapping token windows: chunk i covers tokens
+    [i*stride, i*stride + chunk). Returns an array of structs
+    (chunk_id, n_tokens, digest) — the digest (hash60 of the joined
+    window) stands in for the chunk text so downstream dedup/indexing
+    never ships the text twice. Map-side explode fodder; one chunk per
+    stride until the window start passes the end of the document."""
+    from ..functions.exprs import let
+    from .dedup import hash60
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        n_chunks = F.when(
+            n > 0, F.floor((n - 1) / stride).cast("int") + 1
+        ).otherwise(F.lit(0))
+        idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+        return F.when(
+            n > 0,
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.cast("int").alias("chunk_id"),
+                    F.least(n - i * stride, F.lit(chunk)).cast("int").alias("n_tokens"),
+                    hash60(
+                        F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk))
+                    ).alias("digest"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<chunk_id:int,n_tokens:int,digest:bigint>>"))
+
+    return let(tokens(c), build)
+
+
+def chunk_tokens_sql(expr: str, chunk: int = 64, stride: int = 48) -> str:
+    """DuckDB twin: one row per chunk via unnested range (callers unnest);
+    returns the SQL for a list of structs matching chunk_tokens."""
+    from .dedup import hash60_sql
+
+    toks = tokens_sql(expr)
+    digest = hash60_sql(
+        f"array_to_string(list_slice({toks}, i * {stride} + 1, i * {stride} + {chunk}), ' ')"
+    )
+    return (
+        f"CASE WHEN len({toks}) > 0 THEN "
+        f"list_transform(range(0, (len({toks}) - 1) // {stride} + 1), "
+        f"i -> {{'chunk_id': i::INT, "
+        f"'n_tokens': least(len({toks}) - i * {stride}, {chunk})::INT, "
+        f"'digest': {digest}}}) "
+        f"ELSE [] END"
+    )

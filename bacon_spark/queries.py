@@ -3080,3 +3080,68 @@ def q82_dataset_split(spark, sf_dir):
         F.sum(_tx.whitespace_token_count(F.col("text")).cast("long")).alias("total_tokens"),
         F.min("doc_id").alias("min_id"),
     )
+
+
+@query(
+    "q83_text_chunking",
+    f"""
+    WITH chunks AS (
+      SELECT doc_id, unnest({_tx.chunk_tokens_sql('text', 64, 48)}) AS c
+      FROM documents
+      WHERE doc_id < 100
+    )
+    SELECT doc_id, c.chunk_id, c.n_tokens, c.digest
+    FROM chunks
+    """,
+)
+def q83_text_chunking(spark, sf_dir):
+    """Overlapping context-window chunking (llm/text.chunk_tokens):
+    64-token windows at stride 48, one output row per chunk carrying a
+    digest of the window instead of its text — map-side build + explode,
+    document bodies never amplified through the shuffle. The standard
+    RAG / pretraining window prep; the oracle rebuilds identical chunks
+    and digests from the same token stream."""
+    docs = _read_docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    chunks = docs.select(
+        "doc_id", F.explode(_tx.chunk_tokens(F.col("text"), 64, 48)).alias("c")
+    )
+    return chunks.select("doc_id", "c.chunk_id", "c.n_tokens", "c.digest")
+
+
+@query(
+    "q84_top_ngrams",
+    f"""
+    WITH toks AS (
+      SELECT {_tx.tokens_sql('text')} AS t FROM documents
+    ),
+    grams AS (
+      SELECT unnest(CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)),
+                    i -> array_to_string(list_slice(t, i, i + 1), ' ')) ELSE [] END) AS gram
+      FROM toks
+    ),
+    counted AS (SELECT gram, count(*) AS n FROM grams GROUP BY 1)
+    SELECT gram, n FROM counted
+    ORDER BY n DESC, gram LIMIT 20
+    """,
+)
+def q84_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-20 word bigrams: map-side gram build + explode,
+    partial-aggregating shuffle on the gram key (small rows only), then
+    TakeOrderedAndProject with a deterministic (count, gram) tie-break.
+    The heavy-hitter vocabulary pass every tokenizer/mixture pipeline
+    runs."""
+    docs = _read_docs(spark, sf_dir)
+    toks = _tx.tokens(F.col("text"))
+    grams = docs.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram")
+    )
+    out = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    return out.orderBy(F.col("n").desc(), F.col("gram")).limit(20)
