@@ -3145,3 +3145,102 @@ def q84_top_ngrams(spark, sf_dir):
     )
     out = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
     return out.orderBy(F.col("n").desc(), F.col("gram")).limit(20)
+
+
+@query(
+    "q85_streaming_session",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+    ),
+    sessions AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, value
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, sess_id
+    """,
+)
+def q85_streaming_session(spark, sf_dir):
+    """TRUE streaming session windows with an EXACT oracle: the full
+    events fixture streams through a watermarked session_window
+    aggregate in APPEND mode — a session emits only when the watermark
+    passes its close, so a far-future sentinel (its own session,
+    filtered out) flushes every real session. State is bounded to open
+    sessions per user. The oracle is q33's batch gaps-and-islands SQL
+    verbatim: streaming emission must reproduce the batch sessionization
+    bit-for-bit."""
+    import shutil
+
+    from .streaming.windows import (
+        run_stream_to_memory,
+        scratch_dir,
+        session_window_agg,
+        stage_ordered_files,
+        with_watermark,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    hi = ev.agg(F.max("ts")).first()[0]
+    sschema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    # TWO sentinel files: the watermark only advances at the END of a
+    # batch, and append-mode sessions emit in the batch AFTER the
+    # watermark passes their close — sentinel 1 moves the watermark past
+    # every real session, sentinel 2 forces the batch that emits the
+    # sessions from the fixture's final gap window
+    sent1 = spark.createDataFrame([(-1, hi + dt.timedelta(days=2), -1, "sent", 0.0, "{}")], sschema)
+    sent2 = spark.createDataFrame([(-2, hi + dt.timedelta(days=4), -1, "sent", 0.0, "{}")], sschema)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    d = scratch_dir("bacon_q85_")
+    stage_ordered_files([
+        (d, ev.select(*cols), "overwrite"),
+        (d, sent1, "append"),
+        (d, sent2, "append"),
+    ])
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = session_window_agg(
+        with_watermark(stream, "ts", "30 minutes"),
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.round(F.sum(F.expr(dec("value"))).cast("double"), 2),
+        },
+        gap="30 minutes",
+        keys=("user_id",),
+    )
+    # Drop the sentinel sessions by their START TIME, not by user_id:
+    # user_id is a grouping key, so a `user_id >= 0` filter legally
+    # pushes below the aggregate all the way into the parquet scan —
+    # the sentinel rows then never reach the watermark operator and the
+    # final real sessions never emit (observed: the last-gap sessions
+    # went missing). session_start is an aggregate output that cannot
+    # push through session merging, so it filters rows, not input.
+    out = agg.filter(F.col("session_start") <= F.lit(hi)).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+        "sum_value",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_stream_to_memory(out, "q85_stream", mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table("q85_stream")
