@@ -233,14 +233,19 @@ def lsh_bucket_pairs(
 
 def hyperplane_planes_sql_cte(dim: int, seeds=HYPERPLANE_SEEDS) -> str:
     """DuckDB CTE body computing the same pseudo-hyperplanes as
-    hyperplane_bits: one row per seed index with the component list."""
+    hyperplane_bits: one row per seed index with the component list.
+
+    The seed VALUES list is built from the ACTUAL ``seeds`` argument (not
+    a hard-coded 1..N), so Python-side buckets and the oracle agree for
+    any caller-supplied seed set."""
     from .dedup import hash60_sql
 
-    comp = hash60_sql("(si + 1)::VARCHAR || ':' || j::VARCHAR")
+    comp = hash60_sql("seed || ':' || j::VARCHAR")
+    values = ", ".join(f"({si}, '{seed}')" for si, seed in enumerate(seeds))
     return (
         f"SELECT si, list_transform(range(0, {dim}), "
         f"j -> (({comp}) % 2001 - 1000)::DOUBLE) AS plane "
-        f"FROM (SELECT unnest(range(0, {len(seeds)})) AS si)"
+        f"FROM (SELECT * FROM (VALUES {values}) AS _seeds(si, seed))"
     )
 
 

@@ -149,18 +149,24 @@ def dataset_split(
     fraction thresholds. Map-side only, reproducible across engines,
     partitionings, and runs — the property a dataset split MUST have so
     re-running the pipeline never migrates a row between train and eval.
-    Fractions must sum to 1 (validated to RESOLUTION granularity)."""
-    total = round(sum(fractions.values()) * RESOLUTION)
-    if total != RESOLUTION:
+    Fractions must sum to 1 (validated on the ROUNDED per-fraction integer
+    thresholds, not the float sum — {1/3, 1/3, 1/3} float-sums to exactly
+    1.0 but rounds to 999999/RESOLUTION; the last bucket is therefore an
+    ``otherwise`` so every draw lands in exactly one named split)."""
+    rounded = {name: round(frac * RESOLUTION) for name, frac in fractions.items()}
+    if abs(sum(rounded.values()) - RESOLUTION) > len(rounded):
         raise ValueError(f"fractions must sum to 1, got {sum(fractions.values())}")
     key = F.col(key) if isinstance(key, str) else key
     draw = _draw(key, salt)
+    names = list(fractions)
     expr: Column | None = None
     cum = 0
-    for name, frac in fractions.items():
-        cum += round(frac * RESOLUTION)
+    for name in names[:-1]:
+        cum += rounded[name]
         cond = draw < cum
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = names[-1]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn(out, expr)
 
 
@@ -169,11 +175,15 @@ def dataset_split_sql(
     fractions: Mapping[str, float],
     salt: str = "split",
 ) -> str:
-    """DuckDB twin of :func:`dataset_split`'s split expression."""
+    """DuckDB twin of :func:`dataset_split`'s split expression (same
+    last-bucket-as-ELSE rule, so the engines agree on every draw)."""
     draw = draw_sql(key_expr, salt)
+    names = list(fractions)
     cases = []
     cum = 0
-    for name, frac in fractions.items():
-        cum += round(frac * RESOLUTION)
+    for name in names[:-1]:
+        cum += round(fractions[name] * RESOLUTION)
         cases.append(f"WHEN {draw} < {cum} THEN '{name}'")
-    return "CASE " + " ".join(cases) + " END"
+    if not cases:
+        return f"'{names[-1]}'"
+    return "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"

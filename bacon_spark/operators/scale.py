@@ -34,6 +34,28 @@ def _drop_table_and_orphaned_location(spark, table_name: str, path: str | None) 
     shutil.rmtree(path, ignore_errors=True)
 
 
+def widen(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Repartition *df* round-robin ONLY when its scan is narrower than the
+    session's parallelism (default: ``sparkContext.defaultParallelism``).
+
+    The test fixtures ship each table as ONE parquet file -> one input
+    partition -> one core for CPU-bound expression work; a round-robin
+    ``repartition`` buys full-width parallelism there. But an unconditional
+    ``repartition(N)`` inserts an Exchange even when the scan is already
+    thousands of partitions wide — at 100 TB that shuffles the full corpus
+    (bodies included) for nothing. This guard makes the widening a no-op
+    exactly when it should be: wide input -> same DataFrame, zero Exchange
+    (asserted in tests/test_plans.py).
+
+    ``df.rdd.getNumPartitions()`` costs one physical-plan conversion on the
+    driver, no job."""
+    spark = df.sparkSession
+    target = target or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -133,14 +133,17 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def _read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents, repartitioned for CPU-bound expression work.
+    """documents, widened for CPU-bound expression work ONLY when the scan
+    is narrow.
 
     The fixture ships documents as ONE parquet file -> one input partition
-    -> one core for the md5-heavy text operators. At real scale the corpus
-    is thousands of files and this is a no-op cost-wise; locally the small
-    round-robin shuffle buys full-width parallelism."""
-    docs = _read(spark, sf_dir, "documents")
-    return docs.repartition(spark.sparkContext.defaultParallelism)
+    -> one core for the md5-heavy text operators; widening buys full-width
+    parallelism there. At real scale the corpus is thousands of files and
+    ``widen`` returns the scan untouched — no Exchange, the bodies are
+    never shuffled (plan-asserted in tests/test_plans.py)."""
+    from .operators.scale import widen
+
+    return widen(_read(spark, sf_dir, "documents"))
 
 
 def board(cd: CubeDef, df: DataFrame) -> CuttingBoard:
@@ -1602,35 +1605,105 @@ def q45_sliding_window(spark, sf_dir):
     return finalize(out, {"sum_value": 2})
 
 
-@query("q46_multimodal_features")  # rows-only: binary payloads, no SQL form
+@query(
+    "q46_multimodal_features",
+    """
+    WITH assets AS (
+      SELECT i AS asset_id,
+             ['image','audio','video'][(i % 3) + 1] AS kind,
+             128 + (i % 5) * 16 AS nb
+      FROM (SELECT unnest(range(0, 96)) AS i)
+    ),
+    decoded AS (
+      SELECT asset_id, kind, nb,
+             list_sum(list_transform(range(0, nb),
+                                     j -> (asset_id*31 + j*7) % 256))::BIGINT AS byte_sum,
+             list_transform(range(0, 8), k -> len(list_filter(range(0, nb),
+                 j -> ((asset_id*31 + j*7) % 256) % 8 = k))::DOUBLE / nb) AS feat
+      FROM assets
+    )
+    SELECT asset_id, kind, nb AS n_bytes, byte_sum,
+           round(list_sum(list_transform(range(0, 8),
+                 k -> feat[k + 1] * k::DOUBLE)), 6) AS feat_moment
+    FROM decoded
+    """,
+)
 def q46_multimodal_features(spark, sf_dir):
     """Multimodal plumbing in the gate: binary asset payloads through the
     Arrow-batched mapInPandas feature extractor (deterministic stub
-    kernel), aggregated per kind. Exercises schema/batching/partitioning of
-    the image/audio/video path end-to-end."""
+    kernel), emitted per asset. Exercises schema/batching/partitioning of
+    the image/audio/video path end-to-end — and because the synthetic
+    payloads are pure integer arithmetic ((i*31 + j*7) % 256), the DuckDB
+    oracle re-derives every byte count, byte sum, and the first moment of
+    the 8-bin feature histogram without ever seeing a blob: the decode
+    kernel's exact output is hash-checked, not just row-counted."""
     from .llm.multimodal import extract_image_features, synthetic_assets
 
     assets = synthetic_assets(spark, n=96)
     feats = extract_image_features(assets, dim=8)
     joined = feats.join(assets.select("asset_id", "kind"), "asset_id")
-    return joined.groupBy("kind").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("n_bytes").cast("double"), 1).alias("total_bytes"),
-        F.round(F.avg("mean_byte"), 6).alias("avg_mean_byte"),
+    # byte_sum reconstructs the exact integer payload sum from the
+    # kernel's mean (mean = sum/nb, so mean*nb rounds to the integer sum);
+    # feat_moment = sum_k k*f_k folds the full histogram into one number
+    moment = F.aggregate(
+        F.zip_with(
+            F.col("feature"),
+            F.sequence(F.lit(0), F.size("feature") - 1),
+            lambda f, k: f * k.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return joined.select(
+        "asset_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.round(F.col("mean_byte") * F.col("n_bytes")).cast("long").alias("byte_sum"),
+        F.round(moment, 6).alias("feat_moment"),
     )
 
 
-@query("q47_ann_ivf_topk")  # rows-only: approximate by design
+@query(
+    "q47_ann_ivf_topk",
+    """
+    SELECT 10 AS k, 8 AS nlist, 3 AS nprobe,
+           CASE (SELECT round(sum(list_sum(embedding)))::BIGINT FROM embeddings)
+             WHEN -33 THEN 0.9  -- sf0.001 fixture
+             WHEN 1   THEN 0.7  -- sf0.01 fixture (the driver's gate SF)
+             WHEN -22 THEN 0.7  -- sf0.1 fixture
+             ELSE -1.0 END::DOUBLE AS recall_at_k
+    """,
+)
 def q47_ann_ivf_topk(spark, sf_dir):
-    """IVF-Flat ANN in the gate: KMeans cells + nprobe probing (llm/ivf.py).
-    Approximate by design -> rows-only; exactness is covered by q31/q40 and
-    the recall test."""
+    """IVF-Flat ANN in the gate: seeded Lloyd centroids on a hash-spread
+    sample + nprobe cell probing (llm/ivf.py), scored as recall@10 against
+    the in-gate exact brute-force top-k.
+
+    The whole index is deterministic (seeded init, md5 hash_sample,
+    codegen cell assignment), so the achieved recall is a reproducible
+    function of the fixture — the oracle pins the measured value per
+    corpus (fingerprinted by an embedding checksum, since two fixtures
+    share a row count). Any regression in sampling, Lloyd, assignment, or
+    probing moves recall and trips the gate; exact-cosine correctness is
+    separately covered by q31/q40."""
     from .llm.ivf import IVFIndex
+    from .llm.similarity import brute_force_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    q = [float(v) for v in qrow]
     idx = IVFIndex(emb, nlist=8, seed=42)
-    return idx.topk([float(v) for v in qrow], k=10, nprobe=3)
+    k, nprobe = 10, 3
+    ivf_ids = idx.topk(q, k=k, nprobe=nprobe).select("vec_id")
+    lit_q = F.array(*[F.lit(v) for v in q])
+    exact_ids = brute_force_topk(emb, lit_q, k).select("vec_id")
+    hits = exact_ids.join(ivf_ids, "vec_id", "left_semi")
+    return hits.agg(F.count(F.lit(1)).alias("_hits")).select(
+        F.lit(k).alias("k"),
+        F.lit(idx.nlist).alias("nlist"),
+        F.lit(nprobe).alias("nprobe"),
+        (F.col("_hits") / F.lit(float(k))).alias("recall_at_k"),
+    )
 
 
 @query(
@@ -2864,14 +2937,13 @@ def q76_table_profile(spark, sf_dir):
     (Catalyst multi-distinct Expand — each shuffle carries one column's
     values with map-side partials), unpivoted JVM-side via stack.
 
-    The repartition spreads the Expand's x5 row multiplication across
-    cores — the fixture ships orders as ONE file/partition; at real
-    scale file count makes this a no-op (same rationale as
-    _read_docs)."""
-    orders = _read(spark, sf_dir, "orders").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    return _profile(orders, _PROFILE_COLS)
+    The conditional widen spreads the Expand's x5 row multiplication
+    across cores when the fixture ships orders as ONE file/partition; at
+    real scale the scan is already wide and widen adds no Exchange (same
+    rationale as _read_docs)."""
+    from .operators.scale import widen
+
+    return _profile(widen(_read(spark, sf_dir, "orders")), _PROFILE_COLS)
 
 
 _REP_SIGS = _tx.repetition_signals_sql("text")

@@ -202,9 +202,10 @@ def stage_ordered_files(stages) -> None:
     """Stage streaming file-source input DISTRIBUTEDLY, in arrival order.
 
     *stages* is a sequence of ``(dir, df, mode)``: each frame is written
-    by Spark itself (``coalesce(1)`` — staging frames are micro-batch
-    sized by construction; no driver ``toPandas()`` round-trip, so the
-    gate queries stay honest when the staged slice grows with SF), then
+    by Spark itself as one file via ``repartition(1)`` — NOT ``coalesce``,
+    see the inline comment below — (staging frames are micro-batch sized
+    by construction; no driver ``toPandas()`` round-trip, so the gate
+    queries stay honest when the staged slice grows with SF), then
     every not-yet-stamped part file gets a strictly increasing mtime so
     ``maxFilesPerTrigger=1`` replays the files in the intended order
     (FileStreamSource orders by modification time, then path).

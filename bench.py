@@ -33,7 +33,7 @@ def main():
         sys.stdout.flush()
         os.dup2(real_stdout, 1)
         os.close(real_stdout)
-    print(json.dumps(result), flush=True)
+    print(json.dumps(result, separators=(",", ":")), flush=True)
 
 
 def _run():
@@ -71,18 +71,23 @@ def _run():
 
     spark.catalog.clearCache()  # drop warmup persists; isolate queries
 
+    # Short keys (q01 not q01_pricing_summary) + 2-decimal rounding keep
+    # the emitted line ~1 KB: the driver stores only a tail window of
+    # stdout, and the round-2 full-name line outgrew it (parsed=null, the
+    # q01-q16 timings were lost from the record).
     per_query = {}
     total = 0.0
     for name, fn in QUERIES.items():
+        key = name.split("_", 1)[0]
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
             df.count()
             dt = time.perf_counter() - t0
-            per_query[name] = round(dt, 3)
+            per_query[key] = round(dt, 2)
             total += dt
         except Exception as e:  # record failures as null, keep the suite going
-            per_query[name] = None
+            per_query[key] = None
             print(f"bench error in {name}: {e}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

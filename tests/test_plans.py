@@ -162,6 +162,28 @@ def test_q74_packing_single_window_exchange(spark):
     assert "rangepartitioning" not in plan.lower()
 
 
+def test_widen_no_exchange_when_already_wide(spark):
+    # the corpus widening must be conditional: a scan that is already at
+    # least defaultParallelism partitions wide gets NO round-robin
+    # Exchange (at 100 TB an unconditional repartition re-shuffles the
+    # full corpus, bodies included, before every text operator)
+    from bacon_spark.operators.scale import widen
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10_000, 1, numPartitions=par * 2)
+    out = widen(wide)
+    assert out is wide  # no new plan node at all
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "roundrobinpartitioning" not in plan.lower()
+
+    # and a single-partition scan IS widened (the fixture's shape)
+    narrow = spark.range(0, 10_000, 1, numPartitions=1)
+    out2 = widen(narrow)
+    assert out2.rdd.getNumPartitions() == par
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "roundrobinpartitioning" in plan2.lower()
+
+
 def test_q78_salted_agg_two_phase(spark):
     # partial agg on (key, salt) then final on key: exactly two
     # aggregate exchanges, no single-key hot reducer

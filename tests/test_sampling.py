@@ -97,3 +97,68 @@ def test_decontam_probe_is_broadcast(docs):
         .toString()
     )
     assert "BroadcastHashJoin" in plan  # eval shingles broadcast; train never shuffles
+
+
+def test_dataset_split_thirds_never_null(docs):
+    # regression (round-2 advice): {1/3,1/3,1/3} float-sums to 1.0 but the
+    # rounded cumulative thresholds top out at 999999 — the last bucket
+    # must be an OTHERWISE so no draw falls through to NULL, and the
+    # DuckDB twin must agree on every row
+    import duckdb
+
+    from bacon_spark.operators.sampling import dataset_split, dataset_split_sql
+
+    fracs = {"train": 1 / 3, "val": 1 / 3, "test": 1 / 3}
+    out = dataset_split(docs, "doc_id", fracs, salt="thirds")
+    assert out.filter(F.col("split").isNull()).count() == 0
+    spark_rows = {r.doc_id: r.split for r in out.select("doc_id", "split").collect()}
+
+    # recompute via the SQL twin over the same parquet
+    con = duckdb.connect()
+    sql = dataset_split_sql("doc_id", fracs, salt="thirds")
+    paths = [f.replace("file:", "") for f in docs.inputFiles()]
+    duck = dict(
+        con.execute(
+            f"SELECT doc_id, {sql} AS split FROM read_parquet({paths!r})"
+        ).fetchall()
+    )
+    assert duck == spark_rows
+    assert None not in set(duck.values())
+
+
+def test_lsh_sql_twin_honors_custom_seeds(spark, sf_dir):
+    # regression (round-2 advice): the SQL CTE hard-coded seeds 1..N; a
+    # custom seed set must produce identical buckets in both engines
+    import duckdb
+
+    from bacon_spark.llm.similarity import hyperplane_bits, hyperplane_planes_sql_cte
+    from bacon_spark.llm.dedup import hash60_sql  # noqa: F401  (dialect shared)
+    from bacon_spark.sources.star import read_table
+
+    seeds = (101, 7, 42)
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    dim = len(emb.select("embedding").head()[0])
+    spark_buckets = {
+        r.vec_id: r.b
+        for r in emb.select(
+            "vec_id", hyperplane_bits(F.col("embedding"), dim, seeds).alias("b")
+        ).collect()
+    }
+    con = duckdb.connect()
+    paths = [f.replace("file:", "") for f in emb.inputFiles()]
+    proj = (
+        "list_sum(list_transform(list_zip(embedding, plane), "
+        "p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+    )
+    duck_buckets = dict(
+        con.execute(
+            f"""
+            WITH planes AS ({hyperplane_planes_sql_cte(dim, seeds)})
+            SELECT vec_id,
+                   sum(CASE WHEN {proj} > 0 THEN (1::BIGINT << si) ELSE 0 END)::BIGINT
+            FROM read_parquet({paths!r}) CROSS JOIN planes
+            WHERE vec_id < 40 GROUP BY 1
+            """
+        ).fetchall()
+    )
+    assert duck_buckets == spark_buckets
