@@ -2375,7 +2375,10 @@ def q64_streaming_asof(spark, sf_dir):
     from .streaming.asof import streaming_asof_join
     from .streaming.windows import run_stream_to_memory, scratch_dir, stage_ordered_files
 
-    ev = _read(spark, sf_dir, "events")
+    # persist bounds re-scans during staging (max-ts job + two staged
+    # writes would otherwise each re-read the parquet); verification-run
+    # sized, dropped in the finally below
+    ev = _read(spark, sf_dir, "events").persist()
     pdf = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
@@ -2388,10 +2391,14 @@ def q64_streaming_asof(spark, sf_dir):
         [(-1, -1, hi + dt.timedelta(hours=3), 0.0)],
         "event_id long, user_id long, ts timestamp, value double",
     )
-    # one data file per side + the sentinel: 3 triggers — real rows land in
-    # batch 0 and are emitted from STATE in batches 1-2 once the sentinel
-    # advances the watermark (the unit test covers many-file interleaving;
-    # the gate run keeps trigger count, i.e. fixed micro-batch cost, low).
+    # TWO triggers, the floor for watermark-driven append emission: batch 0
+    # reads data + sentinel together (maxFilesPerTrigger=2), so the
+    # watermark computed at its end already clears every real row, and the
+    # single closing no-data micro-batch flushes all group state. (The
+    # no-data batch IS the flush mechanism — disabling it strands the rows
+    # inside the final watermark horizon; measured: 15 rows lost at sf0.1.
+    # Many-file interleaving is covered by the streaming unit tests; the
+    # gate run keeps trigger count, i.e. fixed micro-batch cost, minimal.)
     # All three frames are written by Spark — no toPandas round-trip.
     stage_ordered_files([
         (ldir, pdf, "overwrite"),
@@ -2406,9 +2413,9 @@ def q64_streaming_asof(spark, sf_dir):
     # 2x wall time at bench scale); on a real cluster raise both together
     out = streaming_asof_join(
         spark.readStream.schema(pschema)
-        .option("maxFilesPerTrigger", 1).parquet(ldir),
+        .option("maxFilesPerTrigger", 2).parquet(ldir),
         spark.readStream.schema(cschema)
-        .option("maxFilesPerTrigger", 1).parquet(rdir),
+        .option("maxFilesPerTrigger", 2).parquet(rdir),
         on=["user_id"], left_ts="ts", prefix="click_", delay="30 minutes",
         shards=8,
     )
@@ -2420,6 +2427,7 @@ def q64_streaming_asof(spark, sf_dir):
         run_stream_to_memory(out, "q64_stream", mode="append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        ev.unpersist()
         shutil.rmtree(d, ignore_errors=True)
     return (
         spark.table("q64_stream")
@@ -2508,7 +2516,8 @@ def q66_streaming_asof_forward(spark, sf_dir):
     from .streaming.windows import run_stream_to_memory, scratch_dir, stage_ordered_files
 
     TOL_US = 86_400_000_000  # 1 day
-    ev = _read(spark, sf_dir, "events")
+    # persist: same staging re-scan bound as q64
+    ev = _read(spark, sf_dir, "events").persist()
     pdf = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
@@ -2530,11 +2539,14 @@ def q66_streaming_asof_forward(spark, sf_dir):
 
     pschema = "event_id long, user_id long, ts timestamp, value double"
     cschema = "user_id long, ts timestamp, event_id long"
+    # same 2-trigger shape as q64: data + sentinel in batch 0, the closing
+    # no-data micro-batch flushes state once the watermark (sentinel-driven)
+    # clears every left ts + tolerance
     out = streaming_asof_join(
         spark.readStream.schema(pschema)
-        .option("maxFilesPerTrigger", 1).parquet(ldir),
+        .option("maxFilesPerTrigger", 2).parquet(ldir),
         spark.readStream.schema(cschema)
-        .option("maxFilesPerTrigger", 1).parquet(rdir),
+        .option("maxFilesPerTrigger", 2).parquet(rdir),
         on=["user_id"], left_ts="ts", prefix="click_",
         direction="forward", tolerance_us=TOL_US,
         delay="30 minutes", shards=8,
@@ -2545,6 +2557,7 @@ def q66_streaming_asof_forward(spark, sf_dir):
         run_stream_to_memory(out, "q66_stream", mode="append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        ev.unpersist()
         shutil.rmtree(d, ignore_errors=True)
     return (
         spark.table("q66_stream")
@@ -2612,8 +2625,13 @@ def q67_streaming_overlap_join(spark, sf_dir):
     d = scratch_dir("bacon_q67_")
     ldir, rdir = d + "/errors", d + "/purchases"
     # span frames stay distributed end-to-end: Spark writes the staged
-    # files directly (no toPandas), mtimes fix the arrival order
-    stage_ordered_files([(ldir, err, "overwrite"), (rdir, pur, "overwrite")])
+    # files directly (no toPandas), mtimes fix the arrival order; spans is
+    # persisted so the err/pur staging writes share one events aggregation
+    spans = spans.persist()
+    try:
+        stage_ordered_files([(ldir, err, "overwrite"), (rdir, pur, "overwrite")])
+    finally:
+        spans.unpersist()
 
     eschema = "user_id long, d timestamp, e_lo timestamp, e_up timestamp"
     pschema = "user_id long, wk timestamp, p_lo timestamp, p_up timestamp"
@@ -2626,11 +2644,18 @@ def q67_streaming_overlap_join(spark, sf_dir):
         on=["user_id"], prefix="r_", delay="35 days", shards=8,
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nd = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # symmetric-join emission happens in the batch where the second side
+    # arrives — the trailing no-data micro-batch emits nothing here (no
+    # watermark-gated flush like the as-of queries), so skip it: ONE
+    # trigger total
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         run_stream_to_memory(out, "q67_stream", mode="append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nd)
         shutil.rmtree(d, ignore_errors=True)
     return spark.table("q67_stream").select(
         "user_id",
@@ -3262,28 +3287,28 @@ def q85_streaming_session(spark, sf_dir):
         with_watermark,
     )
 
-    ev = _read(spark, sf_dir, "events")
+    # persist: the max-ts job and the staged write share one scan
+    ev = _read(spark, sf_dir, "events").persist()
     hi = ev.agg(F.max("ts")).first()[0]
     sschema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-    # TWO sentinel files: the watermark only advances at the END of a
-    # batch, and append-mode sessions emit in the batch AFTER the
-    # watermark passes their close — sentinel 1 moves the watermark past
-    # every real session, sentinel 2 forces the batch that emits the
-    # sessions from the fixture's final gap window
+    # ONE sentinel, TWO triggers: the watermark only advances at the END
+    # of a batch, and append-mode sessions emit in the batch after the
+    # watermark passes their close. Batch 0 reads data + sentinel together
+    # (maxFilesPerTrigger=2), so its end-of-batch watermark clears every
+    # real session, and the single closing no-data micro-batch emits them
+    # all (it is the flush mechanism — availableNow always runs it).
     sent1 = spark.createDataFrame([(-1, hi + dt.timedelta(days=2), -1, "sent", 0.0, "{}")], sschema)
-    sent2 = spark.createDataFrame([(-2, hi + dt.timedelta(days=4), -1, "sent", 0.0, "{}")], sschema)
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     d = scratch_dir("bacon_q85_")
     stage_ordered_files([
         (d, ev.select(*cols), "overwrite"),
         (d, sent1, "append"),
-        (d, sent2, "append"),
     ])
     stream = (
         spark.readStream.schema(
             "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
         )
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(d)
     )
     agg = session_window_agg(
@@ -3314,5 +3339,6 @@ def q85_streaming_session(spark, sf_dir):
         run_stream_to_memory(out, "q85_stream", mode="append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        ev.unpersist()
         shutil.rmtree(d, ignore_errors=True)
     return spark.table("q85_stream")
