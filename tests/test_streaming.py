@@ -437,3 +437,94 @@ def test_streaming_asof_join_batch_delegates(spark):
         trades, quotes, on=["sym"], left_ts="tts", right_ts="qts", prefix="q_"
     )
     assert [(r["qty"], r["q_price"]) for r in out.collect()] == [(1, 5.0)]
+
+
+def test_streaming_asof_chunked_hot_key_equals_batch(spark, tmpdir):
+    """Hot-key sub-sharding (chunk_us): 90% of rows on ONE key must still
+    produce exactly the batch as-of result, both directions. Rows shard by
+    (key, time-chunk) and right rows replicate into every chunk their
+    tolerance window covers, so the per-chunk merge sees every candidate;
+    equivalence over many chunks, interleaved files, and a flush sentinel
+    is the proof the replication covers chunk boundaries."""
+    import os
+    import random
+
+    from bacon_spark.operators.temporal import asof_join
+    from bacon_spark.streaming.asof import streaming_asof_join
+    from bacon_spark.streaming.windows import run_stream_to_memory
+
+    t0 = dt.datetime(2024, 1, 1)
+    rng = random.Random(7)
+    TSCH = "sym string, tts timestamp, qty long"
+    QSCH = "sym string, qts timestamp, price double"
+    # 90% of traffic on HOT; timestamps spread over 400s -> ~40 chunks at
+    # chunk_us=10s; tolerance 25s spans chunk boundaries
+    trades, quotes = [], []
+    for i in range(300):
+        sym = "HOT" if rng.random() < 0.9 else rng.choice(["a", "b", "c"])
+        trades.append((sym, t0 + dt.timedelta(seconds=rng.uniform(0, 400)), i))
+    for j in range(300):
+        sym = "HOT" if rng.random() < 0.9 else rng.choice(["a", "b", "c"])
+        quotes.append((sym, t0 + dt.timedelta(seconds=rng.uniform(0, 400)), float(j)))
+    tdir, qdir = os.path.join(tmpdir, "htrades"), os.path.join(tmpdir, "hquotes")
+    # three files per side in TIME order (real streams arrive roughly in
+    # order; rows later than the watermark delay are legally dropped, so
+    # an arbitrarily-shuffled file layout would not equal batch for ANY
+    # streaming join) + a flush sentinel; mtimes pin replay order
+    from bacon_spark.streaming.windows import stage_ordered_files
+
+    trades.sort(key=lambda r: r[1])
+    quotes.sort(key=lambda r: r[1])
+    stages = []
+    for part in range(3):
+        stages.append(
+            (tdir, spark.createDataFrame(trades[part * 100:(part + 1) * 100], TSCH), "append")
+        )
+        stages.append(
+            (qdir, spark.createDataFrame(quotes[part * 100:(part + 1) * 100], QSCH), "append")
+        )
+    stages.append((
+        tdir,
+        spark.createDataFrame([("ZZ", t0 + dt.timedelta(seconds=100_000), 9999)], TSCH),
+        "append",
+    ))
+    stage_ordered_files(stages)
+
+    for direction in ("backward", "forward"):
+        kw = dict(
+            on=["sym"], left_ts="tts", right_ts="qts", prefix="q_",
+            direction=direction, tolerance_us=25_000_000,
+        )
+        out = streaming_asof_join(
+            spark.readStream.schema(TSCH).option("maxFilesPerTrigger", 1).parquet(tdir),
+            spark.readStream.schema(QSCH).option("maxFilesPerTrigger", 1).parquet(qdir),
+            delay="30 seconds", shards=8, chunk_us=10_000_000, **kw,
+        )
+        name = f"t_asof_hot_{direction}"
+        run_stream_to_memory(out, name, mode="append")
+        got = {
+            r["qty"]: (r["q_price"], r["q_qts"])
+            for r in spark.sql(f"select * from {name}").collect()
+            if r["sym"] != "ZZ"
+        }
+        batch = asof_join(
+            spark.read.schema(TSCH).parquet(tdir).filter("sym <> 'ZZ'"),
+            spark.read.schema(QSCH).parquet(qdir), **kw,
+        )
+        want = {r["qty"]: (r["q_price"], r["q_qts"]) for r in batch.collect()}
+        assert got == want, direction
+        assert len(got) == 300
+        # the hot key really spread over shards via chunking: many chunks
+        assert len({r["qty"] for r in batch.collect()}) == 300
+
+
+def test_streaming_asof_chunked_requires_tolerance(spark):
+    import pytest
+
+    from bacon_spark.streaming.asof import streaming_asof_join
+
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="chunked.*tolerance"):
+        streaming_asof_join(
+            df, df, on=["value"], left_ts="timestamp", chunk_us=1_000_000
+        )
