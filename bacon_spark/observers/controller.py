@@ -17,7 +17,7 @@ from ..cubequery import CubeQuery
 from ..engine import CuttingBoard
 from ..errors import BaconSparkError, QueryError
 from .csv import render_csv
-from .json import render_table_json
+from .json import render_keyset_table_json, render_rows_json, render_table_json
 from .tables import Page, Table1D, TablePivot
 
 
@@ -50,10 +50,36 @@ class Controller:
         return Table1D(self.board, query, page)
 
     def render_json(self, params: dict) -> dict:
+        # keyset mode: an `after` token (or explicit paging=keyset) pages
+        # by seek predicate instead of the reference's limit:offset state —
+        # the emitted `next` dict is the whole next-page request
+        if "after" in params or params.get("paging") == "keyset":
+            query = self.parse(params)
+            return render_keyset_table_json(
+                self.board,
+                query,
+                after=params.get("after") or None,
+                limit=int(params.get("limit", 100)),
+            )
         t = self.table(params)
         if isinstance(t, Table1D):
             return render_table_json(t)
         raise QueryError("JSON pivot rendering: use render_csv for pivots")
+
+    def render_rows_json(self, params: dict) -> dict:
+        """Raw-rows detail endpoint, keyset-paged: `keys` (comma-separated,
+        must uniquely key rows), optional `after` token, `limit`."""
+        query = self.parse(params)
+        keys = [k for k in (params.get("keys") or "").split(",") if k]
+        if not keys:
+            raise QueryError("rows endpoint needs keys=<col>[,<col>...]")
+        return render_rows_json(
+            self.board,
+            query,
+            keys,
+            after=params.get("after") or None,
+            limit=int(params.get("limit", 100)),
+        )
 
     def render_csv(self, params: dict) -> str:
         out = io.StringIO()
@@ -86,5 +112,12 @@ def make_flask_blueprint(controller: Controller, name: str = "bacon_spark"):
             )
         except BaconSparkError as e:
             return Response(str(e), status=404)
+
+    @bp.route("/rows.json")
+    def rows_json():
+        try:
+            return jsonify(controller.render_rows_json(request.args.to_dict()))
+        except BaconSparkError as e:
+            return jsonify({"error": str(e)}), 404
 
     return bp

@@ -4,12 +4,24 @@ Reference /root/reference/bacon/observers/json.py:140-154,355-370: every
 cell carries serialized queries for its drill/pivot/hide actions, deduped
 through a link map. The links ARE the navigation API: a client can walk the
 whole cube by following them.
+
+Pagination is KEYSET-first: ``render_keyset_table_json`` and the rows
+endpoint emit an opaque ``after`` token (the last row's composite key)
+instead of an offset — the reference's ``limit:offset`` page state
+(/root/reference/bacon/observers/tables.py:16-130) scans and discards
+``offset`` rows per page, which at 100 TB makes page N cost N; the seek
+predicate is sargable and constant-cost per page (engine.keyset_page).
+Offset paging remains available through Table1D for small, UI-bounded
+aggregate results.
 """
 
 from __future__ import annotations
 
 import datetime as dt
+import json as _json
 from typing import Any
+
+from pyspark.sql import types as T
 
 from ..builders.url import UrlQueryBuilder
 from ..cubenav import Navigator
@@ -74,3 +86,125 @@ def render_table_json(table: Table1D, with_links: bool = True) -> dict:
     if with_links:
         out["links"] = links.links
     return out
+
+
+# --- keyset (seek) pagination ----------------------------------------------
+
+
+def encode_after(values: tuple) -> str:
+    """Opaque after-token: the last row's composite key as compact JSON
+    (dates/timestamps ISO-formatted)."""
+    return _json.dumps([_jsonable(v) for v in values], separators=(",", ":"))
+
+
+def decode_after(token: str | None, dtypes: list) -> tuple | None:
+    """Parse an after-token back into typed key values using the frame's
+    schema (the inverse of :func:`encode_after`)."""
+    if not token:
+        return None
+    vals = _json.loads(token)
+    if len(vals) != len(dtypes):
+        from ..errors import QueryError
+
+        raise QueryError(f"after-token arity {len(vals)} != key arity {len(dtypes)}")
+    out = []
+    for v, t in zip(vals, dtypes):
+        if v is not None and isinstance(t, T.DateType):
+            v = dt.date.fromisoformat(v)
+        elif v is not None and isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+            v = dt.datetime.fromisoformat(v)
+        out.append(v)
+    return tuple(out)
+
+
+def _keyset_next(params_q: str, keys: list[str], limit: int, raw_rows) -> dict | None:
+    """The next-page params dict (None on the last page): client feeds it
+    straight back to the endpoint. Emitting the TOKEN, not a page number,
+    is what keeps page N constant-cost."""
+    if len(raw_rows) < limit:
+        return None
+    last = raw_rows[-1]
+    return {
+        "q": params_q,
+        "after": encode_after(tuple(last[k] for k in keys)),
+        "limit": str(limit),
+    }
+
+
+def render_keyset_table_json(
+    board, query, after: str | None = None, limit: int = 100, with_links: bool = True
+) -> dict:
+    """Aggregate table page via keyset paging: rows strictly after the
+    *after* token in ascending axis order, plus the next-page token.
+
+    The axes tuple uniquely keys a grouped result, so it IS the seek key.
+    Ordering is plain ascending on the axis columns (label reverse/custom
+    sort orders don't apply in keyset mode — a seek predicate needs the
+    scan order and the page order to agree). Axis values must be non-null
+    to appear after the first page (SQL three-valued logic drops them from
+    ``>`` predicates) — aggregate away nulls or use offset paging for
+    null-keyed grains."""
+    from ..engine import keyset_page
+
+    cd = board.cubedef
+    builder = UrlQueryBuilder(cd)
+    links = LinkMap()
+    nav = Navigator(cd, query)
+    axes = list(query.axes)
+    if not axes:
+        from ..errors import QueryError
+
+        raise QueryError("keyset table paging needs at least one axis")
+    values = query.visible_values
+
+    df = board.slice(query).to_df()
+    dtypes = [df.schema[a].dataType for a in axes]
+    page_df = keyset_page(df, axes, decode_after(after, dtypes), limit)
+    raw = page_df.collect()
+
+    rows = []
+    for r in raw:
+        cells = []
+        for a in axes:
+            cell = {"value": _jsonable(r[a]), "pretty": cd.get_label(a).pretty(r[a])}
+            if with_links:
+                cell["drill"] = links.add(builder.unparse(nav.drill(a, r[a])))
+            cells.append(cell)
+        rows.append({"cells": cells, "values": {v: _jsonable(r[v]) for v in values}})
+
+    qstr = builder.unparse(query)
+    out = {
+        "title": cd.title,
+        "query": qstr,
+        "header": [cd.get_label(a).title for a in axes]
+        + [cd.get_value(v).title for v in values],
+        "rows": rows,
+        "next": _keyset_next(qstr, axes, limit, raw),
+    }
+    if with_links:
+        out["links"] = links.links
+    return out
+
+
+def render_rows_json(board, query, keys: list[str], after: str | None = None, limit: int = 100) -> dict:
+    """Raw-rows (de-aggregation) page via keyset paging over the base
+    frame — the reference's TableDetails.rows surface
+    (/root/reference/bacon/observers/tables.py:195-219, sql.py:340-370)
+    re-expressed with the seek predicate instead of OFFSET. *keys* must
+    uniquely identify rows (add a tiebreaker) and be non-null."""
+    df_all = board.df
+    dtypes = [df_all.schema[k].dataType for k in keys]
+    page_df = board.rows_keyset(query, keys, decode_after(after, dtypes), limit)
+    raw = page_df.collect()
+    cols = page_df.columns
+    qstr = UrlQueryBuilder(board.cubedef).unparse(query)
+    nxt = _keyset_next(qstr, keys, limit, raw)
+    if nxt is not None:
+        nxt["keys"] = ",".join(keys)  # the next dict is the WHOLE request
+    return {
+        "query": qstr,
+        "columns": cols,
+        "rows": [[_jsonable(r[c]) for c in cols] for r in raw],
+        "keys": keys,
+        "next": nxt,
+    }

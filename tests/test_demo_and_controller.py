@@ -119,3 +119,71 @@ def test_time_plot_data(board):
     assert len(pd.x) == len(set(pd.x))
     assert set(pd.series) == {"units", "amount"}
     assert pd.x == sorted(pd.x)
+
+
+def test_keyset_table_json_roundtrip(board):
+    """Keyset table paging: walking the `next` tokens visits every group
+    exactly once, in key order, with constant-shape requests — the scale
+    replacement for offset page state."""
+    c = Controller(board)
+    base = {"q": "a:city/v:units", "paging": "keyset", "limit": "4"}
+    full = c.render_json({"q": "a:city/v:units"})
+    want = [
+        (r["cells"][0]["value"], r["values"]["units"]) for r in full["rows"]
+    ]
+
+    got, params, pages = [], dict(base), 0
+    while params is not None:
+        doc = c.render_json(params)
+        got.extend(
+            (r["cells"][0]["value"], r["values"]["units"]) for r in doc["rows"]
+        )
+        nxt = doc["next"]
+        if nxt is not None:
+            # the emitted dict IS the next request (plus the paging flag)
+            params = {**nxt, "paging": "keyset"}
+        else:
+            params = None
+        pages += 1
+        assert pages < 20
+    # keyset order is ascending axis order; offset table is label-sorted
+    assert sorted(got) == sorted(want)
+    assert [g[0] for g in got] == sorted(g[0] for g in got)
+    assert len(got) == len(set(got)) == len(want)
+    # drill links still emitted in keyset mode
+    doc0 = c.render_json(dict(base))
+    assert doc0["links"] and all("drill" in cell for r in doc0["rows"] for cell in r["cells"])
+
+
+def test_keyset_rows_json_roundtrip(board):
+    """Raw-rows keyset paging via the flask endpoint: pages are disjoint,
+    cover the filtered set, and the last page has no next token."""
+    flask = pytest.importorskip("flask")
+    app = flask.Flask(__name__)
+    app.register_blueprint(make_flask_blueprint(Controller(board)))
+    client = app.test_client()
+
+    from urllib.parse import urlencode
+
+    seen = []
+    params = {"q": "f:status:Sales Opportunity", "keys": "contact", "limit": "3"}
+    pages = 0
+    while params is not None:
+        r = client.get("/rows.json?" + urlencode(params))
+        assert r.status_code == 200
+        doc = json.loads(r.data)
+        idx = doc["columns"].index("contact")
+        seen.extend(row[idx] for row in doc["rows"])
+        params = doc["next"]  # self-contained next request
+        pages += 1
+        assert pages < 20
+    assert seen == sorted(seen)
+    assert len(seen) == len(set(seen))
+    # pages exactly cover the filtered row set
+    q = CubeQuery().add_filter("status", "eq", "Sales Opportunity")
+    want = {r["contact"] for r in board.rows(q).collect()}
+    assert set(seen) == want and len(want) > 3  # really took several pages
+
+    # missing keys -> 404 via error mapping
+    r = client.get("/rows.json?q=a:state")
+    assert r.status_code == 404

@@ -355,3 +355,62 @@ def test_board_refresh_unregisters_non_mergeable_lattice(spark, sales, cubedef):
         assert got == want
     finally:
         board.clear_cache()
+
+
+def test_pivot_and_totals_served_from_lattice(sales, cubedef):
+    """A pivoted query AND all three totals flavours (row, column, grand)
+    must execute against the materialized lattice, never re-scanning the
+    base relation: the executing plan above the InMemoryRelation is
+    Project/Filter(_gid)/InMemoryTableScan. (The cached relation PRINTS
+    its stored build plan — including the original scan — so the
+    assertion splits the plan at the InMemoryRelation boundary.)"""
+    from bacon_spark.observers.tables import TablePivot
+
+    board = CuttingBoard(cubedef, sales, cache_results=False)
+    lat = CubeLattice(cubedef, sales, axes=("state", "city"), values=("units", "n"))
+    board.register_lattice(lat)
+
+    def executing_plan(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        head = plan.split("InMemoryRelation")[0]
+        return head
+
+    q = (
+        CubeQuery()
+        .add_axis("state")
+        .add_axis("city")
+        .add_value("units")
+        .add_value("n")
+        .set_pivot("city")
+    )
+    # main pivoted slice
+    head = executing_plan(board.slice(q).to_df())
+    assert "InMemoryTableScan" in head and "FileScan" not in head
+    assert "Scan ExistingRDD" not in head  # the base createDataFrame relation
+
+    # row totals (query minus pivot axes), column totals (minus row axes),
+    # grand total (dim 0) — every derived totals query must hit the lattice
+    qrow = q.remove_axis("city")
+    qcol = q.remove_axis("state")
+    q0 = qrow.remove_axis("state")
+    for dq in (qrow, qcol, q0):
+        h = executing_plan(board.slice(dq).to_df())
+        assert "InMemoryTableScan" in h and "FileScan" not in h, dq
+        assert "Scan ExistingRDD" not in h, dq
+
+    # and the rendered pivot table agrees with direct aggregation
+    t = TablePivot(board, q)
+    direct = {
+        (r["state"], r["city"]): (r["u"], r["n"])
+        for r in sales.groupBy("state", "city")
+        .agg(F.sum("units").alias("u"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for rk in t.row_keys:
+        for pk in t.columns:
+            cell = t.cells.get(rk, {}).get(pk)
+            if cell is not None:
+                assert (cell["units"], cell["n"]) == direct[(rk[0], pk[0])]
+    grand = t.grand_total()
+    assert grand["units"] == sum(v[0] for v in direct.values())
+    assert grand["n"] == 100
