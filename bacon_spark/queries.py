@@ -2277,9 +2277,16 @@ def q62_streaming_oracle(spark, sf_dir):
     )
     import shutil
 
+    # complete mode emits the FULL state after every batch — the trailing
+    # no-data micro-batch would recompute and re-emit all of it for
+    # nothing (no watermark-gated flush to trigger here), so skip it:
+    # one data batch total
+    prev_nd = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         run_stream_to_memory(out, "q62_stream", mode="complete")
     finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nd)
         shutil.rmtree(d, ignore_errors=True)
     return spark.table("q62_stream")
 

@@ -3,11 +3,17 @@ entry on Spark and its oracle_sql() on DuckDB over the same parquet dir,
 compare row count, schema (column names), and order-insensitive values.
 
 Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+
+Set CHECK_ORACLE_JSON=<path> to also write a driver-style JSON artifact
+(one record per query: rows/schema/hash match booleans + row counts) —
+the per-round CORRECTNESS_full_r{N}.json published in-repo because the
+driver's own snapshot caps at 50 queries.
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -58,38 +64,52 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     n_pass = n_fail = n_weak = 0
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        rec = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        report[name] = rec
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            rec["spark_rows"] = len(srows)
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            rec["err"] = f"spark: {e}"
             n_fail += 1
             continue
         if name not in oracles:
             print(f"WEAK {name}: rows-only check, {len(srows)} rows")
+            rec["err"] = "no_oracle"
             n_weak += 1
             continue
         try:
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
+            rec["oracle_rows"] = len(drows)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            rec["err"] = f"duckdb: {e}"
             n_fail += 1
             continue
         problems = []
-        if sorted(scols) != sorted(dcols):
+        rec["schema_match"] = sorted(scols) == sorted(dcols)
+        if not rec["schema_match"]:
             problems.append(f"schema: spark={sorted(scols)} duck={sorted(dcols)}")
-        if len(srows) != len(drows):
+        rec["rows_match"] = len(srows) == len(drows)
+        if not rec["rows_match"]:
             problems.append(f"rowcount: spark={len(srows)} duck={len(drows)}")
         if not problems:
             s_n = norm_rows(scols, srows)
             d_n = norm_rows(dcols, drows)
-            if s_n != d_n:
+            rec["hash_match"] = s_n == d_n
+            if not rec["hash_match"]:
                 diff = [(a, b) for a, b in zip(s_n, d_n) if a != b][:3]
                 problems.append(f"values differ, first diffs: {diff}")
         if problems:
@@ -99,6 +119,17 @@ def main():
             print(f"PASS {name} ({len(srows)} rows)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak")
+    out_json = os.environ.get("CHECK_ORACLE_JSON")
+    if out_json:
+        import json
+
+        with open(out_json, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                 "n_weak": n_weak, "queries": report},
+                f, indent=1,
+            )
+        print("wrote", out_json)
     spark.stop()
     return 1 if n_fail else 0
 
