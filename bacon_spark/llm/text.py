@@ -396,3 +396,80 @@ def chunk_tokens_sql(expr: str, chunk: int = 64, stride: int = 48) -> str:
         f"'digest': {digest}}}) "
         f"ELSE [] END"
     )
+
+
+def word_ngrams(c: Column, n: int = 2) -> Column:
+    """Word n-grams joined by single spaces; [] when fewer than n tokens."""
+    from ..functions.exprs import let
+
+    def build(toks: Column) -> Column:
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let(tokens(c), build)
+
+
+def word_ngrams_sql(expr: str, n: int = 2) -> str:
+    """DuckDB twin of word_ngrams (1-based list_slice)."""
+    toks = tokens_sql(expr)
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(1, len({toks}) - {n} + 2), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n} - 1), ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def sampled_top_ngrams(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    k: int = 20,
+    rate: float = 0.25,
+    oversample: int = 8,
+    salt: str = "topngrams",
+):
+    """Exact top-k corpus n-grams with BOUNDED aggregation state — the
+    100 TB shape of the vocabulary heavy-hitter pass.
+
+    A direct groupBy(gram) (q84) carries aggregation state linear in the
+    corpus VOCABULARY, which grows with corpus size (measured 13x wall at
+    10x data in SCALE_SWEEP.json). Here:
+
+    * Phase 1 (candidates): a deterministic md5 hash-sample of documents
+      at ``rate`` is aggregated instead — state is the sample's
+      vocabulary — and the ``k * oversample`` most frequent grams become
+      the candidate set (driver-small).
+    * Phase 2 (exact): the full corpus re-counts ONLY candidate grams:
+      the exploded grams pass a broadcast left-semi join BEFORE any
+      aggregation, so shuffled rows and final agg state are bounded by
+      ``k * oversample`` regardless of corpus size.
+
+    The result is EXACT whenever every true top-k gram appears in the
+    candidate set — for genuine heavy hitters (count >> corpus/sample
+    variance) that holds w.h.p. by Chernoff bounds; ``rate``/``oversample``
+    trade sample cost against the miss probability. Fully deterministic
+    given ``salt`` (md5 draw — operators/sampling.py), so oracles can pin
+    the output; ties break (count desc, gram asc)."""
+    from ..operators.sampling import hash_sample
+
+    grams_all = df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+    sample = hash_sample(df.select(id_col, text_col), F.col(id_col), rate, salt=salt)
+    cand = (
+        sample.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram"))
+        .limit(k * oversample)
+        .select("gram")
+    )
+    exact = grams_all.join(F.broadcast(cand), "gram", "left_semi").groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return exact.orderBy(F.col("n").desc(), F.col("gram")).limit(k)

@@ -3349,3 +3349,55 @@ def q85_streaming_session(spark, sf_dir):
         ev.unpersist()
         shutil.rmtree(d, ignore_errors=True)
     return spark.table("q85_stream")
+
+
+from .operators.sampling import draw_sql as _draw_sql  # noqa: E402
+
+
+@query(
+    "q86_top_ngrams_sampled",
+    f"""
+    WITH sampled AS (
+      SELECT text FROM documents
+      WHERE {_draw_sql('doc_id', 'topngrams')} < 250000
+    ),
+    sgrams AS (
+      SELECT unnest({_tx.word_ngrams_sql('text', 3)}) AS gram FROM sampled
+    ),
+    cand AS (
+      SELECT gram FROM (
+        SELECT gram, count(*) AS n FROM sgrams GROUP BY 1
+        ORDER BY n DESC, gram LIMIT 120
+      )
+    ),
+    grams AS (
+      SELECT unnest({_tx.word_ngrams_sql('text', 3)}) AS gram FROM documents
+    ),
+    exact AS (
+      SELECT g.gram, count(*) AS n
+      FROM grams g JOIN cand c ON g.gram = c.gram GROUP BY 1
+    )
+    SELECT gram, n FROM exact ORDER BY n DESC, gram LIMIT 15
+    """,
+)
+def q86_top_ngrams_sampled(spark, sf_dir):
+    """Heavy-hitter vocabulary pass with BOUNDED aggregation state
+    (llm/text.sampled_top_ngrams): candidates from a deterministic 25%
+    md5-hash document sample, then an exact recount of ONLY those
+    candidates over the full corpus behind a broadcast semi-join —
+    shuffled rows and agg state bounded by k*oversample at ANY corpus
+    size, unlike q84's direct groupBy whose state is the whole
+    vocabulary (the one >10x entry in SCALE_SWEEP.json).
+
+    The oracle replays the ENTIRE pipeline in DuckDB — same md5 draw
+    (shared dialect, operators/sampling.draw_sql), same candidate
+    top-(k*oversample) with (count, gram) tie-break, same exact recount
+    — so the match is bit-for-bit regardless of the corpus's heavy-
+    hitter structure. On the deliberately-uniform synthetic fixture the
+    sampled top-k may differ from the TRUE top-k (no gap for Chernoff
+    to work with — counts are near-flat ties); on a natural-language
+    corpus the heavy hitters dominate and the candidate set contains
+    them w.h.p. — tests/test_llm_ops.py pins that with a skewed
+    corpus."""
+    docs = _read_docs(spark, sf_dir)
+    return _tx.sampled_top_ngrams(docs, n=3, k=15, rate=0.25, oversample=8)

@@ -281,3 +281,54 @@ def test_tfidf_top_terms_hand_checked(spark):
     # doc 3: fish tf=3 df=2 -> 3*ln(1.5); only one distinct term
     assert got[(3, 1)] == ("fish", round(3 * ln(3.0 / 2), 7))
     assert (3, 2) not in got
+
+
+def test_sampled_top_ngrams_exact_on_skewed_corpus(spark):
+    """With genuine heavy hitters (a Zipf-ish skew), the bounded-state
+    sampled pipeline must reproduce the TRUE exact top-k bit-for-bit —
+    the candidate sample cannot miss a gram that dominates the corpus."""
+    from bacon_spark.llm.text import sampled_top_ngrams, word_ngrams
+
+    # 60 hot docs repeat one phrase; 300 docs share another (the letters-
+    # only tokenizer strips the numeric suffixes, collapsing them) — two
+    # genuine heavy-hitter phrases over a small tail
+    rows = []
+    did = 0
+    for i in range(60):
+        rows.append((did, "the quick brown fox jumps over the lazy dog"))
+        did += 1
+    for i in range(300):
+        rows.append((did, f"unique{did} filler{did} words{did} only{did}"))
+        did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = [
+        (r["gram"], r["n"])
+        for r in sampled_top_ngrams(docs, n=2, k=5, rate=0.3, oversample=8).collect()
+    ]
+    exact = (
+        docs.select(F.explode(word_ngrams(F.col("text"), 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram"))
+        .limit(5)
+    )
+    want = [(r["gram"], r["n"]) for r in exact.collect()]
+    assert got == want
+    assert want[0][1] == 300  # the hot phrases really dominate
+    assert ("brown fox", 60) in want  # ...and the k boundary crosses a tie
+
+
+def test_sampled_top_ngrams_plan_bounded(spark, sf_dir):
+    """Phase 2 must filter grams through a BROADCAST semi join BEFORE
+    aggregating: the full-vocabulary aggregation state that made the
+    direct top-ngrams the worst scaler in SCALE_SWEEP.json never exists
+    in this plan."""
+    from bacon_spark.llm.text import sampled_top_ngrams
+    from bacon_spark.sources.star import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    df = sampled_top_ngrams(docs, n=3, k=15, rate=0.25, oversample=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, no global sort
