@@ -473,3 +473,70 @@ def sampled_top_ngrams(
         F.count(F.lit(1)).alias("n")
     )
     return exact.orderBy(F.col("n").desc(), F.col("gram")).limit(k)
+
+
+def boilerplate_grams(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_docs: int = 10,
+):
+    """N-grams appearing in >= *min_docs* DISTINCT documents — the corpus
+    boilerplate vocabulary (headers, footers, licence blurbs, nav chrome).
+
+    The filtering idea behind RefinedWeb/CCNet-style repeated-content
+    removal, re-based on n-grams because the corpus model here is a token
+    stream, not lines. Shape at 100 TB: explode -> per-partition distinct
+    of (doc, gram) -> count-distinct shuffle carries only (gram, doc_id)
+    pairs, never bodies; the result is vocabulary-sized and usually tiny
+    (it is the HIGH-document-frequency tail)."""
+    grams = df.select(F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+    return (
+        grams.distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_stats(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_docs: int = 10,
+):
+    """Per-document boilerplate contamination: of the document's n-gram
+    occurrences, how many belong to the corpus boilerplate set
+    (boilerplate_grams), as exact integer counts plus parts-per-million
+    (integer division — bit-identical across engines, no float rounding).
+
+    Scale shape: the boilerplate set is broadcast (high-frequency tail is
+    small by construction), so the per-doc pass is a map-side hash probe +
+    one narrow groupBy(doc); zero-gram documents are preserved via the
+    final left join against the (id-only) corpus."""
+    grams = df.select(F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+    bp = boilerplate_grams(df, text_col, id_col, n, min_docs).select("gram")
+    per_doc = (
+        grams.join(F.broadcast(bp).withColumn("_bp", F.lit(1)), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_bp").alias("n_boiler"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_boiler"), F.lit(0)).alias("n_boiler"),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                # integer div, not float /: bit-exact vs DuckDB's //
+                F.expr("(n_boiler * 1000000) div n_grams"),
+            ).cast("long").alias("boiler_ppm"),
+        )
+    )

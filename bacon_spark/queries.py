@@ -3401,3 +3401,44 @@ def q86_top_ngrams_sampled(spark, sf_dir):
     corpus."""
     docs = _read_docs(spark, sf_dir)
     return _tx.sampled_top_ngrams(docs, n=3, k=15, rate=0.25, oversample=8)
+
+
+@query(
+    "q87_boilerplate_ngrams",
+    f"""
+    WITH grams AS (
+      SELECT doc_id, unnest({_tx.word_ngrams_sql('text', 3)}) AS gram FROM documents
+    ),
+    bp AS (
+      SELECT gram FROM (
+        SELECT gram, count(DISTINCT doc_id) AS n_docs FROM grams GROUP BY 1
+      ) WHERE n_docs >= 5
+    ),
+    per_doc AS (
+      SELECT g.doc_id, count(*) AS n_grams, count(b.gram) AS n_boiler
+      FROM grams g LEFT JOIN bp b ON g.gram = b.gram GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_grams, 0) AS n_grams,
+           coalesce(p.n_boiler, 0) AS n_boiler,
+           (CASE WHEN coalesce(p.n_grams, 0) > 0
+                 THEN (p.n_boiler * 1000000) // p.n_grams END)::BIGINT AS boiler_ppm
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q87_boilerplate_ngrams(spark, sf_dir):
+    """Boilerplate-contamination scoring (llm/text.boilerplate_stats): the
+    RefinedWeb/CCNet repeated-content idea on n-grams — trigrams appearing
+    in >= 5 distinct documents are corpus boilerplate; each document gets
+    exact occurrence counts and an integer parts-per-million contamination
+    score (integer div — no float rounding to flap the oracle).
+
+    Scale shape: the doc-frequency pass shuffles only (gram, doc_id)
+    pairs after a per-partition distinct; the boilerplate set (the
+    HIGH-frequency tail) is small by construction and broadcast, so the
+    per-doc scoring pass is a map-side hash probe plus one narrow
+    groupBy(doc_id). Bodies are never shuffled."""
+    docs = _read_docs(spark, sf_dir)
+    out = _tx.boilerplate_stats(docs, n=3, min_docs=5)
+    return out.orderBy("doc_id")

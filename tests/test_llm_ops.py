@@ -332,3 +332,38 @@ def test_sampled_top_ngrams_plan_bounded(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan  # top-k, no global sort
+
+
+def test_boilerplate_stats_counts_and_ppm(spark):
+    """Hand-built corpus: 'terms of service apply' appears in 3 docs ->
+    its trigrams are boilerplate at min_docs=3; unique text is not; a
+    too-short doc has zero grams and a NULL ppm."""
+    rows = [
+        (1, "terms of service apply alpha beta gamma"),
+        (2, "terms of service apply delta epsilon zeta"),
+        (3, "prefix words terms of service apply"),
+        (4, "completely unrelated unique document body here"),
+        (5, "tiny doc"),  # < 3 tokens -> no trigrams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_boiler"], r["boiler_ppm"])
+        for r in tx.boilerplate_stats(docs, n=3, min_docs=3).collect()
+    }
+    # docs 1-3 share trigrams "terms of service" and "of service apply"
+    assert out[1] == (5, 2, 400000)
+    assert out[2] == (5, 2, 400000)
+    assert out[3] == (4, 2, 500000)
+    assert out[4] == (4, 0, 0)
+    assert out[5] == (0, 0, None)
+
+
+def test_boilerplate_grams_distinct_docs_not_occurrences(spark):
+    """A gram repeated many times INSIDE one doc is not boilerplate: the
+    threshold is on distinct documents."""
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam"),
+        (2, "other words entirely different here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert tx.boilerplate_grams(docs, n=3, min_docs=2).count() == 0
