@@ -3442,3 +3442,24 @@ def q87_boilerplate_ngrams(spark, sf_dir):
     docs = _read_docs(spark, sf_dir)
     out = _tx.boilerplate_stats(docs, n=3, min_docs=5)
     return out.orderBy("doc_id")
+
+
+from .llm import importance as _imp  # noqa: E402
+
+
+@query(
+    "q88_dsir_importance",
+    _imp.dsir_scores_sql("d.lang = 'en'"),
+)
+def q88_dsir_importance(spark, sf_dir):
+    """DSIR importance weights (llm/importance.dsir_scores — Xie et al.
+    2023, arXiv:2302.03169): hashed {1,2}-gram bucket models for the
+    target (lang='en') vs the raw corpus, per-document log importance
+    weight in integer micro-nats. The oracle rebuilds the whole model in
+    DuckDB from the shared md5 bucket dialect, so the match is exact.
+
+    Scale shape: feature pass shuffles at most num_buckets rows per doc
+    (never bodies); the bucket model is 64 rows, broadcast; scoring is a
+    map-side probe + one narrow per-doc integer sum."""
+    docs = _read_docs(spark, sf_dir)
+    return _imp.dsir_scores(docs, docs.filter(F.col("lang") == "en")).orderBy("doc_id")

@@ -367,3 +367,28 @@ def test_boilerplate_grams_distinct_docs_not_occurrences(spark):
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     assert tx.boilerplate_grams(docs, n=3, min_docs=2).count() == 0
+
+
+def test_dsir_scores_rank_target_like_docs_higher(spark):
+    """Docs sharing the target's vocabulary must get a larger log
+    importance weight than off-target docs; empty docs get null."""
+    from bacon_spark.llm.importance import dsir_scores
+
+    rows = [
+        (1, "curated encyclopedia article with careful prose", "wiki"),
+        (2, "curated encyclopedia article with careful prose", "wiki"),
+        (3, "curated encyclopedia entry with careful prose style", "web"),
+        (4, "buy cheap pills now click here spam spam", "web"),
+        (5, "", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    target = docs.filter(F.col("source") == "wiki")
+    out = {r["doc_id"]: r for r in dsir_scores(docs, target).collect()}
+    # per-token normalized weight: on-target beats off-target
+    on = out[3]["dsir_score"] / out[3]["n_feats"]
+    off = out[4]["dsir_score"] / out[4]["n_feats"]
+    assert on > off
+    assert out[5]["n_feats"] == 0 and out[5]["dsir_score"] is None
+    # deterministic: a second run is bit-identical
+    again = {r["doc_id"]: r["dsir_score"] for r in dsir_scores(docs, target).collect()}
+    assert again == {k: v["dsir_score"] for k, v in out.items()}
