@@ -61,3 +61,79 @@ def profile_sql(table: str, cols: list[str]) -> str:
             f"FROM {table}"
         )
     return " UNION ALL ".join(parts)
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """Fixed-width histogram with SQL-standard width_bucket semantics:
+    bucket 0 holds x < lo, bucket nbins+1 holds x >= hi, else bucket
+    1 + floor((x - lo) * nbins / (hi - lo)); nulls are dropped. Every
+    bucket 0..nbins+1 appears (zero-filled via a generated spine), with
+    its inclusive lower edge for the regular bins.
+
+    The bucket expression is a fixed IEEE shape (same ops, same order)
+    shared with the DuckDB twin, so boundary-adjacent doubles land in the
+    same bin in both engines. Scale shape: one narrow groupBy on a
+    bounded key domain (nbins+2 values) — partial aggregation collapses
+    each partition to <= nbins+2 rows before the shuffle; the spine is
+    driver-tiny. The classic data-profiling pass over any numeric column
+    at any corpus size."""
+    x = F.col(col)
+    bucket = (
+        F.when(x < lo, F.lit(0))
+        .when(x >= hi, F.lit(nbins + 1))
+        .otherwise((F.lit(1) + F.floor((x - lo) * nbins / (hi - lo))).cast("int"))
+    )
+    counts = (
+        df.filter(x.isNotNull())
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    spine = spark.range(0, nbins + 2).select(F.col("id").cast("int").alias("bucket"))
+    w = (hi - lo) / nbins
+    edge = (
+        F.when(F.col("bucket") == 0, F.lit(None).cast("double"))
+        .when(F.col("bucket") == nbins + 1, F.lit(float(hi)))
+        .otherwise(F.lit(float(lo)) + (F.col("bucket") - 1) * F.lit(w))
+    )
+    return (
+        spine.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            edge.alias("edge_lo"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def histogram_sql(table: str, col: str, lo: float, hi: float, nbins: int) -> str:
+    """DuckDB twin of :func:`histogram` — identical bucket/edge IEEE
+    expression shapes."""
+    w = (hi - lo) / nbins
+    bucket = (
+        f"CASE WHEN {col} < {lo} THEN 0 "
+        f"WHEN {col} >= {hi} THEN {nbins + 1} "
+        f"ELSE (1 + floor(({col} - {lo}) * {nbins} / ({hi} - {lo})))::INT END"
+    )
+    return f"""
+    WITH counts AS (
+      SELECT {bucket} AS bucket, count(*) AS n
+      FROM {table} WHERE {col} IS NOT NULL GROUP BY 1
+    ),
+    spine AS (SELECT unnest(range(0, {nbins + 2}))::INT AS bucket)
+    SELECT s.bucket,
+           (CASE WHEN s.bucket = 0 THEN NULL
+                 WHEN s.bucket = {nbins + 1} THEN {float(hi)}
+                 ELSE {float(lo)} + (s.bucket - 1) * {w} END)::DOUBLE AS edge_lo,
+           coalesce(c.n, 0)::BIGINT AS n
+    FROM spine s LEFT JOIN counts c ON s.bucket = c.bucket
+    ORDER BY s.bucket
+    """

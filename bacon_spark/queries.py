@@ -3463,3 +3463,21 @@ def q88_dsir_importance(spark, sf_dir):
     map-side probe + one narrow per-doc integer sum."""
     docs = _read_docs(spark, sf_dir)
     return _imp.dsir_scores(docs, docs.filter(F.col("lang") == "en")).orderBy("doc_id")
+
+
+from .operators.profile import histogram as _hist, histogram_sql as _hist_sql  # noqa: E402
+
+
+@query(
+    "q89_histogram",
+    _hist_sql("lineitem", "l_extendedprice", 0.0, 110000.0, 22),
+)
+def q89_histogram(spark, sf_dir):
+    """Fixed-width histogram profile (operators/profile.histogram):
+    width_bucket binning of l_extendedprice into 22 bins over
+    [0, 110000), zero-filled spine, under/overflow buckets. One narrow
+    groupBy over a bounded key domain — the partial agg collapses every
+    partition to <= 24 rows before the shuffle, so cost is scan-bound at
+    any scale."""
+    li = _read(spark, sf_dir, "lineitem")
+    return _hist(li, "l_extendedprice", 0.0, 110000.0, 22)

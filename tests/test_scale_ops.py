@@ -414,3 +414,21 @@ def test_pivot_and_totals_served_from_lattice(sales, cubedef):
     grand = t.grand_total()
     assert grand["units"] == sum(v[0] for v in direct.values())
     assert grand["n"] == 100
+
+
+def test_histogram_buckets_edges_and_zero_fill(spark):
+    """width_bucket semantics: underflow->0, overflow->nbins+1, boundary
+    values land in the bin whose lower edge they equal; empty bins appear
+    with n=0; nulls dropped."""
+    from bacon_spark.operators.profile import histogram
+
+    df = spark.createDataFrame(
+        [(-1.0,), (0.0,), (4.999,), (5.0,), (9.999,), (10.0,), (25.0,), (None,)],
+        "x double",
+    )
+    out = {r["bucket"]: (r["edge_lo"], r["n"]) for r in histogram(df, "x", 0.0, 10.0, 2).collect()}
+    assert out[0] == (None, 1)        # -1 underflows
+    assert out[1] == (0.0, 2)         # 0.0 and 4.999
+    assert out[2] == (5.0, 2)         # 5.0 boundary and 9.999
+    assert out[3] == (10.0, 2)        # 10.0 and 25.0 overflow
+    assert len(out) == 4
