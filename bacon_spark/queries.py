@@ -3481,3 +3481,46 @@ def q89_histogram(spark, sf_dir):
     any scale."""
     li = _read(spark, sf_dir, "lineitem")
     return _hist(li, "l_extendedprice", 0.0, 110000.0, 22)
+
+
+@query(
+    "q90_rolling_1h_window",
+    """
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           count(*) OVER w AS n_1h,
+           round(cast(sum(cast(value as decimal(38,4))) OVER w as double), 2) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def q90_rolling_1h_window(spark, sf_dir):
+    """Time-RANGE window frame: per user, the rolling 1-hour event count
+    and value sum ending at each event — Window.rangeBetween over epoch
+    microseconds (not ROWS: peers at the same instant and irregular event
+    spacing are handled by value range, the semantics ROWS frames get
+    wrong). The sum runs in exact decimal inside the frame so the
+    engine's sliding-frame accumulation order cannot flap the oracle.
+
+    Scale shape: one hash shuffle on user_id, per-partition sort by time,
+    frame maintained incrementally (add/evict) — no self-join, no
+    explode-by-interval blowup; state is the frame's width, not the
+    partition's."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").withColumn("t_us", F.unix_micros("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    out = ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum(F.expr(dec("value"))).over(w).cast("double"), 2).alias("sum_1h"),
+    )
+    return out.orderBy("event_id")
