@@ -398,3 +398,44 @@ def near_dup_clusters(
     shingle->minhash->band->bucket->verify->cluster pipeline."""
     verified = ngram_jaccard_pairs(df, text_col, id_col, k, threshold, bands, rows)
     return dup_clusters(verified, id_a="id_a", id_b="id_b")
+
+
+def canonical_dedup(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    bands: int = 4,
+    rows: int = 2,
+) -> DataFrame:
+    """The actual corpus dedup: keep ONE representative per near-duplicate
+    cluster (the cluster-minimum id — deterministic, no tie-breaking
+    policy to argue about), drop the rest, and annotate each keeper with
+    ``n_removed`` (0 for documents in no cluster). *pairs* defaults to
+    the verified LSH pipeline (:func:`ngram_jaccard_pairs`).
+
+    Scale shape (100 TB): the cluster table is proportional to the DUP
+    population, not the corpus — typically orders of magnitude smaller —
+    so both the drop (left_anti) and the annotation (left) are equi-joins
+    of the corpus against small sides (AQE broadcasts them); corpus rows
+    are never shuffled and bodies never leave their partitions. The
+    component step is the O(log n)-round large-star/small-star CC
+    (operators/graph.py), not a driver union-find."""
+    from ..operators.graph import connected_components
+
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(df, text_col, id_col, k, threshold, bands, rows)
+    cc = connected_components(pairs.select("id_a", "id_b"), src="id_a", dst="id_b")
+    losers = cc.filter(F.col("id") != F.col("component")).select("id")
+    stats = (
+        cc.groupBy("component")
+        .agg((F.count(F.lit(1)) - 1).alias("n_removed"))
+        .withColumnRenamed("component", id_col)
+    )
+    return (
+        df.join(losers.withColumnRenamed("id", id_col), id_col, "left_anti")
+        .join(stats, id_col, "left")
+        .withColumn("n_removed", F.coalesce(F.col("n_removed"), F.lit(0)))
+    )

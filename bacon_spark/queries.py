@@ -2730,9 +2730,9 @@ def q68_asof_nearest(spark, sf_dir):
 from .operators import graph as _graph  # noqa: E402
 
 
-@query(
-    "q69_dup_clusters",
-    f"""
+# shared by q69/q91: LSH candidates -> exact-Jaccard edges -> connected
+# components via recursive min-label propagation; `comp` = (id, cluster_id)
+_DUP_COMP_CTE = f"""
     WITH RECURSIVE {_LSH_KEYED_CTE},
     cand AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -2753,6 +2753,13 @@ from .operators import graph as _graph  # noqa: E402
       SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.id
     ),
     comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+"""
+
+
+@query(
+    "q69_dup_clusters",
+    f"""
+    {_DUP_COMP_CTE}
     SELECT id AS doc_id, cluster_id,
            count(*) OVER (PARTITION BY cluster_id) AS cluster_size
     FROM comp
@@ -3524,3 +3531,33 @@ def q90_rolling_1h_window(spark, sf_dir):
         F.round(F.sum(F.expr(dec("value"))).over(w).cast("double"), 2).alias("sum_1h"),
     )
     return out.orderBy("event_id")
+
+
+@query(
+    "q91_canonical_dedup",
+    f"""
+    {_DUP_COMP_CTE},
+    removed AS (SELECT id FROM comp WHERE id <> cluster_id),
+    stats AS (SELECT cluster_id, count(*) - 1 AS n_removed FROM comp GROUP BY 1)
+    SELECT d.doc_id, d.n_chars,
+           coalesce(s.n_removed, 0)::BIGINT AS n_removed
+    FROM documents d
+    LEFT JOIN stats s ON d.doc_id = s.cluster_id
+    WHERE d.doc_id NOT IN (SELECT id FROM removed)
+    ORDER BY d.doc_id
+    """,
+)
+def q91_canonical_dedup(spark, sf_dir):
+    """The end-product corpus dedup (llm/dedup.canonical_dedup): q69's
+    clusters applied — keep the cluster-minimum document, drop the rest,
+    annotate keepers with how many near-duplicates they absorbed. The
+    oracle replays LSH -> exact-Jaccard -> recursive-CTE components ->
+    anti-join in DuckDB, so the RETAINED CORPUS itself is hash-checked,
+    not just the cluster labels.
+
+    Scale shape: the cluster table is dup-population-sized; the corpus
+    meets it only through broadcastable equi-joins (left_anti + left) —
+    bodies never shuffle."""
+    docs = _read_docs(spark, sf_dir)
+    out = _dd.canonical_dedup(docs, threshold=0.2)
+    return out.select("doc_id", "n_chars", "n_removed").orderBy("doc_id")

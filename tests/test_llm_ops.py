@@ -392,3 +392,16 @@ def test_dsir_scores_rank_target_like_docs_higher(spark):
     # deterministic: a second run is bit-identical
     again = {r["doc_id"]: r["dsir_score"] for r in dsir_scores(docs, target).collect()}
     assert again == {k: v["dsir_score"] for k, v in out.items()}
+
+
+def test_canonical_dedup_keeps_min_per_cluster(spark):
+    """Chain 1-2-3 and pair 7-8 cluster; keepers are cluster minima with
+    n_removed counts; untouched docs keep n_removed=0."""
+    from bacon_spark.llm.dedup import canonical_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 5, 7, 8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
+    out = {r["doc_id"]: r["n_removed"] for r in canonical_dedup(docs, pairs).collect()}
+    assert out == {1: 2, 5: 0, 7: 1}
