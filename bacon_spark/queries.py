@@ -3561,3 +3561,95 @@ def q91_canonical_dedup(spark, sf_dir):
     docs = _read_docs(spark, sf_dir)
     out = _dd.canonical_dedup(docs, threshold=0.2)
     return out.select("doc_id", "n_chars", "n_removed").orderBy("doc_id")
+
+
+@query(
+    "q92_event_funnel",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) >= epoch_us(v.t)
+        AND epoch_us(e.ts) < epoch_us(v.t) + 86400000000 GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= epoch_us(c.t)
+        AND epoch_us(e.ts) < epoch_us(c.t) + 86400000000 GROUP BY 1
+    ),
+    staged AS (
+      SELECT u.user_id,
+             CASE WHEN p.user_id IS NOT NULL THEN 3
+                  WHEN c.user_id IS NOT NULL THEN 2
+                  WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage,
+             epoch_us(p.t) - epoch_us(v.t) AS lat_us
+      FROM u
+      LEFT JOIN v ON u.user_id = v.user_id
+      LEFT JOIN c ON u.user_id = c.user_id
+      LEFT JOIN p ON u.user_id = p.user_id
+    )
+    SELECT stage, count(*)::BIGINT AS n_users,
+           (sum(lat_us) // 1000000)::BIGINT AS sum_latency_s
+    FROM staged GROUP BY 1 ORDER BY 1
+    """,
+)
+def q92_event_funnel(spark, sf_dir):
+    """Ordered conversion funnel over the event stream: view -> first
+    click within 24 hours of the first view -> first purchase within 24
+    hours of that click; users counted at their deepest ordered stage, with the total
+    view->purchase latency for full conversions (integer microsecond
+    arithmetic — no float). The sequential-pattern query every product
+    analytics stack runs.
+
+    Scale shape: three conditional min-aggregations all keyed user_id —
+    one shuffle establishes the key partitioning and the subsequent
+    joins/aggs are co-partitioned (no re-exchange under AQE); event rows
+    are filtered to the funnel's event types before any shuffle."""
+    ev = _read(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.unix_micros("ts") >= F.unix_micros("t_view"))
+            & (F.unix_micros("ts") < F.unix_micros("t_view") + 86_400_000_000)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.unix_micros("ts") >= F.unix_micros("t_click"))
+            & (F.unix_micros("ts") < F.unix_micros("t_click") + 86_400_000_000)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    staged = (
+        u.join(v, "user_id", "left")
+        .join(c.select("user_id", "t_click"), "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            F.when(F.col("t_buy").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .when(F.col("t_view").isNotNull(), 1)
+            .otherwise(0)
+            .alias("stage"),
+            (F.unix_micros("t_buy") - F.unix_micros("t_view")).alias("lat_us"),
+        )
+    )
+    out = staged.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.expr("sum(lat_us) div 1000000").cast("long").alias("sum_latency_s"),
+    )
+    return out.orderBy("stage")
