@@ -3653,3 +3653,139 @@ def q92_event_funnel(spark, sf_dir):
         F.expr("sum(lat_us) div 1000000").cast("long").alias("sum_latency_s"),
     )
     return out.orderBy("stage")
+
+
+@query(
+    "q94_cumulative_users",
+    """
+    WITH fs AS (
+      SELECT user_id, min(cast(ts AS date)) AS d FROM events GROUP BY 1
+    ),
+    daily AS (SELECT d, count(*) AS n_new FROM fs GROUP BY 1)
+    SELECT strftime(d, '%Y-%m-%d') AS day, n_new::BIGINT AS n_new,
+           (sum(n_new) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_users
+    FROM daily ORDER BY d
+    """,
+)
+def q94_cumulative_users(spark, sf_dir):
+    """Cumulative-distinct-users-by-day without a running COUNT DISTINCT:
+    reduce each user to their first-seen date (one narrow agg), count new
+    users per day, then a running integer sum — the standard trick that
+    turns an unbounded distinct-state metric into bounded aggregation
+    state. The global ordered window runs over the DAY-cardinality frame
+    (already aggregated, tiny), so the single-partition window is not a
+    scale bottleneck."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    daily = fs.groupBy("d").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("n_new").cast("long").alias("n_new"),
+            F.sum("n_new").over(w).cast("long").alias("cum_users"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "q95_retention_cohorts",
+    """
+    WITH fs AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events GROUP BY 1
+    ),
+    act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+           ((cast(a.wk AS date) - cast(f.cohort AS date)) // 7)::BIGINT AS week_offset,
+           count(*)::BIGINT AS n_users
+    FROM fs f JOIN act a ON f.user_id = a.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q95_retention_cohorts(spark, sf_dir):
+    """Retention cohort matrix: users bucketed by the ISO week of their
+    first event, counted in every subsequent week they were active —
+    the (cohort_week, week_offset, n_users) triangle behind every
+    retention curve. Offsets are integer day arithmetic (no float).
+
+    Scale shape: both the first-seen reduction and the distinct
+    (user, week) activity set are keyed by user_id, so the join is
+    co-partitioned after one shuffle; the output is cohort x offset —
+    weeks-squared-sized, trivially small at any corpus scale."""
+    ev = _read(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort"))
+    act = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk")).distinct()
+    out = (
+        fs.join(act, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            F.expr("datediff(cast(wk as date), cast(cohort as date)) div 7")
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    return out.orderBy("cohort_week", "week_offset")
+
+
+@query(
+    "q96_activity_anomalies",
+    """
+    WITH daily AS (
+      SELECT user_id, cast(ts AS date) AS d, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT user_id, count(*) AS n, sum(cnt) AS s, sum(cnt * cnt) AS ss
+      FROM daily GROUP BY 1
+    )
+    SELECT d.user_id, strftime(d.d, '%Y-%m-%d') AS day, d.cnt::BIGINT AS cnt
+    FROM daily d JOIN stats t ON d.user_id = t.user_id
+    WHERE t.n >= 7
+      AND (t.n * d.cnt - t.s) > 0
+      AND (t.n * d.cnt - t.s) * (t.n * d.cnt - t.s) > 4 * (t.n * t.ss - t.s * t.s)
+    ORDER BY d.user_id, day
+    """,
+)
+def q96_activity_anomalies(spark, sf_dir):
+    """Per-user activity-spike detection ENTIRELY in integer arithmetic:
+    a day is anomalous when its event count exceeds the user's mean by
+    more than 2 sample standard deviations. Clearing denominators turns
+    (cnt-mu)^2 > 4*sigma^2 into
+    (n*cnt - s)^2 > 4*(n*ss - s^2) over exact integer sums — no float
+    anywhere, so the oracle match is bit-exact by construction (the same
+    trick the engine's StdDev accumulator cannot use because it must
+    emit the float, not the comparison).
+
+    Scale shape: one groupBy(user, day) -> one groupBy(user), then a
+    co-partitioned self-join of day rows against user stats — all keyed
+    by user_id, single exchange under AQE."""
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+    )
+    dev = F.col("n") * F.col("cnt") - F.col("s")
+    out = (
+        daily.join(stats, "user_id")
+        .filter(
+            (F.col("n") >= 7)
+            & (dev > 0)
+            & (dev * dev > 4 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s")))
+        )
+        .select(
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )
+    return out.orderBy("user_id", "day")
