@@ -3789,3 +3789,48 @@ def q96_activity_anomalies(spark, sf_dir):
         )
     )
     return out.orderBy("user_id", "day")
+
+
+@query(
+    "q93_corpus_prep_pipeline",
+    f"""
+    WITH quality AS (
+      SELECT * FROM documents
+      WHERE {_tx.quality_features_sql('text')['n_tokens']} >= 30
+        AND {_tx.quality_features_sql('text')['stopword_ratio']} <= 0.12
+    ),
+    keep AS (
+      SELECT min(doc_id) AS doc_id FROM quality GROUP BY {_dd.hash60_sql('text')}
+    ),
+    deduped AS (
+      SELECT q.* FROM quality q JOIN keep k ON q.doc_id = k.doc_id
+    )
+    SELECT {dataset_split_sql('doc_id', _SPLITS)} AS split, lang,
+           count(*) AS n_docs,
+           cast(sum({_tx.whitespace_token_count_sql('text')}) as bigint) AS total_tokens
+    FROM deduped
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q93_corpus_prep_pipeline(spark, sf_dir):
+    """The composed training-corpus preparation pipeline, end to end in
+    ONE lazy plan: quality gate (token count + stopword ratio, pure
+    codegen expressions) -> exact dedup (min-id per 60-bit digest) ->
+    deterministic train/val/test split -> per-(split, lang) doc and
+    token mass. Every stage is an operator verified alone elsewhere
+    (q23, q22, q82); this gate proves they COMPOSE — filters stay pushed
+    beneath the dedup shuffle, the split stays map-side, and one narrow
+    (digest,id) exchange plus the final small agg are the only shuffles
+    in the whole pipeline."""
+    docs = _read_docs(spark, sf_dir)
+    qf = _tx.quality_features(F.col("text"))
+    quality = docs.filter(
+        (qf["n_tokens"] >= 30) & (qf["stopword_ratio"] <= 0.12)
+    )
+    deduped = _dd.exact_dedup(quality)
+    split = dataset_split(deduped, "doc_id", _SPLITS)
+    out = split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(_tx.whitespace_token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
+    )
+    return out.orderBy("split", "lang")
