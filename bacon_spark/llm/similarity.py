@@ -20,7 +20,7 @@ in DuckDB's ``list_sum``/``list_transform`` makes it oracle-exact).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: deterministic pseudo-random hyperplane seeds (no RNG at plan time)
@@ -296,3 +296,79 @@ def ann_lsh_topk(
     qbucket = qdf.head()[0]
     cand = bucketed.filter(F.col("bucket") == F.lit(qbucket))
     return brute_force_topk(cand, lit_q, k, id_col, vec_col)
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    exclude_same_id: bool = False,
+) -> DataFrame:
+    """Exact batch k-NN join: for EVERY query vector, its top-k corpus
+    neighbors by cosine — (query_id, vec_id, cos_sim, rank).
+
+    Scale shape: the query batch is broadcast (bounded — a probe set,
+    not a corpus), so scoring is map-side over corpus partitions. The
+    naive lowering would then shuffle |Q|x|N| scored rows to rank them;
+    instead a per-partition pre-top-k (mapInPandas, Arrow-batched,
+    running heap state bounded by |Q|*k) cuts the exchange to
+    |Q| * k * num_partitions rows before the final per-query window.
+    Exact at any corpus size; for corpus-x-corpus joins use the LSH /
+    IVF paths (lsh_bucket_pairs, ivf.IVFIndex) — this operator is the
+    exact harness and the query-batch server."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
+        )
+    )
+    pairs = corpus.crossJoin(q)
+    if exclude_same_id:
+        # drop self-matches BEFORE ranking (a query drawn from the corpus
+        # always ranks itself first at cos=1 otherwise)
+        pairs = pairs.filter(F.col(id_col) != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+    )
+
+    out_schema = scored.schema
+
+    def _partition_topk(batches):
+        import heapq
+
+        heaps: dict = {}
+        cols = None
+        for pdf in batches:
+            cols = list(pdf.columns)
+            for qid, vid, cs in pdf.itertuples(index=False):
+                h = heaps.setdefault(qid, [])
+                # heap orders by (cos asc, vec_id desc): the root is the
+                # WORST kept candidate; ties on cos keep the smaller id
+                item = (cs, -vid, vid)
+                if len(h) < k:
+                    heapq.heappush(h, item)
+                else:
+                    heapq.heappushpop(h, item)
+        import pandas as pd
+
+        rows = [
+            (qid, vid, cs)
+            for qid, h in heaps.items()
+            for cs, _negvid, vid in h
+        ]
+        yield pd.DataFrame(rows, columns=cols or ["query_id", "vec_id", "cos_sim"])
+
+    partial = scored.mapInPandas(_partition_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cos_sim", F.col("rank").cast("int"))
+    )

@@ -3834,3 +3834,41 @@ def q93_corpus_prep_pipeline(spark, sf_dir):
         F.sum(_tx.whitespace_token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
     )
     return out.orderBy("split", "lang")
+
+
+@query(
+    "q97_knn_join",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE {_draw_sql('vec_id', 'knn')} < 10000
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round({_sim.cosine_sql('e.embedding', 'q.qv')}, 6) AS cos_sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, rank::INT AS rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q97_knn_join(spark, sf_dir):
+    """Batch exact k-NN join (llm/similarity.knn_join): a deterministic
+    1%-hash-sampled probe batch of query vectors, each served its top-5
+    cosine neighbors. Broadcast query batch -> map-side scoring -> per-
+    partition bounded-heap pre-top-k (Arrow batches; state |Q|*k) ->
+    one small per-query window. The exact-serving complement to the
+    LSH (q73) and IVF (q47) approximate paths."""
+    emb = _read(spark, sf_dir, "embeddings")
+    from .operators.sampling import hash_sample
+
+    probes = hash_sample(emb, F.col("vec_id"), 0.01, salt="knn")
+    out = _sim.knn_join(probes, emb, k=5, exclude_same_id=True)
+    return out.orderBy("query_id", "rank")

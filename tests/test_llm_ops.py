@@ -405,3 +405,27 @@ def test_canonical_dedup_keeps_min_per_cluster(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
     out = {r["doc_id"]: r["n_removed"] for r in canonical_dedup(docs, pairs).collect()}
     assert out == {1: 2, 5: 0, 7: 1}
+
+
+def test_knn_join_exact_vs_brute_force(spark):
+    """knn_join must agree with per-query brute_force_topk, including the
+    bounded-heap pre-top-k path (force several small partitions)."""
+    import math
+
+    rows = [(i, [math.cos(i / 9.0), math.sin(i / 9.0), 0.25 * (i % 4)]) for i in range(60)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(6)
+    probes = corpus.filter(F.col("vec_id").isin([3, 17]))
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in sim.knn_join(probes, corpus, k=4, exclude_same_id=True).collect()
+    }
+    for qid in (3, 17):
+        qvec = rows[qid][1]
+        qcol = F.array(*[F.lit(float(v)) for v in qvec])
+        expect = [
+            r["vec_id"]
+            for r in sim.brute_force_topk(
+                corpus.filter(F.col("vec_id") != qid), qcol, k=4
+            ).collect()
+        ]
+        assert [got[(qid, rk)] for rk in range(1, 5)] == expect
