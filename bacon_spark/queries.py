@@ -3872,3 +3872,39 @@ def q97_knn_join(spark, sf_dir):
     probes = hash_sample(emb, F.col("vec_id"), 0.01, salt="knn")
     out = _sim.knn_join(probes, emb, k=5, exclude_same_id=True)
     return out.orderBy("query_id", "rank")
+
+
+@query(
+    "q98_udtf_tokenize",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_tx.tokens_sql('text')} AS t FROM documents WHERE doc_id < 20
+    ),
+    rows AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) + 1),
+                    i -> {{'pos': i, 'token': t[i]}})) AS r
+      FROM toks
+    )
+    SELECT doc_id, r.pos::INT AS pos, r.token AS token
+    FROM rows ORDER BY doc_id, pos
+    """,
+)
+def q98_udtf_tokenize(spark, sf_dir):
+    """Python UDTF surface (functions/udtf.TokenizeUDTF, Spark 4
+    ``@udtf``): one input row lateral-expands to a row per token with
+    its position, through the registered-SQL-function path
+    (``LATERAL tokenize(text)``) — pinning the third leg of the
+    SURVEY §2.11 UDF surface (scalar Column / pandas UDAF / UDTF) with
+    an exactness oracle on the shared tokenizer dialect. Arrow-batched,
+    map-side; the bounded doc slice keeps the gate result small."""
+    from .functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    docs = _read_docs(spark, sf_dir).filter(F.col("doc_id") < 20)
+    docs.createOrReplaceTempView("q98_docs")
+    out = spark.sql(
+        "SELECT d.doc_id, t.pos, t.token "
+        "FROM q98_docs d, LATERAL tokenize(d.text) t"
+    )
+    return out.orderBy("doc_id", "pos")
