@@ -3908,3 +3908,115 @@ def q98_udtf_tokenize(spark, sf_dir):
         "FROM q98_docs d, LATERAL tokenize(d.text) t"
     )
     return out.orderBy("doc_id", "pos")
+
+
+@query(
+    "q99_watermark_late_drop",
+    """
+    WITH f1 AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-15'),
+    f2 AS (
+      SELECT * FROM events
+      WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-20'
+    ),
+    f3 AS (
+      SELECT * FROM events
+      WHERE ts < TIMESTAMP '2024-01-04'
+         OR (ts >= TIMESTAMP '2024-01-14' AND ts < TIMESTAMP '2024-01-16')
+    ),
+    wm1 AS (
+      SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000)
+             - INTERVAL 1 HOUR AS w
+      FROM f1
+    ),
+    accepted AS (
+      SELECT ts, value FROM f1
+      UNION ALL
+      SELECT ts, value FROM f2
+      UNION ALL
+      SELECT f3.ts, f3.value FROM f3, wm1
+      WHERE date_trunc('hour', f3.ts) + INTERVAL 1 HOUR > wm1.w
+    )
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n,
+           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS sum_value
+    FROM accepted GROUP BY 1
+    """,
+)
+def q99_watermark_late_drop(spark, sf_dir):
+    """Watermark LATE-DATA DROP semantics, proven exactly: trigger 1
+    streams the on-time prefix (ts < Jan 15), trigger 2 an advancing
+    on-time slice ([Jan 15, Jan 20)), trigger 3 a late replay (ts <
+    Jan 4 — far beyond the 1-hour watermark, must be DROPPED) plus a
+    boundary slice ([Jan 14, Jan 16) — windows ending after the
+    effective watermark must be ACCEPTED, re-counting replayed rows
+    like any at-least-once source); a far-future sentinel then advances
+    the watermark so append mode flushes every real window.
+
+    The acceptance rule the oracle replays was pinned empirically on
+    Spark 4.1 (numRowsDroppedByWatermark probes): a batch's LATE FILTER
+    applies the previous batch's progress-reported watermark — i.e. the
+    millisecond-floored max event time through batch n-2, minus the
+    delay — while state eviction uses the current one. The advancing
+    trigger-2 slice exists precisely so the replay batch filters
+    against max(trigger-1) - 1h. A row survives iff its window end
+    exceeds that watermark; the final emitted state is hash-checked,
+    dropped rows and double-counted replays included. The q62/q85
+    exactness family extended to the drop path, the part of streaming
+    correctness most pipelines never test."""
+    import datetime as _dt
+    import shutil
+
+    from .streaming.windows import (
+        run_stream_to_memory,
+        scratch_dir,
+        stage_ordered_files,
+        tumbling_window_agg,
+        with_watermark,
+    )
+
+    ev = _read(spark, sf_dir, "events").persist()
+    hi = ev.agg(F.max("ts")).first()[0]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    sschema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    jan = lambda d: _dt.datetime(2024, 1, d)  # noqa: E731
+    f1 = ev.filter(F.col("ts") < F.lit(jan(15)))
+    f2 = ev.filter((F.col("ts") >= F.lit(jan(15))) & (F.col("ts") < F.lit(jan(20))))
+    f3 = ev.filter(
+        (F.col("ts") < F.lit(jan(4)))
+        | ((F.col("ts") >= F.lit(jan(14))) & (F.col("ts") < F.lit(jan(16))))
+    )
+    sent = spark.createDataFrame(
+        [(-1, hi + _dt.timedelta(days=2), -1, "sent", 0.0, "{}")], sschema
+    )
+    d = scratch_dir("bacon_q99_")
+    stage_ordered_files([
+        (d, f1.select(*cols), "overwrite"),
+        (d, f2.select(*cols), "append"),
+        (d, f3.select(*cols), "append"),
+        (d, sent, "append"),
+    ])
+    stream = (
+        spark.readStream.schema(sschema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    agg = tumbling_window_agg(
+        with_watermark(stream, "ts", "1 hour"),
+        {
+            "n": F.count(F.lit(1)),
+            "sum_value": F.round(F.sum(F.expr(dec("value"))).cast("double"), 2),
+        },
+        window="1 hour",
+    )
+    out = agg.filter(F.col("window_start") <= F.lit(hi)).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n",
+        "sum_value",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_stream_to_memory(out, "q99_stream", mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        ev.unpersist()
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table("q99_stream")
