@@ -528,3 +528,52 @@ def test_streaming_asof_chunked_requires_tolerance(spark):
         streaming_asof_join(
             df, df, on=["value"], left_ts="timestamp", chunk_us=1_000_000
         )
+
+
+def test_watermark_late_filter_lags_one_batch(spark):
+    """Pins the empirical Spark 4.1 micro-batch watermark rule q99's
+    oracle replays: batch n's LATE FILTER applies the watermark reported
+    for batch n-1 (max event time through batch n-2, minus delay), while
+    eviction uses the current one. A late row arriving ONE batch after
+    the advancing data is still accepted (filter wm is 1970); the same
+    row arriving TWO batches after is dropped. If a Spark upgrade breaks
+    this test, q99's acceptance model must be re-derived."""
+    from bacon_spark.streaming.windows import (
+        run_stream_to_memory,
+        scratch_dir,
+        stage_ordered_files,
+    )
+
+    T = dt.datetime
+    sch = "id long, ts timestamp, v double"
+
+    def run(name, stages):
+        d = scratch_dir(f"wmlag_{name}_")
+        stage_ordered_files([(d, spark.createDataFrame(rows, sch),
+                              "overwrite" if i == 0 else "append")
+                             for i, rows in enumerate(stages)])
+        stream = (
+            spark.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(d)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("ws"), "n")
+        )
+        run_stream_to_memory(agg, f"wmlag_{name}", mode="append")
+        got = {r["ws"]: r["n"] for r in spark.table(f"wmlag_{name}").collect()}
+        shutil.rmtree(d, ignore_errors=True)
+        return got
+
+    advance = [(1, T(2024, 1, 1, 0, 30), 1.0), (2, T(2024, 1, 1, 10, 30), 1.0)]
+    late = [(3, T(2024, 1, 1, 0, 40), 1.0)]
+    flush = [(9, T(2024, 2, 1), 0.0)]
+
+    # late row one batch behind the advance: ACCEPTED (filter wm still 1970)
+    got1 = run("a", [advance, late, flush])
+    assert got1[T(2024, 1, 1, 0, 0)] == 2
+
+    # same late row two batches behind: DROPPED (filter wm = 09:30)
+    got2 = run("b", [advance, [(4, T(2024, 1, 1, 11, 0), 1.0)], late, flush])
+    assert got2[T(2024, 1, 1, 0, 0)] == 1
