@@ -3841,7 +3841,7 @@ def q93_corpus_prep_pipeline(spark, sf_dir):
     f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-      WHERE {_draw_sql('vec_id', 'knn')} < 10000
+      ORDER BY {_draw_sql('vec_id', 'knn')}, vec_id LIMIT 8
     ),
     scored AS (
       SELECT q.query_id, e.vec_id,
@@ -3861,15 +3861,19 @@ def q93_corpus_prep_pipeline(spark, sf_dir):
 )
 def q97_knn_join(spark, sf_dir):
     """Batch exact k-NN join (llm/similarity.knn_join): a deterministic
-    1%-hash-sampled probe batch of query vectors, each served its top-5
+    FIXED-SIZE probe batch (the 8 smallest md5 draws — corpus-size-
+    independent, so gate cost scales linearly), each served its top-5
     cosine neighbors. Broadcast query batch -> map-side scoring -> per-
     partition bounded-heap pre-top-k (Arrow batches; state |Q|*k) ->
     one small per-query window. The exact-serving complement to the
     LSH (q73) and IVF (q47) approximate paths."""
     emb = _read(spark, sf_dir, "embeddings")
-    from .operators.sampling import hash_sample
+    from .operators.sampling import _draw
 
-    probes = hash_sample(emb, F.col("vec_id"), 0.01, salt="knn")
+    # FIXED probe budget (not a corpus fraction): the 8 smallest md5
+    # draws, vec_id tie-break — deterministic at any SF, and the join
+    # work stays LINEAR in corpus size instead of quadratic
+    probes = emb.orderBy(_draw(F.col("vec_id"), "knn"), F.col("vec_id")).limit(8)
     out = _sim.knn_join(probes, emb, k=5, exclude_same_id=True)
     return out.orderBy("query_id", "rank")
 
