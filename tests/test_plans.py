@@ -190,3 +190,44 @@ def test_q78_salted_agg_two_phase(spark):
     plan = plan_of(spark, "q78_salted_agg")
     assert "_salt" in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_q87_boilerplate_set_is_broadcast_probe(spark):
+    # the per-doc scoring join probes the (small, high-DF) boilerplate
+    # set via broadcast — corpus bodies are never exchanged for it
+    plan = plan_of(spark, "q87_boilerplate_ngrams")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q88_dsir_bucket_model_broadcast(spark):
+    # the 64-row bucket model joins the per-doc features via broadcast;
+    # no sort-merge join of the corpus against it
+    plan = plan_of(spark, "q88_dsir_importance")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q89_histogram_partial_agg_before_shuffle(spark):
+    # bounded key domain: a partial_count aggregate must sit below the
+    # exchange, so each map task emits <= nbins+2 rows
+    plan = plan_of(spark, "q89_histogram")
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q97_knn_join_no_corpus_shuffle(spark):
+    # probe batch broadcast; the only wide exchange ranks the
+    # pre-top-k'd (|Q| * k * partitions) rows — the corpus embedding
+    # column must not appear in any Exchange
+    plan = plan_of(spark, "q97_knn_join")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert not any("embedding#" in ln for ln in ex), ex
+
+
+def test_canonical_dedup_corpus_joins_are_equi(spark):
+    # left_anti + left joins of the corpus against dup-sized cluster
+    # tables: hash/broadcast equi-joins only, never nested-loop
+    plan = plan_of(spark, "q91_canonical_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
