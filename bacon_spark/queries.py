@@ -4024,3 +4024,88 @@ def q99_watermark_late_drop(spark, sf_dir):
         ev.unpersist()
         shutil.rmtree(d, ignore_errors=True)
     return spark.table("q99_stream")
+
+
+@query(
+    "q100_stream_stream_join",
+    """
+    SELECT c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           round(cast(cast(p.value as decimal(38,4)) as double), 2) AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND epoch_us(p.ts) >= epoch_us(c.ts)
+     AND epoch_us(p.ts) < epoch_us(c.ts) + 3600000000
+    ORDER BY c.user_id, click_ts, purchase_ts
+    """,
+)
+def q100_stream_stream_join(spark, sf_dir):
+    """NATIVE stream-stream inner join (Spark's built-in symmetric hash
+    join, not the custom stateful operators of q64-q67): clicks joined
+    to the purchases that follow within one hour, both sides true
+    streams with watermarks and an event-time range condition — the
+    state-bounding shape Structured Streaming requires. Both sides
+    stage in single triggers, so no state is evicted before matching
+    and the final append output must equal the batch join EXACTLY —
+    which the DuckDB oracle computes. Complements q99: q99 pins what
+    the watermark DROPS, this pins what join state RETAINS.
+
+    Scale shape: state is bounded by the 1-hour join window per key
+    side (watermark-evicted), shuffles are keyed on user_id, and the
+    range predicate prunes state probes — the standard production
+    clickstream-attribution join."""
+    import shutil
+
+    from .streaming.windows import run_stream_to_memory, scratch_dir, stage_ordered_files
+
+    ev = _read(spark, sf_dir, "events")
+    sschema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    clicks_b = ev.filter(F.col("event_type") == "click")
+    purch_b = ev.filter(F.col("event_type") == "purchase")
+    cdir, pdir = scratch_dir("bacon_q100c_"), scratch_dir("bacon_q100p_")
+    stage_ordered_files([
+        (cdir, clicks_b.select(*cols), "overwrite"),
+        (pdir, purch_b.select(*cols), "overwrite"),
+    ])
+    clicks = (
+        spark.readStream.schema(sschema).parquet(cdir)
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        spark.readStream.schema(sschema).parquet(pdir)
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.unix_micros("p_ts") >= F.unix_micros("c_ts"))
+        & (F.unix_micros("p_ts") < F.unix_micros("c_ts") + 3_600_000_000),
+        "inner",
+    )
+    out = joined.select(
+        F.col("c_user").alias("user_id"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.round(F.expr(dec("p_value")).cast("double"), 2).alias("purchase_value"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_stream_to_memory(out, "q100_stream", mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(cdir, ignore_errors=True)
+        shutil.rmtree(pdir, ignore_errors=True)
+    return spark.table("q100_stream").orderBy("user_id", "click_ts", "purchase_ts")
