@@ -1,0 +1,123 @@
+"""Production-hardening behaviors a 100 TB deployment depends on, proven
+locally: RocksDB state store (bounded-memory streaming state), checkpoint
+recovery across process restarts, parquet schema evolution, and corrupt-
+input tolerance."""
+
+import datetime as dt
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+SCHEMA = "id long, ts timestamp, v double"
+
+
+def _write(spark, path, rows, mode="overwrite"):
+    spark.createDataFrame(rows, SCHEMA).repartition(1).write.mode(mode).parquet(path)
+
+
+def test_rocksdb_state_store_streaming_agg(spark, tmpdir):
+    """The scale-grade state backend: the same windowed aggregation, state
+    kept in RocksDB instead of the in-memory HDFS-backed provider, must
+    produce the identical result. At real scale this is what keeps
+    executor heap flat when state outgrows memory."""
+    data = str(tmpdir + "/data")
+    rows = [(i, dt.datetime(2024, 1, 1, i % 24, 30), float(i)) for i in range(48)]
+    _write(spark, data, rows)
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(SCHEMA).parquet(data)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            .select(F.col("window.start").alias("ws"), "n", "s")
+        )
+        q = (
+            agg.writeStream.format("memory").queryName("rocks_agg")
+            .outputMode("complete").trigger(availableNow=True)
+            .option("checkpointLocation", str(tmpdir + "/ck_rocks")).start()
+        )
+        q.awaitTermination()
+        got = {r["ws"]: (r["n"], r["s"]) for r in spark.table("rocks_agg").collect()}
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    batch = (
+        spark.read.parquet(data)
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .select(F.col("window.start").alias("ws"), "n", "s")
+    )
+    want = {r["ws"]: (r["n"], r["s"]) for r in batch.collect()}
+    assert got == want
+
+
+def test_checkpoint_recovery_resumes_aggregation_state(spark, tmpdir):
+    """Two separate streaming RUNS sharing one checkpoint (a process
+    restart): run 2 must resume run 1's aggregation state, and the final
+    complete-mode table must equal the batch answer over ALL data — the
+    exactly-once recovery contract incremental pipelines rely on."""
+    data = str(tmpdir + "/data")
+    ck = str(tmpdir + "/ck")
+    half1 = [(i, dt.datetime(2024, 1, 1, 3, 0), 1.0) for i in range(10)]
+    half2 = [(i + 10, dt.datetime(2024, 1, 1, 3, 30), 2.0) for i in range(5)]
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).parquet(data)
+        agg = (
+            stream.groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            .select(F.col("window.start").alias("ws"), "n", "s")
+        )
+        q = (
+            agg.writeStream.format("memory").queryName("recov_agg")
+            .outputMode("complete").trigger(availableNow=True)
+            .option("checkpointLocation", ck).start()
+        )
+        q.awaitTermination()
+        return {r["ws"]: (r["n"], r["s"]) for r in spark.table("recov_agg").collect()}
+
+    _write(spark, data, half1)
+    first = run_once()
+    assert first == {dt.datetime(2024, 1, 1, 3, 0): (10, 10.0)}
+    _write(spark, data, half2, mode="append")
+    second = run_once()
+    # resumed state: 10 rows from run 1 + 5 from run 2, one window
+    assert second == {dt.datetime(2024, 1, 1, 3, 0): (15, 20.0)}
+
+
+def test_parquet_schema_evolution_merge(spark, tmpdir):
+    """Schema drift across files (a column added mid-stream, the normal
+    state of a long-lived 100 TB table): mergeSchema reads old + new files
+    with nulls backfilled for the missing column."""
+    d = str(tmpdir + "/evo")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(d)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, s string, extra double"
+    ).write.mode("append").parquet(d)
+    df = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(df.columns) == {"id", "s", "extra"}
+    got = {r["id"]: r["extra"] for r in df.collect()}
+    assert got == {1: None, 2: 9.5}
+
+
+def test_ignore_corrupt_files(spark, tmpdir):
+    """A torn/corrupt part file (failed writer, bad disk) must not take
+    down the scan when ignoreCorruptFiles is on — the standard posture for
+    petabyte archives where one bad file is a certainty."""
+    d = str(tmpdir + "/corrupt")
+    spark.createDataFrame([(i,) for i in range(10)], "id long").write.parquet(d)
+    with open(os.path.join(d, "part-corrupt.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not a real parquet file")
+    clean = spark.read.option("ignoreCorruptFiles", "true").parquet(d)
+    assert clean.count() == 10
+    with pytest.raises(Exception):
+        spark.read.option("ignoreCorruptFiles", "false").parquet(d).count()
