@@ -81,6 +81,11 @@ class Controller:
             limit=int(params.get("limit", 100)),
         )
 
+    def render_html(self, params: dict) -> str:
+        from .html import render_table_html
+
+        return render_table_html(self.table(params))
+
     def render_csv(self, params: dict) -> str:
         out = io.StringIO()
         render_csv(out, self.table(params))
@@ -112,6 +117,15 @@ def make_flask_blueprint(controller: Controller, name: str = "bacon_spark"):
             )
         except BaconSparkError as e:
             return Response(str(e), status=404)
+
+    @bp.route("/table.html")
+    def table_html():
+        try:
+            return Response(
+                controller.render_html(request.args.to_dict()), mimetype="text/html"
+            )
+        except BaconSparkError as e:
+            return jsonify({"error": str(e)}), 404
 
     @bp.route("/rows.json")
     def rows_json():

@@ -187,3 +187,30 @@ def test_keyset_rows_json_roundtrip(board):
     # missing keys -> 404 via error mapping
     r = client.get("/rows.json?q=a:state")
     assert r.status_code == 404
+
+
+def test_flask_html_route(board):
+    flask = pytest.importorskip("flask")
+    app = flask.Flask(__name__)
+    app.register_blueprint(make_flask_blueprint(Controller(board)))
+    client = app.test_client()
+
+    r = client.get("/table.html?q=a:state/v:units")
+    assert r.status_code == 200
+    html = r.data.decode()
+    assert 'class="bacon bacon-values"' in html
+    assert '<tr class="totals">' in html
+    # nav links serve the SAME query space as the JSON sink: a drill href
+    # from the HTML round-trips through the JSON endpoint
+    import re
+
+    m = re.search(r'href="\?(f:state[^"]*)"', html)
+    assert m
+    r2 = client.get("/table.json?q=" + m.group(1))
+    assert r2.status_code == 200
+
+    # pivot query renders the pivot table; engine errors still 404
+    r = client.get("/table.html?q=a:state/p:sales_stage/v:units")
+    assert r.status_code == 200
+    assert "bacon-pivot" in r.data.decode()
+    assert client.get("/table.html?q=a:nope").status_code == 404

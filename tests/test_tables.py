@@ -108,3 +108,51 @@ def test_average_total_counts_all_rows(board):
     q = CubeQuery().add_axis("state").add_value("avg_price")
     t = Table1D(board, q)
     assert t.totals()["avg_price"] == pytest.approx(3.0)  # 15/5
+
+
+def test_render_table_1d_html(board):
+    from html.parser import HTMLParser
+
+    from bacon_spark.builders.url import UrlQueryBuilder
+    from bacon_spark.observers.html import render_table_html
+
+    q = CubeQuery().add_axis("state").add_value("units")
+    html = render_table_html(Table1D(board, q))
+
+    class Check(HTMLParser):
+        rows = 0
+        links = []
+
+        def handle_starttag(self, tag, attrs):
+            d = dict(attrs)
+            if tag == "tr" and "values" in (d.get("class") or ""):
+                Check.rows += 1
+            if tag == "a" and d.get("href"):
+                Check.links.append(d["href"])
+
+    Check().feed(html)
+    assert Check.rows == 3
+    assert 'class="bacon bacon-values"' in html
+    assert '<tr class="totals">' in html and ">57<" in html  # 10+20+5+15+7
+
+    # drill link on a label cell round-trips through the DSL parser
+    builder = UrlQueryBuilder(board.cubedef)
+    drills = [h[1:] for h in Check.links if "f:state" in h]
+    assert drills
+    q2 = builder.parse(drills[0])
+    assert ("state", "eq", "CA") in q2.filters or ("state", "eq", "NY") in q2.filters
+
+
+def test_render_pivot_html(board):
+    from bacon_spark.observers.html import render_table_html
+
+    q = (
+        CubeQuery().add_axis("state").add_axis("status")
+        .add_value("units").set_pivot("status")
+    )
+    html = render_table_html(TablePivot(board, q))
+    assert 'class="bacon bacon-pivot"' in html
+    assert '<tr class="pivot">' in html
+    assert ">Total</th>" in html
+    # grand total 57 appears in the totals band
+    assert ">57<" in html
