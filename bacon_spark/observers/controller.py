@@ -17,7 +17,12 @@ from ..cubequery import CubeQuery
 from ..engine import CuttingBoard
 from ..errors import BaconSparkError, QueryError
 from .csv import render_csv
-from .json import render_keyset_table_json, render_rows_json, render_table_json
+from .json import (
+    render_keyset_table_json,
+    render_nav_json,
+    render_rows_json,
+    render_table_json,
+)
 from .tables import Page, Table1D, TablePivot
 
 
@@ -81,6 +86,9 @@ class Controller:
             limit=int(params.get("limit", 100)),
         )
 
+    def render_nav(self, params: dict) -> dict:
+        return render_nav_json(self.board.cubedef, self.parse(params))
+
     def render_html(self, params: dict) -> str:
         from .html import render_table_html
 
@@ -117,6 +125,13 @@ def make_flask_blueprint(controller: Controller, name: str = "bacon_spark"):
             )
         except BaconSparkError as e:
             return Response(str(e), status=404)
+
+    @bp.route("/nav.json")
+    def nav_json():
+        try:
+            return jsonify(controller.render_nav(request.args.to_dict()))
+        except BaconSparkError as e:
+            return jsonify({"error": str(e)}), 404
 
     @bp.route("/table.html")
     def table_html():

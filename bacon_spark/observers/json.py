@@ -208,3 +208,97 @@ def render_rows_json(board, query, keys: list[str], after: str | None = None, li
         "keys": keys,
         "next": nxt,
     }
+
+
+# --- navigation panel -------------------------------------------------------
+
+#: UI op labels (reference Navigator._pretty_op,
+#: /root/reference/bacon/cubenav.py:137-160)
+PRETTY_OP = {
+    "eq": "=",
+    "ne": "is not",
+    "gt": ">",
+    "ge": ">=",
+    "lt": "<",
+    "le": "<=",
+    "in": "any of",
+    "ni": "none of",
+    "match": "matches",
+    "nmatch": "doesn't match",
+    "hasall": "has all of",
+    "hasany": "has any of",
+    "hasnone": "has none of",
+    "hasonly": "has only",
+}
+
+
+def render_nav_json(cubedef, query: "CubeQuery") -> dict:
+    """Navigation panel -> JSON-able dict (reference render_nav_json,
+    /root/reference/bacon/observers/json.py:13-85): available axes grouped
+    by dimension (expand URL when addable under the hierarchy rule, null
+    when not), active filters with drop / invert / related-op-swap URLs,
+    and hidden values with show URLs. Together with render_table_json this
+    is the complete client API: a UI needs no query knowledge beyond
+    following links."""
+    from ..cubequery import MULTI_ARG_OPS
+
+    builder = UrlQueryBuilder(cubedef)
+    nav = Navigator(cubedef, query)
+
+    # axes: reference ordering (dimension or sentinel-last, then rank)
+    labels = [lab for lab in cubedef.labels if not lab.hidden]
+    labels.sort(key=lambda lab: (lab.dimension or "￿", lab.rank))
+    axes: list[dict] = []
+    for lab in labels:
+        dim = lab.dimension or "Other axes"
+        if not axes or axes[-1]["dimension"] != dim:
+            axes.append({"dimension": dim, "axes": []})
+        url = (
+            builder.unparse(nav.expand(lab.name)) if nav.can_expand(lab.name) else None
+        )
+        axes[-1]["axes"].append({"label": lab.title, "axis": lab.name, "url": url})
+
+    filters = []
+    for name, op, value in query.filters:
+        lab = cubedef.get_label(name)
+        if op in MULTI_ARG_OPS:
+            pretty_value = ", ".join(
+                lab.pretty(v) for v in sorted(value, key=lambda x: (x is None, x))
+            )
+        else:
+            pretty_value = lab.pretty(value)
+        pretty_op = PRETTY_OP.get(op, op)
+        related = {}
+        for other in nav.related_ops(op):
+            if other == op:
+                continue
+            related[PRETTY_OP.get(other, other)] = builder.unparse(
+                nav.swap_filter_op(name, op, value, other)
+            )
+        filters.append(
+            {
+                "label": f"{lab.title} {pretty_op} {pretty_value}",
+                "drop_url": builder.unparse(query.remove_filter(name, op, value)),
+                "invert_url": builder.unparse(nav.invert_filter(name, op, value)),
+                "related_urls": related,
+            }
+        )
+
+    values = []
+    for m in cubedef.measures:
+        if m.name in query.hidden_values or m.name not in query.values:
+            values.append(
+                {
+                    "label": m.title,
+                    "show_url": builder.unparse(query.add_value(m.name)),
+                }
+            )
+
+    out: dict = {}
+    if axes:
+        out["axes"] = axes
+    if filters:
+        out["filters"] = filters
+    if values:
+        out["values"] = values
+    return out

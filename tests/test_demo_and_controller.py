@@ -214,3 +214,48 @@ def test_flask_html_route(board):
     assert r.status_code == 200
     assert "bacon-pivot" in r.data.decode()
     assert client.get("/table.html?q=a:nope").status_code == 404
+
+
+def test_nav_panel_json(board):
+    from bacon_spark.builders.url import UrlQueryBuilder
+    from bacon_spark.observers.json import render_nav_json
+
+    cd = board.cubedef
+    builder = UrlQueryBuilder(cd)
+    q = builder.parse("a:state/f:status:eq:open/v:units")
+    panel = render_nav_json(cd, q)
+
+    # axes grouped by dimension; the in-use axis is not expandable
+    flat = {a["axis"]: a["url"] for g in panel["axes"] for a in g["axes"]}
+    assert flat["state"] is None
+    # at least one other label is addable and its url round-trips
+    addable = [(n, u) for n, u in flat.items() if u]
+    assert addable
+    q2 = builder.parse(addable[0][1])
+    assert addable[0][0] in q2.axes
+
+    # the active filter exposes drop/invert/related urls
+    f = panel["filters"][0]
+    assert "Status" in f["label"] and "=" in f["label"]
+    assert ("status", "eq", "open") not in builder.parse(f["drop_url"]).filters
+    assert ("status", "ne", "open") in builder.parse(f["invert_url"]).filters
+    # eq's related family includes the membership swap
+    assert f["related_urls"]
+
+    # hidden/unused measures offer show urls
+    shows = {v["label"]: v["show_url"] for v in panel.get("values", [])}
+    assert shows
+    any_show = builder.parse(next(iter(shows.values())))
+    assert len(any_show.values) > len(q.values)
+
+
+def test_flask_nav_route(board):
+    flask = pytest.importorskip("flask")
+    app = flask.Flask(__name__)
+    app.register_blueprint(make_flask_blueprint(Controller(board)))
+    client = app.test_client()
+    r = client.get("/nav.json?q=a:state/v:units")
+    assert r.status_code == 200
+    doc = json.loads(r.data)
+    assert "axes" in doc
+    assert client.get("/nav.json?q=a:nope").status_code == 404
