@@ -33,9 +33,10 @@ class Controller:
     query_param = "q"
     page_param = "page"
 
-    def __init__(self, board: CuttingBoard):
+    def __init__(self, board: CuttingBoard, widgets: list | None = None):
         self.board = board
         self.builder = UrlQueryBuilder(board.cubedef)
+        self.widgets = widgets or []
 
     # --- hook (override per app) -----------------------------------------
     def finish_query(self, query: CubeQuery) -> CubeQuery:
@@ -87,7 +88,9 @@ class Controller:
         )
 
     def render_nav(self, params: dict) -> dict:
-        return render_nav_json(self.board.cubedef, self.parse(params))
+        return render_nav_json(
+            self.board.cubedef, self.parse(params), widgets=self.widgets
+        )
 
     def render_html(self, params: dict) -> str:
         from .html import render_table_html

@@ -232,7 +232,7 @@ PRETTY_OP = {
 }
 
 
-def render_nav_json(cubedef, query: "CubeQuery") -> dict:
+def render_nav_json(cubedef, query: "CubeQuery", widgets: list | None = None) -> dict:
     """Navigation panel -> JSON-able dict (reference render_nav_json,
     /root/reference/bacon/observers/json.py:13-85): available axes grouped
     by dimension (expand URL when addable under the hierarchy rule, null
@@ -301,4 +301,8 @@ def render_nav_json(cubedef, query: "CubeQuery") -> dict:
         out["filters"] = filters
     if values:
         out["values"] = values
+    if widgets:
+        from .widgets import render_widgets_json
+
+        out["widgets"] = render_widgets_json(cubedef, query, widgets)
     return out

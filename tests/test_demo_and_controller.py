@@ -259,3 +259,51 @@ def test_flask_nav_route(board):
     doc = json.loads(r.data)
     assert "axes" in doc
     assert client.get("/nav.json?q=a:nope").status_code == 404
+
+
+def test_nav_widgets(board):
+    from bacon_spark.builders.url import UrlQueryBuilder
+    from bacon_spark.observers.json import render_nav_json
+    from bacon_spark.observers.widgets import (
+        ButtonsWidget,
+        DatesRangeWidget,
+        FilterButton,
+        StringFilterWidget,
+    )
+
+    cd = board.cubedef
+    builder = UrlQueryBuilder(cd)
+    q = builder.parse("a:state/v:units")
+    widgets = [
+        DatesRangeWidget("Created", "creation_date_day"),
+        StringFilterWidget("City", "city"),
+        ButtonsWidget(
+            "Stage",
+            [
+                FilterButton("Open only", "status", "open"),
+                FilterButton("All", "status", FilterButton.REMOVE),
+            ],
+        ),
+    ]
+    panel = render_nav_json(cd, q, widgets=widgets)
+    w = {x["type"]: x for x in panel["widgets"]}
+
+    # the range templates carry placeholders and round-trip after
+    # substituting real dates back through the DSL parser
+    r = w["dates_range"]
+    assert "__from__" in r["from_url"] and "__to__" in r["range_url"]
+    concrete = r["range_url"].replace("__from__", "2023-01-01").replace(
+        "__to__", "2023-12-31"
+    )
+    q2 = builder.parse(concrete)
+    ops = {(f[0], f[1]) for f in q2.filters}
+    assert ("creation_date_day", "ge") in ops and ("creation_date_day", "le") in ops
+
+    s = w["string_filter"]
+    assert "__PLACEHOLDER__" in s["filter_url"]
+    q3 = builder.parse(s["filter_url"].replace("__PLACEHOLDER__", "Austin"))
+    assert ("city", "eq", "Austin") in q3.filters
+
+    b = w["buttons"]["buttons"]
+    assert ("status", "eq", "open") in builder.parse(b[0]["url"]).filters
+    assert not [f for f in builder.parse(b[1]["url"]).filters if f[0] == "status"]
