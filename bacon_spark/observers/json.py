@@ -73,7 +73,15 @@ def render_table_json(table: Table1D, with_links: bool = True) -> dict:
                 cell["drill"] = links.add(builder.unparse(nav.drill(a, r[a])))
             cells.append(cell)
         values = {v: _jsonable(r[v]) for v in table.values}
-        rows.append({"cells": cells, "values": values})
+        row = {"cells": cells, "values": values}
+        if with_links and table.axes:
+            # per-row de-aggregation link (reference RowWidget / row
+            # detail, /root/reference/bacon/observers/tables.py:142-146,
+            # cubenav.py:176-185): serve with CuttingBoard.rows()
+            row["detail"] = links.add(
+                builder.unparse(nav.row_detail({a: r[a] for a in table.axes}))
+            )
+        rows.append(row)
 
     out = {
         "title": cd.title,

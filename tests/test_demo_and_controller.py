@@ -307,3 +307,21 @@ def test_nav_widgets(board):
     b = w["buttons"]["buttons"]
     assert ("status", "eq", "open") in builder.parse(b[0]["url"]).filters
     assert not [f for f in builder.parse(b[1]["url"]).filters if f[0] == "status"]
+
+
+def test_table_json_row_detail_links(board):
+    from bacon_spark.builders.url import UrlQueryBuilder
+    from bacon_spark.observers.json import render_table_json
+    from bacon_spark.observers.tables import Table1D
+
+    builder = UrlQueryBuilder(board.cubedef)
+    q = builder.parse("a:state/v:units")
+    doc = render_table_json(Table1D(board, q))
+    first = doc["rows"][0]
+    detail_q = builder.parse(doc["links"][first["detail"]])
+    # de-aggregated: no axes left, the row's state pinned as a filter
+    assert detail_q.axes == ()
+    assert any(f[0] == "state" and f[1] == "eq" for f in detail_q.filters)
+    # and the detail query actually serves raw rows
+    rows = board.rows(detail_q, limit=5).collect()
+    assert rows
