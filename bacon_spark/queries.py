@@ -4109,3 +4109,30 @@ def q100_stream_stream_join(spark, sf_dir):
         shutil.rmtree(cdir, ignore_errors=True)
         shutil.rmtree(pdir, ignore_errors=True)
     return spark.table("q100_stream").orderBy("user_id", "click_ts", "purchase_ts")
+
+
+from .llm import lm as _lm  # noqa: E402
+
+
+@query(
+    "q101_lm_quality_scores",
+    _lm.bigram_lm_scores_sql("d.lang = 'en' AND d.source IN ('src0', 'src1')"),
+)
+def q101_lm_quality_scores(spark, sf_dir):
+    """CCNet-style LM quality scoring (llm/lm.bigram_lm_scores — Wenzek
+    et al. 2020, arXiv:1911.00359): an add-one-smoothed bigram model
+    fitted on the target subcorpus (lang='en', sources src0/src1 — the
+    'Wikipedia' stand-in) scores every document's total and mean bigram
+    log-probability in integer micro-nats; downstream selection keeps
+    the head/middle of this distribution. The oracle refits the entire
+    model in DuckDB from the same counts and expression shape — scores
+    match bit-for-bit.
+
+    Scale shape: model tables are target-corpus-sized and broadcast;
+    the corpus shuffles only (doc, bigram, cnt) rows; integer sums
+    everywhere past the 1-per-bigram quantized constant."""
+    docs = _read_docs(spark, sf_dir)
+    target = docs.filter(
+        (F.col("lang") == "en") & (F.col("source").isin("src0", "src1"))
+    )
+    return _lm.bigram_lm_scores(docs, target).orderBy("doc_id")

@@ -429,3 +429,24 @@ def test_knn_join_exact_vs_brute_force(spark):
             ).collect()
         ]
         assert [got[(qid, rk)] for rk in range(1, 5)] == expect
+
+
+def test_bigram_lm_scores_rank_fluent_text_higher(spark):
+    """Docs made of target-corpus bigrams must out-score docs of unseen
+    vocabulary (the CCNet head/tail separation); empty docs get nulls."""
+    from bacon_spark.llm.lm import bigram_lm_scores
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "wiki"),
+        (2, "the quick brown fox naps under the lazy dog", "wiki"),
+        (3, "the quick brown fox jumps over the lazy dog", "web"),
+        (4, "zxqv kjwf plmn qrst uvxy zabc defg hijk lmno", "web"),
+        (5, "", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    target = docs.filter(F.col("source") == "wiki")
+    out = {r["doc_id"]: r for r in bigram_lm_scores(docs, target).collect()}
+    assert out[3]["avg_logprob_micro"] > out[4]["avg_logprob_micro"]
+    assert out[5]["n_bigrams"] == 0 and out[5]["logprob_micro"] is None
+    # in-model doc scores above the smoothed floor
+    assert out[1]["avg_logprob_micro"] > out[4]["avg_logprob_micro"]
