@@ -172,3 +172,43 @@ def test_slice_cache_reuse(cubedef, sells):
     s4 = b.slice(q3)
     assert s4[jan].record["number"] == 180
     b.clear_cache()
+
+
+def test_board_concurrent_slicing_is_safe(cubedef, sells):
+    """Many threads hammering one cached board (the web-server reality):
+    the LRU cache, drill reuse, and Spark job submission must all be
+    thread-safe, and every thread must see correct results."""
+    import threading
+
+    from bacon_spark import CuttingBoard
+
+    b = CuttingBoard(cubedef, sells, cache_results=True)
+    queries = [
+        CubeQuery(axes=("month",), values=("number",)),
+        CubeQuery(axes=("item",), values=("number",)),
+        CubeQuery(axes=("month", "item"), values=("number", "n")),
+        CubeQuery(axes=("item",), values=("number",)).add_filter("place", "eq", "italy"),
+    ]
+    expected = [
+        {tuple(sorted(r.asDict().items())) for r in b.slice(q).to_df().collect()}
+        for q in queries
+    ]
+    errors = []
+
+    def worker(i):
+        try:
+            q = queries[i % len(queries)]
+            got = {
+                tuple(sorted(r.asDict().items()))
+                for r in b.slice(q).to_df().collect()
+            }
+            assert got == expected[i % len(queries)]
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
