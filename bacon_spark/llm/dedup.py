@@ -439,3 +439,182 @@ def canonical_dedup(
         .join(stats, id_col, "left")
         .withColumn("n_removed", F.coalesce(F.col("n_removed"), F.lit(0)))
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional shingles: winnowing fingerprints + exact duplicate spans
+# ---------------------------------------------------------------------------
+
+
+def positional_shingle_hashes(c: Column, k: int) -> Column:
+    """60-bit hash per k-token shingle IN POSITION ORDER (no distinct —
+    winnowing and span dedup need the sequence, not the set).  Documents
+    shorter than k tokens yield an empty array."""
+    from ..functions.exprs import let
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.when(
+            n >= k,
+            F.transform(
+                idx,
+                lambda i: hash60(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+                % MINHASH_P,
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+
+    return let(tokens(c), build)
+
+
+def positional_shingle_hashes_sql(expr: str, k: int) -> str:
+    toks = tokens_sql(expr)
+    span = f"array_to_string(list_slice({toks}, i, i + {k} - 1), ' ')"
+    return (
+        f"CASE WHEN len({toks}) >= {k} THEN "
+        f"list_transform(range(1, len({toks}) - {k} + 2), "
+        f"i -> {hash60_sql(span)} % {MINHASH_P}) "
+        "ELSE [] END"
+    )
+
+
+def winnow_minimizers(c: Column, k: int = 3, w: int = 4) -> Column:
+    """Winnowing fingerprint (Schleimer, Wilkerson, Aiken, SIGMOD 2003 —
+    the MOSS algorithm): distinct minima of every *w*-wide window over
+    the positional k-shingle hash sequence.  Guarantees at least one
+    fingerprint per w consecutive shingles, so any shared run of
+    w + k − 1 tokens between two documents shares a minimizer — the
+    standard sub-document-overlap detector.  Pure codegen array work."""
+    from ..functions.exprs import let
+
+    def build(hashes: Column) -> Column:
+        n = F.size(hashes)
+        win_idx = F.sequence(F.lit(0), F.greatest(n - w, F.lit(0)))
+        windows = F.when(
+            n >= w,
+            F.transform(win_idx, lambda j: F.array_min(F.slice(hashes, j + 1, w))),
+        ).when(n > 0, F.array(F.array_min(hashes))).otherwise(
+            F.array().cast("array<long>")
+        )
+        return F.array_distinct(windows)
+
+    return let(positional_shingle_hashes(c, k), build)
+
+
+def winnow_minimizers_sql(expr: str, k: int = 3, w: int = 4) -> str:
+    h = positional_shingle_hashes_sql(expr, k)
+    return (
+        f"list_distinct(CASE WHEN len({h}) >= {w} THEN "
+        f"list_transform(range(1, len({h}) - {w} + 2), "
+        f"j -> list_min(list_slice({h}, j, j + {w} - 1))) "
+        f"WHEN len({h}) > 0 THEN [list_min({h})] ELSE [] END)"
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Document pairs sharing >= *min_shared* winnowing minimizers:
+    (id_a, id_b, shared) with id_a < id_b — near-dup / partial-overlap
+    candidates from sub-document fingerprints.
+
+    Scale shape: the corpus maps to (minimizer, id) pairs (fingerprint-
+    sized, bodies never shuffled), the self-join is an equi-join on the
+    minimizer bucket, and the pair aggregation is bounded by bucket
+    sizes — identical to the LSH-banding shape, not all-pairs."""
+    fps = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(winnow_minimizers(F.col(text_col), k, w)).alias("m"),
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.m") == F.col("b.m")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
+def winnow_overlap_pairs_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 3,
+) -> str:
+    fps = winnow_minimizers_sql(text_col, k, w)
+    return f"""
+    WITH _fp AS (
+        SELECT {id_col} AS id, unnest({fps}) AS m FROM {table}
+    )
+    SELECT a.id AS id_a, b.id AS id_b, cast(count(*) as bigint) AS shared
+    FROM _fp a JOIN _fp b ON a.m = b.m AND a.id < b.id
+    GROUP BY a.id, b.id
+    HAVING count(*) >= {min_shared}
+    """
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    top: int = 100,
+) -> DataFrame:
+    """Exact duplicated k-token spans across documents (the signal behind
+    exact-substring dedup, Lee et al. 2022, arXiv:2107.06499): every
+    positional k-shingle hash that occurs in more than one document,
+    with ``(span_hash, n_docs, n_occurrences, first_doc)``, top-*top*
+    by occurrence count.
+
+    Scale shape: corpus maps to (hash, id) — spans themselves never
+    shuffle — one partial-aggregated groupBy on the hash, then a
+    TakeOrderedAndProject for the report.  The full variant (cut the
+    spans out of the corpus) is a join of these hashes back against the
+    positional explode, still bodies-local."""
+    occ = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(positional_shingle_hashes(F.col(text_col), k)).alias("h"),
+    )
+    return (
+        occ.groupBy("h")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_occ"), F.asc("h"))
+        .limit(top)
+        .select(F.col("h").alias("span_hash"), "n_docs", "n_occ", "first_doc")
+    )
+
+
+def duplicate_spans_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    top: int = 100,
+) -> str:
+    h = positional_shingle_hashes_sql(text_col, k)
+    return f"""
+    WITH _occ AS (
+        SELECT {id_col} AS id, unnest({h}) AS h FROM {table}
+    )
+    SELECT h AS span_hash,
+           cast(count(DISTINCT id) as bigint) AS n_docs,
+           cast(count(*) as bigint) AS n_occ,
+           min(id) AS first_doc
+    FROM _occ
+    GROUP BY h
+    HAVING count(DISTINCT id) > 1
+    ORDER BY n_occ DESC, h ASC
+    LIMIT {top}
+    """

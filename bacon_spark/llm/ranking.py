@@ -192,3 +192,99 @@ def tfidf_top_terms_sql(
     )
     SELECT {id_col}, term, s AS tfidf, rk FROM ranked WHERE rk <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Inverted index construction
+# ---------------------------------------------------------------------------
+
+
+def inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    top_terms: int = 100,
+    postings_cap: int = 20,
+) -> DataFrame:
+    """Materialized inverted index summary: per term, document frequency,
+    collection frequency, and a CAPPED posting list (the *postings_cap*
+    lowest doc ids, comma-joined) — ``term, df, cf, postings``; top
+    *top_terms* by (df desc, term asc).
+
+    Scale shape: the expensive step is the (term, doc) term-frequency
+    aggregation, which partial-aggregates map-side before the term-keyed
+    shuffle.  The posting list is bounded BEFORE collection by a per-term
+    row_number window (the window rides the same term-keyed exchange),
+    so no executor ever holds an unbounded posting — the classic
+    build-a-search-index batch job."""
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term", "id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+    w = Window.partitionBy("term").orderBy("id")
+    capped = tf.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= postings_cap
+    )
+    postings = capped.groupBy("term").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("id")), lambda x: x.cast("string")
+            ),
+        ).alias("postings")
+    )
+    return (
+        stats.filter(F.col("df") >= min_df)
+        .join(postings, "term")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(top_terms)
+        .select("term", "df", "cf", "postings")
+    )
+
+
+def inverted_index_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    top_terms: int = 100,
+    postings_cap: int = 20,
+) -> str:
+    """DuckDB twin of :func:`inverted_index` (same cap-before-collect
+    posting rule)."""
+    return f"""
+    WITH _tf AS (
+        SELECT term, id, count(*) AS tf
+        FROM (SELECT {id_col} AS id, unnest({tokens_sql(text_col)}) AS term
+              FROM {table})
+        GROUP BY term, id
+    ),
+    _stats AS (
+        SELECT term, cast(count(*) as bigint) AS df,
+               cast(sum(tf) as bigint) AS cf
+        FROM _tf GROUP BY term
+    ),
+    _capped AS (
+        SELECT term, id,
+               row_number() OVER (PARTITION BY term ORDER BY id) AS rn
+        FROM _tf
+    ),
+    _postings AS (
+        SELECT term,
+               array_to_string(list_sort(list(id)), ',') AS postings
+        FROM _capped WHERE rn <= {postings_cap}
+        GROUP BY term
+    )
+    SELECT _stats.term, df, cf, postings
+    FROM _stats JOIN _postings USING (term)
+    WHERE df >= {min_df}
+    ORDER BY df DESC, term ASC
+    LIMIT {top_terms}
+    """

@@ -1,0 +1,196 @@
+"""Time-series operators: exponentially weighted moving averages and
+interval-concurrency sweep-lines.
+
+Engine extensions beyond the reference surface (the reference's cube
+engine has date-hierarchy labels but no ordered-state operators; cf.
+/root/reference/bacon/cubedef.py date labels). Both operators compile to
+built-in window/aggregate expressions — no Python UDFs — and each has a
+DuckDB twin generated from the same constants so oracles stay in
+lockstep by construction.
+
+Determinism across engines is engineered, not hoped for:
+
+* ``dyadic_ewma`` uses alpha = 1/2 with a fixed *depth*-row frame, so
+  every weight is a power of two and the weighted numerator/denominator
+  are exact 64-bit integer sums — the final single division is the only
+  float op, performed on identical integers in both engines.
+* ``interval_concurrency`` is a +1/-1 sweep-line; every prefix sum is an
+  integer.  Intervals are half-open [start, end): at equal timestamps
+  ends sort before starts (delta ascending), so a session ending exactly
+  when another starts never double-counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Dyadic EWMA
+# ---------------------------------------------------------------------------
+
+
+def dyadic_ewma(
+    df: DataFrame,
+    key: str,
+    order: list[str],
+    value_col: str,
+    depth: int = 16,
+    out: str = "ewma",
+) -> DataFrame:
+    """Per-*key* EWMA of the integer column *value_col* with alpha = 1/2
+    over the last *depth* rows (ordered by *order*).
+
+    ewma_n = sum_{k=0..depth-1} v_{n-k} * 2^(depth-1-k)
+             / sum_{k available} 2^(depth-1-k)
+
+    Missing lags (short history) drop out of BOTH sums, so early rows
+    are a correctly-normalized average of what exists.  Numerator and
+    denominator are exact integer window sums; only the final division
+    is floating point.
+
+    Scale shape: one shuffle on *key*; the frame is ``depth`` lag()
+    expressions over that single window — per-row state is O(depth),
+    independent of partition length, and the whole thing stays in
+    whole-stage codegen."""
+    w = Window.partitionBy(key).orderBy(*order)
+    num: Column = F.lit(0).cast("long")
+    den: Column = F.lit(0).cast("long")
+    for k in range(depth):
+        weight = 1 << (depth - 1 - k)
+        lagged = F.lag(F.col(value_col), k).over(w)
+        num = num + F.coalesce(lagged * F.lit(weight), F.lit(0))
+        den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+    return df.withColumn(out, (num.cast("double") / den.cast("double")))
+
+
+def dyadic_ewma_sql(
+    key: str, order: list[str], value_expr: str, depth: int = 16
+) -> str:
+    """DuckDB twin of :func:`dyadic_ewma`'s EWMA expression (same lag
+    unrolling, same integer weights)."""
+    order_by = ", ".join(order)
+    over = f"OVER (PARTITION BY {key} ORDER BY {order_by})"
+    nums, dens = [], []
+    for k in range(depth):
+        weight = 1 << (depth - 1 - k)
+        lagged = f"lag({value_expr}, {k}) {over}"
+        nums.append(f"coalesce(({lagged}) * {weight}, 0)")
+        dens.append(f"CASE WHEN ({lagged}) IS NOT NULL THEN {weight} ELSE 0 END")
+    num = " + ".join(nums)
+    den = " + ".join(dens)
+    return f"(cast({num} as double) / cast({den} as double))"
+
+
+# ---------------------------------------------------------------------------
+# Interval concurrency (sweep-line)
+# ---------------------------------------------------------------------------
+
+
+def interval_deltas(
+    df: DataFrame, start_col: str, end_col: str
+) -> DataFrame:
+    """Explode [start, end) intervals into (+1 at start, -1 at end)
+    sweep events.  Map-side only."""
+    starts = df.select(F.col(start_col).alias("t"), F.lit(1).alias("delta"))
+    ends = df.select(F.col(end_col).alias("t"), F.lit(-1).alias("delta"))
+    return starts.unionByName(ends)
+
+
+def interval_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    chunk: str = "day",
+) -> DataFrame:
+    """Running concurrency level at every sweep event of the half-open
+    intervals [start_col, end_col): columns ``t, delta, level`` where
+    ``level`` is the number of live intervals just AFTER the event.
+
+    NOT a single global window: a total order over all events would
+    serialize 100 TB through one partition.  Instead the classic
+    distributed prefix-sum decomposition:
+
+    1. events are bucketed by ``date_trunc(chunk, t)``;
+    2. within each chunk, an ordinary partitioned window computes the
+       local prefix sum (order: t, then delta ascending, so -1 ends
+       sort before +1 starts at equal t — half-open semantics);
+    3. a chunk-level carry-in (the sum of ALL deltas in earlier chunks)
+       is computed by a chunk-count-sized aggregate + running sum and
+       joined back.
+
+    level(t) = carry_in(chunk) + local_prefix(t) — exact even for
+    intervals that span chunk boundaries, because carry_in is just "all
+    deltas before this chunk" regardless of which interval they came
+    from.  All arithmetic is integer."""
+    deltas = interval_deltas(df, start_col, end_col).withColumn(
+        "_chunk", F.date_trunc(chunk, F.col("t"))
+    )
+    local_w = (
+        Window.partitionBy("_chunk")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = deltas.withColumn("_local", F.sum("delta").over(local_w))
+    chunk_totals = deltas.groupBy("_chunk").agg(F.sum("delta").alias("_chunk_sum"))
+    carry_w = (
+        Window.orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = chunk_totals.withColumn(
+        "_carry", F.coalesce(F.sum("_chunk_sum").over(carry_w), F.lit(0))
+    ).select("_chunk", "_carry")
+    return (
+        local.join(F.broadcast(carries), "_chunk")
+        .withColumn("level", (F.col("_carry") + F.col("_local")).cast("long"))
+        .select("t", "delta", "level")
+    )
+
+
+def hourly_max_concurrency(
+    df: DataFrame, start_col: str, end_col: str
+) -> DataFrame:
+    """Per-hour peak concurrency: for every hour that contains at least
+    one sweep event, the max level observed in that hour — including
+    the level *inherited* from before the hour's first event
+    (``level - delta`` = the plateau the hour walked in on)."""
+    levels = interval_concurrency(df, start_col, end_col)
+    return (
+        levels.withColumn("hour", F.date_trunc("hour", F.col("t")))
+        .groupBy("hour")
+        .agg(
+            F.max(F.greatest(F.col("level"), F.col("level") - F.col("delta"))).alias(
+                "peak"
+            ),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("n_starts"),
+        )
+    )
+
+
+def hourly_max_concurrency_sql(intervals_cte: str) -> str:
+    """DuckDB twin of :func:`hourly_max_concurrency`.
+
+    *intervals_cte* must select columns ``s`` (start) and ``e`` (end).
+    The oracle uses ONE global window (fine at oracle scale; the Spark
+    side uses the chunked decomposition — same arithmetic, same
+    order)."""
+    return f"""
+    WITH _iv AS ({intervals_cte}),
+    _deltas AS (
+        SELECT s AS t, 1 AS delta FROM _iv
+        UNION ALL
+        SELECT e AS t, -1 AS delta FROM _iv
+    ),
+    _levels AS (
+        SELECT t, delta,
+               sum(delta) OVER (ORDER BY t, delta
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS level
+        FROM _deltas
+    )
+    SELECT date_trunc('hour', t) AS hour,
+           cast(max(greatest(level, level - delta)) as bigint) AS peak,
+           cast(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) as bigint) AS n_starts
+    FROM _levels
+    GROUP BY 1
+    """

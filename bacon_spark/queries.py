@@ -4136,3 +4136,252 @@ def q101_lm_quality_scores(spark, sf_dir):
         (F.col("lang") == "en") & (F.col("source").isin("src0", "src1"))
     )
     return _lm.bigram_lm_scores(docs, target).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# round-3 batch 2: tokenizer training, time series, stats, graph ranking,
+# index construction, sub-document dedup
+# ---------------------------------------------------------------------------
+
+from .llm import bpe as _bpe  # noqa: E402
+from .operators import stats as _stats  # noqa: E402
+from .operators import timeseries as _ts  # noqa: E402
+
+
+@query("q102_bpe_pair_counts", _bpe.bpe_pair_counts_sql("documents", "text", 50))
+def q102_bpe_pair_counts(spark, sf_dir):
+    """BPE tokenizer-training merge candidates (llm/bpe.py, Sennrich et
+    al. 2016): corpus-wide adjacent character-pair frequencies weighted
+    by word frequency — the argmax set of the first BPE merge.
+
+    Scale shape: aggregates to the DISTINCT word vocabulary BEFORE
+    exploding pairs, so the only corpus-sized shuffle carries bare words
+    with map-side combine; pair explosion runs over the Zipf-bounded
+    vocabulary table."""
+    docs = _read_docs(spark, sf_dir)
+    return _bpe.bpe_pair_counts(docs, "text", top=50)
+
+
+_EWMA_ORDER = ["o_orderdate", "o_orderkey"]
+_EWMA_CENTS = "cast(round(o_totalprice * 100) as bigint)"
+
+
+@query(
+    "q103_ewma_customer_spend",
+    f"""
+    WITH _e AS (
+        SELECT o_custkey,
+               o_orderkey,
+               o_orderdate,
+               {_ts.dyadic_ewma_sql('o_custkey', _EWMA_ORDER, _EWMA_CENTS, 16)} AS ewma_cents,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey AS last_orderkey,
+           round(ewma_cents / 100, 4) AS ewma_spend
+    FROM _e WHERE rn = 1
+    """,
+)
+def q103_ewma_customer_spend(spark, sf_dir):
+    """Per-customer EWMA of order spend (operators/timeseries.dyadic_ewma):
+    alpha=1/2 over the 16 most recent orders, evaluated at each
+    customer's latest order.  Dyadic weights make the weighted sums
+    exact 64-bit integers — the EWMA is bit-reproducible across engines
+    and cluster topologies (no float reduction order anywhere).
+
+    Scale shape: one shuffle on o_custkey; both the EWMA lags and the
+    latest-row filter ride that single partitioning."""
+    from pyspark.sql import Window
+
+    orders = _read(spark, sf_dir, "orders").withColumn(
+        "_cents", F.expr(_EWMA_CENTS)
+    )
+    with_ewma = _ts.dyadic_ewma(
+        orders, "o_custkey", _EWMA_ORDER, "_cents", depth=16, out="_ewma_cents"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        with_ewma.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.round(F.col("_ewma_cents") / 100, 4).alias("ewma_spend"),
+        )
+    )
+
+
+_SESSION_LEN_US = "cast(round(value * 60 * 1000000) as bigint)"
+
+
+@query(
+    "q104_hourly_concurrency",
+    _ts.hourly_max_concurrency_sql(
+        f"SELECT ts AS s, make_timestamp(epoch_us(ts) + {_SESSION_LEN_US}) AS e "
+        "FROM events"
+    )
+    + " ORDER BY hour",
+)
+def q104_hourly_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per hour (operators/timeseries
+    .interval_concurrency): each event opens a session of value minutes;
+    a +1/-1 sweep-line with half-open [start, end) semantics yields the
+    exact concurrency level at every boundary, maxed per hour.
+
+    Scale shape: NOT a global total order — the prefix sum decomposes
+    into per-day partitioned windows plus a day-count-sized broadcast
+    carry join, so the sweep parallelizes over any corpus length while
+    matching the oracle's single-window arithmetic integer-for-integer."""
+    ev = _read(spark, sf_dir, "events")
+    sessions = ev.select(
+        F.col("ts").alias("s"),
+        F.timestamp_micros(F.unix_micros("ts") + F.expr(_SESSION_LEN_US)).alias("e"),
+    )
+    return _ts.hourly_max_concurrency(sessions, "s", "e").orderBy("hour")
+
+
+@query(
+    "q105_price_quantity_regression",
+    f"""
+    WITH _r AS ({_stats.grouped_regression_sql(
+        'lineitem', 'l_returnflag',
+        'cast(l_quantity as bigint)',
+        'cast(round(l_extendedprice * 100) as bigint)')})
+    SELECT l_returnflag, n, round(slope, 6) AS slope,
+           round(intercept, 2) AS intercept, round(r2, 8) AS r2
+    FROM _r ORDER BY l_returnflag
+    """,
+)
+def q105_price_quantity_regression(spark, sf_dir):
+    """Per-returnflag OLS of extended price (cents) on quantity
+    (operators/stats.grouped_regression): slope/intercept/r² from
+    decimal-exact power sums — one partial-aggregated shuffle, division
+    only at the very end on identical integers in both engines.
+
+    The reference's accumulator set stops at StdDev; this extends the
+    same one-pass-sums pattern to second-order cross moments."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("_x"),
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("_y"),
+    )
+    r = _stats.grouped_regression(li, "l_returnflag", "_x", "_y")
+    return r.select(
+        "l_returnflag",
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 2).alias("intercept"),
+        F.round("r2", 8).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q106_pagerank_doc_graph",
+    _graph.pagerank_sql(
+        "SELECT doc_id AS id FROM documents",
+        "SELECT doc_id AS src, "
+        "(doc_id * 31 + t.i * 97) % (SELECT count(*) FROM documents) AS dst "
+        "FROM documents, generate_series(1, 4) AS t(i)",
+        iters=5,
+    )
+    + " ORDER BY rank_q DESC, id LIMIT 50",
+)
+def q106_pagerank_doc_graph(spark, sf_dir):
+    """Integer-quantized PageRank (operators/graph.pagerank_quantized)
+    over a deterministic synthetic citation graph on the document ids
+    (4 out-links per doc via a fixed affine map) — 5 power iterations
+    with 85/100 damping, all arithmetic 64-bit floor division so the
+    DuckDB oracle's unrolled-CTE replica matches bit-for-bit.
+
+    Scale shape: per iteration, one edge-table shuffle joined against
+    the node-sized rank vector; lineage cut per round.  The
+    domain-authority scoring step of web-corpus curation."""
+    docs = _read_docs(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    n = nodes.count()
+    links = [((F.col("doc_id") * 31 + F.lit(i * 97)) % F.lit(n)) for i in range(1, 5)]
+    edges = docs.select(
+        F.col("doc_id").alias("src"), F.explode(F.array(*links)).alias("dst")
+    )
+    ranks = _graph.pagerank_quantized(nodes, edges, iters=5)
+    return ranks.orderBy(F.desc("rank_q"), F.asc("id")).limit(50)
+
+
+@query(
+    "q107_inverted_index",
+    _rank.inverted_index_sql("documents", "text", "doc_id", 2, 100, 20),
+)
+def q107_inverted_index(spark, sf_dir):
+    """Inverted-index construction (llm/ranking.inverted_index): per
+    term the document frequency, collection frequency, and a capped
+    posting list of the 20 lowest doc ids — the batch job behind corpus
+    search/retrieval indexes.  Postings are bounded BEFORE collection by
+    a per-term row_number on the same term-keyed exchange, so state per
+    term is O(cap) at any corpus size."""
+    docs = _read_docs(spark, sf_dir)
+    return _rank.inverted_index(docs, "text", "doc_id", min_df=2, top_terms=100, postings_cap=20)
+
+
+@query(
+    "q108_acctbal_robust_outliers",
+    _stats.mad_outliers_sql(
+        "customer", "c_mktsegment", "cast(round(c_acctbal * 100) as bigint)", 3.0
+    )
+    + " ORDER BY c_mktsegment",
+)
+def q108_acctbal_robust_outliers(spark, sf_dir):
+    """Robust per-segment outlier counts on account balances
+    (operators/stats.mad_outliers): median + MAD with the 1.4826
+    consistency constant, k=3.  Exact interpolated medians over integer
+    cents are multiples of 0.5 — deterministic across engines, unlike
+    mean/stddev z-scores on floats.
+
+    Scale shape: two group-keyed aggregations + broadcast joins of
+    group-sized tables back onto the fact."""
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.expr("cast(round(c_acctbal * 100) as bigint)").alias("_cents"),
+    )
+    return _stats.mad_outliers(cust, "c_mktsegment", "_cents", k=3.0).orderBy(
+        "c_mktsegment"
+    )
+
+
+@query(
+    "q109_winnow_overlap_pairs",
+    _dd.winnow_overlap_pairs_sql("documents", "text", "doc_id", 3, 4, 3)
+    + " ORDER BY id_a, id_b",
+)
+def q109_winnow_overlap_pairs(spark, sf_dir):
+    """Winnowing fingerprint overlap pairs (llm/dedup.winnow_minimizers,
+    Schleimer/Wilkerson/Aiken SIGMOD 2003 — the MOSS detector): distinct
+    window-minima of positional 3-shingle hashes guarantee any shared
+    6-token run yields a shared minimizer; pairs sharing >= 3 minimizers
+    are sub-document-overlap candidates.
+
+    Scale shape: identical to LSH banding — corpus maps to (minimizer,
+    id) fingerprints (bodies never shuffle), equi-join on the minimizer
+    bucket, pair aggregation bounded by bucket sizes."""
+    docs = _read_docs(spark, sf_dir)
+    return _dd.winnow_overlap_pairs(docs, "text", "doc_id", k=3, w=4, min_shared=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "q110_duplicate_spans",
+    _dd.duplicate_spans_sql("documents", "text", "doc_id", 8, 100),
+)
+def q110_duplicate_spans(spark, sf_dir):
+    """Exact duplicated 8-token spans across documents (llm/dedup
+    .duplicate_spans — the detection pass of exact-substring dedup, Lee
+    et al. 2022): positional shingle hashes occurring in more than one
+    document, ranked by occurrence count.
+
+    Scale shape: corpus maps to (hash, id) pairs; one partial-aggregated
+    hash groupBy + TakeOrderedAndProject — span text never shuffles."""
+    docs = _read_docs(spark, sf_dir)
+    return _dd.duplicate_spans(docs, "text", "doc_id", k=8, top=100)

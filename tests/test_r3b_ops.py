@@ -1,0 +1,336 @@
+"""Round-3 batch-2 operators (timeseries / stats / bpe / pagerank /
+winnowing / inverted index) — differential tests against pure-Python
+models, plus the determinism properties the oracles rely on."""
+
+import hashlib
+import statistics
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bacon_spark.llm.bpe import bpe_pair_counts
+from bacon_spark.llm.dedup import (
+    MINHASH_P,
+    duplicate_spans,
+    winnow_minimizers,
+    winnow_overlap_pairs,
+)
+from bacon_spark.llm.ranking import inverted_index
+from bacon_spark.operators.graph import pagerank_quantized
+from bacon_spark.operators.stats import MAD_SIGMA, grouped_regression, mad_outliers
+from bacon_spark.operators.timeseries import (
+    dyadic_ewma,
+    hourly_max_concurrency,
+    interval_concurrency,
+)
+
+# ---------------------------------------------------------------------------
+# dyadic EWMA
+# ---------------------------------------------------------------------------
+
+
+def _py_ewma(values, depth=16):
+    out = []
+    for i in range(len(values)):
+        num = den = 0
+        for k in range(min(depth, i + 1)):
+            w = 1 << (depth - 1 - k)
+            num += values[i - k] * w
+            den += w
+        out.append(num / den)
+    return out
+
+
+def test_dyadic_ewma_matches_python_model(spark):
+    vals = [100, 200, 50, 400, 0, 300, 250, 125]
+    rows = [Row(k="a", o=i, v=v) for i, v in enumerate(vals)]
+    rows += [Row(k="b", o=0, v=777)]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["k"], r["o"]): r["ewma"]
+        for r in dyadic_ewma(df, "k", ["o"], "v", depth=4).collect()
+    }
+    want = _py_ewma(vals, depth=4)
+    for i, w in enumerate(want):
+        assert got[("a", i)] == w  # dyadic weights: bit-exact, no approx
+    assert got[("b", 0)] == 777.0  # single row normalizes to itself
+
+
+def test_dyadic_ewma_short_history_normalizes(spark):
+    df = spark.createDataFrame([Row(k="a", o=0, v=10), Row(k="a", o=1, v=30)])
+    got = sorted(
+        (r["o"], r["ewma"]) for r in dyadic_ewma(df, "k", ["o"], "v", depth=16).collect()
+    )
+    assert got[0][1] == 10.0
+    # two rows: (30*2^15 + 10*2^14) / (2^15 + 2^14) = 70/3
+    assert abs(got[1][1] - 70 / 3) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# interval concurrency sweep-line
+# ---------------------------------------------------------------------------
+
+
+def _py_hourly_peaks(intervals):
+    """Global-order sweep model: (hour -> (peak, n_starts))."""
+    events = [(s, 1) for s, _ in intervals] + [(e, -1) for _, e in intervals]
+    events.sort(key=lambda t: (t[0], t[1]))
+    level = 0
+    peaks = {}
+    for t, d in events:
+        before = level
+        level += d
+        hour = t.replace(minute=0, second=0, microsecond=0)
+        p, ns = peaks.get(hour, (0, 0))
+        peaks[hour] = (max(p, before, level), ns + (1 if d == 1 else 0))
+    return peaks
+
+
+def test_interval_concurrency_crosses_chunk_boundaries(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 22, 0, 0)
+    intervals = [
+        # spans midnight (the day-chunk boundary): carry-in must cover it
+        (base, base + dt.timedelta(hours=5)),
+        (base + dt.timedelta(hours=1), base + dt.timedelta(hours=2)),
+        (base + dt.timedelta(hours=3), base + dt.timedelta(hours=4)),
+        # second day only
+        (base + dt.timedelta(hours=6), base + dt.timedelta(hours=7)),
+        # back-to-back: end meets start, half-open => never concurrent
+        (base + dt.timedelta(hours=7), base + dt.timedelta(hours=8)),
+    ]
+    df = spark.createDataFrame([Row(s=s, e=e) for s, e in intervals])
+    got = {
+        r["hour"]: (r["peak"], r["n_starts"])
+        for r in hourly_max_concurrency(df, "s", "e").collect()
+    }
+    want = _py_hourly_peaks(intervals)
+    assert got == want
+    # the midnight-crossing session keeps level 1 alive inside day 2
+    levels = {
+        (r["t"], r["delta"]): r["level"]
+        for r in interval_concurrency(df, "s", "e").collect()
+    }
+    day2_start = base + dt.timedelta(hours=6)
+    assert levels[(day2_start, 1)] == 1  # would be 0 if carry-in were lost
+
+
+def test_hourly_peak_includes_inherited_plateau(spark):
+    import datetime as dt
+
+    s = dt.datetime(2024, 1, 1, 10, 30)
+    # session runs 10:30-11:10; hour 11 contains ONLY the end event,
+    # so its peak must come from the pre-event level (1), not the
+    # post-event level (0)
+    df = spark.createDataFrame([Row(s=s, e=s + dt.timedelta(minutes=40))])
+    got = {r["hour"].hour: r["peak"] for r in hourly_max_concurrency(df, "s", "e").collect()}
+    assert got == {10: 1, 11: 1}
+
+
+# ---------------------------------------------------------------------------
+# grouped regression
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_regression_matches_closed_form(spark):
+    pts = [(1, 3), (2, 5), (3, 7), (4, 9)]  # exactly y = 2x + 1
+    noisy = [(1, 2), (2, 5), (3, 5), (4, 9), (5, 10)]
+    rows = [Row(g="exact", x=x, y=y) for x, y in pts]
+    rows += [Row(g="noisy", x=x, y=y) for x, y in noisy]
+    rows += [Row(g="degenerate", x=7, y=1), Row(g="degenerate", x=7, y=5)]
+    df = spark.createDataFrame(rows)
+    got = {r["g"]: r for r in grouped_regression(df, "g", "x", "y").collect()}
+    assert got["exact"]["slope"] == 2.0
+    assert got["exact"]["intercept"] == 1.0
+    assert got["exact"]["r2"] == 1.0
+    n = len(noisy)
+    sx = sum(x for x, _ in noisy)
+    sy = sum(y for _, y in noisy)
+    sxy = sum(x * y for x, y in noisy)
+    sxx = sum(x * x for x, _ in noisy)
+    syy = sum(y * y for _, y in noisy)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(got["noisy"]["slope"] - slope) < 1e-12
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert abs(got["noisy"]["r2"] - r2) < 1e-12
+    assert got["degenerate"]["slope"] is None  # zero x-variance => NULL
+
+
+# ---------------------------------------------------------------------------
+# MAD outliers
+# ---------------------------------------------------------------------------
+
+
+def test_mad_outliers_matches_python_model(spark):
+    vals = [10, 12, 11, 13, 12, 11, 10, 500, 12, 11]
+    df = spark.createDataFrame([Row(g="s", v=v) for v in vals])
+    r = mad_outliers(df, "g", "v", k=3.0).collect()[0]
+    med = statistics.median(vals)
+    mad = statistics.median([abs(v - med) for v in vals])
+    assert r["med"] == med
+    assert r["mad"] == mad
+    want = sum(1 for v in vals if abs(v - med) > 3.0 * MAD_SIGMA * mad)
+    assert r["n_outliers"] == want == 1
+
+
+# ---------------------------------------------------------------------------
+# quantized PageRank
+# ---------------------------------------------------------------------------
+
+
+def _py_pagerank_q(nodes, edges, iters=5, scale=10**9):
+    edges = {(s, d) for s, d in edges if s != d}
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(nodes)
+    base = (scale * 15 // 100) // n
+    r = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        nxt = {v: base for v in nodes}
+        for s, d in edges:
+            nxt[d] += r[s] * 85 // (outdeg[s] * 100)
+        r = nxt
+    return r
+
+
+def test_pagerank_quantized_matches_python_model(spark):
+    nodes = list(range(8))
+    edges = [(i, (i + 1) % 8) for i in range(8)] + [(0, 4), (2, 4), (6, 4), (7, 0)]
+    ndf = spark.createDataFrame([Row(id=v) for v in nodes])
+    edf = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+    got = {r["id"]: r["rank_q"] for r in pagerank_quantized(ndf, edf, iters=5).collect()}
+    assert got == _py_pagerank_q(nodes, edges, iters=5)
+    # hub node 4 (3 extra in-links) outranks pure-ring nodes (1, 3 have
+    # only their single ring in-link); its sole successor 5 inherits the
+    # hub's mass and may exceed it — both far above the ring floor
+    assert got[4] > got[1] and got[4] > got[3]
+    assert got[5] > got[1]
+
+
+def test_pagerank_dangling_node_keeps_base_mass(spark):
+    # node 2 has no out-edges: it receives, never sends (mass leaks — the
+    # standard dangling variant); its rank must still be >= base
+    ndf = spark.createDataFrame([Row(id=v) for v in [0, 1, 2]])
+    edf = spark.createDataFrame([Row(src=0, dst=2), Row(src=1, dst=2), Row(src=0, dst=1)])
+    got = {r["id"]: r["rank_q"] for r in pagerank_quantized(ndf, edf, iters=3).collect()}
+    assert got[2] > got[0]
+    base = (10**9 * 15 // 100) // 3
+    assert got[0] == base  # no in-links at the fixpoint of this DAG
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counts
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_pair_counts_matches_counter(spark):
+    texts = ["the cat sat", "the hat", "cat cat"]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = {(r["pair"], r["cnt"]) for r in bpe_pair_counts(df, "text", top=50).collect()}
+    from collections import Counter
+
+    words = Counter(w for t in texts for w in t.split())
+    pairs = Counter()
+    for w, c in words.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += c
+    assert got == {(p, c) for p, c in pairs.items()}
+    # 'at' appears in cat(x3 occurrences... weighted by word freq), hat, sat
+    assert dict(got)["at"] == pairs["at"] == 5
+
+
+# ---------------------------------------------------------------------------
+# winnowing
+# ---------------------------------------------------------------------------
+
+
+def _py_hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_P
+
+
+def _py_minimizers(text, k=3, w=4):
+    toks = [t for t in __import__("re").split("[^a-z]+", text.lower()) if t]
+    if len(toks) < k:
+        return set()
+    hs = [_py_hash60(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)]
+    if len(hs) < w:
+        return {min(hs)}
+    return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+
+def test_winnow_minimizers_match_python_model(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "pack my box with five dozen liquor jugs right now",
+        "short one",
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = {
+        r["doc_id"]: set(r["m"])
+        for r in df.select(
+            "doc_id", winnow_minimizers(F.col("text"), 3, 4).alias("m")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_minimizers(t), f"doc {i}"
+
+
+def test_winnow_shared_run_guarantees_shared_minimizer(spark):
+    # two docs sharing a (w + k - 1) = 6-token run MUST share a minimizer
+    shared = "alpha beta gamma delta epsilon zeta"
+    texts = [
+        f"one two three {shared} four five six",
+        f"seven eight nine ten {shared} eleven",
+        "nothing in common with those at all here",
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_overlap_pairs(df, min_shared=1).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# duplicate spans
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_spans_finds_cross_doc_repeats(spark):
+    span = "a b c d e f g h"  # exactly k=8 tokens
+    texts = [
+        f"start {span} end",
+        f"other prefix {span}",
+        "completely different text with no overlap at all whatsoever",
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = duplicate_spans(df, k=8, top=10).collect()
+    assert len(got) == 1
+    assert got[0]["n_docs"] == 2
+    assert got[0]["n_occ"] == 2
+    assert got[0]["first_doc"] == 0
+    assert got[0]["span_hash"] == _py_hash60(span.replace("a b", "a b"))  # sanity below
+    assert got[0]["span_hash"] == _py_hash60(span) % MINHASH_P == _py_hash60(span)
+
+
+# ---------------------------------------------------------------------------
+# inverted index
+# ---------------------------------------------------------------------------
+
+
+def test_inverted_index_caps_postings_and_counts(spark):
+    rows = []
+    for d in range(30):
+        rows.append(Row(doc_id=d, text="common common word" + (" rare" if d == 0 else "")))
+    df = spark.createDataFrame(rows)
+    got = {r["term"]: r for r in inverted_index(df, min_df=1, top_terms=10, postings_cap=5).collect()}
+    assert got["common"]["df"] == 30
+    assert got["common"]["cf"] == 60  # tf 2 per doc
+    assert got["common"]["postings"] == "0,1,2,3,4"  # capped to 5 lowest ids
+    assert got["rare"]["df"] == 1 and got["rare"]["postings"] == "0"
+    # ordering: df desc then term asc
+    first = inverted_index(df, min_df=1, top_terms=10, postings_cap=5).collect()[0]
+    assert first["term"] == "common"
