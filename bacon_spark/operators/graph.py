@@ -126,6 +126,7 @@ def pagerank_quantized(
     scale: int = 10**9,
     damping_num: int = 85,
     damping_den: int = 100,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Power-iteration PageRank with INTEGER-quantized ranks — the
     domain-authority score of web-corpus curation (CommonCrawl-style
@@ -149,8 +150,11 @@ def pagerank_quantized(
     Scale shape: the edge table is the big side and it is shuffled ONCE
     per iteration on src (join with the rank vector, which is node-sized)
     then aggregated on dst; ranks/outdeg are node-cardinality.  The
-    iteration count is fixed and small; lineage is cut per round with
-    localCheckpoint exactly like connected_components."""
+    iteration count is fixed and small; lineage is cut every
+    *checkpoint_every* rounds (the rank plan grows only linearly per
+    round — one join + one aggregate — so a small batch of uncut rounds
+    is cheaper than a materialization per round; connected_components
+    cuts every round because its edge set REWRITES each round)."""
     e = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
@@ -162,7 +166,7 @@ def pagerank_quantized(
     base = (scale * (damping_den - damping_num) // damping_den) // n_nodes
     init = scale // n_nodes
     ranks = nodes.select(F.col("id"), F.lit(init).cast("long").alias("rank_q"))
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
             e.join(ranks.withColumnRenamed("id", "src"), "src")
             .join(outdeg, "src")
@@ -184,8 +188,9 @@ def pagerank_quantized(
                     "rank_q"
                 ),
             )
-            .localCheckpoint(eager=True)
         )
+        if (it + 1) % checkpoint_every == 0 and (it + 1) < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

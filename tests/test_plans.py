@@ -231,3 +231,66 @@ def test_canonical_dedup_corpus_joins_are_equi(spark):
     plan = plan_of(spark, "q91_canonical_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q102_bpe_pairs_explode_after_vocab_agg(spark):
+    # the pair explode must sit ABOVE the word-count aggregate (vocab-
+    # sized input), and the only corpus-sized exchange carries the bare
+    # word column, never text bodies
+    opt = optimized_of(spark, "q102_bpe_pair_counts")
+    lines = opt.splitlines()
+    gen_idx = [i for i, ln in enumerate(lines) if "Generate explode" in ln]
+    agg_idx = [i for i, ln in enumerate(lines) if "Aggregate" in ln and "wcnt" in ln]
+    assert gen_idx and agg_idx
+    # tree prints root-first: the pair explode (first Generate) must be a
+    # parent of (printed before) the vocab aggregate
+    assert min(gen_idx) < max(agg_idx)
+    assert not any("text#" in ln for ln in lines if "Exchange" in ln)
+
+
+def test_q104_sweep_window_is_day_partitioned(spark):
+    # the event-level prefix-sum window must be partitioned (by the day
+    # chunk) — a global unpartitioned window over the sweep events would
+    # serialize the corpus through one task. The only unpartitioned
+    # window allowed is the chunk-carry (day-cardinality input).
+    opt = optimized_of(spark, "q104_hourly_concurrency")
+    import re
+
+    wins = re.findall(r"Window \[.*?windowspecdefinition\(([^,]*),", opt)
+    assert wins, opt
+    partitioned = [w for w in wins if "_chunk" in w]
+    assert partitioned, f"no day-partitioned window in: {wins}"
+
+
+def test_q105_regression_is_single_aggregate_pass(spark):
+    # one partial+final aggregate pair, no join, no window
+    plan = plan_of(spark, "q105_price_quantity_regression")
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_q107_postings_window_rides_term_exchange(spark):
+    # the row_number cap and the term aggregates hash-partition on term;
+    # no broadcast of the (term, doc) table, no global sort below the
+    # final top-k
+    plan = plan_of(spark, "q107_inverted_index")
+    assert "hashpartitioning(term" in plan
+    assert "TakeOrderedAndProject" in plan
+    # Spark pushes the rn <= cap filter into the shuffle as a group limit:
+    # no executor ever buffers an unbounded posting list
+    opt = optimized_of(spark, "q107_inverted_index")
+    assert "WindowGroupLimit" in opt
+
+
+def test_q109_winnow_join_is_equi_on_minimizer(spark):
+    # fingerprint self-join must be an equi-join (hash-partitioned or
+    # broadcast on m) — never a cartesian/BNLJ pair enumeration
+    plan = plan_of(spark, "q109_winnow_overlap_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q110_spans_shuffle_carries_hashes_not_text(spark):
+    opt = optimized_of(spark, "q110_duplicate_spans")
+    exchanges = [ln for ln in opt.splitlines() if "Exchange" in ln]
+    assert not any("text#" in ln for ln in exchanges)
