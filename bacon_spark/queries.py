@@ -4385,3 +4385,68 @@ def q110_duplicate_spans(spark, sf_dir):
     hash groupBy + TakeOrderedAndProject — span text never shuffles."""
     docs = _read_docs(spark, sf_dir)
     return _dd.duplicate_spans(docs, "text", "doc_id", k=8, top=100)
+
+
+from .operators import ranking as _grank  # noqa: E402
+
+
+@query(
+    "q111_global_rank",
+    """
+    SELECT doc_id, n_chars,
+           row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+    FROM documents
+    ORDER BY rank
+    """,
+)
+def q111_global_rank(spark, sf_dir):
+    """Global total-order ranking WITHOUT a single-partition window
+    (operators/ranking.global_rank — the TeraSort numbering step): range
+    exchange + local sort + Arrow-batched partition/ordinal stamping + a
+    partition-count-sized offset join.  The oracle's row_number() is the
+    semantic spec; the implementation never funnels the corpus through
+    one task — the pattern behind corpus sharding and deterministic
+    pagination at 100 TB."""
+    docs = _read_docs(spark, sf_dir).select("doc_id", "n_chars")
+    ranked = _grank.global_rank(
+        docs, [F.desc("n_chars"), F.asc("doc_id")], out="rank"
+    )
+    return ranked.select("doc_id", "n_chars", "rank").orderBy("rank")
+
+
+@query(
+    "q112_quantile_buckets",
+    f"""
+    WITH _b AS ({{}}
+    )
+    SELECT bucket, cast(count(*) as bigint) AS n,
+           min(_cents) AS min_cents, max(_cents) AS max_cents
+    FROM _b GROUP BY bucket ORDER BY bucket
+    """.format(
+        _grank.quantile_buckets_sql(
+            "SELECT cast(round(o_totalprice * 100) as bigint) AS _cents "
+            "FROM orders",
+            "_cents",
+            10,
+        )
+    ),
+)
+def q112_quantile_buckets(spark, sf_dir):
+    """Exact-decile banding of order value (operators/ranking
+    .quantile_buckets): thresholds from one exact-percentile
+    aggregation, assignment as a broadcast threshold chain — quality-
+    band bucketing with NO global sort and no ntile tie divergence.
+    Verified as per-bucket count/min/max."""
+    orders = _read(spark, sf_dir, "orders").select(
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("_cents")
+    )
+    bucketed = _grank.quantile_buckets(orders, "_cents", n_buckets=10)
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_cents").alias("min_cents"),
+            F.max("_cents").alias("max_cents"),
+        )
+        .orderBy("bucket")
+    )

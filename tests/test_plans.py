@@ -294,3 +294,20 @@ def test_q110_spans_shuffle_carries_hashes_not_text(spark):
     opt = optimized_of(spark, "q110_duplicate_spans")
     exchanges = [ln for ln in opt.splitlines() if "Exchange" in ln]
     assert not any("text#" in ln for ln in exchanges)
+
+
+def test_q111_global_rank_has_no_rank_window(spark):
+    # the global ordinal comes from range partition + offset stitching:
+    # no row_number window anywhere (the oracle's row_number is spec,
+    # not implementation), corpus flows through MapInPandas stamping
+    plan = plan_of(spark, "q111_global_rank")
+    assert "row_number" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_q112_quantile_buckets_no_sort_no_window(spark):
+    # bucket assignment is a broadcast threshold chain: no window, no
+    # join (thresholds are literals), single aggregate for the summary
+    plan = plan_of(spark, "q112_quantile_buckets")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan

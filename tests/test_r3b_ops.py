@@ -334,3 +334,54 @@ def test_inverted_index_caps_postings_and_counts(spark):
     # ordering: df desc then term asc
     first = inverted_index(df, min_df=1, top_terms=10, postings_cap=5).collect()[0]
     assert first["term"] == "common"
+
+
+# ---------------------------------------------------------------------------
+# global rank / quantile buckets
+# ---------------------------------------------------------------------------
+
+
+def test_global_rank_matches_sorted_order(spark):
+    import random
+
+    rnd = random.Random(7)
+    vals = [(i, rnd.randint(0, 100)) for i in range(500)]
+    df = spark.createDataFrame([Row(id=i, v=v) for i, v in vals])
+    from bacon_spark.operators.ranking import global_rank
+
+    got = {
+        r["id"]: r["rank"]
+        for r in global_rank(df, [F.desc("v"), F.asc("id")], num_partitions=7).collect()
+    }
+    want = {
+        i: rank + 1
+        for rank, (i, _) in enumerate(sorted(vals, key=lambda t: (-t[1], t[0])))
+    }
+    assert got == want
+    # ranks are a permutation of 1..n (no gaps/dups from offset stitching)
+    assert sorted(got.values()) == list(range(1, 501))
+
+
+def test_global_rank_single_partition_edge(spark):
+    df = spark.createDataFrame([Row(id=1, v=5), Row(id=2, v=3)])
+    from bacon_spark.operators.ranking import global_rank
+
+    got = {r["id"]: r["rank"] for r in global_rank(df, ["v"], num_partitions=1).collect()}
+    assert got == {2: 1, 1: 2}
+
+
+def test_quantile_buckets_ties_share_bucket(spark):
+    from bacon_spark.operators.ranking import quantile_buckets
+
+    df = spark.createDataFrame([Row(v=x) for x in [1, 1, 1, 1, 2, 2, 3, 4, 5, 100]])
+    got = quantile_buckets(df, "v", n_buckets=4).collect()
+    by_val = {}
+    for r in got:
+        by_val.setdefault(r["v"], set()).add(r["bucket"])
+    # equal values NEVER straddle buckets (the anti-ntile property)
+    assert all(len(b) == 1 for b in by_val.values())
+    # monotone: higher value => bucket >=
+    vals = sorted(by_val)
+    bks = [next(iter(by_val[v])) for v in vals]
+    assert bks == sorted(bks)
+    assert bks[-1] == 4  # the max lands in the top bucket
