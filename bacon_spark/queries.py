@@ -4450,3 +4450,258 @@ def q112_quantile_buckets(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q113_scd2_intervals",
+    """
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           coalesce(strftime(lead(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id),
+                             '%Y-%m-%d %H:%M:%S'), 'current') AS valid_to
+    FROM events
+    WHERE user_id < 40
+    ORDER BY user_id, valid_from, event_id
+    """,
+)
+def q113_scd2_intervals(spark, sf_dir):
+    """SCD-type-2 validity-interval construction: each per-user event
+    becomes a [valid_from, valid_to) state row, valid_to = next event's
+    timestamp ('current' for the open row) — the standard
+    change-log → temporal-table build (CDC history, engine extension;
+    the reference has no ordered-state ops, SURVEY §2.5).
+
+    Scale shape: one shuffle on user_id; lead() rides that single
+    partitioning, state O(1) per row."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+            F.coalesce(
+                F.date_format(F.lead("ts").over(w), "yyyy-MM-dd HH:mm:ss"),
+                F.lit("current"),
+            ).alias("valid_to"),
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    )
+
+
+@query(
+    "q114_pair_cooccurrence",
+    """
+    WITH _ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    _n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+    _tc AS (SELECT event_type, count(*) AS n FROM _ut GROUP BY event_type),
+    _pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_ab
+        FROM _ut a JOIN _ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b, cast(n_ab as bigint) AS n_ab,
+           cast(ta.n as bigint) AS n_a, cast(tb.n as bigint) AS n_b,
+           round(cast(n_ab as double) * n_users / (ta.n * tb.n), 6) AS lift
+    FROM _pairs
+    JOIN _tc ta ON ta.event_type = type_a
+    JOIN _tc tb ON tb.event_type = type_b
+    CROSS JOIN _n
+    ORDER BY type_a, type_b
+    """,
+)
+def q114_pair_cooccurrence(spark, sf_dir):
+    """Market-basket 2-itemset support + lift over (user, event_type)
+    baskets — the co-occurrence/association-mining step of behavioural
+    feature pipelines.  lift = N·n_ab / (n_a·n_b), computed as doubles
+    from identical integers in both engines.
+
+    Scale shape: the self-join is keyed on user_id (bounded by each
+    user's distinct-type set, domain-sized output); type totals are a
+    tiny broadcast; no all-pairs anywhere."""
+    ev = _read(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ev.select(F.countDistinct("user_id").alias("n")).collect()[0]["n"]
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(tc.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(tc.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_ab").cast("double") * F.lit(n_users) / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "q115_window_suite",
+    """
+    SELECT c_custkey, c_mktsegment,
+           cast(rank()       OVER w as bigint) AS rnk,
+           cast(dense_rank() OVER w as bigint) AS drnk,
+           round(percent_rank() OVER w, 8) AS prnk,
+           round(cume_dist()    OVER w, 8) AS cdist,
+           cast(ntile(4) OVER w as int) AS quartile,
+           lag(cast(round(c_acctbal * 100) as bigint))  OVER w AS prev_cents,
+           lead(cast(round(c_acctbal * 100) as bigint)) OVER w AS next_cents
+    FROM customer
+    WHERE c_custkey < 300
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY round(c_acctbal * 100) DESC, c_custkey)
+    ORDER BY c_mktsegment, rnk
+    """,
+)
+def q115_window_suite(spark, sf_dir):
+    """Full ANSI window-function suite (rank / dense_rank / percent_rank
+    / cume_dist / ntile / lag / lead) over a total per-segment order —
+    §2.5 parity widening (the reference has no window functions at all;
+    Spark's are ANSI-identical to DuckDB's, pinned here including ntile's
+    position-split rule, which is deterministic BECAUSE the order is
+    total).
+
+    Scale shape: one shuffle on the segment key; every function rides
+    the same sort."""
+    from pyspark.sql import Window
+
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    cents = F.expr("cast(round(c_acctbal * 100) as bigint)")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc(F.expr("round(c_acctbal * 100)")), F.asc("c_custkey")
+    )
+    return (
+        cust.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.round(F.percent_rank().over(w), 8).alias("prnk"),
+            F.round(F.cume_dist().over(w), 8).alias("cdist"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            F.lag(cents).over(w).alias("prev_cents"),
+            F.lead(cents).over(w).alias("next_cents"),
+        )
+        .orderBy("c_mktsegment", "rnk")
+    )
+
+
+@query(
+    "q116_multiset_ops",
+    """
+    WITH _c AS (SELECT c_nationkey AS nk FROM customer),
+    _s AS (SELECT s_nationkey AS nk FROM supplier),
+    _i AS (SELECT nk FROM _c INTERSECT ALL SELECT nk FROM _s),
+    _e AS (SELECT nk FROM _c EXCEPT ALL SELECT nk FROM _s)
+    SELECT nk, cast(sum(ni) as bigint) AS n_intersect_all,
+           cast(sum(ne) as bigint) AS n_except_all
+    FROM (
+        SELECT nk, 1 AS ni, 0 AS ne FROM _i
+        UNION ALL
+        SELECT nk, 0 AS ni, 1 AS ne FROM _e
+    )
+    GROUP BY nk
+    ORDER BY nk
+    """,
+)
+def q116_multiset_ops(spark, sf_dir):
+    """Multiset table ops — INTERSECT ALL / EXCEPT ALL (§2.7 widening
+    beyond q42's distinct-set forms): bag semantics with per-key
+    multiplicity min/difference, summarized as per-nationkey counts.
+
+    Scale shape: Spark lowers both to a single hash aggregation over
+    tagged counts — no sort, no join."""
+    c = _read(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _read(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    i = c.intersectAll(s).groupBy("nk").agg(F.count(F.lit(1)).alias("n_intersect_all"))
+    e = c.exceptAll(s).groupBy("nk").agg(F.count(F.lit(1)).alias("n_except_all"))
+    return (
+        i.join(e, "nk", "full")
+        .select(
+            "nk",
+            F.coalesce("n_intersect_all", F.lit(0)).alias("n_intersect_all"),
+            F.coalesce("n_except_all", F.lit(0)).alias("n_except_all"),
+        )
+        .orderBy("nk")
+    )
+
+
+@query(
+    "q117_json_roundtrip",
+    """
+    SELECT user_id,
+           cast(count(*) as bigint) AS n_events,
+           cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_cents
+    FROM events
+    WHERE user_id < 60
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q117_json_roundtrip(spark, sf_dir):
+    """Nested-JSON round-trip (to_json → from_json → lateral explode):
+    per-user events are packed into a JSON array-of-structs document,
+    parsed back with an explicit schema, exploded, and re-aggregated.
+    The oracle computes the aggregates DIRECTLY from the base rows — so
+    equality proves the serialize/parse/flatten path is lossless, the
+    property log-ingestion pipelines rely on.
+
+    Scale shape: pack and unpack are map-side expression work around one
+    user-keyed aggregation; the JSON documents never exceed one user's
+    events."""
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    packed = ev.groupBy("user_id").agg(
+        F.to_json(
+            F.collect_list(
+                F.struct(
+                    F.col("event_type").alias("t"),
+                    F.expr("cast(round(value * 100) as bigint)").alias("v"),
+                )
+            )
+        ).alias("doc")
+    )
+    item_schema = "array<struct<t: string, v: bigint>>"
+    exploded = packed.select(
+        "user_id",
+        F.explode(F.from_json(F.col("doc"), item_schema)).alias("item"),
+    )
+    return (
+        exploded.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("item.v").alias("sum_cents"),
+        )
+        .orderBy("user_id")
+    )

@@ -385,3 +385,56 @@ def test_quantile_buckets_ties_share_bucket(spark):
     bks = [next(iter(by_val[v])) for v in vals]
     assert bks == sorted(bks)
     assert bks[-1] == 4  # the max lands in the top bucket
+
+
+# ---------------------------------------------------------------------------
+# batch 3: SCD2 / multiset ops / JSON round-trip
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_intervals_chain(spark):
+    import datetime as dt
+
+    from bacon_spark.queries import QUERIES
+
+    rows = QUERIES["q113_scd2_intervals"](spark, "/root/testdata/sf0.001").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, rs in by_user.items():
+        # exactly one open row per user, and it is the last one
+        opens = [r for r in rs if r["valid_to"] == "current"]
+        assert len(opens) == 1, uid
+        assert rs[-1]["valid_to"] == "current"
+        # each row's valid_to equals the next row's valid_from (no gaps)
+        for prev, nxt in zip(rs, rs[1:]):
+            assert prev["valid_to"] == nxt["valid_from"]
+
+
+def test_multiset_ops_match_counter_model(spark):
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    c = spark.createDataFrame([Row(nk=x) for x in [1, 1, 1, 2, 2, 3]])
+    s = spark.createDataFrame([Row(nk=x) for x in [1, 2, 2, 2, 4]])
+    inter = Counter(r["nk"] for r in c.intersectAll(s).collect())
+    exc = Counter(r["nk"] for r in c.exceptAll(s).collect())
+    ca, sa = Counter([1, 1, 1, 2, 2, 3]), Counter([1, 2, 2, 2, 4])
+    assert inter == Counter({k: min(v, sa[k]) for k, v in ca.items() if k in sa})
+    assert exc == Counter({k: v - sa.get(k, 0) for k, v in ca.items() if v > sa.get(k, 0)})
+
+
+def test_json_roundtrip_survives_hostile_strings(spark):
+    from pyspark.sql import Row
+
+    hostile = ['he said "hi"', "back\\slash", "emoji ☃", "new\nline", "tab\there"]
+    df = spark.createDataFrame([Row(k=1, t=t, v=i) for i, t in enumerate(hostile)])
+    packed = df.groupBy("k").agg(
+        F.to_json(F.collect_list(F.struct(F.col("t"), F.col("v")))).alias("doc")
+    )
+    back = packed.select(
+        F.explode(F.from_json("doc", "array<struct<t: string, v: long>>")).alias("i")
+    ).select("i.t", "i.v")
+    got = {(r["t"], r["v"]) for r in back.collect()}
+    assert got == {(t, i) for i, t in enumerate(hostile)}
