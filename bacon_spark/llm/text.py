@@ -540,3 +540,87 @@ def boilerplate_stats(
             ).cast("long").alias("boiler_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spelling-variant mining (edit-distance blocking)
+# ---------------------------------------------------------------------------
+
+
+def spelling_variant_pairs(
+    docs,
+    text_col: str = "text",
+    min_len: int = 4,
+    min_count: int = 2,
+    max_dist: int = 1,
+):
+    """Vocabulary word pairs within edit distance *max_dist* — the
+    spelling-variant / typo-mining step of corpus normalization (and the
+    blocking-plus-verify shape of entity resolution generally).
+
+    Scale shape: the corpus collapses to the Zipf-bounded distinct-word
+    vocabulary first (one partial-aggregated shuffle of bare words); the
+    candidate join is BLOCKED on (first char, length, length+1) — an
+    equi-join, never all-pairs — and levenshtein runs only inside
+    blocks.  Single-substitution variants at position 0 are outside the
+    block by construction (documented recall trade of first-letter
+    blocking, as in classic ER).
+
+    Returns (word_a, word_b, dist, cnt_a, cnt_b), word_a < word_b."""
+    from pyspark.sql import functions as F
+
+    words = docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter((F.length("w") >= min_len) & (F.col("cnt") >= min_count))
+        .withColumn("c0", F.substring("w", 1, 1))
+        .withColumn("ln", F.length("w"))
+    )
+    a = vocab.alias("a")
+    b = vocab.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.c0") == F.col("b.c0"))
+        & (F.col("b.ln") - F.col("a.ln")).between(0, 1)
+        & (F.col("a.w") < F.col("b.w")),
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein(F.col("a.w"), F.col("b.w")))
+        .filter(F.col("dist").between(1, max_dist))
+        .select(
+            F.col("a.w").alias("word_a"),
+            F.col("b.w").alias("word_b"),
+            "dist",
+            F.col("a.cnt").alias("cnt_a"),
+            F.col("b.cnt").alias("cnt_b"),
+        )
+    )
+
+
+def spelling_variant_pairs_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    min_len: int = 4,
+    min_count: int = 2,
+    max_dist: int = 1,
+) -> str:
+    """DuckDB twin of :func:`spelling_variant_pairs` (same blocking, same
+    levenshtein definition)."""
+    return f"""
+    WITH _words AS (
+        SELECT unnest({tokens_sql(text_col)}) AS w FROM {table}
+    ),
+    _vocab AS (
+        SELECT w, cast(count(*) as bigint) AS cnt,
+               substring(w, 1, 1) AS c0, length(w) AS ln
+        FROM _words GROUP BY w
+        HAVING length(w) >= {min_len} AND count(*) >= {min_count}
+    )
+    SELECT a.w AS word_a, b.w AS word_b,
+           cast(levenshtein(a.w, b.w) as int) AS dist,
+           a.cnt AS cnt_a, b.cnt AS cnt_b
+    FROM _vocab a JOIN _vocab b
+      ON a.c0 = b.c0 AND (b.ln - a.ln) BETWEEN 0 AND 1 AND a.w < b.w
+    WHERE levenshtein(a.w, b.w) BETWEEN 1 AND {max_dist}
+    """

@@ -136,3 +136,34 @@ def capped_distinct(
         .groupBy(*keys)
         .agg(F.sort_array(F.collect_list(col)).alias(out))
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-proof inner equi-join: the big (skewed) side gets a
+    deterministic per-row salt; the small side is replicated across all
+    *salt_buckets* salts (one ``explode(sequence(...))``); the join runs
+    on (key, salt) so a hot key's rows spread over salt_buckets reducers
+    instead of serializing on one.
+
+    Result is row-identical to ``big.join(small, key)`` — replication
+    multiplies the small side only, each big row still matches exactly
+    its key's rows (once, in its own salt bucket).
+
+    This is the manual form of what AQE skew-join does adaptively; use
+    it when the skew is KNOWN ahead of time (power-law user/domain keys
+    in clickstream or web corpora) or when AQE's post-shuffle splitting
+    is unavailable (e.g. the skewed side feeds a co-grouped op).  Salt
+    is a hash of the whole big-side row — reproducible across runs and
+    partitionings."""
+    salt = (F.abs(F.xxhash64(*[F.col(c) for c in big.columns])) % salt_buckets)
+    b = big.withColumn("_salt", salt.cast("int"))
+    s = small.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0).cast("int"), F.lit(salt_buckets - 1).cast("int"))),
+    )
+    return b.join(s, [key, "_salt"]).drop("_salt")

@@ -4705,3 +4705,86 @@ def q117_json_roundtrip(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q118_salted_skew_join",
+    """
+    WITH _ev AS (
+        SELECT CASE WHEN user_id % 20 < 17 THEN 7 ELSE user_id END AS uid,
+               cast(round(value * 100) as bigint) AS cents
+        FROM events
+    ),
+    _dim AS (
+        SELECT DISTINCT user_id AS uid, user_id % 5 AS cohort FROM events
+    )
+    SELECT cohort, cast(count(*) as bigint) AS n,
+           cast(sum(cents) as bigint) AS sum_cents
+    FROM _ev JOIN _dim USING (uid)
+    GROUP BY cohort ORDER BY cohort
+    """,
+)
+def q118_salted_skew_join(spark, sf_dir):
+    """Skew-proof salted join (operators/scale.salted_join): 85% of the
+    fact rows are remapped onto ONE hot key — the power-law shape of
+    user/domain keys at web scale, where a plain hash join serializes
+    the hot key on a single reducer.  The salted form spreads it over 16
+    salt buckets by replicating only the dimension side; the oracle is
+    the PLAIN join, proving row-identical results.
+
+    (AQE's skew-join split does this adaptively for plain shuffles;
+    the manual form covers known-skew pipelines and co-grouped ops.)"""
+    from .operators.scale import salted_join
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 20 < 17, F.lit(7))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("uid"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    dim = (
+        _read(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("uid"))
+        .distinct()
+        .withColumn("cohort", (F.col("uid") % 5).cast("long"))
+    )
+    joined = salted_join(ev, dim, "uid", salt_buckets=16)
+    return (
+        joined.groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
+        .orderBy("cohort")
+    )
+
+
+#: deterministic typo seed injected on BOTH engines so the variant check
+#: is non-vacuous on the synthetic corpus (q70's injection pattern) —
+#: each typo twice to clear min_count
+_TYPO_DOC = "joim joim hasj hasj batck batck scen scen columm columm"
+
+
+@query(
+    "q119_spelling_variants",
+    _tx.spelling_variant_pairs_sql(
+        "(SELECT text FROM documents "
+        f"UNION ALL SELECT '{_TYPO_DOC}') _docs",
+        "text",
+        4,
+        2,
+        1,
+    )
+    + " ORDER BY word_a, word_b",
+)
+def q119_spelling_variants(spark, sf_dir):
+    """Spelling-variant / typo mining (llm/text.spelling_variant_pairs):
+    vocabulary word pairs at edit distance 1, blocked on (first char,
+    length±1) so levenshtein runs only inside equi-join blocks — the
+    blocking-then-verify shape of entity resolution, applied to corpus
+    normalization.  Corpus collapses to the Zipf-bounded vocabulary
+    before any join; bodies never shuffle.  A deterministic typo doc is
+    unioned in on both engines so the check can't pass vacuously."""
+    docs = _read_docs(spark, sf_dir).select("text")
+    typo = spark.range(1).select(F.lit(_TYPO_DOC).alias("text"))
+    return _tx.spelling_variant_pairs(docs.unionByName(typo), "text", 4, 2, 1).orderBy(
+        "word_a", "word_b"
+    )

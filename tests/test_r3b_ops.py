@@ -438,3 +438,52 @@ def test_json_roundtrip_survives_hostile_strings(spark):
     ).select("i.t", "i.v")
     got = {(r["t"], r["v"]) for r in back.collect()}
     assert got == {(t, i) for i, t in enumerate(hostile)}
+
+
+# ---------------------------------------------------------------------------
+# salted skew join / spelling variants
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_identical_to_plain_join_under_skew(spark):
+    import random
+
+    from bacon_spark.operators.scale import salted_join
+
+    rnd = random.Random(11)
+    # 90% of fact rows on one hot key
+    facts = [Row(k=(7 if rnd.random() < 0.9 else rnd.randint(0, 50)), v=i) for i in range(2000)]
+    dims = [Row(k=k, attr=k * 10) for k in range(0, 51)]
+    fdf, ddf = spark.createDataFrame(facts), spark.createDataFrame(dims)
+    plain = fdf.join(ddf, "k").groupBy("k", "attr").count()
+    salted = salted_join(fdf, ddf, "k", salt_buckets=8).groupBy("k", "attr").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_spreads_hot_key_over_salts(spark):
+    from bacon_spark.operators.scale import salted_join
+
+    fdf = spark.createDataFrame([Row(k=1, v=i) for i in range(400)])
+    ddf = spark.createDataFrame([Row(k=1, attr="x")])
+    plan = (
+        salted_join(fdf, ddf, "k", salt_buckets=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the physical join keys must include the salt column
+    assert "_salt" in plan
+
+
+def test_spelling_variants_blocked_model(spark):
+    texts = [
+        "the filter filter column column colum colum pipeline",
+        "another filter text with colum again",
+    ]
+    df = spark.createDataFrame([Row(text=t) for t in texts])
+    from bacon_spark.llm.text import spelling_variant_pairs
+
+    got = {
+        (r["word_a"], r["word_b"]): r["dist"]
+        for r in spelling_variant_pairs(df, min_len=4, min_count=2, max_dist=1).collect()
+    }
+    # colum <-> column: distance 1, same first char, len diff 1, both >=2
+    assert got == {("colum", "column"): 1}
