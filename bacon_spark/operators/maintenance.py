@@ -63,6 +63,7 @@ __all__ = [
     "table_files",
     "vacuum",
     "zorder_key",
+    "write_hive_partitioned",
 ]
 
 _MANIFEST_DIR = "_manifest"
@@ -350,3 +351,22 @@ def compact(
         "bytes_before": in_bytes,
         "bytes_after": sum(b for _, b in after),
     }
+
+
+def write_hive_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet layout (``path/col=value/…``) —
+    the physical organization that turns partition-key predicates into
+    DIRECTORY pruning at plan time: a ``WHERE day = X`` scan lists one
+    subdirectory instead of the table (``PartitionFilters`` in the scan,
+    asserted in tests/test_maintenance.py).
+
+    At 100 TB this is the first-order scan lever (dwarfs row-group
+    skipping): time-partitioned event tables serve point/range queries
+    reading only matching partitions.  Combine with z-ordered clustering
+    WITHIN partitions (zorder_key) for the second-order skip."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -205,3 +205,49 @@ def test_manifest_vacuum_drops_unreferenced(spark, small_files_dir):
     assert on_disk == live
     with pytest.raises(FileNotFoundError):
         read_manifest(small_files_dir, version=1)
+
+
+def test_hive_partition_pruning(spark, tmp_path):
+    """A partition-key predicate must prune at the DIRECTORY level:
+    PartitionFilters in the scan, and only the matching day's files
+    actually read."""
+    import datetime as dt
+
+    from pyspark.sql import Row, functions as F
+
+    from bacon_spark.operators.maintenance import write_hive_partitioned
+
+    rows = [
+        Row(day=f"2024-01-0{d}", user=u, v=d * 10 + u)
+        for d in (1, 2, 3)
+        for u in range(5)
+    ]
+    path = str(tmp_path / "events_by_day")
+    write_hive_partitioned(spark.createDataFrame(rows), path, ["day"])
+
+    back = spark.read.parquet(path).filter(F.col("day") == "2024-01-02")
+    explained = back._jdf.queryExecution().toString()
+    assert "PartitionFilters" in explained
+    assert "2024-01-02" in explained or "day#" in explained
+    assert back.count() == 5
+
+    def scanned_files(df):
+        qe = df._jdf.queryExecution()
+        df.collect()  # execute THIS plan instance so its metrics populate
+        scan = qe.executedPlan().collectLeaves().head()
+        return scan.metrics().get("numFiles").get().value()
+
+    import os
+
+    def files_under(sub):
+        d = os.path.join(path, sub)
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+    # only the matching partition directory's files are scanned
+    assert scanned_files(spark.read.parquet(path).filter(F.col("day") == "2024-01-02")) \
+        == files_under("day=2024-01-02")
+    # a non-partition filter reads every partition (pushdown, no pruning)
+    total = sum(files_under(f"day=2024-01-0{d}") for d in (1, 2, 3))
+    unpruned = spark.read.parquet(path).filter(F.col("user") == 1)
+    assert scanned_files(unpruned) == total
+    assert unpruned.count() == 3
