@@ -4788,3 +4788,27 @@ def q119_spelling_variants(spark, sf_dir):
     return _tx.spelling_variant_pairs(docs.unionByName(typo), "text", 4, 2, 1).orderBy(
         "word_a", "word_b"
     )
+
+
+@query(
+    "q120_triangle_count",
+    _graph.triangle_count_sql(
+        "SELECT doc_id AS src, "
+        "(doc_id * 31 + t.i * 97) % (SELECT count(*) FROM documents) AS dst "
+        "FROM documents, generate_series(1, 4) AS t(i)"
+    ),
+)
+def q120_triangle_count(spark, sf_dir):
+    """Exact triangle counting (operators/graph.triangle_count) over the
+    q106 deterministic doc graph — wedge-join with DEGREE ORIENTATION
+    (Schank/Wagner 2005): every undirected edge points low-degree →
+    high-degree, bounding the quadratic wedge step at O(E^1.5) on any
+    graph, hot hubs included.  Both phases are node-keyed equi-joins;
+    the oracle runs the identical orientation in SQL."""
+    docs = _read_docs(spark, sf_dir)
+    n = docs.count()
+    links = [((F.col("doc_id") * 31 + F.lit(i * 97)) % F.lit(n)) for i in range(1, 5)]
+    edges = docs.select(
+        F.col("doc_id").alias("src"), F.explode(F.array(*links)).alias("dst")
+    )
+    return _graph.triangle_count(edges)

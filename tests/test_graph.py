@@ -77,3 +77,50 @@ def test_cc_random_vs_union_find(spark):
     df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
     want = _union_find(edges)
     assert _got(connected_components(df)) == want
+
+
+def test_triangle_count_known_graphs(spark):
+    from pyspark.sql import Row
+
+    from bacon_spark.operators.graph import triangle_count
+
+    def count(edges):
+        df = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+        return triangle_count(df).collect()[0]
+
+    # K4: 4 triangles, 6 edges; duplicates/reversed/self edges cleaned
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b] + [(0, 0), (1, 1)]
+    r = count(k4)
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+    # path graph: no triangles; orientation kills ALL wedge candidates
+    # (no node keeps out-degree 2 — the whole point of degree orientation)
+    r = count([(0, 1), (1, 2), (2, 3)])
+    assert r["n_triangles"] == 0 and r["n_wedges"] == 0
+    # star graph: center has max degree, so every edge points INTO it —
+    # again zero candidates despite O(n^2) undirected wedges
+    r = count([(9, i) for i in range(5)])
+    assert r["n_triangles"] == 0 and r["n_wedges"] == 0
+    # two triangles sharing an edge
+    r = count([(0, 1), (1, 2), (0, 2), (2, 3), (1, 3)])
+    assert r["n_triangles"] == 2
+
+
+def test_triangle_count_matches_bruteforce_random(spark):
+    import itertools
+    import random
+
+    from pyspark.sql import Row
+
+    from bacon_spark.operators.graph import triangle_count
+
+    rnd = random.Random(13)
+    nodes = range(25)
+    edges = [(a, b) for a, b in itertools.combinations(nodes, 2) if rnd.random() < 0.25]
+    eset = set(edges)
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    )
+    df = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+    assert triangle_count(df).collect()[0]["n_triangles"] == want
