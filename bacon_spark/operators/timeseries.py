@@ -194,3 +194,99 @@ def hourly_max_concurrency_sql(intervals_cte: str) -> str:
     FROM _levels
     GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map (applyInPandas) operators
+# ---------------------------------------------------------------------------
+
+
+def lttb_downsample(
+    df: DataFrame,
+    key: str,
+    t_col: str,
+    v_col: str,
+    n_out: int = 50,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013)
+    per *key*: reduce each key's (t, v) series to *n_out* visually
+    representative points — the standard plot-decimation algorithm
+    feeding dashboard/plot sinks.
+
+    LTTB is genuinely imperative (each bucket's pick depends on the
+    previous pick — a data-dependent sequential scan), so this is the
+    documented applyInPandas (grouped-map Arrow) use case rather than a
+    built-in-expression composition: one shuffle on *key*, then pure
+    pandas per group; group state is that key's series.
+
+    Deterministic: ties in triangle area keep the earliest point."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = f"{key} long, {t_col} long, {v_col} double"
+
+    def lttb(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values([t_col]).reset_index(drop=True)
+        n = len(pdf)
+        if n <= n_out:
+            return pdf[[key, t_col, v_col]]
+        t = pdf[t_col].to_numpy(dtype=np.float64)
+        v = pdf[v_col].to_numpy(dtype=np.float64)
+        # bucket boundaries over the n-2 interior points
+        bounds = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+        picked = [0]
+        prev = 0
+        for i in range(n_out - 2):
+            lo, hi = bounds[i], bounds[i + 1]
+            nlo, nhi = (hi, n) if i == n_out - 3 else (hi, min(bounds[i + 2], n))
+            avg_t, avg_v = t[nlo:nhi].mean(), v[nlo:nhi].mean()
+            # triangle area vs previous pick and next bucket's centroid
+            area = np.abs(
+                (t[prev] - avg_t) * (v[lo:hi] - v[prev])
+                - (t[prev] - t[lo:hi]) * (avg_v - v[prev])
+            )
+            prev = lo + int(np.argmax(area))  # argmax: first max on ties
+            picked.append(prev)
+        picked.append(n - 1)
+        return pdf.iloc[picked][[key, t_col, v_col]]
+
+    return df.select(key, t_col, v_col).groupBy(key).applyInPandas(lttb, out_schema)
+
+
+def grouped_fit_pandas(
+    df: DataFrame, group: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group OLS fit via applyInPandas — the grouped-map twin of
+    stats.grouped_regression, same integer-exact closed form (Python
+    ints are arbitrary precision, so the sums are exact like the
+    decimal path) — proving the Arrow grouped-map surface produces
+    bit-identical numbers to the declarative plan and the SQL oracle.
+
+    Use the declarative form in production (JVM-side, no Python);
+    this form is the template for fits Catalyst CAN'T express
+    (scipy optimizers, sklearn per-group models)."""
+    import pandas as pd
+
+    out_schema = f"{group} string, n long, slope double, intercept double, r2 double"
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        xs = [int(x) for x in pdf[x_col]]
+        ys = [int(y) for y in pdf[y_col]]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        syy = sum(b * b for b in ys)
+        nf, sxf, syf = float(n), float(sx), float(sy)
+        var_x = nf * float(sxx) - sxf * sxf
+        var_y = nf * float(syy) - syf * syf
+        cov_n = nf * float(sxy) - sxf * syf
+        slope = cov_n / var_x if var_x != 0 else None
+        intercept = (syf - slope * sxf) / nf if slope is not None else None
+        r2 = (cov_n * cov_n) / (var_x * var_y) if var_x != 0 and var_y != 0 else None
+        return pd.DataFrame(
+            [{group: pdf[group].iloc[0], "n": n, "slope": slope,
+              "intercept": intercept, "r2": r2}]
+        )
+
+    return df.groupBy(group).applyInPandas(fit, out_schema)

@@ -4812,3 +4812,38 @@ def q120_triangle_count(spark, sf_dir):
         F.col("doc_id").alias("src"), F.explode(F.array(*links)).alias("dst")
     )
     return _graph.triangle_count(edges)
+
+
+@query(
+    "q121_grouped_fit_pandas",
+    f"""
+    WITH _r AS ({_stats.grouped_regression_sql(
+        'lineitem', 'l_returnflag',
+        'cast(l_quantity as bigint)',
+        'cast(round(l_extendedprice * 100) as bigint)')})
+    SELECT l_returnflag, n, round(slope, 6) AS slope,
+           round(intercept, 2) AS intercept, round(r2, 8) AS r2
+    FROM _r ORDER BY l_returnflag
+    """,
+)
+def q121_grouped_fit_pandas(spark, sf_dir):
+    """Grouped-map applyInPandas surface (§2.11): the SAME per-group OLS
+    spec as q105, executed imperatively in Arrow-batched pandas
+    (operators/timeseries.grouped_fit_pandas — Python bignum sums are
+    exact like the decimal path, so the grouped-map answer hash-matches
+    the declarative closed-form oracle bit-for-bit).  The template for
+    per-group fits Catalyst can't express; the declarative q105 form
+    remains the production path."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("_x"),
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("_y"),
+    )
+    r = _ts.grouped_fit_pandas(li, "l_returnflag", "_x", "_y")
+    return r.select(
+        "l_returnflag",
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 2).alias("intercept"),
+        F.round("r2", 8).alias("r2"),
+    ).orderBy("l_returnflag")

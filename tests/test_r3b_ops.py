@@ -487,3 +487,68 @@ def test_spelling_variants_blocked_model(spark):
     }
     # colum <-> column: distance 1, same first char, len diff 1, both >=2
     assert got == {("colum", "column"): 1}
+
+
+# ---------------------------------------------------------------------------
+# LTTB downsampling (applyInPandas grouped map)
+# ---------------------------------------------------------------------------
+
+
+def _py_lttb(points, n_out):
+    """Independent scalar-loop LTTB reference (Steinarsson 2013)."""
+    n = len(points)
+    if n <= n_out:
+        return list(points)
+    import math
+
+    bounds = []
+    for i in range(n_out - 1):
+        bounds.append(round(1 + i * (n - 2) / (n_out - 2)))
+    # replicate numpy.linspace(1, n-1, n_out-1).astype(int64)
+    bounds = [int(1 + i * ((n - 1) - 1) / (n_out - 2)) for i in range(n_out - 1)]
+    picked = [0]
+    prev = 0
+    for i in range(n_out - 2):
+        lo, hi = bounds[i], bounds[i + 1]
+        nlo, nhi = (hi, n) if i == n_out - 3 else (hi, min(bounds[i + 2], n))
+        avg_t = sum(p[0] for p in points[nlo:nhi]) / (nhi - nlo)
+        avg_v = sum(p[1] for p in points[nlo:nhi]) / (nhi - nlo)
+        best, best_area = lo, -1.0
+        tp, vp = points[prev]
+        for j in range(lo, hi):
+            tj, vj = points[j]
+            area = abs((tp - avg_t) * (vj - vp) - (tp - tj) * (avg_v - vp))
+            if area > best_area:
+                best, best_area = j, area
+        picked.append(best)
+        prev = best
+    picked.append(n - 1)
+    return [points[j] for j in picked]
+
+
+def test_lttb_matches_scalar_reference(spark):
+    import random
+
+    from bacon_spark.operators.timeseries import lttb_downsample
+
+    rnd = random.Random(5)
+    series = {k: [(t, round(rnd.uniform(-50, 50), 3)) for t in range(200)] for k in (1, 2)}
+    rows = [Row(k=k, t=t, v=v) for k, pts in series.items() for t, v in pts]
+    df = spark.createDataFrame(rows)
+    got = {}
+    for r in lttb_downsample(df, "k", "t", "v", n_out=24).collect():
+        got.setdefault(r["k"], []).append((r["t"], r["v"]))
+    for k, pts in series.items():
+        gpts = sorted(got[k])
+        want = _py_lttb(pts, 24)
+        assert len(gpts) == 24
+        assert gpts[0] == pts[0] and gpts[-1] == pts[-1]  # endpoints kept
+        assert gpts == sorted(want)
+
+
+def test_lttb_short_series_passthrough(spark):
+    from bacon_spark.operators.timeseries import lttb_downsample
+
+    df = spark.createDataFrame([Row(k=1, t=t, v=float(t)) for t in range(5)])
+    got = sorted((r["t"], r["v"]) for r in lttb_downsample(df, "k", "t", "v", n_out=50).collect())
+    assert got == [(t, float(t)) for t in range(5)]
