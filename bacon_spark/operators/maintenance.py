@@ -125,6 +125,7 @@ def commit_manifest(
     *,
     base_version: int | None = None,
     op: str = "commit",
+    extra: dict | None = None,
 ) -> int:
     """Publish ``base_version + 1`` listing *files* (relative path, bytes).
 
@@ -146,6 +147,7 @@ def commit_manifest(
         "parent": base_version or None,
         "op": op,
         "files": [{"path": p, "bytes": b} for p, b in files],
+        **(extra or {}),
     }
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as fh:

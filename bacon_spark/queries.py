@@ -2888,9 +2888,18 @@ def q73_embedding_lsh_pairs(spark, sf_dir):
     hyperplanes are engine-reproducible, so the ORACLE REPLICATES THE
     BUCKETING: same buckets, same candidate set, same rounded cosines —
     pinning the approximate algorithm's exact behavior, not just row
-    counts."""
+    counts.
+
+    Bucket granularity is ADAPTIVE (similarity.adaptive_seed_count):
+    planes = max(8, ceil(log2(N/8))), so buckets stay ~8 vectors at any
+    corpus size and the in-bucket verify stays linear overall — with 8
+    static planes the sf0.1→sf1 sweep measured 20x wall at 10x data
+    (fixed-bucket LSH's classic quadratic trap). At the oracle SFs
+    (0.001/0.01) the rule yields exactly the pinned 8-plane oracle."""
     emb = _read(spark, sf_dir, "embeddings")
-    return _sim.lsh_bucket_pairs(emb, dim=64, threshold=0.2)
+    n = emb.count()
+    seeds = tuple(range(1, _sim.adaptive_seed_count(n) + 1))
+    return _sim.lsh_bucket_pairs(emb, dim=64, threshold=0.2, seeds=seeds)
 
 
 from .operators.packing import pack_chunks, pack_chunks_sql  # noqa: E402
