@@ -4856,3 +4856,118 @@ def q121_grouped_fit_pandas(spark, sf_dir):
         F.round("intercept", 2).alias("intercept"),
         F.round("r2", 8).alias("r2"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q122_time_weighted_avg",
+    """
+    WITH _d AS (
+        SELECT user_id,
+               cast(round(value * 100) as bigint) AS cents,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+                   - epoch_us(ts) AS dur_us
+        FROM events
+    )
+    SELECT user_id,
+           round(cast(sum(cents * dur_us) as double)
+                 / cast(sum(dur_us) as double), 4) AS twa,
+           cast(count(*) as bigint) AS n_holds
+    FROM _d WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    HAVING sum(dur_us) > 0
+    ORDER BY user_id
+    """,
+)
+def q122_time_weighted_avg(spark, sf_dir):
+    """Per-user TIME-weighted average of a piecewise-constant signal:
+    each event's value holds until the next event; the average weights
+    by holding duration, not by sample count — the correct aggregate for
+    irregularly-sampled metrics (sensor readings, account balances,
+    position marks).  cents x micros products and both sums are exact
+    integers; the single division happens on identical integers in both
+    engines.
+
+    Scale shape: one user-keyed shuffle; lead() and the aggregation ride
+    the same partitioning."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "user_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("cents") * F.col("dur_us")).cast("double")
+                / F.sum("dur_us").cast("double"),
+                4,
+            ).alias("twa"),
+            F.count(F.lit(1)).alias("n_holds"),
+            F.sum("dur_us").alias("_tot"),
+        )
+        .filter(F.col("_tot") > 0)
+        .drop("_tot")
+        .select("user_id", "twa", "n_holds")
+        .orderBy("user_id")
+    )
+
+
+_GAP_MIN_US = 6 * 3_600 * 1_000_000  # 6 hours
+
+
+@query(
+    "q123_gap_detection",
+    f"""
+    WITH _d AS (
+        SELECT user_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts,
+               ts
+        FROM events
+    )
+    SELECT user_id,
+           strftime(prev_ts, '%Y-%m-%d %H:%M:%S') AS gap_start,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS gap_end,
+           cast((epoch_us(ts) - epoch_us(prev_ts)) // 60000000 as bigint)
+               AS gap_minutes
+    FROM _d
+    WHERE prev_ts IS NOT NULL
+      AND epoch_us(ts) - epoch_us(prev_ts) > {_GAP_MIN_US}
+    ORDER BY user_id, gap_start
+    """,
+)
+def q123_gap_detection(spark, sf_dir):
+    """Telemetry gap detection (data-quality / SLA monitoring): per-user
+    inter-event deltas above a 6-hour threshold become gap records with
+    integer-minute durations — the missing-data finder run before any
+    downstream training-window build.
+
+    Scale shape: one user-keyed shuffle, lag() on that partitioning,
+    pure filter after — no second pass."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "user_id",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.col("ts"),
+    ).filter(F.col("prev_ts").isNotNull())
+    gap_us = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    return (
+        d.filter(gap_us > _GAP_MIN_US)
+        .select(
+            "user_id",
+            F.date_format("prev_ts", "yyyy-MM-dd HH:mm:ss").alias("gap_start"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("gap_end"),
+            F.expr(f"(unix_micros(ts) - unix_micros(prev_ts)) div 60000000").alias(
+                "gap_minutes"
+            ),
+        )
+        .orderBy("user_id", "gap_start")
+    )

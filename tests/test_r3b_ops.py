@@ -552,3 +552,37 @@ def test_lttb_short_series_passthrough(spark):
     df = spark.createDataFrame([Row(k=1, t=t, v=float(t)) for t in range(5)])
     got = sorted((r["t"], r["v"]) for r in lttb_downsample(df, "k", "t", "v", n_out=50).collect())
     assert got == [(t, float(t)) for t in range(5)]
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average semantics
+# ---------------------------------------------------------------------------
+
+
+def test_twa_weights_by_holding_time(spark):
+    import datetime as dt
+
+    from bacon_spark.queries import QUERIES  # noqa: F401  (pattern parity)
+
+    from pyspark.sql import Window
+
+    base = dt.datetime(2024, 1, 1)
+    # value 100 held 1 min, value 0 held 9 min, final event opens no hold
+    rows = [
+        Row(user_id=1, event_id=1, ts=base, value=1.0),
+        Row(user_id=1, event_id=2, ts=base + dt.timedelta(minutes=1), value=0.0),
+        Row(user_id=1, event_id=3, ts=base + dt.timedelta(minutes=10), value=999.0),
+    ]
+    df = spark.createDataFrame(rows)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = df.select(
+        "user_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    got = d.groupBy("user_id").agg(
+        (F.sum(F.col("cents") * F.col("dur_us")) / F.sum("dur_us")).alias("twa")
+    ).collect()[0]["twa"]
+    # (100 cents * 1 min + 0 * 9 min) / 10 min = 10 cents; the 999 value
+    # opened no holding interval and must not contribute
+    assert got == 10.0
