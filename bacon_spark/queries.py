@@ -4971,3 +4971,162 @@ def q123_gap_detection(spark, sf_dir):
         )
         .orderBy("user_id", "gap_start")
     )
+
+
+@query(
+    "q124_latency_percentiles",
+    """
+    SELECT event_type,
+           cast(count(*) as bigint) AS n,
+           round(quantile_cont(cents, 0.50), 4) AS p50,
+           round(quantile_cont(cents, 0.95), 4) AS p95,
+           round(quantile_cont(cents, 0.99), 4) AS p99,
+           max(cents) AS max_cents
+    FROM (SELECT event_type, cast(round(value * 100) as bigint) AS cents
+          FROM events)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q124_latency_percentiles(spark, sf_dir):
+    """SLA-style percentile report (p50/p95/p99/max) per event type —
+    exact interpolated percentiles over integer cents (deterministic
+    multiples of 1/100 in both engines; Spark ``percentile`` ==
+    DuckDB ``quantile_cont``).
+
+    Scale shape: exact percentile is a sort-based aggregate per group —
+    group-keyed shuffle, per-group state the group's values. For
+    unbounded-cardinality metrics switch to approx_percentile (q51
+    covers the sketch form); the exact form is the SLA-report gate."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", F.expr("cast(round(value * 100) as bigint)").alias("cents")
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(cents, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(cents, 0.95)"), 4).alias("p95"),
+            F.round(F.expr("percentile(cents, 0.99)"), 4).alias("p99"),
+            F.max("cents").alias("max_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q125_integrity_audit",
+    """
+    SELECT 'customer_without_orders' AS check_name,
+           cast((SELECT count(*) FROM customer
+                 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+                as bigint) AS n_violations
+    UNION ALL
+    SELECT 'orders_without_customer',
+           cast((SELECT count(*) FROM orders
+                 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+                as bigint)
+    UNION ALL
+    SELECT 'lineitem_without_order',
+           cast((SELECT count(*) FROM lineitem
+                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                as bigint)
+    ORDER BY check_name
+    """,
+)
+def q125_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit — the data-quality gate run before
+    any pipeline consumes a snapshot: per foreign-key edge, the count of
+    orphan rows via LEFT ANTI joins (null-safe, unlike raw NOT IN with
+    nulls — key columns here are non-null by schema).
+
+    Scale shape: each check is one anti join on the key (broadcast when
+    the parent side is dim-sized) collapsing to a single count — no
+    row-level output, no sort."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+
+    def check(name, df, key, parent, pkey):
+        n = (
+            df.join(parent.select(F.col(pkey).alias(key)), key, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+            .select(F.lit(name).alias("check_name"), "n_violations")
+        )
+        return n
+
+    return (
+        check("customer_without_orders", cust.select(F.col("c_custkey").alias("k")), "k", orders, "o_custkey")
+        .unionByName(check("orders_without_customer", orders.select(F.col("o_custkey").alias("k")), "k", cust, "c_custkey"))
+        .unionByName(check("lineitem_without_order", li.select(F.col("l_orderkey").alias("k")), "k", orders, "o_orderkey"))
+        .orderBy("check_name")
+    )
+
+
+@query(
+    "q126_point_in_time_lookup",
+    """
+    WITH _states AS (
+        SELECT user_id, event_type AS state,
+               ts AS valid_from,
+               coalesce(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                        TIMESTAMP '9999-12-31') AS valid_to
+        FROM events WHERE user_id < 200
+    ),
+    _purchases AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase' AND user_id < 200
+    )
+    SELECT p.event_id,
+           p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           s.state AS preceding_state
+    FROM _purchases p
+    JOIN _states s
+      ON p.user_id = s.user_id
+     AND s.valid_from <= p.ts - INTERVAL 1 MICROSECOND
+     AND p.ts - INTERVAL 1 MICROSECOND < s.valid_to
+    ORDER BY p.event_id
+    """,
+)
+def q126_point_in_time_lookup(spark, sf_dir):
+    """Point-in-time correct dimension lookup (feature-store semantics):
+    each purchase joins the SCD2 state row valid just BEFORE it
+    (ts − 1µs), so no information from the purchase instant leaks into
+    its own features — the leakage rule behind every training-data
+    point-in-time join.  Uses the q113 interval build + the bucketed
+    range-join operator (operators/temporal.range_join): equality on
+    user_id, residual interval predicate on the same shuffle.
+
+    Purchases whose user has no earlier event are dropped (inner) —
+    exactly the rows with no defined prior state."""
+    from pyspark.sql import Window
+
+    from .operators.temporal import range_join
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    states = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.coalesce(
+            F.lead("ts").over(w), F.lit("9999-12-31").cast("timestamp")
+        ).alias("valid_to"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts"),
+        F.timestamp_micros(F.unix_micros("ts") - 1).alias("_asof"),
+    )
+    joined = range_join(
+        purchases, states, "_asof", "valid_from", "valid_to", on=["user_id"]
+    ).drop(states["user_id"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("state").alias("preceding_state"),
+    ).orderBy("event_id")
