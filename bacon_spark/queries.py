@@ -5130,3 +5130,176 @@ def q126_point_in_time_lookup(spark, sf_dir):
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         F.col("state").alias("preceding_state"),
     ).orderBy("event_id")
+
+
+@query(
+    "q127_listagg",
+    """
+    SELECT c_mktsegment,
+           string_agg(c_name, ',' ORDER BY round(c_acctbal * 100) DESC, c_name)
+               AS top_names,
+           cast(count(*) as bigint) AS n
+    FROM (
+        SELECT c_mktsegment, c_name, c_acctbal,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY round(c_acctbal * 100) DESC, c_name)
+                   AS rn
+        FROM customer
+    )
+    WHERE rn <= 5
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q127_listagg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG/string_agg parity): the top-5
+    customers per segment by balance, concatenated IN ORDER.  Spark has
+    no ordered listagg; the engine form collects (sort-key, value)
+    structs, sorts the group-local array, then projects — deterministic
+    because the sort key is total (cents desc, name).
+
+    Scale shape: the top-5 cut happens via WindowGroupLimit inside the
+    shuffle (same shape as q107's postings cap), so per-group state is
+    O(5) before any collection."""
+    from pyspark.sql import Window
+
+    cust = _read(spark, sf_dir, "customer")
+    cents = F.expr("cast(round(c_acctbal * 100) as bigint)")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc(cents), F.asc("c_name"))
+    top = cust.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 5)
+    return (
+        top.groupBy("c_mktsegment")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                (-cents).alias("_k"), F.col("c_name").alias("_v")
+                            )
+                        )
+                    ),
+                    lambda s: s["_v"],
+                ),
+            ).alias("top_names"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q128_filtered_aggregates",
+    """
+    SELECT l_returnflag,
+           cast(count(*) as bigint) AS n_all,
+           cast(count(*) FILTER (WHERE l_discount > 0.05) as bigint)
+               AS n_discounted,
+           cast(sum(cast(round(l_extendedprice * 100) as bigint))
+                FILTER (WHERE l_tax > 0.04) as bigint) AS taxed_cents,
+           cast(max(cast(l_quantity as bigint))
+                FILTER (WHERE l_linestatus = 'F') as bigint) AS max_qty_f
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q128_filtered_aggregates(spark, sf_dir):
+    """FILTER-clause conditional aggregation parity (§2.3): multiple
+    differently-filtered aggregates in ONE pass over the fact — the
+    idiom that replaces N self-joins in report queries.  All integer
+    sums; one partial-aggregated shuffle."""
+    li = _read(spark, sf_dir, "lineitem")
+    cents = F.expr("cast(round(l_extendedprice * 100) as bigint)")
+    qty = F.col("l_quantity").cast("bigint")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+            F.sum(F.when(F.col("l_tax") > 0.04, cents)).alias("taxed_cents"),
+            F.max(F.when(F.col("l_linestatus") == "F", qty)).alias("max_qty_f"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q129_grouping_sets",
+    """
+    SELECT coalesce(o_orderstatus, '<all>') AS status,
+           coalesce(o_orderpriority, '<all>') AS priority,
+           cast(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                as int) AS gid,
+           cast(count(*) as bigint) AS n,
+           cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+               AS cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    ORDER BY gid, status, priority
+    """,
+)
+def q129_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS + grouping() parity (§2.3; the lattice
+    operator q39/q65 SERVES these shapes from a materialization — this
+    query pins Spark's native one-pass form, grouping_id semantics
+    included, against the identical ANSI SQL in DuckDB).
+
+    Scale shape: Spark expands grouping sets map-side (each row feeds
+    its sets' partial aggregates) — one shuffle keyed on (keys, gid)."""
+    orders = _read(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_q129_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, '<all>') AS status,
+               coalesce(o_orderpriority, '<all>') AS priority,
+               cast(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                    as int) AS gid,
+               count(*) AS n,
+               sum(cast(round(o_totalprice * 100) as bigint)) AS cents
+        FROM _q129_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, status, priority
+        """
+    )
+
+
+@query(
+    "q130_correlated_subquery",
+    """
+    SELECT c_custkey, c_mktsegment,
+           cast(round(c_acctbal * 100) as bigint) AS acct_cents,
+           (SELECT cast(max(round(o_totalprice * 100)) as bigint)
+            FROM orders WHERE o_custkey = c_custkey) AS max_order_cents
+    FROM customer
+    WHERE c_custkey < 200
+      AND (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) >= 3
+    ORDER BY c_custkey
+    """,
+)
+def q130_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subqueries (SELECT-list + WHERE) — Catalyst
+    DECORRELATES both into aggregate-then-join plans (no per-row
+    re-execution; the rewrite that makes subquery-style reports viable
+    on 100 TB).  Identical ANSI text runs on DuckDB as the oracle."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    cust.createOrReplaceTempView("_q130_customer")
+    orders.createOrReplaceTempView("_q130_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment,
+               cast(round(c_acctbal * 100) as bigint) AS acct_cents,
+               (SELECT cast(max(round(o_totalprice * 100)) as bigint)
+                FROM _q130_orders WHERE o_custkey = c_custkey)
+                   AS max_order_cents
+        FROM _q130_customer
+        WHERE c_custkey < 200
+          AND (SELECT count(*) FROM _q130_orders
+               WHERE o_custkey = c_custkey) >= 3
+        ORDER BY c_custkey
+        """
+    )

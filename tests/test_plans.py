@@ -311,3 +311,17 @@ def test_q112_quantile_buckets_no_sort_no_window(spark):
     plan = plan_of(spark, "q112_quantile_buckets")
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q127_listagg_top5_cut_inside_shuffle(spark):
+    opt = optimized_of(spark, "q127_listagg")
+    assert "WindowGroupLimit" in opt  # O(5) per-group state before collect
+
+
+def test_q130_subqueries_decorrelated_to_joins(spark):
+    # both correlated subqueries must become aggregate+join plans —
+    # no per-row subquery execution survives in the physical plan
+    plan = plan_of(spark, "q130_correlated_subquery")
+    assert plan.count("Join") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
