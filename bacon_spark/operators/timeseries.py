@@ -1,12 +1,15 @@
-"""Time-series operators: exponentially weighted moving averages and
-interval-concurrency sweep-lines.
+"""Time-series operators: exponentially weighted moving averages,
+interval-concurrency sweep-lines, and the grouped-map (applyInPandas)
+surface (LTTB downsampling, per-group fits).
 
 Engine extensions beyond the reference surface (the reference's cube
 engine has date-hierarchy labels but no ordered-state operators; cf.
-/root/reference/bacon/cubedef.py date labels). Both operators compile to
-built-in window/aggregate expressions — no Python UDFs — and each has a
-DuckDB twin generated from the same constants so oracles stay in
-lockstep by construction.
+/root/reference/bacon/cubedef.py date labels). The EWMA and sweep-line
+operators compile to built-in window/aggregate expressions — no Python
+UDFs — and each has a DuckDB twin generated from the same constants so
+oracles stay in lockstep by construction; the grouped-map operators at
+the bottom are the DOCUMENTED Arrow slow-path for genuinely sequential
+per-group algorithms.
 
 Determinism across engines is engineered, not hoped for:
 

@@ -22,6 +22,13 @@ DEFAULT = [
     "q59_asof_join",
     "q60_range_join",
     "q61_bucketed_star_join",
+    "q102_bpe_pair_counts",
+    "q104_hourly_concurrency",
+    "q107_inverted_index",
+    "q111_global_rank",
+    "q118_salted_skew_join",
+    "q120_triangle_count",
+    "q126_point_in_time_lookup",
 ]
 
 
