@@ -159,8 +159,11 @@ def salted_join(
     in clickstream or web corpora) or when AQE's post-shuffle splitting
     is unavailable (e.g. the skewed side feeds a co-grouped op).  Salt
     is a hash of the whole big-side row — reproducible across runs and
-    partitionings."""
-    salt = (F.abs(F.xxhash64(*[F.col(c) for c in big.columns])) % salt_buckets)
+    partitionings.  ``pmod``, not ``abs(hash) %``: ``abs(Long.MIN)`` is
+    still negative on the JVM, and a negative salt would silently drop
+    that row from the join (the agg twin tolerates any salt value; a
+    join must land inside the replicated 0..n-1 range)."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
     b = big.withColumn("_salt", salt.cast("int"))
     s = small.withColumn(
         "_salt",
