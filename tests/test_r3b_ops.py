@@ -586,3 +586,103 @@ def test_twa_weights_by_holding_time(spark):
     # (100 cents * 1 min + 0 * 9 min) / 10 min = 10 cents; the 999 value
     # opened no holding interval and must not contribute
     assert got == 10.0
+
+
+# ---------------------------------------------------------------------------
+# randomized differential sweeps (seeded; Spark-session-friendly loops)
+# ---------------------------------------------------------------------------
+
+
+def test_interval_concurrency_randomized_vs_model(spark):
+    import datetime as dt
+    import random
+
+    rnd = random.Random(99)
+    base = dt.datetime(2024, 5, 1)
+    for trial in range(3):
+        intervals = []
+        for _ in range(120):
+            start = base + dt.timedelta(
+                hours=rnd.uniform(0, 96)  # spans 4 day-chunks
+            )
+            intervals.append(
+                (start, start + dt.timedelta(minutes=rnd.uniform(1, 2000)))
+            )
+        df = spark.createDataFrame([Row(s=s, e=e) for s, e in intervals])
+        got = {
+            r["hour"]: (r["peak"], r["n_starts"])
+            for r in hourly_max_concurrency(df, "s", "e").collect()
+        }
+        want = _py_hourly_peaks(
+            [(s.replace(microsecond=s.microsecond), e) for s, e in intervals]
+        )
+        assert got == want, f"trial {trial}"
+
+
+def test_global_rank_randomized_partitions(spark):
+    import random
+
+    from bacon_spark.operators.ranking import global_rank
+
+    rnd = random.Random(3)
+    for parts in (2, 5, 13):
+        vals = [(i, rnd.randint(-1000, 1000)) for i in range(300)]
+        df = spark.createDataFrame([Row(id=i, v=v) for i, v in vals])
+        got = {
+            r["id"]: r["rank"]
+            for r in global_rank(df, ["v", "id"], num_partitions=parts).collect()
+        }
+        want = {
+            i: rk + 1
+            for rk, (i, _) in enumerate(sorted(vals, key=lambda t: (t[1], t[0])))
+        }
+        assert got == want, f"parts={parts}"
+
+
+def test_ewma_randomized_vs_model(spark):
+    import random
+
+    rnd = random.Random(17)
+    for depth in (3, 8):
+        series = {k: [rnd.randint(-500, 500) for _ in range(rnd.randint(1, 40))] for k in range(4)}
+        rows = [
+            Row(k=k, o=i, v=v) for k, vs in series.items() for i, v in enumerate(vs)
+        ]
+        df = spark.createDataFrame(rows)
+        got = {
+            (r["k"], r["o"]): r["ewma"]
+            for r in dyadic_ewma(df, "k", ["o"], "v", depth=depth).collect()
+        }
+        for k, vs in series.items():
+            want = _py_ewma(vs, depth=depth)
+            for i, wv in enumerate(want):
+                assert got[(k, i)] == wv, (k, i, depth)
+
+
+def test_duplicate_spans_randomized_vs_model(spark):
+    import random
+    from collections import defaultdict
+
+    rnd = random.Random(23)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    texts = [
+        " ".join(rnd.choice(vocab) for _ in range(rnd.randint(0, 30)))
+        for _ in range(40)
+    ]
+    k = 4
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = {
+        r["span_hash"]: (r["n_docs"], r["n_occ"], r["first_doc"])
+        for r in duplicate_spans(df, k=k, top=1000).collect()
+    }
+    occ = defaultdict(list)
+    for d, t in enumerate(texts):
+        toks = t.split()
+        for i in range(len(toks) - k + 1):
+            occ[_py_hash60(" ".join(toks[i : i + k]))].append(d)
+    want = {
+        h: (len(set(ds)), len(ds), min(ds))
+        for h, ds in occ.items()
+        if len(set(ds)) > 1
+    }
+    assert got == want
