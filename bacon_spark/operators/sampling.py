@@ -187,3 +187,52 @@ def dataset_split_sql(
     if not cases:
         return f"'{names[-1]}'"
     return "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+
+
+def temperature_rates(counts: DataFrame, group: str = "source", alpha: float = 0.5) -> DataFrame:
+    """Per-group keep rates for temperature-based mixture rebalancing
+    (the multilingual/multi-source alpha-sampling rule, e.g. mBERT /
+    XLM-R data mixing): sampling probability proportional to
+    share^alpha, i.e. relative keep-rate proportional to
+    share^(alpha-1) — dominant sources are downsampled toward the
+    tail.  Normalized so the SMALLEST group keeps everything:
+
+        rate_g = (cnt_min / cnt_g) ** (1 - alpha)
+               = sqrt(cnt_min / cnt_g)                  for alpha = 1/2
+
+    Returns (group, cnt, rate_ppm) with the rate in integer parts-per-
+    million.  For alpha = 1/2 the only float ops are one division and
+    one sqrt — both IEEE-754 correctly-rounded, so rate_ppm is
+    bit-identical in any engine; the paired oracle SQL recomputes it
+    from the same counts.
+
+    *counts* must have columns (group, cnt).  Determinism note: only
+    alpha = 0.5 is offered — a general pow() is NOT correctly-rounded
+    and would drift across libm implementations."""
+    if alpha != 0.5:
+        raise ValueError("temperature_rates: only alpha=0.5 is IEEE-exact; got %r" % alpha)
+    mn = counts.agg(F.min("cnt").alias("_mn"))
+    return (
+        counts.crossJoin(F.broadcast(mn))
+        .withColumn(
+            "rate_ppm",
+            F.floor(
+                F.sqrt(F.col("_mn").cast("double") / F.col("cnt").cast("double"))
+                * 1_000_000
+            ).cast("long"),
+        )
+        .select(group, "cnt", "rate_ppm")
+    )
+
+
+def temperature_rates_sql(counts_cte: str, group: str = "source") -> str:
+    """DuckDB twin of :func:`temperature_rates` (alpha = 1/2).
+    *counts_cte* selects (group, cnt)."""
+    return f"""
+    WITH _c AS ({counts_cte}),
+    _m AS (SELECT min(cnt) AS mn FROM _c)
+    SELECT {group}, cnt,
+           cast(floor(sqrt(cast(mn as double) / cast(cnt as double))
+                      * 1000000) as bigint) AS rate_ppm
+    FROM _c CROSS JOIN _m
+    """

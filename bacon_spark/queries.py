@@ -5303,3 +5303,83 @@ def q130_correlated_subquery(spark, sf_dir):
         ORDER BY c_custkey
         """
     )
+
+
+@query(
+    "q131_bloom_prefilter_decontam",
+    f"""
+    WITH ev AS MATERIALIZED (
+      SELECT DISTINCT unnest({_dd.shingles_sql('text', 4)}) AS gram
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    tr AS (SELECT doc_id, unnest({_dd.shingles_sql('text', 4)}) AS gram
+           FROM documents WHERE doc_id % 10 <> 0)
+    SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (gram)
+    """,
+)
+def q131_bloom_prefilter_decontam(spark, sf_dir):
+    """Bloom-prefiltered decontamination (llm/decontam
+    .contaminated_ids_bloom): the eval shingle set is shipped as a
+    ~100 KB Bloom filter (bloom_filter_agg / might_contain) and only
+    bloom survivors hit the exact verify — the shape that scales the
+    contamination probe past broadcast-join limits when eval suites are
+    large.  Bloom filters cannot produce false negatives, so the FINAL
+    answer is exactly the q57-style exact probe — which is precisely
+    what the oracle computes (the oracle has no bloom at all)."""
+    docs = _read_docs(spark, sf_dir)
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return _decon.contaminated_ids_bloom(train, eval_df, "text", "doc_id", k=4)
+
+
+_Q132_DRAW = _draw_sql("doc_id", "s132")
+
+
+@query(
+    "q132_temperature_mixture",
+    f"""
+    WITH _rates AS ({_samp.temperature_rates_sql(
+        "SELECT source, count(*) AS cnt FROM documents GROUP BY source")}),
+    _kept AS (
+        SELECT d.source, d.n_chars, r.rate_ppm
+        FROM documents d JOIN _rates r USING (source)
+        WHERE {_Q132_DRAW} < r.rate_ppm
+    )
+    SELECT source AS mix_source,
+           cast(count(*) as bigint) AS n,
+           cast(sum(n_chars) as bigint) AS sum_chars,
+           min(rate_ppm) AS rate_ppm
+    FROM _kept
+    GROUP BY source
+    ORDER BY mix_source
+    """,
+)
+def q132_temperature_mixture(spark, sf_dir):
+    """Temperature-based mixture rebalancing (operators/sampling
+    .temperature_rates — the alpha=1/2 multilingual/multi-source
+    sampling rule of mBERT/XLM-R): per-source keep rates
+    min(1, sqrt(cnt_max/cnt)) in integer ppm, applied via the
+    deterministic salted draw.  The only float ops are one division and
+    one sqrt — both IEEE correctly-rounded, so rates (and therefore the
+    kept set) are bit-identical across engines AND cluster topologies;
+    unlike a general pow(share, alpha), which drifts across libm
+    implementations (why the operator refuses alpha != 0.5).
+
+    Scale shape: the rate table is source-cardinality (broadcast);
+    draw + filter are map-side; one final bounded aggregation."""
+    docs = _read_docs(spark, sf_dir)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    rates = _samp.temperature_rates(counts, "source", alpha=0.5)
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(_samp._draw(F.col("doc_id"), "s132") < F.col("rate_ppm"))
+    )
+    return (
+        kept.groupBy(F.col("source").alias("mix_source"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("rate_ppm").alias("rate_ppm"),
+        )
+        .orderBy("mix_source")
+    )

@@ -686,3 +686,50 @@ def test_duplicate_spans_randomized_vs_model(spark):
         if len(set(ds)) > 1
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# bloom prefilter / temperature mixture
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_prefilter_equals_exact_probe(spark):
+    import random
+
+    from bacon_spark.llm.decontam import contaminated_ids, contaminated_ids_bloom
+
+    rnd = random.Random(31)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rnd.choice(vocab) for _ in range(rnd.randint(4, 25)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    ev = df.filter(F.col("doc_id") % 7 == 0)
+    tr = df.filter(F.col("doc_id") % 7 != 0)
+    exact = {r["doc_id"] for r in contaminated_ids(tr, ev, k=3).collect()}
+    bloom = {r["doc_id"] for r in contaminated_ids_bloom(tr, ev, k=3).collect()}
+    assert bloom == exact  # no false negatives, verify kills false positives
+
+
+def test_temperature_rates_alpha_half_rule(spark):
+    from bacon_spark.operators.sampling import temperature_rates
+
+    counts = spark.createDataFrame(
+        [Row(source="big", cnt=10000), Row(source="mid", cnt=2500), Row(source="rare", cnt=100)]
+    )
+    got = {r["source"]: r["rate_ppm"] for r in temperature_rates(counts).collect()}
+    # smallest keeps everything; dominant sources downsample by sqrt share
+    assert got["rare"] == 1_000_000
+    assert got["mid"] == 200_000   # sqrt(100/2500)  = 0.2
+    assert got["big"] == 100_000   # sqrt(100/10000) = 0.1
+    counts2 = spark.createDataFrame(
+        [Row(source="a", cnt=100), Row(source="b", cnt=400)]
+    )
+    got2 = {r["source"]: r["rate_ppm"] for r in temperature_rates(counts2).collect()}
+    assert got2 == {"a": 1_000_000, "b": 500_000}  # sqrt(1/4) = 1/2
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        temperature_rates(counts, alpha=0.7)
