@@ -618,3 +618,50 @@ def duplicate_spans_sql(
     ORDER BY n_occ DESC, h ASC
     LIMIT {top}
     """
+
+
+def incremental_lsh_pairs(
+    base: DataFrame,
+    increment: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bands: int = 4,
+    rows: int = 2,
+) -> DataFrame:
+    """Asymmetric MinHash-LSH: candidate pairs between a NEW batch and an
+    already-indexed base corpus — the incremental-ingest form of
+    near-dedup (each daily crawl dedupes against the historical index;
+    re-banding base x base every day would be O(history²) wasted work).
+
+    Only (increment x base) and (increment x increment) bucket pairs are
+    generated; base x base — by far the largest product — never forms.
+    In production the base band keys are the persisted LSH index
+    (written bucketed on band_key); this recomputes them for the gate.
+    Returns (inc_id, match_id, n_shared_bands, match_side)."""
+    def keyed(df: DataFrame, side: str) -> DataFrame:
+        sig = signature_frame(df, text_col, id_col, k)
+        return sig.select(
+            F.col(id_col).alias("id"),
+            F.lit(side).alias("side"),
+            F.explode(minhash_band_keys(F.col("sig"), bands, rows)).alias("band_key"),
+        )
+
+    inc = keyed(increment, "inc")
+    allk = keyed(base, "base").unionByName(inc)
+    j = inc.alias("a").join(
+        allk.alias("b"),
+        (F.col("a.band_key") == F.col("b.band_key"))
+        & (
+            (F.col("b.side") == "base")
+            | ((F.col("b.side") == "inc") & (F.col("a.id") < F.col("b.id")))
+        ),
+    )
+    return (
+        j.groupBy(
+            F.col("a.id").alias("inc_id"),
+            F.col("b.id").alias("match_id"),
+            F.col("b.side").alias("match_side"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )

@@ -5383,3 +5383,44 @@ def q132_temperature_mixture(spark, sf_dir):
         )
         .orderBy("mix_source")
     )
+
+
+@query(
+    "q133_incremental_lsh_dedup",
+    f"""
+    WITH sig133 AS MATERIALIZED (
+      SELECT doc_id, doc_id % 3 = 0 AS is_inc,
+             {_dd.minhash_signature_sql('text')} AS sig
+      FROM documents
+    ),
+    keyed133 AS MATERIALIZED (
+      SELECT doc_id, is_inc, unnest({_band_keys_sql('sig', 4, 2)}) AS band_key
+      FROM sig133
+    )
+    SELECT a.doc_id AS inc_id, b.doc_id AS match_id,
+           CASE WHEN b.is_inc THEN 'inc' ELSE 'base' END AS match_side,
+           cast(count(*) as bigint) AS n_shared_bands
+    FROM keyed133 a
+    JOIN keyed133 b
+      ON a.band_key = b.band_key
+     AND a.is_inc
+     AND (NOT b.is_inc OR a.doc_id < b.doc_id)
+    GROUP BY 1, 2, 3
+    ORDER BY inc_id, match_id
+    """,
+)
+def q133_incremental_lsh_dedup(spark, sf_dir):
+    """Incremental near-dedup (llm/dedup.incremental_lsh_pairs): a new
+    batch (doc_id % 3 = 0) generates LSH candidates against the
+    ALREADY-INDEXED base corpus plus itself — base x base, the O(history²)
+    product, never forms.  The daily-crawl-vs-historical-index shape of
+    production dedup; in production the base band keys are the persisted
+    LSH index, written bucketed on band_key so each day's join is
+    partition-local."""
+    docs = _read_docs(spark, sf_dir)
+    inc = docs.filter(F.col("doc_id") % 3 == 0)
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    pairs = _dd.incremental_lsh_pairs(base, inc, bands=4, rows=2)
+    return pairs.select(
+        "inc_id", "match_id", "match_side", "n_shared_bands"
+    ).orderBy("inc_id", "match_id")

@@ -1,0 +1,47 @@
+"""Cluster-topology independence: the queries whose docstrings claim
+bit-reproducibility must return IDENTICAL rows under different shuffle
+partition counts (the local analogue of running on a different cluster
+size).  Floating-point aggregation order, hash partitioning, and salt
+derivation are the usual leak points — this pins them."""
+
+import pytest
+
+from bacon_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+#: queries with engineered determinism claims (integer/dyadic/IEEE-exact
+#: arithmetic or deterministic salts) — failures here mean results would
+#: differ between a laptop and a 1000-executor cluster
+SENSITIVE = [
+    "q103_ewma_customer_spend",
+    "q104_hourly_concurrency",
+    "q105_price_quantity_regression",
+    "q106_pagerank_doc_graph",
+    "q111_global_rank",
+    "q112_quantile_buckets",
+    "q118_salted_skew_join",
+    "q122_time_weighted_avg",
+    "q132_temperature_mixture",
+    "q55_stratified_sample",
+    "q82_dataset_split",
+]
+
+
+def _rows(spark, name):
+    df = QUERIES[name](spark, SF)
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_identical_across_shuffle_partitions(spark, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        low = _rows(spark, name)
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        high = _rows(spark, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert low == high, f"{name}: results depend on partitioning"
