@@ -340,3 +340,52 @@ def triangle_count_sql(edges_cte: str) -> str:
            (SELECT cast(count(*) as bigint) FROM _wedges) AS n_wedges,
            (SELECT cast(count(*) as bigint) FROM _tri) AS n_triangles
     """
+
+
+def bounded_reachability(
+    edges: DataFrame, seeds: DataFrame, hops: int
+) -> DataFrame:
+    """Vertices reachable from *seeds* within <= *hops* directed edges,
+    with the minimal hop distance — bounded BFS as iterated joins (the
+    DataFrame form of a depth-limited recursive CTE; transitive-closure
+    queries, dependency cones, contamination blast radius).
+
+    *edges*: (src, dst); *seeds*: (id).  Returns (id, min_hops).
+
+    Scale shape: frontier-driven — each round joins the FRONTIER
+    (newly-reached nodes only, not the full visited set) against the
+    edge table on src; visited stays node-cardinality.  Fixed small
+    hop counts unroll without checkpointing (plan depth is linear)."""
+    visited = seeds.select(F.col("id"), F.lit(0).alias("min_hops"))
+    frontier = visited
+    for h in range(1, hops + 1):
+        nxt = (
+            frontier.join(edges.withColumnRenamed("src", "id"), "id")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .select("id", F.lit(h).alias("min_hops"))
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited
+
+
+def bounded_reachability_sql(
+    edges_cte: str, seeds_cte: str, hops: int
+) -> str:
+    """DuckDB twin of :func:`bounded_reachability` — a depth-limited
+    RECURSIVE CTE taking the min hop distance per vertex."""
+    return f"""
+    WITH RECURSIVE _edges AS ({edges_cte}),
+    _seeds AS ({seeds_cte}),
+    _walk(id, hops) AS (
+        SELECT id, 0 FROM _seeds
+        UNION ALL
+        SELECT _edges.dst, _walk.hops + 1
+        FROM _walk JOIN _edges ON _walk.id = _edges.src
+        WHERE _walk.hops < {hops}
+    )
+    SELECT id, cast(min(hops) as int) AS min_hops
+    FROM _walk GROUP BY id
+    """

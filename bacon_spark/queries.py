@@ -5424,3 +5424,97 @@ def q133_incremental_lsh_dedup(spark, sf_dir):
     return pairs.select(
         "inc_id", "match_id", "match_side", "n_shared_bands"
     ).orderBy("inc_id", "match_id")
+
+
+_Q134_EDGES = (
+    "SELECT doc_id AS src, "
+    "(doc_id * 31 + t.i * 97) % (SELECT count(*) FROM documents) AS dst "
+    "FROM documents, generate_series(1, 4) AS t(i)"
+)
+
+
+@query(
+    "q134_bounded_reachability",
+    _graph.bounded_reachability_sql(
+        _Q134_EDGES,
+        "SELECT doc_id AS id FROM documents WHERE doc_id % 100 = 0",
+        3,
+    )
+    + " ORDER BY id",
+)
+def q134_bounded_reachability(spark, sf_dir):
+    """Depth-limited transitive closure (operators/graph
+    .bounded_reachability): vertices within 3 directed hops of the seed
+    set with minimal hop distance — the recursive-CTE query class
+    (dependency cones, contamination blast radius) as frontier-driven
+    iterated joins.  Each round joins only the NEW frontier against the
+    edge table; the DuckDB oracle is a genuine depth-limited RECURSIVE
+    CTE over the same graph."""
+    docs = _read_docs(spark, sf_dir)
+    n = docs.count()
+    links = [((F.col("doc_id") * 31 + F.lit(i * 97)) % F.lit(n)) for i in range(1, 5)]
+    edges = docs.select(
+        F.col("doc_id").alias("src"), F.explode(F.array(*links)).alias("dst")
+    )
+    seeds = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    out = _graph.bounded_reachability(edges, seeds, hops=3)
+    return out.select("id", F.col("min_hops").cast("int").alias("min_hops")).orderBy(
+        "id"
+    )
+
+
+@query(
+    "q135_markov_transitions",
+    """
+    WITH _seq AS (
+        SELECT user_id, event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    _pairs AS (
+        SELECT cur, nxt, count(*) AS n
+        FROM _seq WHERE nxt IS NOT NULL
+        GROUP BY cur, nxt
+    ),
+    _tot AS (SELECT cur, sum(n) AS tot FROM _pairs GROUP BY cur)
+    SELECT p.cur AS from_type, p.nxt AS to_type,
+           cast(p.n as bigint) AS n,
+           round(cast(p.n as double) / cast(t.tot as double), 6) AS prob
+    FROM _pairs p JOIN _tot t ON p.cur = t.cur
+    ORDER BY from_type, to_type
+    """,
+)
+def q135_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (lead() on one user-keyed shuffle): counts and empirical
+    transition probabilities — the behavioural-model / anomalous-flow
+    building block.  Probabilities are single divisions of identical
+    integers in both engines.
+
+    Scale shape: the transition domain is |event_types|² — partial
+    aggregation collapses each partition before the tiny shuffle."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    tot = pairs.groupBy("cur").agg(F.sum("n").alias("tot"))
+    return (
+        pairs.join(F.broadcast(tot), "cur")
+        .select(
+            F.col("cur").alias("from_type"),
+            F.col("nxt").alias("to_type"),
+            "n",
+            F.round(F.col("n").cast("double") / F.col("tot").cast("double"), 6).alias(
+                "prob"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )

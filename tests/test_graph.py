@@ -124,3 +124,33 @@ def test_triangle_count_matches_bruteforce_random(spark):
     )
     df = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
     assert triangle_count(df).collect()[0]["n_triangles"] == want
+
+
+def test_bounded_reachability_bfs_model(spark):
+    from collections import deque
+
+    from pyspark.sql import Row
+
+    from bacon_spark.operators.graph import bounded_reachability
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (0, 5), (5, 3), (7, 0)]
+    seeds = [0]
+    hops = 2
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    dist = {0: 0}
+    q = deque([0])
+    while q:
+        u = q.popleft()
+        if dist[u] >= hops:
+            continue
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    edf = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+    sdf = spark.createDataFrame([Row(id=i) for i in seeds])
+    got = {r["id"]: r["min_hops"] for r in bounded_reachability(edf, sdf, hops).collect()}
+    assert got == dist           # {0:0, 1:1, 5:1, 2:2, 3:2} — 4 is 3 hops, excluded
+    assert 4 not in got and 7 not in got  # depth bound + directionality
