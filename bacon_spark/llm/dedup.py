@@ -665,3 +665,108 @@ def incremental_lsh_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+def prefix_filtered_jaccard_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXACT token-set similarity self-join at a Jaccard threshold via
+    PPJoin-style prefix filtering (Chaudhuri/Ganti/Kaushik 2006, Xiao et
+    al. 2008) — the exact counterpart to MinHash-LSH banding: no missed
+    pairs, no verification false negatives.
+
+    Theory: J(x,y) >= t implies overlap >= ceil(t*|x|) (and
+    symmetrically for y), so under ANY global token order two
+    qualifying sets must share a token inside their
+    (|s| - ceil(t*|s|) + 1)-prefixes.  Tokens are ordered rarest-first
+    (document frequency, then token), which makes prefixes precisely
+    the least-common tokens — candidate buckets stay tiny exactly where
+    a frequency-agnostic order would explode on stop-words.
+
+    Scale shape: one df-ranking aggregate (vocabulary-sized), per-doc
+    sort of its own token set (map-side), prefix explode (O(docs x
+    prefix) rows — bodies never shuffle), equi-join on the prefix
+    token, and one exact verify join per candidate pair carrying the
+    two token arrays.  Returns (id_a, id_b, jacc)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens(F.col(text_col))).alias("_toks"),
+    ).filter(F.size("_toks") > 0)
+    vocab = toks.select(F.explode("_toks").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    ranked = (
+        toks.select("id", F.explode("_toks").alias("tok"))
+        .join(vocab, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_df"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ).alias("sorted_toks")
+        )
+    )
+    n = F.size("sorted_toks")
+    prefix_len = n - F.ceil(F.lit(threshold) * n).cast("int") + 1
+    pref = ranked.select(
+        "id",
+        "sorted_toks",
+        F.explode(F.slice("sorted_toks", 1, prefix_len)).alias("ptok"),
+    )
+    # distinct column names per side keep the self-join unambiguous
+    # without alias-qualified references
+    pa = pref.select(
+        F.col("id").alias("id_a"), F.col("sorted_toks").alias("ta"), F.col("ptok")
+    )
+    pb = pref.select(
+        F.col("id").alias("id_b"), F.col("sorted_toks").alias("tb"), F.col("ptok")
+    )
+    cand = (
+        pa.join(pb, ["ptok"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ta", "tb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    jacc = inter.cast("double") / union.cast("double")
+    # filter on the RAW ratio (identical doubles in both engines: integer
+    # counts, one division), round only the output column — filtering on
+    # the rounded value would disagree with the oracle at the boundary
+    return (
+        cand.filter(jacc >= threshold)
+        .select("id_a", "id_b", F.round(jacc, 6).alias("jacc"))
+    )
+
+
+def prefix_filtered_jaccard_join_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+) -> str:
+    """Brute-force oracle for :func:`prefix_filtered_jaccard_join`: ALL
+    pairs, exact Jaccard, threshold — no prefix filter at all, so a
+    hash match proves the filter lost nothing."""
+    toks = f"list_distinct({tokens_sql(text_col)})"
+    return f"""
+    WITH _t AS (
+        SELECT {id_col} AS id, {toks} AS toks FROM {table}
+        WHERE len({toks}) > 0
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(cast(len(list_intersect(a.toks, b.toks)) as double)
+                 / cast(len(a.toks) + len(b.toks)
+                        - len(list_intersect(a.toks, b.toks)) as double), 6)
+               AS jacc
+    FROM _t a JOIN _t b ON a.id < b.id
+    WHERE cast(len(list_intersect(a.toks, b.toks)) as double)
+          / cast(len(a.toks) + len(b.toks)
+                 - len(list_intersect(a.toks, b.toks)) as double)
+          >= {threshold}
+    """

@@ -5518,3 +5518,33 @@ def q135_markov_transitions(spark, sf_dir):
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@query(
+    "q136_jaccard_similarity_join",
+    _dd.prefix_filtered_jaccard_join_sql(
+        "(SELECT * FROM documents WHERE doc_id < 500) _d", "text", "doc_id", 0.85
+    )
+    + " ORDER BY id_a, id_b",
+)
+def q136_jaccard_similarity_join(spark, sf_dir):
+    """EXACT Jaccard-threshold set-similarity self-join via PPJoin-style
+    prefix filtering (llm/dedup.prefix_filtered_jaccard_join) — the
+    exact counterpart to q28's MinHash-LSH banding: tokens ranked
+    rarest-first, each doc explodes only its (|s|-ceil(t|s|)+1)-prefix,
+    candidates share a prefix token, then exact verification.  The
+    ORACLE runs the BRUTE-FORCE all-pairs form, so a hash match proves
+    the prefix filter misses nothing (the PPJoin completeness lemma,
+    empirically pinned).
+
+    Gate input is STRUCTURALLY capped at 500 docs (q40's precedent):
+    the synthetic corpus is drawn from one tiny vocabulary, so the
+    qualifying-pair count itself grows quadratically — measured 1.7M
+    true pairs at sf0.1 — and no join algorithm shrinks an inherently
+    quadratic ANSWER.  On real corpora the prefix filter is the exact
+    high-threshold path; corpus-wide near-dup at scale stays on the
+    LSH pipelines (q28/q133)."""
+    docs = _read_docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    return _dd.prefix_filtered_jaccard_join(docs, "text", "doc_id", 0.85).orderBy(
+        "id_a", "id_b"
+    )

@@ -733,3 +733,38 @@ def test_temperature_rates_alpha_half_rule(spark):
 
     with pytest.raises(ValueError):
         temperature_rates(counts, alpha=0.7)
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered exact Jaccard join
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_filter_loses_no_pairs_randomized(spark):
+    import itertools
+    import random
+
+    from bacon_spark.llm.dedup import prefix_filtered_jaccard_join
+
+    rnd = random.Random(41)
+    # alphabetic-only vocab: the engine tokenizer splits on [^a-z]+, so
+    # digit-bearing tokens would all collapse to the same word
+    vocab = [a + b for a in "abcde" for b in "abcdef"]
+    docs = {
+        i: sorted(rnd.sample(vocab, rnd.randint(3, 12))) for i in range(80)
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(ts)) for i, ts in docs.items()]
+    )
+    for t in (0.5, 0.8):
+        got = {
+            (r["id_a"], r["id_b"]): r["jacc"]
+            for r in prefix_filtered_jaccard_join(df, threshold=t).collect()
+        }
+        want = {}
+        for a, b in itertools.combinations(sorted(docs), 2):
+            sa, sb = set(docs[a]), set(docs[b])
+            j = len(sa & sb) / len(sa | sb)
+            if j >= t:
+                want[(a, b)] = round(j, 6)
+        assert got == want, f"threshold {t}"
