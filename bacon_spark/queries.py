@@ -5548,3 +5548,116 @@ def q136_jaccard_similarity_join(spark, sf_dir):
     return _dd.prefix_filtered_jaccard_join(docs, "text", "doc_id", 0.85).orderBy(
         "id_a", "id_b"
     )
+
+
+@query(
+    "q137_rolling_active_users",
+    """
+    WITH _du AS (
+        SELECT DISTINCT cast(date_trunc('day', ts) as date) AS day, user_id
+        FROM events
+    ),
+    _days AS (SELECT DISTINCT day FROM _du)
+    SELECT d.day,
+           cast(count(DISTINCT u.user_id) as bigint) AS wau,
+           cast((SELECT count(DISTINCT u2.user_id) FROM _du u2
+                 WHERE u2.day = d.day) as bigint) AS dau
+    FROM _days d
+    JOIN _du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    ORDER BY d.day
+    """,
+)
+def q137_rolling_active_users(spark, sf_dir):
+    """Rolling 7-day active users (WAU) + daily actives (DAU) per day —
+    the engagement metric every product pipeline computes.  A windowed
+    COUNT DISTINCT cannot partial-aggregate, so the scalable form
+    reduces to DISTINCT (day, user) pairs first (one shuffle, partial
+    agg), then each pair EXPLODES to the <= 7 report days it serves —
+    bounded fan-out replacing an unbounded distinct window state.
+
+    All integers; the oracle computes the same metric by a range join
+    over the distinct pairs."""
+    ev = _read(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "user_id"
+    ).distinct()
+    contrib = du.select(
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+        ).alias("report_day"),
+        "day",
+        "user_id",
+    )
+    observed = du.select(F.col("day").alias("report_day")).distinct()
+    wau = (
+        contrib.join(observed, "report_day")
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = du.groupBy(F.col("day").alias("report_day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    return (
+        wau.join(dau, "report_day")
+        .select(F.col("report_day").alias("day"), "wau", "dau")
+        .orderBy("day")
+    )
+
+
+@query(
+    "q138_embedding_quantization",
+    """
+    WITH _s AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+        FROM embeddings
+    )
+    SELECT vec_id,
+           cast(floor(mx * 1000000000) as bigint) AS scale_ppb,
+           array_to_string(
+               list_transform(embedding,
+                              x -> cast(round(x::DOUBLE * 127.0 / mx) as bigint)::VARCHAR),
+               ',') AS q8,
+           cast(list_sum(list_transform(embedding,
+                    x -> cast(round(x::DOUBLE * 127.0 / mx) as bigint)
+                         * cast(round(x::DOUBLE * 127.0 / mx) as bigint)))
+                as bigint) AS q_norm2
+    FROM _s
+    WHERE mx > 0 AND vec_id < 200
+    ORDER BY vec_id
+    """,
+)
+def q138_embedding_quantization(spark, sf_dir):
+    """Symmetric int8 embedding quantization (the storage/ANN-speedup
+    pipeline step: 4x smaller vectors, integer dot products): per-vector
+    scale = max|x|/127, q8[i] = round(x[i]·127/max|x|) — plus the
+    integer squared norm used by quantized similarity search.
+
+    Determinism: both engines see identical float32→double values; the
+    scalar multiply/divide/round sequence is identical IEEE ops, and
+    everything after quantization is integer arithmetic.  Map-side only."""
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    mx = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(127.0) / F.col("_mx")).cast("long"),
+    )
+    return (
+        emb.withColumn("_mx", mx)
+        .filter(F.col("_mx") > 0)
+        .withColumn("_q", q)
+        .select(
+            "vec_id",
+            F.floor(F.col("_mx") * 1_000_000_000).cast("long").alias("scale_ppb"),
+            F.concat_ws(",", F.transform(F.col("_q"), lambda v: v.cast("string"))).alias(
+                "q8"
+            ),
+            F.aggregate(
+                F.col("_q"),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v * v,
+            ).alias("q_norm2"),
+        )
+        .orderBy("vec_id")
+    )

@@ -23,6 +23,8 @@ SENSITIVE = [
     "q118_salted_skew_join",
     "q122_time_weighted_avg",
     "q132_temperature_mixture",
+    "q136_jaccard_similarity_join",
+    "q138_embedding_quantization",
     "q55_stratified_sample",
     "q82_dataset_split",
 ]
