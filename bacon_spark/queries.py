@@ -5661,3 +5661,159 @@ def q138_embedding_quantization(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+_Q139_QUANT = """
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> cast(round(x::DOUBLE * 127.0 /
+                        list_max(list_transform(embedding, y -> abs(y::DOUBLE))))
+                        as bigint)) AS q8
+        FROM embeddings
+        WHERE list_max(list_transform(embedding, y -> abs(y::DOUBLE))) > 0
+"""
+
+
+@query(
+    "q139_quantized_ann_topk",
+    f"""
+    WITH _q AS ({_Q139_QUANT}),
+    _probe AS (SELECT vec_id AS probe_id, q8 AS pq FROM _q WHERE vec_id < 5),
+    _scored AS (
+        SELECT p.probe_id, c.vec_id,
+               cast(list_sum(list_transform(list_zip(p.pq, c.q8),
+                        t -> t[1] * t[2])) as bigint) AS idot
+        FROM _probe p JOIN _q c ON c.vec_id <> p.probe_id
+    ),
+    _ranked AS (
+        SELECT probe_id, vec_id, idot,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY idot DESC, vec_id) AS rn
+        FROM _scored
+    )
+    SELECT probe_id, vec_id, idot, cast(rn as int) AS rn
+    FROM _ranked WHERE rn <= 10
+    ORDER BY probe_id, rn
+    """,
+)
+def q139_quantized_ann_topk(spark, sf_dir):
+    """Top-k search over int8-QUANTIZED vectors (completing q138's
+    pipeline): integer dot products between quantized probe and corpus —
+    the 4x-memory-bandwidth ANN scoring kernel (what FAISS int8 / SQ8
+    does), bit-exact across engines because scoring is pure integer
+    arithmetic after the deterministic quantization step.
+
+    Scale shape: probes broadcast, corpus scored map-side, per-partition
+    pre-top-k via the rank window on the probe key (probe-cardinality
+    partitions)."""
+    from pyspark.sql import Window
+
+    emb = _read(spark, sf_dir, "embeddings")
+    mx = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+    q8 = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(127.0) / F.col("_mx")).cast("long"),
+    )
+    quant = (
+        emb.withColumn("_mx", mx)
+        .filter(F.col("_mx") > 0)
+        .select("vec_id", q8.alias("q8"))
+    )
+    probes = quant.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("q8").alias("pq")
+    )
+    scored = (
+        quant.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("pq"), F.col("q8"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("idot"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("idot"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 10)
+        .select("probe_id", "vec_id", "idot", "rn")
+        .orderBy("probe_id", "rn")
+    )
+
+
+@query(
+    "q140_cm_heavy_hitters",
+    """
+    WITH _tok AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    )
+    SELECT tok, cast(count(*) as bigint) AS cnt
+    FROM _tok
+    GROUP BY tok
+    HAVING count(*) >= 500
+    ORDER BY cnt DESC, tok
+    """,
+)
+def q140_cm_heavy_hitters(spark, sf_dir):
+    """Count-Min-prefiltered EXACT heavy hitters (the sketch analog of
+    q131's bloom pattern): a d=4 x w=2048 Count-Min sketch is built by
+    one cell-keyed aggregation, collected (64 KB), and embedded as
+    literal arrays; every DISTINCT token probes min-over-rows in pure
+    codegen, and only tokens whose ESTIMATE clears the threshold get
+    exact verification.  CM overestimates only, so prefilter + exact
+    verify equals the plain frequent-token query — which is exactly the
+    bloom-free, sketch-free oracle.
+
+    Scale shape: the corpus-sized work is one tokenize+count aggregation
+    either way; the sketch's value is the second pass touching only the
+    (tiny) candidate vocabulary — and bounded-memory merge across
+    shards/streams."""
+    from .llm.text import tokens as _toks
+
+    threshold = 500
+    d, wdt = 4, 2048
+    docs = _read_docs(spark, sf_dir)
+    tok = docs.select(F.explode(_toks(F.col("text"))).alias("tok"))
+
+    def cell(i):
+        return F.pmod(F.xxhash64(F.lit(f"cm{i}"), F.col("tok")), F.lit(wdt))
+
+    cells = tok.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("row"), cell(i).alias("col"))
+                for i in range(d)
+            ])
+        ).alias("c")
+    ).select("c.row", "c.col")
+    counters = cells.groupBy("row", "col").agg(F.count(F.lit(1)).alias("n")).collect()
+    tables = [[0] * wdt for _ in range(d)]
+    for r in counters:
+        tables[r["row"]][r["col"]] = r["n"]
+    lits = [F.lit(t) for t in tables]
+
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    est = F.least(
+        *[
+            F.element_at(
+                lits[i],
+                (F.pmod(F.xxhash64(F.lit(f"cm{i}"), F.col("tok")), F.lit(wdt)) + 1).cast(
+                    "int"
+                ),
+            )
+            for i in range(d)
+        ]
+    )
+    # candidates by sketch estimate (no false negatives), then the exact
+    # count — already at hand from the same aggregation — confirms
+    return (
+        vocab.withColumn("_est", est)
+        .filter(F.col("_est") >= threshold)
+        .filter(F.col("cnt") >= threshold)
+        .select("tok", "cnt")
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+    )

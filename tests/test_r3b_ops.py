@@ -768,3 +768,47 @@ def test_prefix_filter_loses_no_pairs_randomized(spark):
             if j >= t:
                 want[(a, b)] = round(j, 6)
         assert got == want, f"threshold {t}"
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch prefilter property
+# ---------------------------------------------------------------------------
+
+
+def test_cm_sketch_never_underestimates(spark):
+    import random
+    from collections import Counter
+
+    rnd = random.Random(47)
+    words = [rnd.choice(["hot"] * 50 + [f"w{i}" for i in range(200)]) for _ in range(5000)]
+    true = Counter(words)
+    df = spark.createDataFrame([Row(tok=w) for w in words])
+    d, wdt = 4, 512  # small width: force collisions so the bound is non-trivial
+
+    def cell(i):
+        return F.pmod(F.xxhash64(F.lit(f"cm{i}"), F.col("tok")), F.lit(wdt))
+
+    cells = df.select(
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("row"), cell(i).alias("col")) for i in range(d)])
+        ).alias("c")
+    ).select("c.row", "c.col")
+    counters = cells.groupBy("row", "col").agg(F.count(F.lit(1)).alias("n")).collect()
+    tables = [[0] * wdt for _ in range(d)]
+    for r in counters:
+        tables[r["row"]][r["col"]] = r["n"]
+    lits = [F.lit(t) for t in tables]
+    est_col = F.least(
+        *[
+            F.element_at(lits[i], (cell(i) + 1).cast("int"))
+            for i in range(d)
+        ]
+    )
+    est = {
+        r["tok"]: r["est"]
+        for r in df.select("tok").distinct().withColumn("est", est_col).collect()
+    }
+    for tok, n in true.items():
+        assert est[tok] >= n, tok  # the CM one-sided error guarantee
+    # and the hot token's estimate is tight enough to be useful
+    assert est["hot"] < true["hot"] * 2
