@@ -5817,3 +5817,93 @@ def q140_cm_heavy_hitters(spark, sf_dir):
         .select("tok", "cnt")
         .orderBy(F.desc("cnt"), F.asc("tok"))
     )
+
+
+@query(
+    "q141_streaming_cdc_upsert",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events
+      WHERE user_id < 80
+    )
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           round(value, 2) AS value
+    FROM ranked WHERE rk = 1
+    ORDER BY user_id
+    """,
+)
+def q141_streaming_cdc_upsert(spark, sf_dir):
+    """END-TO-END exactly-once streaming CDC materialization: the change
+    log streams through the manifest-committed idempotent sink
+    (streaming/sink.py — one batch is DELIBERATELY REPLAYED to simulate
+    post-crash at-least-once redelivery), the manifest table is read
+    back, and latest-per-key compaction (q81's operator) produces
+    current state.  The oracle computes the same state straight from
+    the batch table — equality proves the whole stream→exactly-once
+    sink→upsert-view path drops the replay and loses nothing.
+
+    Composes: file-source micro-batches, foreachBatch, the atomic
+    manifest protocol, and the CDC window — the production changelog
+    pipeline in one gate."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from .operators.maintenance import manifest_read
+    from .streaming.sink import idempotent_batch_writer
+    from .streaming.windows import scratch_dir, stage_ordered_files
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 80)
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    src = scratch_dir("bacon_q141src_")
+    out = scratch_dir("bacon_q141out_")
+    ckpt = scratch_dir("bacon_q141ck_")
+    try:
+        stage_ordered_files([(src, ev.select(*cols).repartition(4), "overwrite")])
+        sschema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+        stream = (
+            spark.readStream.schema(sschema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+        writer = idempotent_batch_writer(out)
+        q = (
+            stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # simulate at-least-once redelivery after a crash: replay batch 0
+        # verbatim — the sink must drop it without a version bump
+        first_files = sorted(
+            f for f in __import__("os").listdir(src) if f.endswith(".parquet")
+        )[:2]
+        replay = spark.read.parquet(*[f"{src}/{f}" for f in first_files])
+        writer(replay, 0)
+
+        table = manifest_read(spark, out)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            table.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(
+                "user_id",
+                "event_id",
+                "event_type",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+                F.round("value", 2).alias("value"),
+            )
+            .orderBy("user_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
