@@ -5907,3 +5907,163 @@ def q141_streaming_cdc_upsert(spark, sf_dir):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "q142_distribution_drift",
+    """
+    WITH _v AS (
+        SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS split,
+               n_chars
+        FROM documents
+    ),
+    _edges AS (
+        SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS ts FROM _v
+    ),
+    _b AS (
+        SELECT split,
+               cast(1 + (CASE WHEN n_chars > ts[1] THEN 1 ELSE 0 END)
+                      + (CASE WHEN n_chars > ts[2] THEN 1 ELSE 0 END)
+                      + (CASE WHEN n_chars > ts[3] THEN 1 ELSE 0 END) as int)
+                   AS bucket
+        FROM _v CROSS JOIN _edges
+    ),
+    _counts AS (
+        SELECT bucket,
+               cast(sum(CASE WHEN split = 'a' THEN 1 ELSE 0 END) as bigint) AS n_a,
+               cast(sum(CASE WHEN split = 'b' THEN 1 ELSE 0 END) as bigint) AS n_b
+        FROM _b GROUP BY bucket
+    ),
+    _tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM _counts)
+    SELECT bucket, n_a, n_b,
+           round(
+             pow(cast(n_a as double) / ta - cast(n_b as double) / tb, 2)
+             / (cast(n_a + n_b as double) / (ta + tb)), 10) AS chi2_term
+    FROM _counts CROSS JOIN _tot
+    ORDER BY bucket
+    """,
+)
+def q142_distribution_drift(spark, sf_dir):
+    """Distribution-drift check between two dataset splits (the
+    monitoring gate run between training snapshots): both splits are
+    bucketed by SHARED exact-quartile edges of the combined data
+    (q112's threshold machinery), and a per-bucket chi-square-style
+    drift term compares the splits' proportions.  Counts are integers;
+    the drift terms are a fixed sequence of IEEE ops on identical
+    integers — deterministic cross-engine (pow(x,2) is x*x in both).
+
+    Scale shape: one percentile pass + one bucket aggregation; bucket
+    cardinality state only."""
+    docs = _read_docs(spark, sf_dir).select(
+        F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b").alias("split"),
+        "n_chars",
+    )
+    row = docs.select(
+        F.expr("percentile(n_chars, array(0.25, 0.5, 0.75))").alias("ts")
+    ).collect()[0]
+    t1, t2, t3 = row["ts"]
+    bucket = (
+        F.lit(1)
+        + F.when(F.col("n_chars") > t1, 1).otherwise(0)
+        + F.when(F.col("n_chars") > t2, 1).otherwise(0)
+        + F.when(F.col("n_chars") > t3, 1).otherwise(0)
+    ).cast("int")
+    counts = (
+        docs.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("split") == "a", 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("split") == "b", 1).otherwise(0)).alias("n_b"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    pa = F.col("n_a").cast("double") / F.col("ta")
+    pb = F.col("n_b").cast("double") / F.col("tb")
+    pooled = (F.col("n_a") + F.col("n_b")).cast("double") / (F.col("ta") + F.col("tb"))
+    term = F.round(F.pow(pa - pb, 2) / pooled, 10)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select("bucket", "n_a", "n_b", term.alias("chi2_term"))
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q143_feature_hashing",
+    f"""
+    WITH _tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS tok
+        FROM documents WHERE doc_id < 100
+    ),
+    _feat AS (
+        SELECT doc_id,
+               {{h}} % 1024 AS idx,
+               cast(count(*) as bigint) AS val
+        FROM _tok
+        GROUP BY doc_id, {{h}} % 1024
+    ),
+    _ranked AS (
+        SELECT doc_id, idx, val,
+               row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS rn
+        FROM _feat
+    )
+    SELECT doc_id,
+           cast((SELECT count(*) FROM _feat f WHERE f.doc_id = r.doc_id)
+                as bigint) AS nnz,
+           array_to_string(list(idx::VARCHAR || ':' || val::VARCHAR
+                                ORDER BY idx), ' ') AS features
+    FROM _ranked r
+    WHERE rn <= 20
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """.format(h="cast(('0x' || substr(md5(tok), 1, 15)) as bigint)"),
+)
+def q143_feature_hashing(spark, sf_dir):
+    """Hashing-trick text vectorization (Weinberger et al. 2009 — the
+    fixed-dimension, vocabulary-free featurizer): token counts hashed
+    into 1024 buckets via the shared md5 dialect; per doc the nonzero
+    count and the 20 lowest-index features as 'idx:val' pairs.  The
+    oracle recomputes the identical hash in DuckDB.
+
+    Scale shape: tokenize+hash map-side, one (doc, idx) aggregation,
+    WindowGroupLimit caps the per-doc feature sample inside the
+    shuffle."""
+    from pyspark.sql import Window
+
+    from .llm.dedup import hash60
+    from .llm.text import tokens as _toks
+
+    docs = _read_docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    feats = (
+        docs.select("doc_id", F.explode(_toks(F.col("text"))).alias("tok"))
+        .select("doc_id", (hash60(F.col("tok")) % 1024).alias("idx"))
+        .groupBy("doc_id", "idx")
+        .agg(F.count(F.lit(1)).alias("val"))
+    )
+    nnz = feats.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nnz"))
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    top = (
+        feats.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("idx"), F.col("val")))
+                    ),
+                    lambda s: F.concat_ws(
+                        ":", s["idx"].cast("string"), s["val"].cast("string")
+                    ),
+                ),
+            ).alias("features")
+        )
+    )
+    return (
+        nnz.join(top, "doc_id").select("doc_id", "nnz", "features").orderBy("doc_id")
+    )
