@@ -6067,3 +6067,57 @@ def q143_feature_hashing(spark, sf_dir):
     return (
         nnz.join(top, "doc_id").select("doc_id", "nnz", "features").orderBy("doc_id")
     )
+
+
+_Q144_FOLD = "(" + _draw_sql("source", "s144") + ") % 5"
+
+
+@query(
+    "q144_group_kfold",
+    f"""
+    WITH _f AS (
+        SELECT doc_id, source, cast({_Q144_FOLD} as int) AS fold
+        FROM documents
+    )
+    SELECT fold,
+           cast(count(*) as bigint) AS n_docs,
+           cast(count(DISTINCT source) as bigint) AS n_groups,
+           cast((SELECT max(nf) FROM (
+               SELECT count(DISTINCT fold) AS nf FROM _f GROUP BY source))
+               as bigint) AS max_folds_per_group
+    FROM _f
+    GROUP BY fold
+    ORDER BY fold
+    """,
+)
+def q144_group_kfold(spark, sf_dir):
+    """GROUP-aware k-fold assignment (GroupKFold — the anti-leakage CV
+    split): the fold is a deterministic salted draw of the GROUP key
+    (source), not the row, so every document of a group lands in the
+    same fold — near-duplicates and same-origin docs can never straddle
+    train/validation.  The result certifies it: max_folds_per_group is
+    1 by construction, and the oracle recomputes the same draws.
+
+    Scale shape: fold assignment is a map-side hash of an existing
+    column — no group table, no join, reproducible across engines and
+    partitionings (the same salted-md5 dialect as q55/q82)."""
+    docs = _read_docs(spark, sf_dir)
+    f = docs.select(
+        "doc_id",
+        "source",
+        (_samp._draw(F.col("source"), "s144") % 5).cast("int").alias("fold"),
+    )
+    per_group = f.groupBy("source").agg(
+        F.countDistinct("fold").alias("nf")
+    )
+    max_nf = per_group.agg(F.max("nf").alias("m"))
+    return (
+        f.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(max_nf))
+        .select("fold", "n_docs", "n_groups", F.col("m").alias("max_folds_per_group"))
+        .orderBy("fold")
+    )
