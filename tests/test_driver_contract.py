@@ -1,0 +1,60 @@
+"""The grading driver's contract, as a regression test: __spark_entry__
+must expose entry/queries/oracle_sql with matching keys, entry must
+return rows, and every oracle must be a non-empty SQL string for a
+registered query.  A rename or a missed registration fails HERE, not in
+the driver's snapshot."""
+
+import importlib.util
+import sys
+
+
+def _load_entry():
+    spec = importlib.util.spec_from_file_location(
+        "_entry_contract", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["_entry_contract"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_returns_rows(spark):
+    mod = _load_entry()
+    df = mod.entry(spark)
+    assert len(df.collect()) > 0
+    assert df.columns  # stable, named schema
+
+
+def test_queries_and_oracles_consistent(spark):
+    mod = _load_entry()
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    assert len(qs) >= 144
+    # every oracle key must be a registered query
+    assert set(oracles) <= set(qs)
+    # the only intentionally oracle-free query is the true-streaming
+    # sampling run q44 (rows-only by design; its exactness class is
+    # covered by q62/q85)
+    missing = set(qs) - set(oracles)
+    assert missing == {"q44_streaming_tumbling"}, missing
+    for name, sql in oracles.items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+    for name, fn in qs.items():
+        assert callable(fn), name
+
+
+def test_sampled_queries_run_at_smoke_sf(spark):
+    # one query per round-3 family, at the driver's smoke SF
+    mod = _load_entry()
+    qs = mod.queries()
+    for name in [
+        "q01_pricing_summary",
+        "q102_bpe_pair_counts",
+        "q111_global_rank",
+        "q120_triangle_count",
+        "q131_bloom_prefilter_decontam",
+        "q136_jaccard_similarity_join",
+        "q140_cm_heavy_hitters",
+        "q144_group_kfold",
+    ]:
+        assert qs[name](spark, "/root/testdata/sf0.001").count() >= 0, name
