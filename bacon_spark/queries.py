@@ -6121,3 +6121,176 @@ def q144_group_kfold(spark, sf_dir):
         .select("fold", "n_docs", "n_groups", F.col("m").alias("max_folds_per_group"))
         .orderBy("fold")
     )
+
+
+#: deterministic URL injection (q70's pattern): host derived from doc_id
+#: so BOTH engines synthesize identical links — makes the extraction
+#: check non-vacuous on the linkless synthetic corpus
+_Q145_URL = (
+    "' see https://host' || cast(doc_id % 7 as varchar) || "
+    "'.example.com/p/' || cast(doc_id as varchar) || ' and '"
+    "|| 'http://host' || cast(doc_id % 3 as varchar) || '.example.org/q'"
+)
+
+
+@query(
+    "q145_domain_stats",
+    f"""
+    WITH _aug AS (
+        SELECT doc_id, text || {_Q145_URL} AS text FROM documents
+    ),
+    _urls AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(text,
+                      'https?://([a-z0-9.-]+)', 1)) AS domain
+        FROM _aug
+    )
+    SELECT domain,
+           cast(count(*) as bigint) AS n_links,
+           cast(count(DISTINCT doc_id) as bigint) AS n_docs
+    FROM _urls
+    GROUP BY domain
+    ORDER BY domain
+    """,
+)
+def q145_domain_stats(spark, sf_dir):
+    """URL extraction + domain-level link statistics (the web-corpus
+    provenance/outlink analysis every crawl pipeline runs): URLs pulled
+    by a shared Spark∩DuckDB regex dialect, aggregated per domain.
+    Deterministic links are injected in-query on BOTH engines (q70's
+    pattern) so the check can't pass vacuously.
+
+    Scale shape: map-side regexp_extract_all + one domain-keyed
+    aggregation with map-side combine; domains are a bounded key
+    space."""
+    docs = _read_docs(spark, sf_dir)
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://host"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://host"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example.org/q"),
+        ),
+    )
+    urls = aug.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(text, 'https?://([a-z0-9.-]+)', 1)")
+        ).alias("domain"),
+    )
+    return (
+        urls.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("domain")
+    )
+
+
+@query(
+    "q146_full_star_query",
+    """
+    SELECT r.r_name AS region, p.p_brand AS brand,
+           cast(sum(cast(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         as bigint)) as bigint) AS revenue_cents,
+           cast(count(*) as bigint) AS n_lines
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_acctbal >= 0
+    GROUP BY r.r_name, p.p_brand
+    ORDER BY region, brand
+    """,
+)
+def q146_full_star_query(spark, sf_dir):
+    """The FULL star schema in one query — all seven tables: revenue by
+    (region, brand) with a supplier-side predicate, exercising the
+    complete dimension chain the join-culling engine usually prunes
+    (q02 keeps 4 joins; this one needs every edge).
+
+    Scale shape: fact-sized work is one scan + broadcast hash joins for
+    every dimension (all dim tables are broadcast-sized by star-schema
+    construction); one aggregation keyed on the two output dims."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    p = _read(spark, sf_dir, "part")
+    s = _read(spark, sf_dir, "supplier")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(s.s_acctbal >= 0)
+    )
+    rev = F.expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"
+    )
+    return (
+        joined.groupBy(F.col("r_name").alias("region"), F.col("p_brand").alias("brand"))
+        .agg(F.sum(rev).alias("revenue_cents"), F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("region", "brand")
+    )
+
+
+@query(
+    "q147_local_supplier_revenue",
+    """
+    SELECT n.n_name AS nation,
+           cast(sum(cast(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         as bigint)) as bigint) AS local_revenue_cents,
+           cast(count(*) as bigint) AS n_lines
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE s.s_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def q147_local_supplier_revenue(spark, sf_dir):
+    """TPC-H Q5's signature shape: revenue where the SUPPLIER is in the
+    CUSTOMER's nation (s_nationkey = c_nationkey — a cross-dimension
+    equality predicate, not a star edge).  The predicate evaluates
+    after both broadcast joins, filtering fact rows without any extra
+    shuffle — the pattern for same-region/same-owner co-location
+    analytics."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .filter(s.s_nationkey == c.c_nationkey)
+    )
+    rev = F.expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(rev).alias("local_revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("nation")
+    )

@@ -29,7 +29,7 @@ def test_queries_and_oracles_consistent(spark):
     mod = _load_entry()
     qs = mod.queries()
     oracles = mod.oracle_sql()
-    assert len(qs) >= 144
+    assert len(qs) >= 147
     # every oracle key must be a registered query
     assert set(oracles) <= set(qs)
     # the only intentionally oracle-free query is the true-streaming

@@ -325,3 +325,19 @@ def test_q130_subqueries_decorrelated_to_joins(spark):
     assert plan.count("Join") >= 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q146_full_star_all_dims_broadcast(spark):
+    # all six dimension joins broadcast; no SMJ, no cartesian; the only
+    # possibly-shuffled join is lineitem x orders (both fact-scale)
+    plan = plan_of(spark, "q146_full_star_query")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+
+
+def test_q147_cross_dim_predicate_no_extra_shuffle(spark):
+    # s_nationkey = c_nationkey must evaluate as a filter over the
+    # joined rows, not create a join between the two dimensions
+    plan = plan_of(spark, "q147_local_supplier_revenue")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
