@@ -23,7 +23,13 @@ SENSITIVE = [
     "q118_salted_skew_join",
     "q122_time_weighted_avg",
     "q132_temperature_mixture",
+    "q121_grouped_fit_pandas",
+    "q131_bloom_prefilter_decontam",
+    "q135_markov_transitions",
     "q136_jaccard_similarity_join",
+    "q139_quantized_ann_topk",
+    "q140_cm_heavy_hitters",
+    "q144_group_kfold",
     "q138_embedding_quantization",
     "q55_stratified_sample",
     "q82_dataset_split",
