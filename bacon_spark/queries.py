@@ -6294,3 +6294,143 @@ def q147_local_supplier_revenue(spark, sf_dir):
         )
         .orderBy("nation")
     )
+
+
+@query(
+    "q148_corpus_novelty",
+    f"""
+    WITH _g AS (
+        SELECT doc_id, unnest({_dd.shingles_sql('text', 3)}) AS gram
+        FROM documents
+    ),
+    _first AS (SELECT gram, min(doc_id) AS first_doc FROM _g GROUP BY gram),
+    _per AS (
+        SELECT g.doc_id,
+               count(*) AS n_grams,
+               sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+        FROM _g g JOIN _first f ON g.gram = f.gram
+        GROUP BY g.doc_id
+    )
+    SELECT doc_id, cast(n_grams as bigint) AS n_grams,
+           cast(n_novel as bigint) AS n_novel,
+           round(cast(n_novel as double) / n_grams, 6) AS novelty
+    FROM _per
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def q148_corpus_novelty(spark, sf_dir):
+    """Corpus-order novelty scoring: the fraction of each document's
+    distinct 3-gram shingles whose FIRST corpus occurrence (by min
+    doc_id) is that document — the contribution/novelty signal used to
+    prioritize which documents actually add content (the dedup-adjacent
+    ranking in data-curation pipelines; a doc of all-recycled n-grams
+    scores 0).
+
+    Scale shape: gram → min(doc) is one partial-aggregated shuffle of
+    (gram, id) pairs; the per-doc fraction joins that gram-cardinality
+    table back on the same key.  Bodies never shuffle."""
+    docs = _read_docs(spark, sf_dir)
+    g = docs.select(
+        "doc_id", F.explode(_dd.shingles(F.col("text"), 3)).alias("gram")
+    )
+    first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        g.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        per.filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q149_higher_moments",
+    """
+    WITH _v AS (
+        SELECT l_returnflag AS g,
+               cast(round(l_extendedprice * 100) as bigint) AS x
+        FROM lineitem
+    ),
+    _s AS (
+        SELECT g, count(*) AS n,
+               sum(cast(x as hugeint)) AS s1,
+               sum(cast(x as hugeint) * cast(x as hugeint)) AS s2,
+               sum(cast(x as hugeint) * cast(x as hugeint) * cast(x as hugeint)) AS s3,
+               sum(cast(x as hugeint) * cast(x as hugeint) * cast(x as hugeint)
+                   * cast(x as hugeint)) AS s4
+        FROM _v GROUP BY g
+    ),
+    _d AS (
+        SELECT g, cast(n as double) AS n, cast(s1 as double) AS s1,
+               cast(s2 as double) AS s2, cast(s3 as double) AS s3,
+               cast(s4 as double) AS s4
+        FROM _s
+    ),
+    _m AS (
+        SELECT g, n,
+               s1 / n AS m1,
+               s2 / n - (s1 / n) * (s1 / n) AS m2,
+               s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n)
+                   AS m3,
+               s4 / n - 4 * (s1 / n) * (s3 / n)
+                      + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                      - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        FROM _d
+    )
+    SELECT g AS l_returnflag, cast(n as bigint) AS n,
+           round(m3 / (m2 * sqrt(m2)), 8) AS skewness,
+           round(m4 / (m2 * m2) - 3, 8) AS excess_kurtosis
+    FROM _m
+    ORDER BY l_returnflag
+    """,
+)
+def q149_higher_moments(spark, sf_dir):
+    """Third/fourth central moments per group — skewness and excess
+    kurtosis from one pass of exact power sums (completing the q07
+    Sum/StdDev family upward; distribution-shape monitoring for drift
+    beyond mean/variance).  Power sums are exact integers (decimal /
+    HUGEINT); the moment algebra is a fixed sequence of identical IEEE
+    ops, with x^1.5 spelled m2*sqrt(m2) — both correctly-rounded ops,
+    never libm pow."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("x"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    x = F.col("x")
+    sums = li.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(x)).alias("s1"),
+        F.sum((d(x) * d(x)).cast("decimal(38,0)")).alias("s2"),
+        F.sum((d(x) * d(x) * d(x)).cast("decimal(38,0)")).alias("s3"),
+        F.sum((d(x) * d(x) * d(x) * d(x)).cast("decimal(38,0)")).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    s3, s4 = F.col("s3").cast("double"), F.col("s4").cast("double")
+    m1 = s1 / n
+    m2 = s2 / n - m1 * m1
+    m3 = s3 / n - 3 * m1 * (s2 / n) + 2 * m1 * m1 * m1
+    m4 = s4 / n - 4 * m1 * (s3 / n) + 6 * m1 * m1 * (s2 / n) - 3 * m1 * m1 * m1 * m1
+    return sums.select(
+        F.col("g").alias("l_returnflag"),
+        F.col("n").cast("long").alias("n"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 8).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 8).alias("excess_kurtosis"),
+    ).orderBy("l_returnflag")
