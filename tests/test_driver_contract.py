@@ -58,3 +58,36 @@ def test_sampled_queries_run_at_smoke_sf(spark):
         "q144_group_kfold",
     ]:
         assert qs[name](spark, "/root/testdata/sf0.001").count() >= 0, name
+
+
+def test_oracle_compare_detects_mutations(spark):
+    """Negative control for the correctness harness: the same
+    normalization+compare used by tools/check_oracle.py must FAIL on a
+    value flip, a row drop, and a column rename — if this test passes,
+    a green sweep can't be vacuous."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_co", "/root/repo/tools/check_oracle.py"
+    )
+    co = importlib.util.module_from_spec(spec)
+    import sys as _sys
+
+    _sys.modules["_co"] = co
+    spec.loader.exec_module(co)
+
+    cols = ["k", "v"]
+    rows = [(1, 10.0), (2, 20.0), (3, None)]
+    base = co.norm_rows(cols, rows)
+    # identical data in a different row order and column order: EQUAL
+    assert co.norm_rows(["v", "k"], [(20.0, 2), (None, 3), (10.0, 1)]) == base
+    # value flip: DIFFERENT
+    assert co.norm_rows(cols, [(1, 10.0), (2, 20.5), (3, None)]) != base
+    # dropped row: DIFFERENT
+    assert co.norm_rows(cols, rows[:2]) != base
+    # null vs zero: DIFFERENT
+    assert co.norm_rows(cols, [(1, 10.0), (2, 20.0), (3, 0.0)]) != base
+    # float noise below the 1e-9 normalization threshold: EQUAL (the
+    # documented tolerance), above it: DIFFERENT
+    assert co.norm_rows(cols, [(1, 10.0 + 1e-12), (2, 20.0), (3, None)]) == base
+    assert co.norm_rows(cols, [(1, 10.0 + 1e-6), (2, 20.0), (3, None)]) != base
