@@ -341,3 +341,35 @@ def test_q147_cross_dim_predicate_no_extra_shuffle(spark):
     plan = plan_of(spark, "q147_local_supplier_revenue")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q140_single_documents_scan_and_prefilter_before_agg(spark):
+    # the Count-Min fix (r4): the returned frame's plan must read the
+    # PERSISTED token frame (InMemoryTableScan), i.e. the corpus is
+    # tokenized once for sketch build + probe, not re-scanned; and the
+    # sketch probe (least(element_at...)) must sit BELOW the per-token
+    # aggregation as a Filter so only candidates enter the shuffle
+    df = QUERIES["q140_cm_heavy_hitters"](spark, SF)
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryTableScan" in plan  # cached tok, no 2nd parquet scan
+        assert "Relation" not in plan.replace("InMemoryRelation", "")
+        # optimized plan: Filter(least(...) >= 500) below the Aggregate
+        agg_pos = opt.index("Aggregate")
+        filt_pos = opt.index("least(")
+        assert filt_pos > agg_pos  # printed top-down: filter under the agg
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_q139_quantization_cached_once(spark):
+    # the persist fix (r4): both join sides read the quantized frame from
+    # cache — quantization (array transform over every vector) appears in
+    # no more than one scan
+    df = QUERIES["q139_quantized_ann_topk"](spark, SF)
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 2  # probe + corpus sides
+    finally:
+        spark.catalog.clearCache()
