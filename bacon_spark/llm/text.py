@@ -566,7 +566,15 @@ def spelling_variant_pairs(
     block by construction (documented recall trade of first-letter
     blocking, as in classic ER).
 
-    Returns (word_a, word_b, dist, cnt_a, cnt_b), word_a < word_b."""
+    Dedup is decoupled from length orientation (r4 fix, ADVICE r3):
+    equal-length pairs dedup lexicographically (word_a < word_b), while
+    insertion pairs are oriented shorter->longer (each unordered pair
+    appears exactly once as word_a = the shorter word) — the old
+    ``a.w < b.w`` applied to BOTH cases silently dropped insertion pairs
+    whose longer word sorts before the shorter (e.g. cat/cart: neither
+    orientation satisfied len-diff >= 0 AND a < b).
+
+    Returns (word_a, word_b, dist, cnt_a, cnt_b)."""
     from pyspark.sql import functions as F
 
     words = docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
@@ -582,8 +590,10 @@ def spelling_variant_pairs(
     cand = a.join(
         b,
         (F.col("a.c0") == F.col("b.c0"))
-        & (F.col("b.ln") - F.col("a.ln")).between(0, 1)
-        & (F.col("a.w") < F.col("b.w")),
+        & (
+            ((F.col("a.ln") == F.col("b.ln")) & (F.col("a.w") < F.col("b.w")))
+            | (F.col("b.ln") - F.col("a.ln") == 1)
+        ),
     )
     return (
         cand.withColumn("dist", F.levenshtein(F.col("a.w"), F.col("b.w")))
@@ -621,6 +631,7 @@ def spelling_variant_pairs_sql(
            cast(levenshtein(a.w, b.w) as int) AS dist,
            a.cnt AS cnt_a, b.cnt AS cnt_b
     FROM _vocab a JOIN _vocab b
-      ON a.c0 = b.c0 AND (b.ln - a.ln) BETWEEN 0 AND 1 AND a.w < b.w
+      ON a.c0 = b.c0
+     AND ((a.ln = b.ln AND a.w < b.w) OR b.ln - a.ln = 1)
     WHERE levenshtein(a.w, b.w) BETWEEN 1 AND {max_dist}
     """

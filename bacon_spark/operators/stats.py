@@ -36,7 +36,17 @@ def grouped_regression(
 
     *x_col* / *y_col* must be integer-valued columns; sums are decimal-
     exact.  r² = (n·Sxy − Sx·Sy)² / ((n·Sxx − Sx²) · (n·Syy − Sy²));
-    degenerate groups (zero variance in x) yield NULL slope/r²."""
+    degenerate groups (zero variance in x) yield NULL slope/r².
+
+    Overflow guard (ADVICE r3): under non-ANSI Spark an overflowing
+    decimal(38,0) product/sum goes NULL *silently* (and per-row product
+    overflow silently drops rows from the sum), while DuckDB's HUGEINT
+    raises — the engines would diverge quietly.  The same aggregation
+    therefore also computes per-group max|x| / max|y|, and the output
+    raises (JVM-side ``raise_error``) when n·max² could approach 10³⁸ —
+    a conservative bound (guard may fire slightly before true overflow),
+    so overflow surfaces as an ERROR on both engines instead of NULLs on
+    one.  Input bound: n·max(|x|,|y|)² < 9.9e37."""
     d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     sums = df.groupBy(group).agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
@@ -45,7 +55,11 @@ def grouped_regression(
         F.sum((d(x_col) * d(y_col)).cast("decimal(38,0)")).alias("sxy"),
         F.sum((d(x_col) * d(x_col)).cast("decimal(38,0)")).alias("sxx"),
         F.sum((d(y_col) * d(y_col)).cast("decimal(38,0)")).alias("syy"),
+        F.max(F.abs(d(x_col))).cast("double").alias("_mx"),
+        F.max(F.abs(d(y_col))).cast("double").alias("_my"),
     )
+    big = F.greatest(F.col("_mx"), F.col("_my"))
+    overflow_risk = big * big * F.col("n").cast("double") >= F.lit(9.9e37)
     # decimal(38,0) products can exceed 38 digits for the cross terms;
     # evaluate the covariance numerators in double AFTER the exact sums
     # (identical doubles both engines: same integer inputs, same ops).
@@ -61,9 +75,20 @@ def grouped_regression(
     slope = F.when(var_x != 0, cov_n / var_x)
     intercept = F.when(var_x != 0, (sy - slope * sx) / n)
     r2 = F.when((var_x != 0) & (var_y != 0), (cov_n * cov_n) / (var_x * var_y))
+    n_guarded = F.when(
+        overflow_risk,
+        F.raise_error(
+            F.concat(
+                F.lit("grouped_regression overflow risk in group "),
+                F.col(group).cast("string"),
+                F.lit(": n*max(|x|,|y|)^2 approaches decimal(38,0); "
+                      "rescale inputs or pre-aggregate"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("n").cast("long"))
     return sums.select(
         F.col(group),
-        F.col("n").cast("long").alias("n"),
+        n_guarded.alias("n"),
         slope.alias("slope"),
         intercept.alias("intercept"),
         r2.alias("r2"),

@@ -2929,9 +2929,24 @@ def q73_embedding_lsh_pairs(spark, sf_dir):
     static planes the sf0.1→sf1 sweep measured 20x wall at 10x data
     (fixed-bucket LSH's classic quadratic trap). At the oracle SFs
     (0.001/0.01) the rule yields exactly the pinned 8-plane oracle."""
+    import os
+
     emb = _read(spark, sf_dir, "embeddings")
     n = emb.count()
-    seeds = tuple(range(1, _sim.adaptive_seed_count(n) + 1))
+    planes = _sim.adaptive_seed_count(n)
+    # Guard (ADVICE r3): the registered oracle SQL is pinned to the static
+    # 8-plane HYPERPLANE_SEEDS; if the gate fixtures ever grow past 2048
+    # vectors the adaptive rule would pick more planes and the oracle
+    # compare would fail for a reason unrelated to any real bug — fail
+    # HERE with the actual cause instead.
+    if os.path.basename(os.path.normpath(sf_dir)) in ("sf0.001", "sf0.01"):
+        assert planes == len(_sim.HYPERPLANE_SEEDS), (
+            f"gate fixture {sf_dir} grew to {n} vectors: adaptive_seed_count "
+            f"-> {planes} planes but the q73 oracle SQL is pinned to "
+            f"{len(_sim.HYPERPLANE_SEEDS)}; regenerate the oracle via "
+            f"lsh_bucket_pairs_sql(seeds=range(1, planes+1))"
+        )
+    seeds = tuple(range(1, planes + 1))
     return _sim.lsh_bucket_pairs(emb, dim=64, threshold=0.2, seeds=seeds)
 
 
@@ -6454,7 +6469,12 @@ def q149_higher_moments(spark, sf_dir):
     beyond mean/variance).  Power sums are exact integers (decimal /
     HUGEINT); the moment algebra is a fixed sequence of identical IEEE
     ops, with x^1.5 spelled m2*sqrt(m2) — both correctly-rounded ops,
-    never libm pow."""
+    never libm pow.
+
+    Overflow guard (ADVICE r3): x⁴ sums approach 38 digits at ~10⁶-10⁷
+    rows of 10⁷-cent values; non-ANSI Spark would go NULL silently while
+    DuckDB's HUGEINT raises.  Same-pass max|x| feeds a raise_error guard
+    (n·max⁴ < 9.9e37) so overflow is an error on both engines."""
     li = _read(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("g"),
         F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("x"),
@@ -6467,6 +6487,19 @@ def q149_higher_moments(spark, sf_dir):
         F.sum((d(x) * d(x)).cast("decimal(38,0)")).alias("s2"),
         F.sum((d(x) * d(x) * d(x)).cast("decimal(38,0)")).alias("s3"),
         F.sum((d(x) * d(x) * d(x) * d(x)).cast("decimal(38,0)")).alias("s4"),
+        F.max(F.abs(x)).cast("double").alias("_mx"),
+    )
+    mx = F.col("_mx")
+    n_raw = F.col("n").cast("double")
+    sums = sums.withColumn(
+        "n",
+        F.when(
+            mx * mx * mx * mx * n_raw >= F.lit(9.9e37),
+            F.raise_error(
+                F.lit("q149 overflow risk: n*max|x|^4 approaches decimal(38,0); "
+                      "rescale x")
+            ).cast("long"),
+        ).otherwise(F.col("n")),
     )
     n = F.col("n").cast("double")
     s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")

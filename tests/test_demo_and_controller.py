@@ -325,3 +325,44 @@ def test_table_json_row_detail_links(board):
     # and the detail query actually serves raw rows
     rows = board.rows(detail_q, limit=5).collect()
     assert rows
+
+
+# ---------------------------------------------------------------------------
+# Installable demo entry point (python -m bacon_spark.demo <sf_dir>)
+# ---------------------------------------------------------------------------
+
+
+def test_demo_app_serves_star_cube(spark):
+    from bacon_spark.demo import build_app
+
+    app = build_app("/root/testdata/sf0.001", spark=spark)
+    client = app.test_client()
+
+    r = client.get("/")
+    assert r.status_code == 302 and "/table.html" in r.headers["Location"]
+
+    r = client.get("/table.html?q=a:region/v:revenue")
+    assert r.status_code == 200
+    body = r.data.decode()
+    assert "<table" in body and "revenue" in body
+
+    r = client.get("/table.json?q=a:region/v:revenue")
+    assert r.status_code == 200
+    doc = r.get_json()
+    assert doc["rows"] and "revenue" in doc["rows"][0]["values"]
+
+    # engine errors surface as 404 (reference ErrorTo404 contract)
+    r = client.get("/table.html?q=a:nonexistent_axis")
+    assert r.status_code == 404
+
+
+def test_demo_console_script_registered():
+    # pyproject [project.scripts]: bacon-spark-demo -> bacon_spark.demo:main
+    import tomllib
+
+    with open("/root/repo/pyproject.toml", "rb") as f:
+        meta = tomllib.load(f)
+    assert meta["project"]["scripts"]["bacon-spark-demo"] == "bacon_spark.demo:main"
+    from bacon_spark.demo import main
+
+    assert callable(main)

@@ -32,11 +32,10 @@ def test_queries_and_oracles_consistent(spark):
     assert len(qs) >= 147
     # every oracle key must be a registered query
     assert set(oracles) <= set(qs)
-    # the only intentionally oracle-free query is the true-streaming
-    # sampling run q44 (rows-only by design; its exactness class is
-    # covered by q62/q85)
+    # r4: every query has an exact oracle — q44 (the last rows-only entry)
+    # gained a deterministic-subset multi-batch oracle this round
     missing = set(qs) - set(oracles)
-    assert missing == {"q44_streaming_tumbling"}, missing
+    assert missing == set(), missing
     for name, sql in oracles.items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
     for name, fn in qs.items():

@@ -157,6 +157,32 @@ def test_grouped_regression_matches_closed_form(spark):
     assert got["degenerate"]["slope"] is None  # zero x-variance => NULL
 
 
+def test_grouped_regression_overflow_raises_not_null(spark):
+    # ADVICE r3: overflow must surface as an ERROR on the Spark side (as
+    # DuckDB's HUGEINT does), never as silent NULLs.  Under Spark 4's
+    # default ANSI mode the decimal sum itself raises ARITHMETIC_OVERFLOW;
+    # with ansi.enabled=false the raise_error guard (n*max^2 >= 9.9e37)
+    # fires instead.  Both paths are loud — assert each.
+    import pytest
+
+    big = 9 * 10**18  # near long max; big^2 = 8.1e37, n=2 -> 1.6e38 > bound
+    df = spark.createDataFrame(
+        [Row(g="o", x=big, y=1), Row(g="o", x=big - 1, y=2)]
+    )
+    with pytest.raises(Exception, match="(?i)overflow"):
+        grouped_regression(df, "g", "x", "y").collect()
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="(?i)overflow risk"):
+            grouped_regression(df, "g", "x", "y").collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    # and well-bounded inputs are untouched by the guard
+    ok = spark.createDataFrame([Row(g="s", x=1, y=2), Row(g="s", x=2, y=4)])
+    assert grouped_regression(ok, "g", "x", "y").collect()[0]["slope"] == 2.0
+
+
 # ---------------------------------------------------------------------------
 # MAD outliers
 # ---------------------------------------------------------------------------
@@ -487,6 +513,26 @@ def test_spelling_variants_blocked_model(spark):
     }
     # colum <-> column: distance 1, same first char, len diff 1, both >=2
     assert got == {("colum", "column"): 1}
+
+
+def test_spelling_variants_insertion_pair_longer_sorts_first(spark):
+    # regression (ADVICE r3): insertion pairs whose LONGER word sorts
+    # lexicographically BEFORE the shorter were dropped by the old
+    # `len-diff BETWEEN 0 AND 1 AND a.w < b.w` dedup — neither join
+    # orientation satisfied both conditions.  'abcde' (5 chars) < 'abde'
+    # (4 chars) lexicographically, levenshtein = 1 (insert 'c'): the pair
+    # must now appear, oriented shorter-first.
+    from bacon_spark.llm.text import spelling_variant_pairs
+
+    texts = ["abde abde abcde abcde", "abde abcde pipeline pipeline"]
+    df = spark.createDataFrame([Row(text=t) for t in texts])
+    got = {
+        (r["word_a"], r["word_b"]): r["dist"]
+        for r in spelling_variant_pairs(df, min_len=4, min_count=2, max_dist=1).collect()
+    }
+    assert got.get(("abde", "abcde")) == 1
+    # and no duplicate reversed orientation
+    assert ("abcde", "abde") not in got
 
 
 # ---------------------------------------------------------------------------
