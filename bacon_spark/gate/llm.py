@@ -1,0 +1,916 @@
+"""LLM-pipeline dedup & similarity gates: exact/MinHash/SimHash dedup,
+LSH banding, winnowing, ANN (IVF / quantized / k-NN), packing,
+Count-Min heavy hitters, novelty (SURVEY LLM operators).
+
+Split from the original single-module query inventory (r4); the
+registration registry and helpers live in gate/_base.py.
+"""
+
+from ._base import *  # noqa: F401,F403
+
+
+@query(
+    "q22_dedup_exact",
+    f"""
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY {_dd.hash60_sql('text')}
+    )
+    SELECT d.source AS source, count(*) AS n_docs,
+           cast(sum(d.n_chars) as bigint) AS total_chars
+    FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+    GROUP BY 1
+    """,
+)
+def q22_dedup_exact(spark, sf_dir):
+    """Exact dedup: keep lowest doc_id per 60-bit text digest, then
+    aggregate the survivors (hash-groupBy dedup; only (digest,id) pairs
+    shuffle, never bodies)."""
+    docs = _read_docs(spark, sf_dir)
+    deduped = _dd.exact_dedup(docs)
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "q27_minhash_signature",
+    f"""
+    SELECT doc_id,
+           array_to_string(list_transform({_dd.minhash_signature_sql('text')}, x -> x::VARCHAR), ',') AS sig
+    FROM documents
+    WHERE doc_id < 30
+    """,
+)
+def q27_minhash_signature(spark, sf_dir):
+    """MinHash signatures (8 permutations over 3-token shingles) — the
+    map-side half of MinHash LSH dedup.
+
+    Emitted comma-joined (positional — NOT sorted; slot i is permutation
+    i's min) so the driver's pandas canonicalizer can hash the column
+    (round-1 q27 failed on the raw array<bigint>)."""
+    docs = _read_docs(spark, sf_dir).filter(F.col("doc_id") < 30)
+    sig = _dd.minhash_signature(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.array_join(F.transform(sig, lambda x: x.cast("string")), ",").alias("sig"),
+    )
+
+
+def _band_keys_sql(sig_sql: str, bands: int, rows: int) -> str:
+    keys = []
+    for bi in range(bands):
+        sl = f"list_transform(list_slice({sig_sql}, {bi*rows+1}, {bi*rows+rows}), x -> x::VARCHAR)"
+        keys.append(f"'{bi}:' || array_to_string({sl}, ',')")
+    return "[" + ", ".join(keys) + "]"
+
+
+_LSH_KEYED_CTE = f"""
+    sig AS MATERIALIZED (
+      SELECT doc_id, {_dd.minhash_signature_sql('text')} AS sig FROM documents
+    ),
+    keyed AS MATERIALIZED (
+      SELECT doc_id, unnest({_band_keys_sql('sig', 4, 2)}) AS band_key FROM sig
+    )
+"""
+
+
+@query(
+    "q28_lsh_candidate_pairs",
+    f"""
+    WITH {_LSH_KEYED_CTE}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+    FROM keyed a JOIN keyed b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q28_lsh_candidate_pairs(spark, sf_dir):
+    """MinHash LSH banding: shingle→minhash→band→bucket-join candidate
+    pairs; shuffle is O(bands·docs), the |docs|² blowup never appears."""
+    docs = _read_docs(spark, sf_dir)
+    return _dd.lsh_candidate_pairs(docs, bands=4, rows=2)
+
+
+@query(
+    "q29_simhash",
+    f"""
+    SELECT doc_id, {_dd.simhash_sql('text')} AS sh
+    FROM documents
+    WHERE doc_id < 50
+    """,
+)
+def q29_simhash(spark, sf_dir):
+    """16-bit SimHash signatures (per-bit majority vote over token
+    hashes)."""
+    docs = _read_docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    return docs.select("doc_id", _dd.simhash(F.col("text")).alias("sh"))
+
+
+@query(
+    "q30_ngram_jaccard_pairs",
+    f"""
+    WITH {_LSH_KEYED_CTE},
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keyed a JOIN keyed b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sh AS MATERIALIZED (SELECT doc_id, {_dd.shingles_sql('text')} AS s FROM documents)
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(sa.s, sb.s))::DOUBLE
+                 / len(list_distinct(list_concat(sa.s, sb.s)))::DOUBLE, 8) AS jaccard
+    FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id
+    WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE
+                / len(list_distinct(list_concat(sa.s, sb.s)))::DOUBLE, 8) >= 0.2
+    """,
+)
+def q30_ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup verification: exact shingle Jaccard over LSH candidates
+    only (quadratic term bounded by bucket sizes)."""
+    docs = _read_docs(spark, sf_dir)
+    return _dd.ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+@query(
+    "q31_cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round({_sim.cosine_sql('embedding', 'qe')}, 6) AS cos_sim
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q31_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k similarity search: map-side scoring against
+    the broadcast query vector + TakeOrderedAndProject (no global sort)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qvec = F.array(*[F.lit(float(v)) for v in qrow])
+    return _sim.brute_force_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+@query(
+    "q40_embedding_near_dup",
+    f"""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_sim.cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    WHERE round({_sim.cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.3
+    """,
+)
+def q40_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, EXACT, via block-partitioned
+    all-pairs (llm/similarity.blocked_all_pairs_cosine): every pair is
+    compared exactly once through an equi-join on block-pair ids — no
+    BroadcastNestedLoopJoin / cartesian anywhere in the plan (asserted in
+    tests/test_plans.py). At 0.3 cosine LSH recall is poor, so the
+    bucketed-approximate path (ann_lsh_topk) is deliberately not used."""
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return _sim.blocked_all_pairs_cosine(emb, threshold=0.3, blocks=8)
+
+
+@query(
+    "q46_multimodal_features",
+    """
+    WITH assets AS (
+      SELECT i AS asset_id,
+             ['image','audio','video'][(i % 3) + 1] AS kind,
+             128 + (i % 5) * 16 AS nb
+      FROM (SELECT unnest(range(0, 96)) AS i)
+    ),
+    decoded AS (
+      SELECT asset_id, kind, nb,
+             list_sum(list_transform(range(0, nb),
+                                     j -> (asset_id*31 + j*7) % 256))::BIGINT AS byte_sum,
+             list_transform(range(0, 8), k -> len(list_filter(range(0, nb),
+                 j -> ((asset_id*31 + j*7) % 256) % 8 = k))::DOUBLE / nb) AS feat
+      FROM assets
+    )
+    SELECT asset_id, kind, nb AS n_bytes, byte_sum,
+           round(list_sum(list_transform(range(0, 8),
+                 k -> feat[k + 1] * k::DOUBLE)), 6) AS feat_moment
+    FROM decoded
+    """,
+)
+def q46_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing in the gate: binary asset payloads through the
+    Arrow-batched mapInPandas feature extractor (deterministic stub
+    kernel), emitted per asset. Exercises schema/batching/partitioning of
+    the image/audio/video path end-to-end — and because the synthetic
+    payloads are pure integer arithmetic ((i*31 + j*7) % 256), the DuckDB
+    oracle re-derives every byte count, byte sum, and the first moment of
+    the 8-bin feature histogram without ever seeing a blob: the decode
+    kernel's exact output is hash-checked, not just row-counted."""
+    from ..llm.multimodal import extract_image_features, synthetic_assets
+
+    assets = synthetic_assets(spark, n=96)
+    feats = extract_image_features(assets, dim=8)
+    joined = feats.join(assets.select("asset_id", "kind"), "asset_id")
+    # byte_sum reconstructs the exact integer payload sum from the
+    # kernel's mean (mean = sum/nb, so mean*nb rounds to the integer sum);
+    # feat_moment = sum_k k*f_k folds the full histogram into one number
+    moment = F.aggregate(
+        F.zip_with(
+            F.col("feature"),
+            F.sequence(F.lit(0), F.size("feature") - 1),
+            lambda f, k: f * k.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return joined.select(
+        "asset_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.round(F.col("mean_byte") * F.col("n_bytes")).cast("long").alias("byte_sum"),
+        F.round(moment, 6).alias("feat_moment"),
+    )
+
+
+@query(
+    "q47_ann_ivf_topk",
+    """
+    SELECT 10 AS k, 8 AS nlist, 3 AS nprobe,
+           CASE (SELECT round(sum(list_sum(embedding)))::BIGINT FROM embeddings)
+             WHEN -33 THEN 0.9  -- sf0.001 fixture
+             WHEN 1   THEN 0.7  -- sf0.01 fixture (the driver's gate SF)
+             WHEN -22 THEN 0.7  -- sf0.1 fixture
+             ELSE -1.0 END::DOUBLE AS recall_at_k
+    """,
+)
+def q47_ann_ivf_topk(spark, sf_dir):
+    """IVF-Flat ANN in the gate: seeded Lloyd centroids on a hash-spread
+    sample + nprobe cell probing (llm/ivf.py), scored as recall@10 against
+    the in-gate exact brute-force top-k.
+
+    The whole index is deterministic (seeded init, md5 hash_sample,
+    codegen cell assignment), so the achieved recall is a reproducible
+    function of the fixture — the oracle pins the measured value per
+    corpus (fingerprinted by an embedding checksum, since two fixtures
+    share a row count). Any regression in sampling, Lloyd, assignment, or
+    probing moves recall and trips the gate; exact-cosine correctness is
+    separately covered by q31/q40."""
+    from ..llm.ivf import IVFIndex
+    from ..llm.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    q = [float(v) for v in qrow]
+    idx = IVFIndex(emb, nlist=8, seed=42)
+    k, nprobe = 10, 3
+    ivf_ids = idx.topk(q, k=k, nprobe=nprobe).select("vec_id")
+    lit_q = F.array(*[F.lit(v) for v in q])
+    exact_ids = brute_force_topk(emb, lit_q, k).select("vec_id")
+    hits = exact_ids.join(ivf_ids, "vec_id", "left_semi")
+    return hits.agg(F.count(F.lit(1)).alias("_hits")).select(
+        F.lit(k).alias("k"),
+        F.lit(idx.nlist).alias("nlist"),
+        F.lit(nprobe).alias("nprobe"),
+        (F.col("_hits") / F.lit(float(k))).alias("recall_at_k"),
+    )
+
+
+_DUP_COMP_CTE = f"""
+    WITH RECURSIVE {_LSH_KEYED_CTE},
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keyed a JOIN keyed b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sh AS MATERIALIZED (SELECT doc_id, {_dd.shingles_sql('text')} AS s FROM documents),
+    edges AS MATERIALIZED (
+      SELECT c.id_a AS a, c.id_b AS b
+      FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id
+      WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE
+                  / len(list_distinct(list_concat(sa.s, sb.s)))::DOUBLE, 8) >= 0.2
+    ),
+    sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+    reach(id, lbl) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.id
+    ),
+    comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+"""
+
+
+@query(
+    "q69_dup_clusters",
+    f"""
+    {_DUP_COMP_CTE}
+    SELECT id AS doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp
+    """,
+)
+def q69_dup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS: the LSH-candidate + exact-Jaccard pairs
+    of q30 become edges, and connected components
+    (operators/graph.py, alternating large-star/small-star — O(log n)
+    distributed rounds, no driver-side union-find) labels every involved
+    document with its cluster minimum. The oracle recomputes components
+    in DuckDB with a recursive min-label-propagation CTE — genuinely
+    iterative semantics, hash-checked exactly."""
+    from pyspark.sql import Window
+
+    docs = _read_docs(spark, sf_dir)
+    pairs = _dd.ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    cc = _graph.connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        cc.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+        .withColumn(
+            "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+        )
+    )
+
+
+_BM25_TERMS = ("spark", "join", "window", "stream")
+
+
+@query("q71_bm25_topk", _rank.bm25_scores_sql(_BM25_TERMS))
+def q71_bm25_topk(spark, sf_dir):
+    """BM25 top-20 documents for a fixed query (llm/ranking.py): the
+    (doc, term) shuffle carries only the QUERY's terms, the tiny df
+    table is broadcast back, corpus stats are two scalar aggregates —
+    query-sized state over corpus-sized input. Per-term scores are
+    rounded then decimal-summed so the double sum is
+    associativity-proof; both engines evaluate the identical floating
+    expression shape (the oracle SQL is emitted from the same
+    function)."""
+    docs = _read_docs(spark, sf_dir)
+    return _rank.bm25_scores(docs, _BM25_TERMS)
+
+
+@query("q72_tfidf_top_terms", _rank.tfidf_top_terms_sql())
+def q72_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-5 characteristic terms by tf-idf
+    (llm/ranking.py): document frequency via a count window over the
+    already-aggregated (doc, term) rows — no vocabulary-dim join that
+    would stop broadcasting at corpus scale — then row_number per doc
+    on (rounded score, term). Exactly three key-partitioned shuffles."""
+    docs = _read_docs(spark, sf_dir)
+    return _rank.tfidf_top_terms(docs)
+
+
+@query(
+    "q73_embedding_lsh_pairs",
+    _sim.lsh_bucket_pairs_sql(dim=64, threshold=0.2),
+)
+def q73_embedding_lsh_pairs(spark, sf_dir):
+    """Hyperplane-LSH candidate generation over embeddings with exact
+    cosine verification inside buckets (llm/similarity.lsh_bucket_pairs)
+    — the embedding twin of the MinHash band pipeline (q28→q30) and the
+    scale path q40's exact form deliberately avoids. The md5-derived
+    hyperplanes are engine-reproducible, so the ORACLE REPLICATES THE
+    BUCKETING: same buckets, same candidate set, same rounded cosines —
+    pinning the approximate algorithm's exact behavior, not just row
+    counts.
+
+    Bucket granularity is ADAPTIVE (similarity.adaptive_seed_count):
+    planes = max(8, ceil(log2(N/8))), so buckets stay ~8 vectors at any
+    corpus size and the in-bucket verify stays linear overall — with 8
+    static planes the sf0.1→sf1 sweep measured 20x wall at 10x data
+    (fixed-bucket LSH's classic quadratic trap). At the oracle SFs
+    (0.001/0.01) the rule yields exactly the pinned 8-plane oracle."""
+    import os
+
+    emb = _read(spark, sf_dir, "embeddings")
+    n = emb.count()
+    planes = _sim.adaptive_seed_count(n)
+    # Guard (ADVICE r3): the registered oracle SQL is pinned to the static
+    # 8-plane HYPERPLANE_SEEDS; if the gate fixtures ever grow past 2048
+    # vectors the adaptive rule would pick more planes and the oracle
+    # compare would fail for a reason unrelated to any real bug — fail
+    # HERE with the actual cause instead.
+    if os.path.basename(os.path.normpath(sf_dir)) in ("sf0.001", "sf0.01"):
+        assert planes == len(_sim.HYPERPLANE_SEEDS), (
+            f"gate fixture {sf_dir} grew to {n} vectors: adaptive_seed_count "
+            f"-> {planes} planes but the q73 oracle SQL is pinned to "
+            f"{len(_sim.HYPERPLANE_SEEDS)}; regenerate the oracle via "
+            f"lsh_bucket_pairs_sql(seeds=range(1, planes+1))"
+        )
+    seeds = tuple(range(1, planes + 1))
+    return _sim.lsh_bucket_pairs(emb, dim=64, threshold=0.2, seeds=seeds)
+
+
+_WS_TOKENS_SQL = _tx.whitespace_token_count_sql("text")
+
+
+@query(
+    "q74_sequence_packing",
+    pack_chunks_sql(_WS_TOKENS_SQL, chunk_tokens=512, shards=8),
+)
+def q74_sequence_packing(spark, sf_dir):
+    """Concat-then-chunk sequence packing (operators/packing.py): token
+    spans mapped onto fixed 512-token training chunks, sharded by
+    doc_id % 8 so the cumulative-sum window runs per shard instead of
+    as one total-order bottleneck. The window state is (id, n_tokens)
+    pairs only — document bodies never enter the shuffle."""
+    docs = _read_docs(spark, sf_dir)
+    return pack_chunks(
+        docs, _tx.whitespace_token_count(F.col("text")), chunk_tokens=512, shards=8
+    )
+
+
+@query(
+    "q91_canonical_dedup",
+    f"""
+    {_DUP_COMP_CTE},
+    removed AS (SELECT id FROM comp WHERE id <> cluster_id),
+    stats AS (SELECT cluster_id, count(*) - 1 AS n_removed FROM comp GROUP BY 1)
+    SELECT d.doc_id, d.n_chars,
+           coalesce(s.n_removed, 0)::BIGINT AS n_removed
+    FROM documents d
+    LEFT JOIN stats s ON d.doc_id = s.cluster_id
+    WHERE d.doc_id NOT IN (SELECT id FROM removed)
+    ORDER BY d.doc_id
+    """,
+)
+def q91_canonical_dedup(spark, sf_dir):
+    """The end-product corpus dedup (llm/dedup.canonical_dedup): q69's
+    clusters applied — keep the cluster-minimum document, drop the rest,
+    annotate keepers with how many near-duplicates they absorbed. The
+    oracle replays LSH -> exact-Jaccard -> recursive-CTE components ->
+    anti-join in DuckDB, so the RETAINED CORPUS itself is hash-checked,
+    not just the cluster labels.
+
+    Scale shape: the cluster table is dup-population-sized; the corpus
+    meets it only through broadcastable equi-joins (left_anti + left) —
+    bodies never shuffle."""
+    docs = _read_docs(spark, sf_dir)
+    out = _dd.canonical_dedup(docs, threshold=0.2)
+    return out.select("doc_id", "n_chars", "n_removed").orderBy("doc_id")
+
+
+@query(
+    "q97_knn_join",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      ORDER BY {_draw_sql('vec_id', 'knn')}, vec_id LIMIT 8
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round({_sim.cosine_sql('e.embedding', 'q.qv')}, 6) AS cos_sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, rank::INT AS rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q97_knn_join(spark, sf_dir):
+    """Batch exact k-NN join (llm/similarity.knn_join): a deterministic
+    FIXED-SIZE probe batch (the 8 smallest md5 draws — corpus-size-
+    independent, so gate cost scales linearly), each served its top-5
+    cosine neighbors. Broadcast query batch -> map-side scoring -> per-
+    partition bounded-heap pre-top-k (Arrow batches; state |Q|*k) ->
+    one small per-query window. The exact-serving complement to the
+    LSH (q73) and IVF (q47) approximate paths."""
+    emb = _read(spark, sf_dir, "embeddings")
+    from ..operators.sampling import _draw
+
+    # FIXED probe budget (not a corpus fraction): the 8 smallest md5
+    # draws, vec_id tie-break — deterministic at any SF, and the join
+    # work stays LINEAR in corpus size instead of quadratic
+    probes = emb.orderBy(_draw(F.col("vec_id"), "knn"), F.col("vec_id")).limit(8)
+    out = _sim.knn_join(probes, emb, k=5, exclude_same_id=True)
+    return out.orderBy("query_id", "rank")
+
+
+@query(
+    "q109_winnow_overlap_pairs",
+    _dd.winnow_overlap_pairs_sql("documents", "text", "doc_id", 3, 4, 3)
+    + " ORDER BY id_a, id_b",
+)
+def q109_winnow_overlap_pairs(spark, sf_dir):
+    """Winnowing fingerprint overlap pairs (llm/dedup.winnow_minimizers,
+    Schleimer/Wilkerson/Aiken SIGMOD 2003 — the MOSS detector): distinct
+    window-minima of positional 3-shingle hashes guarantee any shared
+    6-token run yields a shared minimizer; pairs sharing >= 3 minimizers
+    are sub-document-overlap candidates.
+
+    Scale shape: identical to LSH banding — corpus maps to (minimizer,
+    id) fingerprints (bodies never shuffle), equi-join on the minimizer
+    bucket, pair aggregation bounded by bucket sizes."""
+    docs = _read_docs(spark, sf_dir)
+    return _dd.winnow_overlap_pairs(docs, "text", "doc_id", k=3, w=4, min_shared=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "q110_duplicate_spans",
+    _dd.duplicate_spans_sql("documents", "text", "doc_id", 8, 100),
+)
+def q110_duplicate_spans(spark, sf_dir):
+    """Exact duplicated 8-token spans across documents (llm/dedup
+    .duplicate_spans — the detection pass of exact-substring dedup, Lee
+    et al. 2022): positional shingle hashes occurring in more than one
+    document, ranked by occurrence count.
+
+    Scale shape: corpus maps to (hash, id) pairs; one partial-aggregated
+    hash groupBy + TakeOrderedAndProject — span text never shuffles."""
+    docs = _read_docs(spark, sf_dir)
+    return _dd.duplicate_spans(docs, "text", "doc_id", k=8, top=100)
+
+
+@query(
+    "q131_bloom_prefilter_decontam",
+    f"""
+    WITH ev AS MATERIALIZED (
+      SELECT DISTINCT unnest({_dd.shingles_sql('text', 4)}) AS gram
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    tr AS (SELECT doc_id, unnest({_dd.shingles_sql('text', 4)}) AS gram
+           FROM documents WHERE doc_id % 10 <> 0)
+    SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (gram)
+    """,
+)
+def q131_bloom_prefilter_decontam(spark, sf_dir):
+    """Bloom-prefiltered decontamination (llm/decontam
+    .contaminated_ids_bloom): the eval shingle set is shipped as a
+    ~100 KB Bloom filter (bloom_filter_agg / might_contain) and only
+    bloom survivors hit the exact verify — the shape that scales the
+    contamination probe past broadcast-join limits when eval suites are
+    large.  Bloom filters cannot produce false negatives, so the FINAL
+    answer is exactly the q57-style exact probe — which is precisely
+    what the oracle computes (the oracle has no bloom at all)."""
+    docs = _read_docs(spark, sf_dir)
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return _decon.contaminated_ids_bloom(train, eval_df, "text", "doc_id", k=4)
+
+
+@query(
+    "q133_incremental_lsh_dedup",
+    f"""
+    WITH sig133 AS MATERIALIZED (
+      SELECT doc_id, doc_id % 3 = 0 AS is_inc,
+             {_dd.minhash_signature_sql('text')} AS sig
+      FROM documents
+    ),
+    keyed133 AS MATERIALIZED (
+      SELECT doc_id, is_inc, unnest({_band_keys_sql('sig', 4, 2)}) AS band_key
+      FROM sig133
+    )
+    SELECT a.doc_id AS inc_id, b.doc_id AS match_id,
+           CASE WHEN b.is_inc THEN 'inc' ELSE 'base' END AS match_side,
+           cast(count(*) as bigint) AS n_shared_bands
+    FROM keyed133 a
+    JOIN keyed133 b
+      ON a.band_key = b.band_key
+     AND a.is_inc
+     AND (NOT b.is_inc OR a.doc_id < b.doc_id)
+    GROUP BY 1, 2, 3
+    ORDER BY inc_id, match_id
+    """,
+)
+def q133_incremental_lsh_dedup(spark, sf_dir):
+    """Incremental near-dedup (llm/dedup.incremental_lsh_pairs): a new
+    batch (doc_id % 3 = 0) generates LSH candidates against the
+    ALREADY-INDEXED base corpus plus itself — base x base, the O(history²)
+    product, never forms.  The daily-crawl-vs-historical-index shape of
+    production dedup; in production the base band keys are the persisted
+    LSH index, written bucketed on band_key so each day's join is
+    partition-local."""
+    docs = _read_docs(spark, sf_dir)
+    inc = docs.filter(F.col("doc_id") % 3 == 0)
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    pairs = _dd.incremental_lsh_pairs(base, inc, bands=4, rows=2)
+    return pairs.select(
+        "inc_id", "match_id", "match_side", "n_shared_bands"
+    ).orderBy("inc_id", "match_id")
+
+
+@query(
+    "q136_jaccard_similarity_join",
+    _dd.prefix_filtered_jaccard_join_sql(
+        "(SELECT * FROM documents WHERE doc_id < 500) _d", "text", "doc_id", 0.85
+    )
+    + " ORDER BY id_a, id_b",
+)
+def q136_jaccard_similarity_join(spark, sf_dir):
+    """EXACT Jaccard-threshold set-similarity self-join via PPJoin-style
+    prefix filtering (llm/dedup.prefix_filtered_jaccard_join) — the
+    exact counterpart to q28's MinHash-LSH banding: tokens ranked
+    rarest-first, each doc explodes only its (|s|-ceil(t|s|)+1)-prefix,
+    candidates share a prefix token, then exact verification.  The
+    ORACLE runs the BRUTE-FORCE all-pairs form, so a hash match proves
+    the prefix filter misses nothing (the PPJoin completeness lemma,
+    empirically pinned).
+
+    Gate input is STRUCTURALLY capped at 500 docs (q40's precedent):
+    the synthetic corpus is drawn from one tiny vocabulary, so the
+    qualifying-pair count itself grows quadratically — measured 1.7M
+    true pairs at sf0.1 — and no join algorithm shrinks an inherently
+    quadratic ANSWER.  On real corpora the prefix filter is the exact
+    high-threshold path; corpus-wide near-dup at scale stays on the
+    LSH pipelines (q28/q133)."""
+    docs = _read_docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    return _dd.prefix_filtered_jaccard_join(docs, "text", "doc_id", 0.85).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "q138_embedding_quantization",
+    """
+    WITH _s AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+        FROM embeddings
+    )
+    SELECT vec_id,
+           cast(floor(mx * 1000000000) as bigint) AS scale_ppb,
+           array_to_string(
+               list_transform(embedding,
+                              x -> cast(round(x::DOUBLE * 127.0 / mx) as bigint)::VARCHAR),
+               ',') AS q8,
+           cast(list_sum(list_transform(embedding,
+                    x -> cast(round(x::DOUBLE * 127.0 / mx) as bigint)
+                         * cast(round(x::DOUBLE * 127.0 / mx) as bigint)))
+                as bigint) AS q_norm2
+    FROM _s
+    WHERE mx > 0 AND vec_id < 200
+    ORDER BY vec_id
+    """,
+)
+def q138_embedding_quantization(spark, sf_dir):
+    """Symmetric int8 embedding quantization (the storage/ANN-speedup
+    pipeline step: 4x smaller vectors, integer dot products): per-vector
+    scale = max|x|/127, q8[i] = round(x[i]·127/max|x|) — plus the
+    integer squared norm used by quantized similarity search.
+
+    Determinism: both engines see identical float32→double values; the
+    scalar multiply/divide/round sequence is identical IEEE ops, and
+    everything after quantization is integer arithmetic.  Map-side only."""
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    mx = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(127.0) / F.col("_mx")).cast("long"),
+    )
+    return (
+        emb.withColumn("_mx", mx)
+        .filter(F.col("_mx") > 0)
+        .withColumn("_q", q)
+        .select(
+            "vec_id",
+            F.floor(F.col("_mx") * 1_000_000_000).cast("long").alias("scale_ppb"),
+            F.concat_ws(",", F.transform(F.col("_q"), lambda v: v.cast("string"))).alias(
+                "q8"
+            ),
+            F.aggregate(
+                F.col("_q"),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v * v,
+            ).alias("q_norm2"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_Q139_QUANT = """
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> cast(round(x::DOUBLE * 127.0 /
+                        list_max(list_transform(embedding, y -> abs(y::DOUBLE))))
+                        as bigint)) AS q8
+        FROM embeddings
+        WHERE list_max(list_transform(embedding, y -> abs(y::DOUBLE))) > 0
+"""
+
+
+@query(
+    "q139_quantized_ann_topk",
+    f"""
+    WITH _q AS ({_Q139_QUANT}),
+    _probe AS (SELECT vec_id AS probe_id, q8 AS pq FROM _q WHERE vec_id < 5),
+    _scored AS (
+        SELECT p.probe_id, c.vec_id,
+               cast(list_sum(list_transform(list_zip(p.pq, c.q8),
+                        t -> t[1] * t[2])) as bigint) AS idot
+        FROM _probe p JOIN _q c ON c.vec_id <> p.probe_id
+    ),
+    _ranked AS (
+        SELECT probe_id, vec_id, idot,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY idot DESC, vec_id) AS rn
+        FROM _scored
+    )
+    SELECT probe_id, vec_id, idot, cast(rn as int) AS rn
+    FROM _ranked WHERE rn <= 10
+    ORDER BY probe_id, rn
+    """,
+)
+def q139_quantized_ann_topk(spark, sf_dir):
+    """Top-k search over int8-QUANTIZED vectors (completing q138's
+    pipeline): integer dot products between quantized probe and corpus —
+    the 4x-memory-bandwidth ANN scoring kernel (what FAISS int8 / SQ8
+    does), bit-exact across engines because scoring is pure integer
+    arithmetic after the deterministic quantization step.
+
+    Scale shape: probes broadcast, corpus scored map-side, per-partition
+    pre-top-k via the rank window on the probe key (probe-cardinality
+    partitions). The quantized frame is PERSISTED so quantization (the
+    array-transform pass over every vector) runs once, not once per join
+    side (VERDICT r3 'What's wrong #3')."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    emb = _read(spark, sf_dir, "embeddings")
+    mx = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+    q8 = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(127.0) / F.col("_mx")).cast("long"),
+    )
+    quant = (
+        emb.withColumn("_mx", mx)
+        .filter(F.col("_mx") > 0)
+        .select("vec_id", q8.alias("q8"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    probes = quant.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("q8").alias("pq")
+    )
+    scored = (
+        quant.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("pq"), F.col("q8"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("idot"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("idot"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 10)
+        .select("probe_id", "vec_id", "idot", "rn")
+        .orderBy("probe_id", "rn")
+    )
+
+
+@query(
+    "q140_cm_heavy_hitters",
+    """
+    WITH _tok AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    )
+    SELECT tok, cast(count(*) as bigint) AS cnt
+    FROM _tok
+    GROUP BY tok
+    HAVING count(*) >= 500
+    ORDER BY cnt DESC, tok
+    """,
+)
+def q140_cm_heavy_hitters(spark, sf_dir):
+    """Count-Min-prefiltered EXACT heavy hitters (the sketch analog of
+    q131's bloom pattern): a d=4 x w=2048 Count-Min sketch is built by
+    one cell-keyed aggregation over the PERSISTED token frame, collected
+    (64 KB), and embedded as literal arrays; then every token row probes
+    min-over-rows in pure codegen MAP-SIDE, BEFORE any per-token
+    aggregation — only rows whose estimate clears the threshold enter the
+    groupBy shuffle, and the exact count on those candidates confirms.
+    CM overestimates only (no false negatives), so prefilter + exact
+    verify equals the plain frequent-token query — exactly the
+    bloom-free, sketch-free oracle.
+
+    Scale shape (the whole point of the sketch): the corpus is tokenized
+    ONCE (persisted); the sketch build is a w*d-cell aggregation (state
+    8K cells, independent of vocabulary size); the candidate filter cuts
+    the per-token shuffle from |distinct tokens| to |candidates| — at
+    100 TB the vocabulary is billions of rare tokens and the candidates
+    are thousands, so the sketch removes ~the entire shuffle. The
+    pre-r4 lowering aggregated the full vocabulary first and probed
+    after, defeating the prefilter (VERDICT r3 'What's wrong #1')."""
+    from pyspark import StorageLevel
+
+    from ..llm.text import tokens as _toks
+
+    threshold = 500
+    d, wdt = 4, 2048
+    docs = _read_docs(spark, sf_dir)
+    tok = docs.select(F.explode(_toks(F.col("text"))).alias("tok")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    def cell(i):
+        return F.pmod(F.xxhash64(F.lit(f"cm{i}"), F.col("tok")), F.lit(wdt))
+
+    cells = tok.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("row"), cell(i).alias("col"))
+                for i in range(d)
+            ])
+        ).alias("c")
+    ).select("c.row", "c.col")
+    counters = cells.groupBy("row", "col").agg(F.count(F.lit(1)).alias("n")).collect()
+    tables = [[0] * wdt for _ in range(d)]
+    for r in counters:
+        tables[r["row"]][r["col"]] = r["n"]
+    lits = [F.lit(t) for t in tables]
+
+    est = F.least(
+        *[
+            F.element_at(
+                lits[i],
+                (F.pmod(F.xxhash64(F.lit(f"cm{i}"), F.col("tok")), F.lit(wdt)) + 1).cast(
+                    "int"
+                ),
+            )
+            for i in range(d)
+        ]
+    )
+    # map-side sketch probe FIRST: only candidate token rows (est >=
+    # threshold) are shuffled into the exact aggregation
+    return (
+        tok.filter(est >= threshold)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= threshold)
+        .select("tok", "cnt")
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+    )
+
+
+@query(
+    "q148_corpus_novelty",
+    f"""
+    WITH _g AS (
+        SELECT doc_id, unnest({_dd.shingles_sql('text', 3)}) AS gram
+        FROM documents
+    ),
+    _first AS (SELECT gram, min(doc_id) AS first_doc FROM _g GROUP BY gram),
+    _per AS (
+        SELECT g.doc_id,
+               count(*) AS n_grams,
+               sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+        FROM _g g JOIN _first f ON g.gram = f.gram
+        GROUP BY g.doc_id
+    )
+    SELECT doc_id, cast(n_grams as bigint) AS n_grams,
+           cast(n_novel as bigint) AS n_novel,
+           round(cast(n_novel as double) / n_grams, 6) AS novelty
+    FROM _per
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def q148_corpus_novelty(spark, sf_dir):
+    """Corpus-order novelty scoring: the fraction of each document's
+    distinct 3-gram shingles whose FIRST corpus occurrence (by min
+    doc_id) is that document — the contribution/novelty signal used to
+    prioritize which documents actually add content (the dedup-adjacent
+    ranking in data-curation pipelines; a doc of all-recycled n-grams
+    scores 0).
+
+    Scale shape: gram → min(doc) is one partial-aggregated shuffle of
+    (gram, id) pairs; the per-doc fraction joins that gram-cardinality
+    table back on the same key.  Bodies never shuffle."""
+    docs = _read_docs(spark, sf_dir)
+    g = docs.select(
+        "doc_id", F.explode(_dd.shingles(F.col("text"), 3)).alias("gram")
+    )
+    first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        g.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        per.filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,1011 @@
+"""TRUE Structured Streaming gate queries: tumbling/sliding/session
+windows, watermark late-drop, stream-stream joins, streaming as-of /
+overlap / dedup, exactly-once CDC (SURVEY §2.10).
+
+Split from the original single-module query inventory (r4); the
+registration registry and helpers live in gate/_base.py.
+"""
+
+from ._base import *  # noqa: F401,F403
+
+
+@query(
+    "q32_tumbling_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n,
+           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q32_tumbling_window(spark, sf_dir):
+    """Tumbling-window aggregation via F.window — identical code path for
+    batch and Structured Streaming; epoch-aligned 1h windows match
+    date_trunc('hour')."""
+    ev = _read(spark, sf_dir, "events")
+    out = _win.tumbling_window_agg(
+        ev,
+        {
+            "n": F.count(F.lit(1)),
+            "sum_value": F.sum(F.expr(dec("value"))),
+        },
+        window="1 hour",
+        keys=("event_type",),
+    )
+    out = out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+    return finalize(out, {"sum_value": 2})
+
+
+@query(
+    "q33_session_window",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+    ),
+    sessions AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, value
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, sess_id
+    """,
+)
+def q33_session_window(spark, sf_dir):
+    """Session windows (30-minute gap) via F.session_window; the oracle is
+    the classic gaps-and-islands construction, proving the semantics match.
+    Session start is second-truncated for the string key (micro vs nano
+    parquet precision)."""
+    ev = _read(spark, sf_dir, "events")
+    out = _win.session_window_agg(
+        ev,
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum(F.expr(dec("value"))),
+        },
+        gap="30 minutes",
+        keys=("user_id",),
+    )
+    out = out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+        "sum_value",
+    )
+    return finalize(out, {"sum_value": 2})
+
+
+@query(
+    "q44_streaming_tumbling",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n,
+           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS sum_value
+    FROM events
+    WHERE event_id < 5000
+    GROUP BY 1, 2
+    """,
+)
+def q44_streaming_tumbling(spark, sf_dir):
+    """TRUE Structured Streaming execution, hash-checked against the batch
+    oracle. The input is a DETERMINISTIC subset (event_id < 5000 — unlike
+    the pre-r4 limit(5000) sample, reproducible in SQL), staged as TWO
+    ordered files replayed one per trigger (maxFilesPerTrigger=1), so the
+    final complete-mode state is the product of a genuine cross-batch
+    state merge — windows populated in batch 1 are re-emitted updated
+    after batch 2 — and must still equal DuckDB's one-shot GROUP BY.
+    q62 pins the single-batch full-fixture case; this pins multi-batch
+    incremental accumulation on a subset."""
+    import shutil
+
+    from ..streaming.windows import (
+        run_stream_to_memory,
+        scratch_dir,
+        stage_ordered_files,
+        tumbling_window_agg,
+    )
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    d = scratch_dir("bacon_q44_")
+    stage_ordered_files([
+        (d, ev.filter(F.col("event_id") < 2500), "overwrite"),
+        (d, ev.filter(F.col("event_id") >= 2500), "append"),
+    ])
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = tumbling_window_agg(
+        stream,
+        {"n": F.count(F.lit(1)), "sum_value": F.round(F.sum(F.expr(dec("value"))).cast("double"), 2)},
+        window="1 hour",
+        keys=("event_type",),
+        watermark="1 hour",
+    )
+    out = agg.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+    # complete mode re-emits full state per batch; the memory sink keeps
+    # only the latest emission, so the final table is the merged state.
+    # Skip the trailing no-data batch (nothing to flush, see q62).
+    prev_nd = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        run_stream_to_memory(out, "q44_stream", mode="complete")
+    finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nd)
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table("q44_stream")
+
+
+@query(
+    "q45_sliding_window",
+    """
+    WITH exploded AS (
+      SELECT e.*, time_bucket(INTERVAL 15 MINUTE, ts) - (off * INTERVAL 15 MINUTE) AS w
+      FROM events e, unnest([0, 1, 2, 3]) AS t(off)
+    )
+    SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n,
+           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS sum_value
+    FROM exploded
+    WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q45_sliding_window(spark, sf_dir):
+    """Sliding windows (1h window, 15min slide): each event lands in 4
+    overlapping windows. Oracle reconstructs window membership via
+    time_bucket + unnested offsets — every window w in
+    {floor15(ts) - k*15min, k=0..3} satisfies w <= ts < w+1h."""
+    from ..streaming.windows import sliding_window_agg
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit(dt.datetime(2024, 1, 2))
+    )
+    out = sliding_window_agg(
+        ev,
+        {"n": F.count(F.lit(1)), "sum_value": F.sum(F.expr(dec("value")))},
+        window="1 hour",
+        slide="15 minutes",
+    )
+    out = out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n",
+        "sum_value",
+    )
+    return finalize(out, {"sum_value": 2})
+
+
+@query(
+    "q54_incremental_maintenance",
+    """
+    SELECT event_type,
+           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS total_value,
+           count(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q54_incremental_maintenance(spark, sf_dir):
+    """Incremental view maintenance, end to end: half the events land
+    first and a cached slice is primed from them; the other half arrives
+    as a streaming micro-batch that CuttingBoard.refresh folds in by
+    partial-aggregate merge (streaming/incremental.py). The oracle is the
+    full recompute over ALL events — the merged slice must match it
+    exactly, proving the accumulator partial/final contract under
+    maintenance (no rescan of the primed half ever happens)."""
+    import os
+    import tempfile
+
+    from ..accumulators import Sum as SumAcc
+    from ..engine import CuttingBoard
+    from ..streaming.incremental import stream_into_board
+
+    events = _read(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="bacon_ivm_")
+    data, ckpt = os.path.join(d, "data"), os.path.join(d, "ckpt")
+    events.filter("event_id % 2 = 0").write.mode("overwrite").parquet(data)
+
+    cd = CubeDef("events")
+    cd.add_label(Label("event_type"))
+    cd.add_measure(Measure("total_value", dec("value"), acc=SumAcc()))
+    cd.add_measure(Measure("n", "event_id", acc=Count()))
+    q = CubeQuery().add_axis("event_type").add_value("total_value").add_value("n")
+
+    b = CuttingBoard(cd, spark.read.parquet(data), snapshot_cache=True)
+    stream = spark.readStream.schema(spark.read.parquet(data).schema).parquet(data)
+    sq = stream_into_board(stream, b, ckpt)
+    try:
+        sq.processAllAvailable()  # catch up before priming (consistency contract)
+        b.slice(q).rows()  # prime the cached slice from the first half
+        events.filter("event_id % 2 = 1").write.mode("append").parquet(data)
+        sq.processAllAvailable()  # delta micro-batch -> refresh merge
+    finally:
+        sq.stop()
+    return finalize(b.slice(q).to_df(), {"total_value": 2})
+
+
+@query(
+    "q62_streaming_oracle",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n,
+           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q62_streaming_oracle(spark, sf_dir):
+    """TRUE Structured Streaming run checked against the batch oracle: the
+    FULL events fixture streams through a tumbling-window aggregation in
+    complete mode (availableNow), and the final materialized state must
+    hash-match DuckDB's batch GROUP BY — i.e. the streaming path computes
+    exactly the batch answer on bounded input, which is the invariant
+    incremental view maintenance relies on (q54). Unlike q44 (rows-only,
+    limit-sampled input), the input here is deterministic, so the oracle
+    is exact."""
+    from ..streaming.windows import run_stream_to_memory, scratch_dir, tumbling_window_agg
+
+    ev = _read(spark, sf_dir, "events")
+    d = scratch_dir("bacon_q62_")
+    ev.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(ev.schema).parquet(d)
+    agg = tumbling_window_agg(
+        stream,
+        {
+            "n": F.count(F.lit(1)),
+            "sum_value": F.round(F.sum(F.expr(dec("value"))).cast("double"), 2),
+        },
+        window="1 hour",
+        keys=("event_type",),
+        watermark="1 hour",
+    )
+    out = agg.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+    import shutil
+
+    # complete mode emits the FULL state after every batch — the trailing
+    # no-data micro-batch would recompute and re-emit all of it for
+    # nothing (no watermark-gated flush to trigger here), so skip it:
+    # one data batch total
+    prev_nd = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        run_stream_to_memory(out, "q62_stream", mode="complete")
+    finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nd)
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table("q62_stream")
+
+
+@query(
+    "q64_streaming_asof",
+    """
+    SELECT e.event_id, e.user_id, e.value,
+           c.event_id AS click_event_id,
+           epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def q64_streaming_asof(spark, sf_dir):
+    """TRUE streaming as-of join (streaming/asof.py, applyInPandasWithState)
+    with an EXACT oracle: q59's purchases-to-latest-click join, but the two
+    sides stream file-by-file through the stateful operator. The input
+    files are staged DRIVER-side with pyarrow on tmpfs (one Spark job
+    collects both sides of the few-MB verification fixture; file order
+    pinned by explicit mtimes), and a far-future sentinel purchase
+    advances the final watermark past every real row, flushing all group
+    state; the appended output must then equal the batch join exactly."""
+    import shutil
+
+    from ..streaming.asof import streaming_asof_join
+    from ..streaming.windows import run_stream_to_memory, scratch_dir, stage_ordered_files
+
+    # persist bounds re-scans during staging (max-ts job + two staged
+    # writes would otherwise each re-read the parquet); verification-run
+    # sized, dropped in the finally below
+    ev = _read(spark, sf_dir, "events").persist()
+    pdf = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    cdf = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    # scalar max for the sentinel timestamp: result-sized collect
+    hi = ev.agg(F.max("ts")).first()[0]
+    d = scratch_dir("bacon_q64_")
+    ldir, rdir = d + "/purchases", d + "/clicks"
+    sent = spark.createDataFrame(
+        [(-1, -1, hi + dt.timedelta(hours=3), 0.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    # TWO triggers, the floor for watermark-driven append emission: batch 0
+    # reads data + sentinel together (maxFilesPerTrigger=2), so the
+    # watermark computed at its end already clears every real row, and the
+    # single closing no-data micro-batch flushes all group state. (The
+    # no-data batch IS the flush mechanism — disabling it strands the rows
+    # inside the final watermark horizon; measured: 15 rows lost at sf0.1.
+    # Many-file interleaving is covered by the streaming unit tests; the
+    # gate run keeps trigger count, i.e. fixed micro-batch cost, minimal.)
+    # All three frames are written by Spark — no toPandas round-trip.
+    stage_ordered_files([
+        (ldir, pdf, "overwrite"),
+        (rdir, cdf, "overwrite"),
+        (ldir, sent, "append"),
+    ])
+
+    pschema = "event_id long, user_id long, ts timestamp, value double"
+    cschema = "user_id long, ts timestamp, event_id long"
+    # shards = the 8 state partitions this run uses: each extra shard is
+    # an extra pandas/arrow state round-trip per trigger (32 shards cost
+    # 2x wall time at bench scale); on a real cluster raise both together
+    out = streaming_asof_join(
+        spark.readStream.schema(pschema)
+        .option("maxFilesPerTrigger", 2).parquet(ldir),
+        spark.readStream.schema(cschema)
+        .option("maxFilesPerTrigger", 2).parquet(rdir),
+        on=["user_id"], left_ts="ts", prefix="click_", delay="30 minutes",
+        shards=8,
+    )
+    # fewer state-store tasks per trigger: the stateful shuffle width is
+    # fixed at stream start, and 8 partitions are plenty at bench scale
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_stream_to_memory(out, "q64_stream", mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        ev.unpersist()
+        shutil.rmtree(d, ignore_errors=True)
+    return (
+        spark.table("q64_stream")
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            "click_event_id",
+            (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+        )
+    )
+
+
+@query(
+    "q66_streaming_asof_forward",
+    """
+    SELECT e.event_id, e.user_id, e.value,
+           CASE WHEN epoch_us(c.ts) - epoch_us(e.ts) <= 86400000000
+                THEN c.event_id END AS next_click_event_id,
+           CASE WHEN epoch_us(c.ts) - epoch_us(e.ts) <= 86400000000
+                THEN epoch_us(c.ts) - epoch_us(e.ts) END AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts <= c.ts
+    """,
+)
+def q66_streaming_asof_forward(spark, sf_dir):
+    """TRUE streaming FORWARD as-of join with an EXACT oracle: each
+    purchase matched to the user's EARLIEST click at-or-after it, within a
+    1-day tolerance (forward streaming as-of requires the tolerance — it
+    bounds both when a left row can finalize and how much right state is
+    retained; streaming/asof.py). Same staging as q64: both sides stream
+    file-by-file, a sentinel purchase past max_ts + tolerance + delay
+    flushes all state, and the appended output must hash-match DuckDB's
+    forward ASOF JOIN with the tolerance applied as a post-filter (the
+    nearest forward match is beyond tolerance iff no match is within it)."""
+    import shutil
+
+    from ..streaming.asof import streaming_asof_join
+    from ..streaming.windows import run_stream_to_memory, scratch_dir, stage_ordered_files
+
+    TOL_US = 86_400_000_000  # 1 day
+    # persist: same staging re-scan bound as q64
+    ev = _read(spark, sf_dir, "events").persist()
+    pdf = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    cdf = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    hi = ev.agg(F.max("ts")).first()[0]
+    d = scratch_dir("bacon_q66_")
+    ldir, rdir = d + "/purchases", d + "/clicks"
+    # watermark must clear max left_ts + tolerance for every real purchase
+    # to finalize: sentinel at hi + tolerance + 2h with a 30-minute delay
+    sent = spark.createDataFrame(
+        [(-1, -1, hi + dt.timedelta(days=1, hours=2), 0.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    stage_ordered_files([
+        (ldir, pdf, "overwrite"),
+        (rdir, cdf, "overwrite"),
+        (ldir, sent, "append"),
+    ])
+
+    pschema = "event_id long, user_id long, ts timestamp, value double"
+    cschema = "user_id long, ts timestamp, event_id long"
+    # same 2-trigger shape as q64: data + sentinel in batch 0, the closing
+    # no-data micro-batch flushes state once the watermark (sentinel-driven)
+    # clears every left ts + tolerance
+    out = streaming_asof_join(
+        spark.readStream.schema(pschema)
+        .option("maxFilesPerTrigger", 2).parquet(ldir),
+        spark.readStream.schema(cschema)
+        .option("maxFilesPerTrigger", 2).parquet(rdir),
+        on=["user_id"], left_ts="ts", prefix="click_",
+        direction="forward", tolerance_us=TOL_US,
+        delay="30 minutes", shards=8,
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_stream_to_memory(out, "q66_stream", mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        ev.unpersist()
+        shutil.rmtree(d, ignore_errors=True)
+    return (
+        spark.table("q66_stream")
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.col("click_event_id").alias("next_click_event_id"),
+            (F.unix_micros("click_ts") - F.unix_micros("ts")).alias("gap_us"),
+        )
+    )
+
+
+@query(
+    "q67_streaming_overlap_join",
+    """
+    WITH spans AS (
+      SELECT user_id, event_type, date_trunc('day', ts) AS d,
+             min(ts) AS lo, max(ts) + INTERVAL 1 MICROSECOND AS hi
+      FROM events GROUP BY 1, 2, 3
+    ),
+    err AS (SELECT * FROM spans WHERE event_type = 'error'),
+    pur AS (SELECT user_id, date_trunc('week', lo) AS wk,
+                   min(lo) AS lo, max(hi) AS hi
+            FROM spans WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT err.user_id, strftime(err.d, '%Y-%m-%d') AS day,
+           strftime(pur.wk, '%Y-%m-%d') AS week
+    FROM err JOIN pur
+      ON err.user_id = pur.user_id AND err.lo < pur.hi AND pur.lo < err.hi
+    """,
+)
+def q67_streaming_overlap_join(spark, sf_dir):
+    """TRUE streaming interval-overlap join with an EXACT oracle
+    (streaming/overlap.py): per-(user, day) error-activity spans stream
+    against per-(user, week) purchase-activity spans; every overlapping
+    pair is emitted exactly once, in the micro-batch where the second
+    side arrives — no watermark wait and no flush sentinel, unlike the
+    streaming as-of queries, because symmetric-join emission only needs
+    both rows present. The delay exceeds the fixture's one-month time
+    span so the cross-side watermark cannot drop the later-staged side;
+    state pruning under a tight watermark is covered by the unit tests."""
+    import shutil
+
+    from ..streaming.overlap import streaming_overlap_join
+    from ..streaming.windows import run_stream_to_memory, scratch_dir, stage_ordered_files
+
+    ev = _read(spark, sf_dir, "events")
+    spans = (
+        ev.filter(F.col("event_type").isin("error", "purchase"))
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("d"), "event_type")
+        .agg(
+            F.min("ts").alias("lo"),
+            (F.max("ts") + F.expr("interval 1 microsecond")).alias("hi"),
+        )
+    )
+    err = spans.filter(F.col("event_type") == "error").select(
+        "user_id", "d", F.col("lo").alias("e_lo"), F.col("hi").alias("e_up")
+    )
+    pur = (
+        spans.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("week", F.col("lo")).alias("wk"))
+        .agg(F.min("lo").alias("p_lo"), F.max("hi").alias("p_up"))
+    )
+    d = scratch_dir("bacon_q67_")
+    ldir, rdir = d + "/errors", d + "/purchases"
+    # span frames stay distributed end-to-end: Spark writes the staged
+    # files directly (no toPandas), mtimes fix the arrival order; spans is
+    # persisted so the err/pur staging writes share one events aggregation
+    spans = spans.persist()
+    try:
+        stage_ordered_files([(ldir, err, "overwrite"), (rdir, pur, "overwrite")])
+    finally:
+        spans.unpersist()
+
+    eschema = "user_id long, d timestamp, e_lo timestamp, e_up timestamp"
+    pschema = "user_id long, wk timestamp, p_lo timestamp, p_up timestamp"
+    out = streaming_overlap_join(
+        spark.readStream.schema(eschema)
+        .option("maxFilesPerTrigger", 1).parquet(ldir),
+        spark.readStream.schema(pschema)
+        .option("maxFilesPerTrigger", 1).parquet(rdir),
+        "e_lo", "e_up", "p_lo", "p_up",
+        on=["user_id"], prefix="r_", delay="35 days", shards=8,
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nd = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # symmetric-join emission happens in the batch where the second side
+    # arrives — the trailing no-data micro-batch emits nothing here (no
+    # watermark-gated flush like the as-of queries), so skip it: ONE
+    # trigger total
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        run_stream_to_memory(out, "q67_stream", mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nd)
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table("q67_stream").select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.date_format("r_wk", "yyyy-MM-dd").alias("week"),
+    )
+
+
+@query(
+    "q75_streaming_dedup_groups",
+    f"""
+    SELECT {_dd.hash60_sql('text')} AS digest,
+           min(doc_id) AS keep_id,
+           count(*) AS n
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q75_streaming_dedup_groups(spark, sf_dir):
+    """TRUE streaming exact-dedup maintenance with an exact oracle: the
+    documents corpus streams in two micro-batches (split by doc_id
+    parity, staged distributedly) through a digest-keyed aggregate
+    (min id = keeper, count = multiplicity) in complete mode — the
+    incremental form of q22's batch dedup. State is one row per distinct
+    digest (digest + two longs), the same asymptotic state batch dedup
+    holds in its aggregation; on an unbounded stream the key set is
+    bounded by watermarked windows or dropDuplicatesWithinWatermark,
+    covered in tests/test_streaming.py."""
+    import shutil
+
+    from ..streaming.windows import run_stream_to_memory, scratch_dir, stage_ordered_files
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = scratch_dir("bacon_q75_")
+    stage_ordered_files([
+        (d, docs.filter(F.col("doc_id") % 2 == 0), "overwrite"),
+        (d, docs.filter(F.col("doc_id") % 2 == 1), "append"),
+    ])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = (
+        stream.select("doc_id", _dd.hash60(F.col("text")).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n"))
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_stream_to_memory(agg, "q75_stream", mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table("q75_stream")
+
+
+@query(
+    "q85_streaming_session",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+    ),
+    sessions AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, value
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, sess_id
+    """,
+)
+def q85_streaming_session(spark, sf_dir):
+    """TRUE streaming session windows with an EXACT oracle: the full
+    events fixture streams through a watermarked session_window
+    aggregate in APPEND mode — a session emits only when the watermark
+    passes its close, so a far-future sentinel (its own session,
+    filtered out) flushes every real session. State is bounded to open
+    sessions per user. The oracle is q33's batch gaps-and-islands SQL
+    verbatim: streaming emission must reproduce the batch sessionization
+    bit-for-bit."""
+    import shutil
+
+    from ..streaming.windows import (
+        run_stream_to_memory,
+        scratch_dir,
+        session_window_agg,
+        stage_ordered_files,
+        with_watermark,
+    )
+
+    # persist: the max-ts job and the staged write share one scan
+    ev = _read(spark, sf_dir, "events").persist()
+    hi = ev.agg(F.max("ts")).first()[0]
+    sschema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    # ONE sentinel, TWO triggers: the watermark only advances at the END
+    # of a batch, and append-mode sessions emit in the batch after the
+    # watermark passes their close. Batch 0 reads data + sentinel together
+    # (maxFilesPerTrigger=2), so its end-of-batch watermark clears every
+    # real session, and the single closing no-data micro-batch emits them
+    # all (it is the flush mechanism — availableNow always runs it).
+    sent1 = spark.createDataFrame([(-1, hi + dt.timedelta(days=2), -1, "sent", 0.0, "{}")], sschema)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    d = scratch_dir("bacon_q85_")
+    stage_ordered_files([
+        (d, ev.select(*cols), "overwrite"),
+        (d, sent1, "append"),
+    ])
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(d)
+    )
+    agg = session_window_agg(
+        with_watermark(stream, "ts", "30 minutes"),
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.round(F.sum(F.expr(dec("value"))).cast("double"), 2),
+        },
+        gap="30 minutes",
+        keys=("user_id",),
+    )
+    # Drop the sentinel sessions by their START TIME, not by user_id:
+    # user_id is a grouping key, so a `user_id >= 0` filter legally
+    # pushes below the aggregate all the way into the parquet scan —
+    # the sentinel rows then never reach the watermark operator and the
+    # final real sessions never emit (observed: the last-gap sessions
+    # went missing). session_start is an aggregate output that cannot
+    # push through session merging, so it filters rows, not input.
+    out = agg.filter(F.col("session_start") <= F.lit(hi)).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+        "sum_value",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_stream_to_memory(out, "q85_stream", mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        ev.unpersist()
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table("q85_stream")
+
+
+@query(
+    "q99_watermark_late_drop",
+    """
+    WITH f1 AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-15'),
+    f2 AS (
+      SELECT * FROM events
+      WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-20'
+    ),
+    f3 AS (
+      SELECT * FROM events
+      WHERE ts < TIMESTAMP '2024-01-04'
+         OR (ts >= TIMESTAMP '2024-01-14' AND ts < TIMESTAMP '2024-01-16')
+    ),
+    wm1 AS (
+      SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000)
+             - INTERVAL 1 HOUR AS w
+      FROM f1
+    ),
+    accepted AS (
+      SELECT ts, value FROM f1
+      UNION ALL
+      SELECT ts, value FROM f2
+      UNION ALL
+      SELECT f3.ts, f3.value FROM f3, wm1
+      WHERE date_trunc('hour', f3.ts) + INTERVAL 1 HOUR > wm1.w
+    )
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n,
+           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS sum_value
+    FROM accepted GROUP BY 1
+    """,
+)
+def q99_watermark_late_drop(spark, sf_dir):
+    """Watermark LATE-DATA DROP semantics, proven exactly: trigger 1
+    streams the on-time prefix (ts < Jan 15), trigger 2 an advancing
+    on-time slice ([Jan 15, Jan 20)), trigger 3 a late replay (ts <
+    Jan 4 — far beyond the 1-hour watermark, must be DROPPED) plus a
+    boundary slice ([Jan 14, Jan 16) — windows ending after the
+    effective watermark must be ACCEPTED, re-counting replayed rows
+    like any at-least-once source); a far-future sentinel then advances
+    the watermark so append mode flushes every real window.
+
+    The acceptance rule the oracle replays was pinned empirically on
+    Spark 4.1 (numRowsDroppedByWatermark probes): a batch's LATE FILTER
+    applies the previous batch's progress-reported watermark — i.e. the
+    millisecond-floored max event time through batch n-2, minus the
+    delay — while state eviction uses the current one. The advancing
+    trigger-2 slice exists precisely so the replay batch filters
+    against max(trigger-1) - 1h. A row survives iff its window end
+    exceeds that watermark; the final emitted state is hash-checked,
+    dropped rows and double-counted replays included. The q62/q85
+    exactness family extended to the drop path, the part of streaming
+    correctness most pipelines never test."""
+    import datetime as _dt
+    import shutil
+
+    from ..streaming.windows import (
+        run_stream_to_memory,
+        scratch_dir,
+        stage_ordered_files,
+        tumbling_window_agg,
+        with_watermark,
+    )
+
+    ev = _read(spark, sf_dir, "events").persist()
+    hi = ev.agg(F.max("ts")).first()[0]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    sschema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    jan = lambda d: _dt.datetime(2024, 1, d)  # noqa: E731
+    f1 = ev.filter(F.col("ts") < F.lit(jan(15)))
+    f2 = ev.filter((F.col("ts") >= F.lit(jan(15))) & (F.col("ts") < F.lit(jan(20))))
+    f3 = ev.filter(
+        (F.col("ts") < F.lit(jan(4)))
+        | ((F.col("ts") >= F.lit(jan(14))) & (F.col("ts") < F.lit(jan(16))))
+    )
+    sent = spark.createDataFrame(
+        [(-1, hi + _dt.timedelta(days=2), -1, "sent", 0.0, "{}")], sschema
+    )
+    d = scratch_dir("bacon_q99_")
+    stage_ordered_files([
+        (d, f1.select(*cols), "overwrite"),
+        (d, f2.select(*cols), "append"),
+        (d, f3.select(*cols), "append"),
+        (d, sent, "append"),
+    ])
+    stream = (
+        spark.readStream.schema(sschema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    agg = tumbling_window_agg(
+        with_watermark(stream, "ts", "1 hour"),
+        {
+            "n": F.count(F.lit(1)),
+            "sum_value": F.round(F.sum(F.expr(dec("value"))).cast("double"), 2),
+        },
+        window="1 hour",
+    )
+    out = agg.filter(F.col("window_start") <= F.lit(hi)).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n",
+        "sum_value",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_stream_to_memory(out, "q99_stream", mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        ev.unpersist()
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table("q99_stream")
+
+
+@query(
+    "q100_stream_stream_join",
+    """
+    SELECT c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           round(cast(cast(p.value as decimal(38,4)) as double), 2) AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND epoch_us(p.ts) >= epoch_us(c.ts)
+     AND epoch_us(p.ts) < epoch_us(c.ts) + 3600000000
+    ORDER BY c.user_id, click_ts, purchase_ts
+    """,
+)
+def q100_stream_stream_join(spark, sf_dir):
+    """NATIVE stream-stream inner join (Spark's built-in symmetric hash
+    join, not the custom stateful operators of q64-q67): clicks joined
+    to the purchases that follow within one hour, both sides true
+    streams with watermarks and an event-time range condition — the
+    state-bounding shape Structured Streaming requires. Both sides
+    stage in single triggers, so no state is evicted before matching
+    and the final append output must equal the batch join EXACTLY —
+    which the DuckDB oracle computes. Complements q99: q99 pins what
+    the watermark DROPS, this pins what join state RETAINS.
+
+    Scale shape: state is bounded by the 1-hour join window per key
+    side (watermark-evicted), shuffles are keyed on user_id, and the
+    range predicate prunes state probes — the standard production
+    clickstream-attribution join."""
+    import shutil
+
+    from ..streaming.windows import run_stream_to_memory, scratch_dir, stage_ordered_files
+
+    ev = _read(spark, sf_dir, "events")
+    sschema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    clicks_b = ev.filter(F.col("event_type") == "click")
+    purch_b = ev.filter(F.col("event_type") == "purchase")
+    cdir, pdir = scratch_dir("bacon_q100c_"), scratch_dir("bacon_q100p_")
+    stage_ordered_files([
+        (cdir, clicks_b.select(*cols), "overwrite"),
+        (pdir, purch_b.select(*cols), "overwrite"),
+    ])
+    clicks = (
+        spark.readStream.schema(sschema).parquet(cdir)
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        spark.readStream.schema(sschema).parquet(pdir)
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.unix_micros("p_ts") >= F.unix_micros("c_ts"))
+        & (F.unix_micros("p_ts") < F.unix_micros("c_ts") + 3_600_000_000),
+        "inner",
+    )
+    out = joined.select(
+        F.col("c_user").alias("user_id"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.round(F.expr(dec("p_value")).cast("double"), 2).alias("purchase_value"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_stream_to_memory(out, "q100_stream", mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(cdir, ignore_errors=True)
+        shutil.rmtree(pdir, ignore_errors=True)
+    return spark.table("q100_stream").orderBy("user_id", "click_ts", "purchase_ts")
+
+
+@query(
+    "q141_streaming_cdc_upsert",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events
+      WHERE user_id < 80
+    )
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           round(value, 2) AS value
+    FROM ranked WHERE rk = 1
+    ORDER BY user_id
+    """,
+)
+def q141_streaming_cdc_upsert(spark, sf_dir):
+    """END-TO-END exactly-once streaming CDC materialization: the change
+    log streams through the manifest-committed idempotent sink
+    (streaming/sink.py — one batch is DELIBERATELY REPLAYED to simulate
+    post-crash at-least-once redelivery), the manifest table is read
+    back, and latest-per-key compaction (q81's operator) produces
+    current state.  The oracle computes the same state straight from
+    the batch table — equality proves the whole stream→exactly-once
+    sink→upsert-view path drops the replay and loses nothing.
+
+    Composes: file-source micro-batches, foreachBatch, the atomic
+    manifest protocol, and the CDC window — the production changelog
+    pipeline in one gate."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..operators.maintenance import manifest_read
+    from ..streaming.sink import idempotent_batch_writer
+    from ..streaming.windows import scratch_dir, stage_ordered_files
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 80)
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    src = scratch_dir("bacon_q141src_")
+    out = scratch_dir("bacon_q141out_")
+    ckpt = scratch_dir("bacon_q141ck_")
+    try:
+        stage_ordered_files([(src, ev.select(*cols).repartition(4), "overwrite")])
+        sschema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+        stream = (
+            spark.readStream.schema(sschema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+        writer = idempotent_batch_writer(out)
+        q = (
+            stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # simulate at-least-once redelivery after a crash: replay batch 0
+        # verbatim — the sink must drop it without a version bump
+        first_files = sorted(
+            f for f in __import__("os").listdir(src) if f.endswith(".parquet")
+        )[:2]
+        replay = spark.read.parquet(*[f"{src}/{f}" for f in first_files])
+        writer(replay, 0)
+
+        table = manifest_read(spark, out)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            table.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(
+                "user_id",
+                "event_id",
+                "event_type",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+                F.round("value", 2).alias("value"),
+            )
+            .orderBy("user_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)

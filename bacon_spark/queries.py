@@ -1,6516 +1,23 @@
-"""Query inventory: every operator from SURVEY §2 as a (Spark query, DuckDB
-oracle SQL) pair, keyed by name. The driver runs both at sf0.01 and
-hash-compares sorted values, so:
+"""Query inventory facade: every operator from SURVEY §2 as a
+(Spark query, DuckDB oracle SQL) pair, keyed by name in QUERIES/ORACLES.
 
-* every computed column is aliased IDENTICALLY on both sides;
-* floating-point aggregates are made cross-engine deterministic by summing
-  in exact DECIMAL, casting the exact sum to double, and only then
-  rounding/dividing (IEEE double ops on identical inputs are bit-identical);
-* group keys avoid raw timestamps (date or formatted string instead) to
-  dodge tz-representation differences.
-
-Queries go through the engine (CubeDef/CubeQuery/CuttingBoard) wherever the
-operator under test lives there, so the oracle gate exercises the real
-execution path, not a parallel hand-written plan.
+The inventory itself lives in the gate/ package, split by domain
+(gate/core.py, gate/streaming.py, gate/llm.py, gate/textprep.py,
+gate/temporal.py, gate/warehouse.py, shared helpers in gate/_base.py); importing this
+module registers all of them.  The cross-engine determinism rules the
+whole inventory follows (identical aliasing both sides, decimal-exact
+float aggregation, tz-pinned group keys) are documented in
+gate/_base.py.
 """
 
-from __future__ import annotations
-
-import datetime as dt
-
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from .accumulators import (
-    Average,
-    Count,
-    CountDistinct,
-    Group,
-    Max,
-    Min,
-    RatioSum,
-    StdDev,
-    Sum,
-    Union,
+from .gate import (  # noqa: F401
+    ORACLES,
+    QUERIES,
+    board,
+    bucketed_star_tables,
+    dec,
+    finalize,
+    query,
+    _read,
+    _read_docs,
 )
-from .cubedef import (
-    CubeDef,
-    DayLabel,
-    DOYLabel,
-    HourLabel,
-    IntLabel,
-    ISOWeekNumLabel,
-    ISOYearLabel,
-    Label,
-    Measure,
-    MonthdayLabel,
-    MonthLabel,
-    MonthOfYearLabel,
-    QuarterLabel,
-    QuarterNumLabel,
-    SetLabel,
-    WeekdayLabel,
-    WeekLabel,
-    YearLabel,
-)
-from .cubequery import CubeQuery
-from .engine import CuttingBoard
-from .sources.star import sales_fact
-
-QUERIES: dict = {}
-ORACLES: dict[str, str] = {}
-
-
-def _ensure_workers_import(spark: SparkSession) -> None:
-    """Python workers (mapInPandas / pandas UDFs / applyInPandasWithState)
-    deserialize functions by module reference; if the harness process was
-    not launched from the repo root, executors cannot import bacon_spark.
-    Ship the package once per session via addPyFile (a zip of the repo's
-    bacon_spark/)."""
-    sc = spark.sparkContext
-    if getattr(sc, "_bacon_spark_shipped", False):
-        return
-    import os
-    import tempfile
-    import zipfile
-
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(tempfile.gettempdir(), "bacon_spark_pkg.zip")
-    with zipfile.ZipFile(zpath, "w") as z:
-        for root, _dirs, files in os.walk(pkg_dir):
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    rel = os.path.join("bacon_spark", os.path.relpath(full, pkg_dir))
-                    z.write(full, rel)
-    sc.addPyFile(zpath)
-    sc._bacon_spark_shipped = True
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        def wrapped(spark, sf_dir, _fn=fn):
-            _ensure_workers_import(spark)
-            return _fn(spark, sf_dir)
-
-        wrapped.__name__ = fn.__name__
-        wrapped.__doc__ = fn.__doc__
-        QUERIES[name] = wrapped
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
-
-
-def dec(expr: str, scale: int = 4) -> str:
-    """Exact-decimal cast for deterministic cross-engine sums."""
-    return f"cast(({expr}) as decimal(38,{scale}))"
-
-
-def finalize(df: DataFrame, rounds: dict[str, int] | None = None) -> DataFrame:
-    """Cast decimal aggregates to double (rounded) for a stable oracle
-    schema; leave other columns untouched."""
-    rounds = rounds or {}
-    cols = []
-    for f in df.schema.fields:
-        c = F.col(f.name)
-        if f.name in rounds:
-            cols.append(F.round(c.cast("double"), rounds[f.name]).alias(f.name))
-        else:
-            cols.append(c)
-    return df.select(*cols)
-
-
-def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    from .sources.star import read_table
-
-    # oracle safety: timestamp rendering (date_format over the converted
-    # events ts) is session-tz-sensitive; DuckDB is tz-naive. Pin UTC so
-    # results don't depend on the harness session's configuration.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return read_table(spark, sf_dir, table)
-
-
-def _read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents, widened for CPU-bound expression work ONLY when the scan
-    is narrow.
-
-    The fixture ships documents as ONE parquet file -> one input partition
-    -> one core for the md5-heavy text operators; widening buys full-width
-    parallelism there. At real scale the corpus is thousands of files and
-    ``widen`` returns the scan untouched — no Exchange, the bodies are
-    never shuffled (plan-asserted in tests/test_plans.py)."""
-    from .operators.scale import widen
-
-    return widen(_read(spark, sf_dir, "documents"))
-
-
-def board(cd: CubeDef, df: DataFrame) -> CuttingBoard:
-    return CuttingBoard(cd, df, cache_results=False)
-
-
-# ---------------------------------------------------------------------------
-# Core cube: aggregation / filter / group-by (SURVEY §2.2, §2.3)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "q01_pricing_summary",
-    """
-    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
-           round(cast(sum(cast(l_quantity as decimal(38,4))) as double), 2) AS sum_qty,
-           round(cast(sum(cast(l_extendedprice as decimal(38,4))) as double), 2) AS sum_base_price,
-           round(cast(sum(cast(l_extendedprice*(1-l_discount) as decimal(38,6))) as double), 2) AS sum_disc_price,
-           round(cast(sum(cast(l_extendedprice*(1-l_discount)*(1+l_tax) as decimal(38,6))) as double), 2) AS sum_charge,
-           round(cast(sum(cast(l_quantity as decimal(38,4))) as double) / count(*), 6) AS avg_qty,
-           count(*) AS count_order
-    FROM lineitem
-    WHERE cast(l_shipdate as date) <= DATE '1998-09-01'
-    GROUP BY 1, 2
-    """,
-)
-def q01_pricing_summary(spark, sf_dir):
-    """Flagship: TPC-H Q1-shaped pricing summary through the cube engine —
-    conjunctive filter + multi-measure hash aggregation (the reference's
-    core operator, /root/reference/bacon/cutting.py:87-116)."""
-    cd = CubeDef("lineitem")
-    cd.add_label(Label("returnflag", "l_returnflag"))
-    cd.add_label(Label("linestatus", "l_linestatus"))
-    cd.add_label(DayLabel("shipdate", "l_shipdate"))
-    cd.add_measure(Measure("sum_qty", dec("l_quantity"), acc=Sum()))
-    cd.add_measure(Measure("sum_base_price", dec("l_extendedprice"), acc=Sum()))
-    cd.add_measure(Measure("sum_disc_price", dec("l_extendedprice*(1-l_discount)", 6), acc=Sum()))
-    cd.add_measure(Measure("sum_charge", dec("l_extendedprice*(1-l_discount)*(1+l_tax)", 6), acc=Sum()))
-    cd.add_measure(Measure("avg_qty", dec("l_quantity"), acc=Average()))
-    cd.add_measure(Measure("count_order", "l_quantity", acc=Count()))
-    q = (
-        CubeQuery()
-        .add_axis("returnflag")
-        .add_axis("linestatus")
-        .add_value("sum_qty")
-        .add_value("sum_base_price")
-        .add_value("sum_disc_price")
-        .add_value("sum_charge")
-        .add_value("avg_qty")
-        .add_value("count_order")
-        .add_filter("shipdate", "le", dt.date(1998, 9, 1))
-    )
-    df = board(cd, _read(spark, sf_dir, "lineitem")).slice(q).to_df()
-    return finalize(
-        df,
-        {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2, "sum_charge": 2, "avg_qty": 6},
-    )
-
-
-@query(
-    "q02_revenue_by_region_nation",
-    """
-    SELECT r.r_name AS region, n.n_name AS nation,
-           round(cast(sum(cast(l.l_extendedprice*(1-l.l_discount) as decimal(38,6))) as double), 2) AS revenue,
-           count(*) AS n_items
-    FROM lineitem l
-    JOIN orders o ON l.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    GROUP BY 1, 2
-    """,
-)
-def q02_revenue_by_region_nation(spark, sf_dir):
-    """Star-schema join (broadcast dims) + cube over the denormalized fact
-    — bacon's pre-joined dataset re-expressed as declared joins (SURVEY
-    §2.4)."""
-    from .sources.star import fact_for_cube
-
-    cd = CubeDef("sales")
-    cd.add_label(Label("region"))
-    cd.add_label(Label("nation", child_of="region"))
-    cd.add_measure(Measure("revenue", dec("l_extendedprice*(1-l_discount)", 6), acc=Sum()))
-    cd.add_measure(Measure("n_items", "l_orderkey", acc=Count()))
-    q = CubeQuery().add_axis("region").add_axis("nation").add_value("revenue").add_value("n_items")
-    # join culling: part/supplier joins are dropped (query never touches them)
-    fact = fact_for_cube(spark, sf_dir, cd, q)
-    df = board(cd, fact).slice(q).to_df()
-    return finalize(df, {"revenue": 2})
-
-
-@query(
-    "q03_orders_by_month",
-    """
-    SELECT cast(date_trunc('month', o_orderdate) as date) AS order_month,
-           round(cast(sum(cast(o_totalprice as decimal(38,4))) as double), 2) AS total,
-           count(*) AS n_orders
-    FROM orders
-    GROUP BY 1
-    """,
-)
-def q03_orders_by_month(spark, sf_dir):
-    """MonthLabel date-hierarchy axis (SURVEY §1.2 date family)."""
-    cd = CubeDef("orders")
-    cd.add_label(MonthLabel("order_month", "o_orderdate"))
-    cd.add_measure(Measure("total", dec("o_totalprice"), acc=Sum()))
-    cd.add_measure(Measure("n_orders", "o_orderkey", acc=Count()))
-    q = CubeQuery().add_axis("order_month").add_value("total").add_value("n_orders")
-    df = board(cd, _read(spark, sf_dir, "orders")).slice(q).to_df()
-    return finalize(df, {"total": 2})
-
-
-@query(
-    "q04_top_customers",
-    """
-    SELECT o_custkey AS custkey,
-           round(cast(sum(cast(o_totalprice as decimal(38,4))) as double), 2) AS total
-    FROM orders
-    GROUP BY 1
-    ORDER BY total DESC, custkey ASC
-    LIMIT 10
-    """,
-)
-def q04_top_customers(spark, sf_dir):
-    """Order-by-measure (desc, None-as-0) + top-k limit (SURVEY §2.6); axis
-    sort after the measure gives the deterministic tiebreak."""
-    cd = CubeDef("orders")
-    cd.add_label(IntLabel("custkey", "o_custkey"))
-    cd.add_measure(Measure("total", dec("o_totalprice"), acc=Sum()))
-    q = (
-        CubeQuery()
-        .add_axis("custkey")
-        .add_value("total")
-        .set_order("total", descending=True)
-    )
-    df = board(cd, _read(spark, sf_dir, "orders")).slice(q).to_df().limit(10)
-    return finalize(df, {"total": 2})
-
-
-@query(
-    "q05_group_accumulator",
-    """
-    SELECT n.n_name AS nation,
-           CASE WHEN count(DISTINCT r.r_name) + max(CASE WHEN r.r_name IS NULL THEN 1 ELSE 0 END) = 1
-                THEN min(r.r_name) END AS region_group,
-           CASE WHEN count(DISTINCT c.c_mktsegment) + max(CASE WHEN c.c_mktsegment IS NULL THEN 1 ELSE 0 END) = 1
-                THEN min(c.c_mktsegment) END AS segment_group,
-           count(*) AS n_customers
-    FROM customer c
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    GROUP BY 1
-    """,
-)
-def q05_group_accumulator(spark, sf_dir):
-    """Group accumulator: single-distinct-else-null, null counts as a value
-    (/root/reference/bacon/accumulators.py:259-296). region_group is always
-    single (hierarchy), segment_group is Inconsistent -> null."""
-    c = _read(spark, sf_dir, "customer")
-    n = _read(spark, sf_dir, "nation").withColumnRenamed("n_name", "nation")
-    r = _read(spark, sf_dir, "region")
-    df = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
-        F.broadcast(r), n.n_regionkey == r.r_regionkey
-    )
-    cd = CubeDef("cust")
-    cd.add_label(Label("nation"))
-    cd.add_measure(Measure("region_group", "r_name", acc=Group()))
-    cd.add_measure(Measure("segment_group", "c_mktsegment", acc=Group()))
-    cd.add_measure(Measure("n_customers", "c_custkey", acc=Count()))
-    q = (
-        CubeQuery()
-        .add_axis("nation")
-        .add_value("region_group")
-        .add_value("segment_group")
-        .add_value("n_customers")
-    )
-    return board(cd, df).slice(q).to_df()
-
-
-@query(
-    "q06_discount_ratio",
-    """
-    SELECT l_returnflag AS returnflag,
-           round(cast(sum(cast(l_extendedprice*l_discount as decimal(38,8))) as double)
-                 / nullif(cast(sum(cast(l_extendedprice as decimal(38,4))) as double), 0), 8) AS discount_rate
-    FROM lineitem
-    GROUP BY 1
-    """,
-)
-def q06_discount_ratio(spark, sf_dir):
-    """RatioSum accumulator: sum(num)/sum(den), zero/null den -> null
-    (/root/reference/bacon/accumulators.py:355-393)."""
-    cd = CubeDef("li")
-    cd.add_label(Label("returnflag", "l_returnflag"))
-    cd.add_measure(
-        Measure(
-            "discount_rate",
-            F.lit(None),
-            acc=RatioSum(dec("l_extendedprice*l_discount", 8), dec("l_extendedprice", 4)),
-        )
-    )
-    q = CubeQuery().add_axis("returnflag").add_value("discount_rate")
-    df = board(cd, _read(spark, sf_dir, "lineitem")).slice(q).to_df()
-    return df.select("returnflag", F.round(F.col("discount_rate"), 8).alias("discount_rate"))
-
-
-@query(
-    "q07_minmax_stddev",
-    """
-    SELECT c_nationkey AS nationkey,
-           min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
-           round(sqrt((cast(sum(cast(c_acctbal*c_acctbal as decimal(38,8))) as double)
-                       - cast(sum(cast(c_acctbal as decimal(38,4))) as double)
-                         * cast(sum(cast(c_acctbal as decimal(38,4))) as double) / count(c_acctbal))
-                      / (count(c_acctbal) - 1)), 6) AS std_bal
-    FROM customer
-    GROUP BY 1
-    """,
-)
-def q07_minmax_stddev(spark, sf_dir):
-    """Min/Max/StdDev accumulators (/root/reference/bacon/accumulators.py:79-134,193-231).
-    StdDev is computed from exact decimal moments on both sides so the
-    doubles agree bit-for-bit (Welford vs textbook differ in ulps)."""
-    cd = CubeDef("cust")
-    cd.add_label(IntLabel("nationkey", "c_nationkey"))
-    cd.add_measure(Measure("min_bal", "c_acctbal", acc=Min()))
-    cd.add_measure(Measure("max_bal", "c_acctbal", acc=Max()))
-    q = CubeQuery().add_axis("nationkey").add_value("min_bal").add_value("max_bal")
-    df = board(cd, _read(spark, sf_dir, "customer")).slice(q).to_df()
-    moments = (
-        _read(spark, sf_dir, "customer")
-        .groupBy(F.col("c_nationkey").alias("nationkey"))
-        .agg(
-            F.sum(F.expr(dec("c_acctbal*c_acctbal", 8))).cast("double").alias("_s2"),
-            F.sum(F.expr(dec("c_acctbal", 4))).cast("double").alias("_s1"),
-            F.count("c_acctbal").alias("_n"),
-        )
-        .select(
-            "nationkey",
-            F.round(
-                F.sqrt((F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_n")) / (F.col("_n") - 1)),
-                6,
-            ).alias("std_bal"),
-        )
-    )
-    return df.join(moments, "nationkey")
-
-
-@query(
-    "q08_count_distinct",
-    """
-    SELECT l_returnflag AS returnflag,
-           count(DISTINCT l_suppkey) AS n_suppliers,
-           count(DISTINCT l_partkey) AS n_parts
-    FROM lineitem
-    GROUP BY 1
-    """,
-)
-def q08_count_distinct(spark, sf_dir):
-    """Exact distinct aggregation (engine extension of Group/Union,
-    SURVEY §2.3)."""
-    cd = CubeDef("li")
-    cd.add_label(Label("returnflag", "l_returnflag"))
-    cd.add_measure(Measure("n_suppliers", "l_suppkey", acc=CountDistinct()))
-    cd.add_measure(Measure("n_parts", "l_partkey", acc=CountDistinct()))
-    q = CubeQuery().add_axis("returnflag").add_value("n_suppliers").add_value("n_parts")
-    return board(cd, _read(spark, sf_dir, "lineitem")).slice(q).to_df()
-
-
-# ---------------------------------------------------------------------------
-# Filters: scalar ops, membership, regex (SURVEY §2.2)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "q09_filter_scalar_ops",
-    """
-    SELECT l_linestatus AS linestatus, count(*) AS n,
-           round(cast(sum(cast(l_quantity as decimal(38,4))) as double), 2) AS sum_qty
-    FROM lineitem
-    WHERE l_quantity > 10 AND l_quantity <= 45 AND l_discount >= 0.02
-          AND l_discount < 0.08 AND l_returnflag <> 'A'
-    GROUP BY 1
-    """,
-)
-def q09_filter_scalar_ops(spark, sf_dir):
-    """gt/le/ge/lt/ne conjunctive filters pushed to the parquet scan
-    (/root/reference/bacon/cutting.py:846-852; ne passes nulls — no nulls
-    in this fixture so SQL <> is the exact oracle)."""
-    cd = CubeDef("li")
-    cd.add_label(Label("linestatus", "l_linestatus"))
-    cd.add_label(Label("returnflag", "l_returnflag"))
-    cd.add_label(Label("discount", "l_discount"))
-    cd.add_label(Label("quantity", "l_quantity"))
-    cd.add_measure(Measure("n", "l_quantity", acc=Count()))
-    cd.add_measure(Measure("sum_qty", dec("l_quantity"), acc=Sum()))
-    q = (
-        CubeQuery()
-        .add_axis("linestatus")
-        .add_value("n")
-        .add_value("sum_qty")
-        .add_filter("quantity", "gt", 10)
-        .add_filter("quantity", "le", 45)
-        .add_filter("discount", "ge", 0.02)
-        .add_filter("discount", "lt", 0.08)
-        .add_filter("returnflag", "ne", "A")
-    )
-    df = board(cd, _read(spark, sf_dir, "lineitem")).slice(q).to_df()
-    return finalize(df, {"sum_qty": 2})
-
-
-@query(
-    "q10_filter_in_ni",
-    """
-    SELECT p_brand AS brand, count(*) AS n,
-           round(cast(sum(cast(p_retailprice as decimal(38,4))) as double), 2) AS sum_price
-    FROM part
-    WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
-          AND p_size NOT IN (1, 2, 3)
-    GROUP BY 1
-    """,
-)
-def q10_filter_in_ni(spark, sf_dir):
-    """in/ni membership filters with frozenset values
-    (/root/reference/bacon/cutting.py:776-782)."""
-    cd = CubeDef("part")
-    cd.add_label(Label("brand", "p_brand"))
-    cd.add_label(IntLabel("size", "p_size"))
-    cd.add_measure(Measure("n", "p_partkey", acc=Count()))
-    cd.add_measure(Measure("sum_price", dec("p_retailprice"), acc=Sum()))
-    q = (
-        CubeQuery()
-        .add_axis("brand")
-        .add_value("n")
-        .add_value("sum_price")
-        .add_filter("brand", "in", frozenset({"Brand#1", "Brand#2", "Brand#3"}))
-        .add_filter("size", "ni", frozenset({1, 2, 3}))
-    )
-    df = board(cd, _read(spark, sf_dir, "part")).slice(q).to_df()
-    return finalize(df, {"sum_price": 2})
-
-
-@query(
-    "q11_filter_regex",
-    """
-    SELECT p_name AS pname, count(*) AS n
-    FROM part
-    WHERE regexp_matches(p_name, 'red|blue') AND NOT regexp_matches(p_name, 'bolt$')
-    GROUP BY 1
-    """,
-)
-def q11_filter_regex(spark, sf_dir):
-    """match/nmatch regex filters, null-safe
-    (/root/reference/bacon/cutting.py:842-844,869-870)."""
-    cd = CubeDef("part")
-    cd.add_label(Label("pname", "p_name"))
-    cd.add_measure(Measure("n", "p_partkey", acc=Count()))
-    q = (
-        CubeQuery()
-        .add_axis("pname")
-        .add_value("n")
-        .add_filter("pname", "match", "red|blue")
-        .add_filter("pname", "nmatch", "bolt$")
-    )
-    return board(cd, _read(spark, sf_dir, "part")).slice(q).to_df()
-
-
-# ---------------------------------------------------------------------------
-# Set-valued labels: set algebra filters + Union accumulator (SURVEY §2.2/2.3)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "q12_set_filters",
-    """
-    WITH tagged AS (
-      SELECT p_brand, string_split(p_name, ' ') AS tags FROM part
-    )
-    SELECT p_brand AS brand, count(*) AS n
-    FROM tagged
-    WHERE list_has_any(tags, ['red', 'blue', 'green'])
-      AND list_has_all(tags, ['widget'])
-      AND NOT list_has_any(tags, ['bolt', 'gear'])
-    GROUP BY 1
-    """,
-)
-def q12_set_filters(spark, sf_dir):
-    """Set-algebra filter ops over array<string> (hasany + hasall +
-    hasnone; /root/reference/bacon/cutting.py:799-870) on a derived
-    SetLabel column."""
-    df = _read(spark, sf_dir, "part").withColumn("tags", F.split("p_name", " "))
-    cd = CubeDef("part")
-    cd.add_label(Label("brand", "p_brand"))
-    cd.add_label(SetLabel("tags"))
-    cd.add_measure(Measure("n", "p_partkey", acc=Count()))
-    q = (
-        CubeQuery()
-        .add_axis("brand")
-        .add_value("n")
-        .add_filter("tags", "hasany", frozenset({"red", "blue", "green"}))
-        .add_filter("tags", "hasall", frozenset({"widget"}))
-        .add_filter("tags", "hasnone", frozenset({"bolt", "gear"}))
-    )
-    return board(cd, df).slice(q).to_df()
-
-
-@query(
-    "q13_union_accumulator",
-    """
-    WITH tagged AS (
-      SELECT p_brand, list_filter(string_split(p_type, ' '), x -> x IS NOT NULL AND x <> '') AS tags
-      FROM part
-    )
-    SELECT p_brand AS brand,
-           array_to_string(list_sort(list_distinct(flatten(list(tags)))), ',') AS tag_union,
-           max(CASE WHEN len(tags) = 0 THEN 1 ELSE 0 END) = 1 AS included_empty
-    FROM tagged
-    GROUP BY 1
-    """,
-)
-def q13_union_accumulator(spark, sf_dir):
-    """Union accumulator: set union + saw-empty flag
-    (/root/reference/bacon/accumulators.py:53-76), exposed as two flat
-    columns for the oracle.
-
-    The set-valued column is emitted as a sorted comma-joined STRING, not
-    array<string>: the driver's canonicalizer sorts via pandas, which
-    cannot factorize list cells (round-1 q13 'unhashable type: list')."""
-    df = _read(spark, sf_dir, "part").withColumn("tags", F.split("p_type", " "))
-    cd = CubeDef("part")
-    cd.add_label(Label("brand", "p_brand"))
-    cd.add_measure(Measure("u", "tags", acc=Union()))
-    q = CubeQuery().add_axis("brand").add_value("u")
-    out = board(cd, df).slice(q).to_df()
-    return out.select(
-        "brand",
-        F.array_join(F.array_sort("u.values"), ",").alias("tag_union"),
-        F.col("u.included_empty").alias("included_empty"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Date-hierarchy label family (SURVEY §1.2)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "q14_date_parts",
-    """
-    SELECT cast(date_trunc('year', o_orderdate) as date) AS order_year,
-           cast(quarter(o_orderdate) as int) AS order_quarternum,
-           cast(month(o_orderdate) as int) AS order_monthnum,
-           round(cast(sum(cast(o_totalprice as decimal(38,4))) as double), 2) AS total
-    FROM orders
-    GROUP BY 1, 2, 3
-    """,
-)
-def q14_date_parts(spark, sf_dir):
-    """Year / QuarterNum / MonthOfYear labels (SQL semantics per SURVEY §7
-    for the reference's QuarterNum classify bug)."""
-    cd = CubeDef("orders")
-    cd.add_label(YearLabel("order_year", "o_orderdate"))
-    cd.add_label(QuarterNumLabel("order_quarternum", "o_orderdate"))
-    cd.add_label(MonthOfYearLabel("order_monthnum", "o_orderdate"))
-    cd.add_measure(Measure("total", dec("o_totalprice"), acc=Sum()))
-    q = (
-        CubeQuery()
-        .add_axis("order_year")
-        .add_axis("order_quarternum")
-        .add_axis("order_monthnum")
-        .add_value("total")
-    )
-    df = board(cd, _read(spark, sf_dir, "orders")).slice(q).to_df()
-    return finalize(df, {"total": 2})
-
-
-@query(
-    "q15_week_weekday_doy",
-    """
-    SELECT cast(date_trunc('week', l_shipdate) as date) AS ship_week,
-           cast(isodow(l_shipdate) as int) AS ship_weekday,
-           cast(dayofyear(l_shipdate) as int) AS ship_doy,
-           count(*) AS n
-    FROM lineitem
-    WHERE cast(l_shipdate as date) >= DATE '1995-01-01' AND cast(l_shipdate as date) < DATE '1995-03-01'
-    GROUP BY 1, 2, 3
-    """,
-)
-def q15_week_weekday_doy(spark, sf_dir):
-    """Week / ISO-weekday (Spark dayofweek remap, SURVEY §1.2) / DOY labels
-    with a day-range filter."""
-    cd = CubeDef("li")
-    cd.add_label(WeekLabel("ship_week", "l_shipdate"))
-    cd.add_label(WeekdayLabel("ship_weekday", "l_shipdate"))
-    cd.add_label(DOYLabel("ship_doy", "l_shipdate"))
-    cd.add_label(DayLabel("ship_day", "l_shipdate"))
-    cd.add_measure(Measure("n", "l_orderkey", acc=Count()))
-    q = (
-        CubeQuery()
-        .add_axis("ship_week")
-        .add_axis("ship_weekday")
-        .add_axis("ship_doy")
-        .add_value("n")
-        .add_filter("ship_day", "ge", dt.date(1995, 1, 1))
-        .add_filter("ship_day", "lt", dt.date(1995, 3, 1))
-    )
-    return board(cd, _read(spark, sf_dir, "lineitem")).slice(q).to_df()
-
-
-@query(
-    "q16_events_by_hour",
-    """
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-           event_type,
-           count(*) AS n,
-           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS sum_value
-    FROM events
-    WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
-    GROUP BY 1, 2
-    """,
-)
-def q16_events_by_hour(spark, sf_dir):
-    """HourLabel truncation over the events table; key rendered as a string
-    to keep timestamp representations engine-neutral."""
-    cd = CubeDef("events")
-    cd.add_label(HourLabel("hour", "ts"))
-    cd.add_label(Label("event_type"))
-    cd.add_label(Label("ts"))
-    cd.add_measure(Measure("n", "event_id", acc=Count()))
-    cd.add_measure(Measure("sum_value", dec("value"), acc=Sum()))
-    q = (
-        CubeQuery()
-        .add_axis("hour")
-        .add_axis("event_type")
-        .add_value("n")
-        .add_value("sum_value")
-        .add_filter("ts", "lt", dt.datetime(2024, 1, 3))
-    )
-    df = board(cd, _read(spark, sf_dir, "events")).slice(q).to_df()
-    df = df.withColumn("hour", F.date_format("hour", "yyyy-MM-dd HH:mm:ss"))
-    return finalize(df, {"sum_value": 2})
-
-
-# ---------------------------------------------------------------------------
-# Pivot / rollup / pagination (SURVEY §2.6, §2.8)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "q17_pivot_returnflag",
-    """
-    SELECT l_linestatus AS linestatus,
-           round(cast(sum(CASE WHEN l_returnflag = 'A' THEN cast(l_quantity as decimal(38,4)) END) as double), 2) AS qty_A,
-           round(cast(sum(CASE WHEN l_returnflag = 'N' THEN cast(l_quantity as decimal(38,4)) END) as double), 2) AS qty_N,
-           round(cast(sum(CASE WHEN l_returnflag = 'R' THEN cast(l_quantity as decimal(38,4)) END) as double), 2) AS qty_R
-    FROM lineitem
-    GROUP BY 1
-    """,
-)
-def q17_pivot_returnflag(spark, sf_dir):
-    """Pivot: trailing axis cross-tabulated into columns
-    (/root/reference/bacon/observers/tables.py:325-508) via Spark's native
-    groupBy().pivot() with explicit values (no extra scan for value
-    discovery)."""
-    df = (
-        _read(spark, sf_dir, "lineitem")
-        .groupBy(F.col("l_linestatus").alias("linestatus"))
-        .pivot("l_returnflag", ["A", "N", "R"])
-        .agg(F.sum(F.expr(dec("l_quantity"))))
-    )
-    for v in ["A", "N", "R"]:
-        df = df.withColumnRenamed(v, f"qty_{v}")
-    return finalize(df, {f"qty_{v}": 2 for v in ["A", "N", "R"]})
-
-
-@query(
-    "q18_rollup_totals",
-    """
-    SELECT coalesce(r.r_name, '(all)') AS region,
-           coalesce(n.n_name, '(all)') AS nation,
-           cast(grouping(r.r_name)*2 + grouping(n.n_name) as int) AS lvl,
-           round(cast(sum(cast(s.s_acctbal as decimal(38,4))) as double), 2) AS total_bal
-    FROM supplier s
-    JOIN nation n ON s.s_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    GROUP BY ROLLUP(r.r_name, n.n_name)
-    """,
-)
-def q18_rollup_totals(spark, sf_dir):
-    """Totals rows via native rollup + grouping() — the Spark-idiomatic form
-    of the reference's accumulator-merge totals
-    (/root/reference/bacon/observers/tables.py:285-315)."""
-    s = _read(spark, sf_dir, "supplier")
-    n = _read(spark, sf_dir, "nation")
-    r = _read(spark, sf_dir, "region")
-    joined = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
-        F.broadcast(r), n.n_regionkey == r.r_regionkey
-    )
-    df = (
-        joined.rollup("r_name", "n_name")
-        .agg(
-            (F.grouping("r_name") * 2 + F.grouping("n_name")).cast("int").alias("lvl"),
-            F.sum(F.expr(dec("s_acctbal"))).alias("total_bal"),
-        )
-        .select(
-            F.coalesce("r_name", F.lit("(all)")).alias("region"),
-            F.coalesce("n_name", F.lit("(all)")).alias("nation"),
-            "lvl",
-            "total_bal",
-        )
-    )
-    return finalize(df, {"total_bal": 2})
-
-
-@query(
-    "q19_pagination",
-    """
-    SELECT * FROM (
-      SELECT p_brand AS brand, p_type AS ptype, count(*) AS n,
-             round(cast(sum(cast(p_retailprice as decimal(38,4))) as double), 2) AS sum_price
-      FROM part
-      GROUP BY 1, 2
-      ORDER BY n DESC, brand ASC, ptype ASC
-      LIMIT 20 OFFSET 40
-    ) t
-    """,
-)
-def q19_pagination(spark, sf_dir):
-    """limit/offset pagination pushdown (SURVEY §2.6; reference pages via
-    list slices / SQL LIMIT-OFFSET, /root/reference/bacon/sql.py:100-108)."""
-    cd = CubeDef("part")
-    cd.add_label(Label("brand", "p_brand"))
-    cd.add_label(Label("ptype", "p_type"))
-    cd.add_measure(Measure("n", "p_partkey", acc=Count()))
-    cd.add_measure(Measure("sum_price", dec("p_retailprice"), acc=Sum()))
-    q = (
-        CubeQuery()
-        .add_axis("brand")
-        .add_axis("ptype")
-        .add_value("n")
-        .add_value("sum_price")
-        .set_order("n", descending=True)
-    )
-    df = board(cd, _read(spark, sf_dir, "part")).slice(q).to_df().offset(40).limit(20)
-    return finalize(df, {"sum_price": 2})
-
-
-@query(
-    "q20_drilldown",
-    """
-    SELECT cast(date_trunc('month', o.o_orderdate) as date) AS order_month,
-           round(cast(sum(cast(l.l_extendedprice*(1-l.l_discount) as decimal(38,6))) as double), 2) AS revenue
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    WHERE r.r_name = 'AMERICA' AND o.o_orderstatus = 'F'
-    GROUP BY 1
-    """,
-)
-def q20_drilldown(spark, sf_dir):
-    """Drill-down: eq-filter on an axis value + axis removal
-    (/root/reference/bacon/cubenav.py:164-174), over the star fact."""
-    cd = CubeDef("sales")
-    cd.add_label(Label("region"))
-    cd.add_label(Label("orderstatus", "o_orderstatus"))
-    cd.add_label(MonthLabel("order_month", "o_orderdate"))
-    cd.add_measure(Measure("revenue", dec("l_extendedprice*(1-l_discount)", 6), acc=Sum()))
-    q0 = (
-        CubeQuery()
-        .add_axis("region")
-        .add_axis("order_month")
-        .add_value("revenue")
-        .add_filter("orderstatus", "eq", "F")
-    )
-    from .sources.star import fact_for_cube
-
-    # drill: filter region='AMERICA', drop the region axis
-    q1 = q0.add_filter("region", "eq", "AMERICA").remove_axis("region")
-    df = board(cd, fact_for_cube(spark, sf_dir, cd, q1)).slice(q1).to_df()
-    return finalize(df, {"revenue": 2})
-
-
-@query(
-    "q21_events_json",
-    """
-    SELECT event_type, cast(json_extract_string(props, '$.k') as int) % 10 AS k_mod,
-           count(*) AS n
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
-def q21_events_json(spark, sf_dir):
-    """JSON scalar functions over the events props column (engine extension
-    — absent in the reference, free in Spark; SURVEY §2.9)."""
-    df = (
-        _read(spark, sf_dir, "events")
-        .select(
-            "event_type",
-            (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_mod"),
-        )
-        .groupBy("event_type", "k_mod")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    return df
-
-
-# ---------------------------------------------------------------------------
-# LLM-data-pipeline operators (north star extensions): dedup, text analysis,
-# fingerprinting, similarity search. Oracle SQL is GENERATED from the same
-# constants as the Spark expressions (see llm/*.py) so both sides stay in
-# lockstep by construction.
-# ---------------------------------------------------------------------------
-
-from .llm import dedup as _dd  # noqa: E402
-from .llm import similarity as _sim  # noqa: E402
-from .llm import text as _tx  # noqa: E402
-
-
-@query(
-    "q22_dedup_exact",
-    f"""
-    WITH keep AS (
-      SELECT min(doc_id) AS doc_id
-      FROM documents
-      GROUP BY {_dd.hash60_sql('text')}
-    )
-    SELECT d.source AS source, count(*) AS n_docs,
-           cast(sum(d.n_chars) as bigint) AS total_chars
-    FROM documents d JOIN keep k ON d.doc_id = k.doc_id
-    GROUP BY 1
-    """,
-)
-def q22_dedup_exact(spark, sf_dir):
-    """Exact dedup: keep lowest doc_id per 60-bit text digest, then
-    aggregate the survivors (hash-groupBy dedup; only (digest,id) pairs
-    shuffle, never bodies)."""
-    docs = _read_docs(spark, sf_dir)
-    deduped = _dd.exact_dedup(docs)
-    return deduped.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-    )
-
-
-@query(
-    "q23_text_quality",
-    f"""
-    SELECT doc_id,
-           {_tx.quality_features_sql('text')['n_chars']} AS n_chars,
-           {_tx.quality_features_sql('text')['n_tokens']} AS n_tokens,
-           {_tx.quality_features_sql('text')['punct_ratio']} AS punct_ratio,
-           {_tx.quality_features_sql('text')['stopword_ratio']} AS stopword_ratio,
-           {_tx.quality_features_sql('text')['mean_token_len']} AS mean_token_len
-    FROM documents
-    WHERE doc_id < 100
-    """,
-)
-def q23_text_quality(spark, sf_dir):
-    """Quality scoring: length / punctuation / stopword / token-shape
-    features, all JVM-side expressions (no UDFs)."""
-    docs = _read_docs(spark, sf_dir).filter(F.col("doc_id") < 100)
-    feats = _tx.quality_features(F.col("text"))
-    return docs.select(
-        "doc_id",
-        feats["n_chars"].alias("n_chars"),
-        feats["n_tokens"].alias("n_tokens"),
-        feats["punct_ratio"].alias("punct_ratio"),
-        feats["stopword_ratio"].alias("stopword_ratio"),
-        feats["mean_token_len"].alias("mean_token_len"),
-    )
-
-
-@query(
-    "q24_lang_id",
-    f"""
-    SELECT {_tx.lang_id_sql('text')} AS detected_lang, lang AS tagged_lang,
-           count(*) AS n
-    FROM documents
-    GROUP BY 1, 2
-    """,
-)
-def q24_lang_id(spark, sf_dir):
-    """Marker-vocabulary language ID crossed against the corpus's own lang
-    tag (the synthetic text is English-ish regardless of tag — the operator
-    and its determinism are what's under test)."""
-    docs = _read_docs(spark, sf_dir)
-    return (
-        docs.select(
-            _tx.lang_id(F.col("text")).alias("detected_lang"),
-            F.col("lang").alias("tagged_lang"),
-        )
-        .groupBy("detected_lang", "tagged_lang")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-@query(
-    "q25_token_counts",
-    f"""
-    SELECT source,
-           cast(sum({_tx.whitespace_token_count_sql('text')}) as bigint) AS ws_tokens,
-           cast(sum({_tx.bpe_piece_count_sql('text')}) as bigint) AS bpe_pieces,
-           count(*) AS n_docs
-    FROM documents
-    GROUP BY 1
-    """,
-)
-def q25_token_counts(spark, sf_dir):
-    """Token counting: whitespace tokens + BPE-ish regex pieces, aggregated
-    per source."""
-    docs = _read_docs(spark, sf_dir)
-    return docs.groupBy("source").agg(
-        F.sum(_tx.whitespace_token_count(F.col("text"))).alias("ws_tokens"),
-        F.sum(_tx.bpe_piece_count(F.col("text"))).alias("bpe_pieces"),
-        F.count(F.lit(1)).alias("n_docs"),
-    )
-
-
-@query(
-    "q26_fingerprint",
-    f"""
-    SELECT doc_id, {_tx.fingerprint_sql('text')} AS fp
-    FROM documents
-    WHERE doc_id < 50
-    """,
-)
-def q26_fingerprint(spark, sf_dir):
-    """Document fingerprinting: 60-bit md5 digest of the sorted distinct
-    token set (order/duplication-invariant content fingerprint)."""
-    docs = _read_docs(spark, sf_dir).filter(F.col("doc_id") < 50)
-    return docs.select("doc_id", _tx.fingerprint(F.col("text")).alias("fp"))
-
-
-@query(
-    "q27_minhash_signature",
-    f"""
-    SELECT doc_id,
-           array_to_string(list_transform({_dd.minhash_signature_sql('text')}, x -> x::VARCHAR), ',') AS sig
-    FROM documents
-    WHERE doc_id < 30
-    """,
-)
-def q27_minhash_signature(spark, sf_dir):
-    """MinHash signatures (8 permutations over 3-token shingles) — the
-    map-side half of MinHash LSH dedup.
-
-    Emitted comma-joined (positional — NOT sorted; slot i is permutation
-    i's min) so the driver's pandas canonicalizer can hash the column
-    (round-1 q27 failed on the raw array<bigint>)."""
-    docs = _read_docs(spark, sf_dir).filter(F.col("doc_id") < 30)
-    sig = _dd.minhash_signature(F.col("text"))
-    return docs.select(
-        "doc_id",
-        F.array_join(F.transform(sig, lambda x: x.cast("string")), ",").alias("sig"),
-    )
-
-
-def _band_keys_sql(sig_sql: str, bands: int, rows: int) -> str:
-    keys = []
-    for bi in range(bands):
-        sl = f"list_transform(list_slice({sig_sql}, {bi*rows+1}, {bi*rows+rows}), x -> x::VARCHAR)"
-        keys.append(f"'{bi}:' || array_to_string({sl}, ',')")
-    return "[" + ", ".join(keys) + "]"
-
-
-# signature computed ONCE into a materialized CTE: the naive inline form
-# recomputes the md5-heavy signature expression per band key and per
-# self-join side (~32x) — same reason the Spark side persists sig_df
-_LSH_KEYED_CTE = f"""
-    sig AS MATERIALIZED (
-      SELECT doc_id, {_dd.minhash_signature_sql('text')} AS sig FROM documents
-    ),
-    keyed AS MATERIALIZED (
-      SELECT doc_id, unnest({_band_keys_sql('sig', 4, 2)}) AS band_key FROM sig
-    )
-"""
-
-
-@query(
-    "q28_lsh_candidate_pairs",
-    f"""
-    WITH {_LSH_KEYED_CTE}
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
-    FROM keyed a JOIN keyed b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-    """,
-)
-def q28_lsh_candidate_pairs(spark, sf_dir):
-    """MinHash LSH banding: shingle→minhash→band→bucket-join candidate
-    pairs; shuffle is O(bands·docs), the |docs|² blowup never appears."""
-    docs = _read_docs(spark, sf_dir)
-    return _dd.lsh_candidate_pairs(docs, bands=4, rows=2)
-
-
-@query(
-    "q29_simhash",
-    f"""
-    SELECT doc_id, {_dd.simhash_sql('text')} AS sh
-    FROM documents
-    WHERE doc_id < 50
-    """,
-)
-def q29_simhash(spark, sf_dir):
-    """16-bit SimHash signatures (per-bit majority vote over token
-    hashes)."""
-    docs = _read_docs(spark, sf_dir).filter(F.col("doc_id") < 50)
-    return docs.select("doc_id", _dd.simhash(F.col("text")).alias("sh"))
-
-
-@query(
-    "q30_ngram_jaccard_pairs",
-    f"""
-    WITH {_LSH_KEYED_CTE},
-    cand AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM keyed a JOIN keyed b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    sh AS MATERIALIZED (SELECT doc_id, {_dd.shingles_sql('text')} AS s FROM documents)
-    SELECT c.id_a, c.id_b,
-           round(len(list_intersect(sa.s, sb.s))::DOUBLE
-                 / len(list_distinct(list_concat(sa.s, sb.s)))::DOUBLE, 8) AS jaccard
-    FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id
-    WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE
-                / len(list_distinct(list_concat(sa.s, sb.s)))::DOUBLE, 8) >= 0.2
-    """,
-)
-def q30_ngram_jaccard_pairs(spark, sf_dir):
-    """Near-dup verification: exact shingle Jaccard over LSH candidates
-    only (quadratic term bounded by bucket sizes)."""
-    docs = _read_docs(spark, sf_dir)
-    return _dd.ngram_jaccard_pairs(docs, threshold=0.2)
-
-
-@query(
-    "q31_cosine_topk",
-    f"""
-    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-    SELECT vec_id,
-           round({_sim.cosine_sql('embedding', 'qe')}, 6) AS cos_sim
-    FROM embeddings, q
-    WHERE vec_id <> 0
-    ORDER BY cos_sim DESC, vec_id ASC
-    LIMIT 10
-    """,
-)
-def q31_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-k similarity search: map-side scoring against
-    the broadcast query vector + TakeOrderedAndProject (no global sort)."""
-    emb = _read(spark, sf_dir, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    qvec = F.array(*[F.lit(float(v)) for v in qrow])
-    return _sim.brute_force_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
-
-
-# ---------------------------------------------------------------------------
-# Streaming-compatible windows (batch mode pins streaming semantics),
-# window functions, raw-rows sink, remaining accumulators/set-ops
-# ---------------------------------------------------------------------------
-
-from .streaming import windows as _win  # noqa: E402
-
-
-@query(
-    "q32_tumbling_window",
-    """
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type,
-           count(*) AS n,
-           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS sum_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
-def q32_tumbling_window(spark, sf_dir):
-    """Tumbling-window aggregation via F.window — identical code path for
-    batch and Structured Streaming; epoch-aligned 1h windows match
-    date_trunc('hour')."""
-    ev = _read(spark, sf_dir, "events")
-    out = _win.tumbling_window_agg(
-        ev,
-        {
-            "n": F.count(F.lit(1)),
-            "sum_value": F.sum(F.expr(dec("value"))),
-        },
-        window="1 hour",
-        keys=("event_type",),
-    )
-    out = out.select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        "event_type",
-        "n",
-        "sum_value",
-    )
-    return finalize(out, {"sum_value": 2})
-
-
-@query(
-    "q33_session_window",
-    """
-    WITH marked AS (
-      SELECT user_id, ts, value,
-             CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-                  THEN 1 ELSE 0 END AS new_sess
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
-    ),
-    sessions AS (
-      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, value
-                                    ROWS UNBOUNDED PRECEDING) AS sess_id
-      FROM marked
-    )
-    SELECT user_id,
-           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-           count(*) AS n_events,
-           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS sum_value
-    FROM sessions
-    GROUP BY user_id, sess_id
-    """,
-)
-def q33_session_window(spark, sf_dir):
-    """Session windows (30-minute gap) via F.session_window; the oracle is
-    the classic gaps-and-islands construction, proving the semantics match.
-    Session start is second-truncated for the string key (micro vs nano
-    parquet precision)."""
-    ev = _read(spark, sf_dir, "events")
-    out = _win.session_window_agg(
-        ev,
-        {
-            "n_events": F.count(F.lit(1)),
-            "sum_value": F.sum(F.expr(dec("value"))),
-        },
-        gap="30 minutes",
-        keys=("user_id",),
-    )
-    out = out.select(
-        "user_id",
-        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-        "n_events",
-        "sum_value",
-    )
-    return finalize(out, {"sum_value": 2})
-
-
-@query(
-    "q34_topk_per_group",
-    """
-    SELECT brand, pname, revenue, rk FROM (
-      SELECT p.p_brand AS brand, p.p_name AS pname,
-             round(cast(sum(cast(l.l_extendedprice*(1-l.l_discount) as decimal(38,6))) as double), 2) AS revenue,
-             cast(row_number() OVER (PARTITION BY p.p_brand
-                 ORDER BY round(cast(sum(cast(l.l_extendedprice*(1-l.l_discount) as decimal(38,6))) as double), 2) DESC,
-                          p.p_name ASC) as int) AS rk
-      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-      GROUP BY 1, 2
-    ) t WHERE rk <= 3
-    """,
-)
-def q34_topk_per_group(spark, sf_dir):
-    """Top-k per group via row_number window (SURVEY §2.5: window functions
-    absent in the reference, first-class here).
-
-    Plan: pre-aggregate lineitem by the *integer* l_partkey before touching
-    part, so the big shuffle carries (int, decimal) rows instead of two
-    part-description strings per lineitem; the broadcast join and the
-    (brand, pname) re-aggregation then run over ~|part| rows, not
-    ~|lineitem|. Decimal sums re-sum exactly, so results are bit-identical
-    to the direct GROUP BY. At 100 TB this is the difference between
-    shuffling the fact table wide vs narrow."""
-    from pyspark.sql import Window
-
-    li = _read(spark, sf_dir, "lineitem")
-    p = _read(spark, sf_dir, "part")
-    per_part = li.groupBy("l_partkey").agg(
-        F.sum(F.expr(dec("l_extendedprice*(1-l_discount)", 6))).alias("_rev")
-    )
-    rev = (
-        per_part.join(F.broadcast(p), per_part.l_partkey == p.p_partkey)
-        .groupBy(F.col("p_brand").alias("brand"), F.col("p_name").alias("pname"))
-        .agg(F.round(F.sum("_rev").cast("double"), 2).alias("revenue"))
-    )
-    w = Window.partitionBy("brand").orderBy(F.col("revenue").desc(), F.col("pname").asc())
-    return rev.withColumn("rk", F.row_number().over(w).cast("int")).filter(F.col("rk") <= 3)
-
-
-@query(
-    "q35_raw_rows",
-    """
-    SELECT * FROM (
-      SELECT o_orderkey AS orderkey, o_custkey AS custkey, o_totalprice AS totalprice
-      FROM orders
-      WHERE o_orderstatus = 'O' AND o_totalprice > 100000
-      ORDER BY orderkey
-      LIMIT 25 OFFSET 10
-    ) t
-    """,
-)
-def q35_raw_rows(spark, sf_dir):
-    """Raw-rows sink: unaggregated filtered records with limit/offset
-    paging through CuttingBoard.rows (reference RowsProxy,
-    /root/reference/bacon/sql.py:340-370)."""
-    cd = CubeDef("orders")
-    cd.add_label(Label("orderstatus", "o_orderstatus"))
-    cd.add_label(Label("totalprice", "o_totalprice"))
-    q = (
-        CubeQuery()
-        .add_filter("orderstatus", "eq", "O")
-        .add_filter("totalprice", "gt", 100000)
-    )
-    b = board(cd, _read(spark, sf_dir, "orders").orderBy("o_orderkey"))
-    rows = b.rows(q, limit=25, offset=10)
-    return rows.select(
-        F.col("o_orderkey").alias("orderkey"),
-        F.col("o_custkey").alias("custkey"),
-        F.col("o_totalprice").alias("totalprice"),
-    )
-
-
-@query(
-    "q36_labeled_acc",
-    """
-    SELECT c_nationkey AS nationkey,
-           CASE WHEN count(DISTINCT c_mktsegment)
-                     + max(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) <= 1
-                THEN round(cast(sum(cast(c_acctbal as decimal(38,4))) as double), 2) END AS guarded_bal,
-           count(*) AS n
-    FROM customer
-    WHERE c_custkey <= 200
-    GROUP BY 1
-    """,
-)
-def q36_labeled_acc(spark, sf_dir):
-    """LabeledAcc: inner Sum guarded by a context label — groups spanning
-    more than one mktsegment yield null (Inconsistent)
-    (/root/reference/bacon/accumulators.py:299-352)."""
-    from .accumulators import LabeledAcc
-
-    cd = CubeDef("cust")
-    cd.add_label(IntLabel("nationkey", "c_nationkey"))
-    cd.add_label(IntLabel("custkey", "c_custkey"))
-    cd.add_measure(
-        Measure("guarded_bal", dec("c_acctbal"), acc=LabeledAcc("c_mktsegment", Sum()))
-    )
-    cd.add_measure(Measure("n", "c_custkey", acc=Count()))
-    q = (
-        CubeQuery()
-        .add_axis("nationkey")
-        .add_value("guarded_bal")
-        .add_value("n")
-        .add_filter("custkey", "le", 200)
-    )
-    df = board(cd, _read(spark, sf_dir, "customer")).slice(q).to_df()
-    return finalize(df, {"guarded_bal": 2})
-
-
-@query(
-    "q37_set_ops_extended",
-    """
-    WITH tagged AS (
-      SELECT p_partkey, p_brand, list_sort(list_distinct(string_split(p_name, ' '))) AS tags
-      FROM part
-    )
-    SELECT p_brand AS brand,
-           count(CASE WHEN tags = ['red', 'widget'] THEN 1 END) AS n_equals,
-           count(CASE WHEN list_has_all(['red','widget','blue','bolt'], tags) THEN 1 END) AS n_subset,
-           count(CASE WHEN NOT list_has_all(tags, ['red','widget']) THEN 1 END) AS n_notsuperset
-    FROM tagged
-    GROUP BY 1
-    """,
-)
-def q37_set_ops_extended(spark, sf_dir):
-    """Remaining set algebra: hasonly/equals, subsetof, notsupersetof
-    (/root/reference/bacon/cutting.py:799-870) as conditional counts."""
-    from .filters import build_predicate
-
-    df = _read(spark, sf_dir, "part").withColumn("tags", F.split("p_name", " "))
-    tags = F.col("tags")
-    eq_pred = build_predicate(tags, "equals", frozenset({"red", "widget"}))
-    sub_pred = build_predicate(tags, "subsetof", frozenset({"red", "widget", "blue", "bolt"}))
-    nsup_pred = build_predicate(tags, "notsupersetof", frozenset({"red", "widget"}))
-    return df.groupBy(F.col("p_brand").alias("brand")).agg(
-        F.count(F.when(eq_pred, 1)).alias("n_equals"),
-        F.count(F.when(sub_pred, 1)).alias("n_subset"),
-        F.count(F.when(nsup_pred, 1)).alias("n_notsuperset"),
-    )
-
-
-@query(
-    "q38_hidden_values",
-    """
-    SELECT c_mktsegment AS segment,
-           round(cast(sum(cast(o_totalprice as decimal(38,4))) as double)
-                 / count(*), 6) AS avg_order_value
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    GROUP BY 1
-    """,
-)
-def q38_hidden_values(spark, sf_dir):
-    """Hidden-but-computed values: total and count are computed (feeding
-    the visible ratio) but only the visible column is selected
-    (/root/reference/bacon/cutting.py:752-770)."""
-    o = _read(spark, sf_dir, "orders")
-    c = _read(spark, sf_dir, "customer")
-    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-    cd = CubeDef("oc")
-    cd.add_label(Label("segment", "c_mktsegment"))
-    cd.add_measure(Measure("total", dec("o_totalprice"), acc=Sum()))
-    cd.add_measure(Measure("n", "o_orderkey", acc=Count()))
-    cd.add_measure(Measure("avg_order_value", dec("o_totalprice"), acc=Average()))
-    q = (
-        CubeQuery()
-        .add_axis("segment")
-        .add_value("total", visible=False)
-        .add_value("n", visible=False)
-        .add_value("avg_order_value")
-    )
-    sl = board(cd, joined).slice(q)
-    # renderers select only visible values; mirror that here
-    out = sl.to_df().select("segment", *sl.query.visible_values)
-    return out.select("segment", F.round(F.col("avg_order_value"), 6).alias("avg_order_value"))
-
-
-# ---------------------------------------------------------------------------
-# Lattice precompute + embedding near-dup
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "q39_cube_lattice",
-    """
-    SELECT coalesce(l_returnflag, '(all)') AS returnflag,
-           coalesce(l_linestatus, '(all)') AS linestatus,
-           cast(grouping(l_returnflag)*2 + grouping(l_linestatus) as int) AS lvl,
-           round(cast(sum(cast(l_quantity as decimal(38,4))) as double), 2) AS sum_qty,
-           count(*) AS n
-    FROM lineitem
-    GROUP BY CUBE(l_returnflag, l_linestatus)
-    """,
-)
-def q39_cube_lattice(spark, sf_dir):
-    """Full cube lattice in one pass (operators/lattice.py — the
-    Spark-idiomatic upgrade of the reference's roll-up reuse,
-    /root/reference/bacon/cutting.py:336-522): every grain is exact even
-    for non-additive accumulators because finished values are stored per
-    grouping set."""
-    from .operators.lattice import CubeLattice
-
-    cd = CubeDef("li")
-    cd.add_label(Label("returnflag", "l_returnflag"))
-    cd.add_label(Label("linestatus", "l_linestatus"))
-    cd.add_measure(Measure("sum_qty", dec("l_quantity"), acc=Sum()))
-    cd.add_measure(Measure("n", "l_orderkey", acc=Count()))
-    lat = CubeLattice(
-        cd,
-        _read(spark, sf_dir, "lineitem"),
-        axes=("returnflag", "linestatus"),
-        values=("sum_qty", "n"),
-        persist=False,
-    )
-    out = lat.lattice.select(
-        F.coalesce("returnflag", F.lit("(all)")).alias("returnflag"),
-        F.coalesce("linestatus", F.lit("(all)")).alias("linestatus"),
-        F.col("_gid").cast("int").alias("lvl"),
-        "sum_qty",
-        "n",
-    )
-    return finalize(out, {"sum_qty": 2})
-
-
-@query(
-    "q40_embedding_near_dup",
-    f"""
-    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_sim.cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
-    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
-    WHERE round({_sim.cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.3
-    """,
-)
-def q40_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs, EXACT, via block-partitioned
-    all-pairs (llm/similarity.blocked_all_pairs_cosine): every pair is
-    compared exactly once through an equi-join on block-pair ids — no
-    BroadcastNestedLoopJoin / cartesian anywhere in the plan (asserted in
-    tests/test_plans.py). At 0.3 cosine LSH recall is poor, so the
-    bucketed-approximate path (ann_lsh_topk) is deliberately not used."""
-    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    return _sim.blocked_all_pairs_cosine(emb, threshold=0.3, blocks=8)
-
-
-@query(
-    "q41_iso_date_parts",
-    """
-    SELECT cast(isoyear(o_orderdate) as int) AS iso_year,
-           cast(weekofyear(o_orderdate) as int) AS iso_week,
-           cast(dayofmonth(o_orderdate) as int) AS monthday,
-           count(*) AS n
-    FROM orders
-    WHERE cast(o_orderdate as date) >= DATE '1996-12-20'
-      AND cast(o_orderdate as date) < DATE '1997-01-10'
-    GROUP BY 1, 2, 3
-    """,
-)
-def q41_iso_date_parts(spark, sf_dir):
-    """ISO year / ISO week number / monthday labels across a year boundary
-    (where isoyear != year — the interesting case, SURVEY §1.2)."""
-    cd = CubeDef("orders")
-    cd.add_label(ISOYearLabel("iso_year", "o_orderdate"))
-    cd.add_label(ISOWeekNumLabel("iso_week", "o_orderdate"))
-    cd.add_label(MonthdayLabel("monthday", "o_orderdate"))
-    cd.add_label(DayLabel("order_day", "o_orderdate"))
-    cd.add_measure(Measure("n", "o_orderkey", acc=Count()))
-    q = (
-        CubeQuery()
-        .add_axis("iso_year")
-        .add_axis("iso_week")
-        .add_axis("monthday")
-        .add_value("n")
-        .add_filter("order_day", "ge", dt.date(1996, 12, 20))
-        .add_filter("order_day", "lt", dt.date(1997, 1, 10))
-    )
-    return board(cd, _read(spark, sf_dir, "orders")).slice(q).to_df()
-
-
-@query(
-    "q42_table_set_ops",
-    """
-    WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
-                 WHERE year(o_orderdate) = 1995),
-         y96 AS (SELECT DISTINCT o_custkey FROM orders
-                 WHERE year(o_orderdate) = 1996)
-    SELECT 'both' AS bucket, count(*) AS n FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96) t
-    UNION ALL
-    SELECT 'only_1995' AS bucket, count(*) AS n FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96) t
-    UNION ALL
-    SELECT 'either' AS bucket, count(*) AS n FROM (SELECT * FROM y95 UNION SELECT * FROM y96) t
-    """,
-)
-def q42_table_set_ops(spark, sf_dir):
-    """Table-level set operations (absent in the reference, SURVEY §2.7 —
-    free in Spark): intersect / except / union of customer key sets."""
-    o = _read(spark, sf_dir, "orders")
-    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
-    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
-    counts = [
-        ("both", y95.intersect(y96)),
-        ("only_1995", y95.exceptAll(y96).distinct()),
-        ("either", y95.union(y96).distinct()),
-    ]
-    out = None
-    for name, df in counts:
-        one = df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(name).alias("bucket"), "n")
-        out = one if out is None else out.union(one)
-    return out
-
-
-@query(
-    "q43_pandas_udaf_median",
-    """
-    SELECT c_nationkey AS nationkey,
-           round(median(c_acctbal), 4) AS median_bal,
-           count(*) AS n
-    FROM customer
-    GROUP BY 1
-    """,
-)
-def q43_pandas_udaf_median(spark, sf_dir):
-    """Custom UDAF via Arrow-batched pandas_udf GROUPED_AGG (the escape
-    hatch for aggregates Catalyst can't express — the reference's
-    Accumulator-subclass extension point, SURVEY §2.11). Median matches
-    DuckDB's interpolated median for doubles."""
-    from .functions.udaf import median_udaf
-
-    c = _read(spark, sf_dir, "customer")
-    # pandas GROUPED_AGG UDFs can't mix with JVM aggregates in one agg();
-    # compute the count separately and join (both tiny, broadcast)
-    med = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
-        F.round(median_udaf("c_acctbal"), 4).alias("median_bal")
-    )
-    n = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    return med.join(F.broadcast(n), "nationkey")
-
-
-@query(
-    "q44_streaming_tumbling",
-    """
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type,
-           count(*) AS n,
-           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS sum_value
-    FROM events
-    WHERE event_id < 5000
-    GROUP BY 1, 2
-    """,
-)
-def q44_streaming_tumbling(spark, sf_dir):
-    """TRUE Structured Streaming execution, hash-checked against the batch
-    oracle. The input is a DETERMINISTIC subset (event_id < 5000 — unlike
-    the pre-r4 limit(5000) sample, reproducible in SQL), staged as TWO
-    ordered files replayed one per trigger (maxFilesPerTrigger=1), so the
-    final complete-mode state is the product of a genuine cross-batch
-    state merge — windows populated in batch 1 are re-emitted updated
-    after batch 2 — and must still equal DuckDB's one-shot GROUP BY.
-    q62 pins the single-batch full-fixture case; this pins multi-batch
-    incremental accumulation on a subset."""
-    import shutil
-
-    from .streaming.windows import (
-        run_stream_to_memory,
-        scratch_dir,
-        stage_ordered_files,
-        tumbling_window_agg,
-    )
-
-    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
-    d = scratch_dir("bacon_q44_")
-    stage_ordered_files([
-        (d, ev.filter(F.col("event_id") < 2500), "overwrite"),
-        (d, ev.filter(F.col("event_id") >= 2500), "append"),
-    ])
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
-    )
-    agg = tumbling_window_agg(
-        stream,
-        {"n": F.count(F.lit(1)), "sum_value": F.round(F.sum(F.expr(dec("value"))).cast("double"), 2)},
-        window="1 hour",
-        keys=("event_type",),
-        watermark="1 hour",
-    )
-    out = agg.select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        "event_type",
-        "n",
-        "sum_value",
-    )
-    # complete mode re-emits full state per batch; the memory sink keeps
-    # only the latest emission, so the final table is the merged state.
-    # Skip the trailing no-data batch (nothing to flush, see q62).
-    prev_nd = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    try:
-        run_stream_to_memory(out, "q44_stream", mode="complete")
-    finally:
-        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nd)
-        shutil.rmtree(d, ignore_errors=True)
-    return spark.table("q44_stream")
-
-
-@query(
-    "q45_sliding_window",
-    """
-    WITH exploded AS (
-      SELECT e.*, time_bucket(INTERVAL 15 MINUTE, ts) - (off * INTERVAL 15 MINUTE) AS w
-      FROM events e, unnest([0, 1, 2, 3]) AS t(off)
-    )
-    SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
-           count(*) AS n,
-           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS sum_value
-    FROM exploded
-    WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
-    GROUP BY 1
-    """,
-)
-def q45_sliding_window(spark, sf_dir):
-    """Sliding windows (1h window, 15min slide): each event lands in 4
-    overlapping windows. Oracle reconstructs window membership via
-    time_bucket + unnested offsets — every window w in
-    {floor15(ts) - k*15min, k=0..3} satisfies w <= ts < w+1h."""
-    from .streaming.windows import sliding_window_agg
-
-    ev = _read(spark, sf_dir, "events").filter(
-        F.col("ts") < F.lit(dt.datetime(2024, 1, 2))
-    )
-    out = sliding_window_agg(
-        ev,
-        {"n": F.count(F.lit(1)), "sum_value": F.sum(F.expr(dec("value")))},
-        window="1 hour",
-        slide="15 minutes",
-    )
-    out = out.select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        "n",
-        "sum_value",
-    )
-    return finalize(out, {"sum_value": 2})
-
-
-@query(
-    "q46_multimodal_features",
-    """
-    WITH assets AS (
-      SELECT i AS asset_id,
-             ['image','audio','video'][(i % 3) + 1] AS kind,
-             128 + (i % 5) * 16 AS nb
-      FROM (SELECT unnest(range(0, 96)) AS i)
-    ),
-    decoded AS (
-      SELECT asset_id, kind, nb,
-             list_sum(list_transform(range(0, nb),
-                                     j -> (asset_id*31 + j*7) % 256))::BIGINT AS byte_sum,
-             list_transform(range(0, 8), k -> len(list_filter(range(0, nb),
-                 j -> ((asset_id*31 + j*7) % 256) % 8 = k))::DOUBLE / nb) AS feat
-      FROM assets
-    )
-    SELECT asset_id, kind, nb AS n_bytes, byte_sum,
-           round(list_sum(list_transform(range(0, 8),
-                 k -> feat[k + 1] * k::DOUBLE)), 6) AS feat_moment
-    FROM decoded
-    """,
-)
-def q46_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing in the gate: binary asset payloads through the
-    Arrow-batched mapInPandas feature extractor (deterministic stub
-    kernel), emitted per asset. Exercises schema/batching/partitioning of
-    the image/audio/video path end-to-end — and because the synthetic
-    payloads are pure integer arithmetic ((i*31 + j*7) % 256), the DuckDB
-    oracle re-derives every byte count, byte sum, and the first moment of
-    the 8-bin feature histogram without ever seeing a blob: the decode
-    kernel's exact output is hash-checked, not just row-counted."""
-    from .llm.multimodal import extract_image_features, synthetic_assets
-
-    assets = synthetic_assets(spark, n=96)
-    feats = extract_image_features(assets, dim=8)
-    joined = feats.join(assets.select("asset_id", "kind"), "asset_id")
-    # byte_sum reconstructs the exact integer payload sum from the
-    # kernel's mean (mean = sum/nb, so mean*nb rounds to the integer sum);
-    # feat_moment = sum_k k*f_k folds the full histogram into one number
-    moment = F.aggregate(
-        F.zip_with(
-            F.col("feature"),
-            F.sequence(F.lit(0), F.size("feature") - 1),
-            lambda f, k: f * k.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    return joined.select(
-        "asset_id",
-        "kind",
-        F.col("n_bytes").cast("long").alias("n_bytes"),
-        F.round(F.col("mean_byte") * F.col("n_bytes")).cast("long").alias("byte_sum"),
-        F.round(moment, 6).alias("feat_moment"),
-    )
-
-
-@query(
-    "q47_ann_ivf_topk",
-    """
-    SELECT 10 AS k, 8 AS nlist, 3 AS nprobe,
-           CASE (SELECT round(sum(list_sum(embedding)))::BIGINT FROM embeddings)
-             WHEN -33 THEN 0.9  -- sf0.001 fixture
-             WHEN 1   THEN 0.7  -- sf0.01 fixture (the driver's gate SF)
-             WHEN -22 THEN 0.7  -- sf0.1 fixture
-             ELSE -1.0 END::DOUBLE AS recall_at_k
-    """,
-)
-def q47_ann_ivf_topk(spark, sf_dir):
-    """IVF-Flat ANN in the gate: seeded Lloyd centroids on a hash-spread
-    sample + nprobe cell probing (llm/ivf.py), scored as recall@10 against
-    the in-gate exact brute-force top-k.
-
-    The whole index is deterministic (seeded init, md5 hash_sample,
-    codegen cell assignment), so the achieved recall is a reproducible
-    function of the fixture — the oracle pins the measured value per
-    corpus (fingerprinted by an embedding checksum, since two fixtures
-    share a row count). Any regression in sampling, Lloyd, assignment, or
-    probing moves recall and trips the gate; exact-cosine correctness is
-    separately covered by q31/q40."""
-    from .llm.ivf import IVFIndex
-    from .llm.similarity import brute_force_topk
-
-    emb = _read(spark, sf_dir, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    q = [float(v) for v in qrow]
-    idx = IVFIndex(emb, nlist=8, seed=42)
-    k, nprobe = 10, 3
-    ivf_ids = idx.topk(q, k=k, nprobe=nprobe).select("vec_id")
-    lit_q = F.array(*[F.lit(v) for v in q])
-    exact_ids = brute_force_topk(emb, lit_q, k).select("vec_id")
-    hits = exact_ids.join(ivf_ids, "vec_id", "left_semi")
-    return hits.agg(F.count(F.lit(1)).alias("_hits")).select(
-        F.lit(k).alias("k"),
-        F.lit(idx.nlist).alias("nlist"),
-        F.lit(nprobe).alias("nprobe"),
-        (F.col("_hits") / F.lit(float(k))).alias("recall_at_k"),
-    )
-
-
-@query(
-    "q48_multi_pivot",
-    """
-    SELECT cast(year(o_orderdate) as int) AS order_year,
-           round(cast(sum(CASE WHEN l_returnflag='A' AND l_linestatus='F' THEN cast(l_quantity as decimal(38,4)) END) as double), 2) AS qty_A_F,
-           round(cast(sum(CASE WHEN l_returnflag='N' AND l_linestatus='F' THEN cast(l_quantity as decimal(38,4)) END) as double), 2) AS qty_N_F,
-           round(cast(sum(CASE WHEN l_returnflag='N' AND l_linestatus='O' THEN cast(l_quantity as decimal(38,4)) END) as double), 2) AS qty_N_O,
-           round(cast(sum(CASE WHEN l_returnflag='R' AND l_linestatus='F' THEN cast(l_quantity as decimal(38,4)) END) as double), 2) AS qty_R_F
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    GROUP BY 1
-    """,
-)
-def q48_multi_pivot(spark, sf_dir):
-    """Multi-axis pivot via a composed key (SURVEY §2.8: Spark pivot is
-    single-column; multiple pivot axes compose through concat), lowered to
-    conditional aggregation with the explicit value list. One aggregate +
-    one exchange on the row axis — Spark's native .pivot() plans TWO
-    aggregation phases and TWO shuffles (groupBy(year,pk) then pivotfirst
-    by year); with a known value list the sum-of-CASE form is strictly
-    better, and at 100 TB it halves the shuffled bytes."""
-    from .sources.star import sales_fact_for
-
-    fact = sales_fact_for(spark, sf_dir, {"l_", "o_"})
-    combos = ["A_F", "N_F", "N_O", "R_F"]
-    pk = F.concat_ws("_", "l_returnflag", "l_linestatus")
-    df = fact.groupBy(F.year("o_orderdate").cast("int").alias("order_year")).agg(
-        *[
-            F.sum(F.when(pk == cbo, F.expr(dec("l_quantity")))).alias(f"qty_{cbo}")
-            for cbo in combos
-        ]
-    )
-    return finalize(df, {f"qty_{cbo}": 2 for cbo in combos})
-
-
-@query(
-    "q49_json_label",
-    """
-    SELECT event_type,
-           cast(json_extract_string(props, '$.k') as int) // 25 AS k_bucket,
-           count(*) AS n,
-           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS sum_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
-def q49_json_label(spark, sf_dir):
-    """JsonLabel: a JSON-path dimension through the cube engine (engine
-    extension, SURVEY §2.9)."""
-    from .cubedef import JsonLabel
-
-    cd = CubeDef("events")
-    cd.add_label(Label("event_type"))
-    cd.add_label(JsonLabel("k_raw", "props", "$.k", cast="int"))
-    # derived bucket label on top of the JSON extraction
-    cd.add_label(Label("k_bucket", "cast(get_json_object(props, '$.k') as int) div 25"))
-    cd.add_measure(Measure("n", "event_id", acc=Count()))
-    cd.add_measure(Measure("sum_value", dec("value"), acc=Sum()))
-    q = (
-        CubeQuery()
-        .add_axis("event_type")
-        .add_axis("k_bucket")
-        .add_value("n")
-        .add_value("sum_value")
-    )
-    df = board(cd, _read(spark, sf_dir, "events")).slice(q).to_df()
-    return finalize(df, {"sum_value": 2})
-
-
-@query(
-    "q50_semi_anti_join",
-    """
-    SELECT n.n_name AS nation,
-           count(CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-                 THEN 1 END) AS with_orders,
-           count(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-                 THEN 1 END) AS without_orders
-    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-    GROUP BY 1
-    """,
-)
-def q50_semi_anti_join(spark, sf_dir):
-    """Semi/anti joins (EXISTS / NOT EXISTS): customers with and without
-    orders per nation. left_semi/left_anti shuffle only the keys — the
-    scale-correct existence check."""
-    c = _read(spark, sf_dir, "customer")
-    o = _read(spark, sf_dir, "orders").select("o_custkey")
-    n = _read(spark, sf_dir, "nation")
-    witho = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-    tag = witho.withColumn("_has", F.lit(1)).unionByName(
-        without.withColumn("_has", F.lit(0))
-    )
-    return (
-        tag.join(F.broadcast(n), tag.c_nationkey == n.n_nationkey)
-        .groupBy(F.col("n_name").alias("nation"))
-        .agg(
-            F.count(F.when(F.col("_has") == 1, 1)).alias("with_orders"),
-            F.count(F.when(F.col("_has") == 0, 1)).alias("without_orders"),
-        )
-    )
-
-
-@query(
-    "q51_percentile",
-    """
-    SELECT l_returnflag AS returnflag,
-           quantile_cont(cast(l_quantity as bigint), 0.5) AS median_qty,
-           quantile_cont(cast(l_quantity as bigint), 0.9) AS p90_qty,
-           quantile_cont(cast(round(l_extendedprice*100, 0) as bigint), 0.5) AS median_price_cents,
-           count(*) AS n
-    FROM lineitem
-    GROUP BY 1
-    """,
-)
-def q51_percentile(spark, sf_dir):
-    """Percentile accumulator (engine extension): exact continuous
-    percentiles through the cube engine. Determinism: inputs are
-    integer-valued (quantity; price scaled to cents with an explicit
-    half-up round), so the closest-rank interpolation is IEEE-exact in
-    both engines — no output rounding needed."""
-    from .accumulators import Percentile
-
-    cd = CubeDef("lineitem")
-    cd.add_label(Label("returnflag", "l_returnflag"))
-    qty = "cast(l_quantity as bigint)"
-    cents = "cast(round(l_extendedprice*100, 0) as bigint)"
-    cd.add_measure(Measure("median_qty", qty, acc=Percentile(0.5)))
-    cd.add_measure(Measure("p90_qty", qty, acc=Percentile(0.9)))
-    cd.add_measure(Measure("median_price_cents", cents, acc=Percentile(0.5)))
-    cd.add_measure(Measure("n", "l_quantity", acc=Count()))
-    q = (
-        CubeQuery()
-        .add_axis("returnflag")
-        .add_value("median_qty")
-        .add_value("p90_qty")
-        .add_value("median_price_cents")
-        .add_value("n")
-    )
-    return board(cd, _read(spark, sf_dir, "lineitem")).slice(q).to_df()
-
-
-@query(
-    "q52_keyset_page",
-    """
-    SELECT cast(o_orderdate as date) AS orderdate,
-           o_orderkey AS orderkey,
-           o_totalprice AS totalprice
-    FROM orders
-    WHERE cast(o_orderdate as date) > DATE '1995-06-15'
-       OR (cast(o_orderdate as date) = DATE '1995-06-15' AND o_orderkey > 3000)
-    ORDER BY 1, 2
-    LIMIT 20
-    """,
-)
-def q52_keyset_page(spark, sf_dir):
-    """Keyset (seek) pagination: the page after composite key
-    (1995-06-15, 3000) — the scale-correct replacement for the reference's
-    OFFSET paging (engine.keyset_page; the seek predicate is sargable so
-    parquet min/max skipping prunes earlier pages at scale). The unique
-    orderkey tiebreaker makes the page set deterministic."""
-    from .engine import keyset_page
-
-    o = _read(spark, sf_dir, "orders").select(
-        F.col("o_orderdate").cast("date").alias("orderdate"),
-        F.col("o_orderkey").alias("orderkey"),
-        F.col("o_totalprice").alias("totalprice"),
-    )
-    return keyset_page(o, ["orderdate", "orderkey"], (dt.date(1995, 6, 15), 3000), 20)
-
-
-@query(
-    "q53_capped_distinct",
-    """
-    SELECT o_orderpriority AS priority,
-           list_slice(list_sort(list(DISTINCT o_custkey)), 1, 10) AS first_custkeys,
-           count(DISTINCT o_custkey) AS n_cust
-    FROM orders
-    GROUP BY 1
-    """,
-)
-def q53_capped_distinct(spark, sf_dir):
-    """Capped distinct collection (engine extension): first-10 distinct
-    customers per priority via the CappedCollectSet accumulator. The
-    bounded-intermediate twin (operators.scale.capped_distinct) produces
-    the identical result with per-group state capped end-to-end — the
-    100 TB form; equivalence is asserted in tests."""
-    from .accumulators import CappedCollectSet
-
-    cd = CubeDef("orders")
-    cd.add_label(Label("priority", "o_orderpriority"))
-    cd.add_measure(Measure("first_custkeys", "o_custkey", acc=CappedCollectSet(10)))
-    cd.add_measure(Measure("n_cust", "o_custkey", acc=CountDistinct()))
-    q = (
-        CubeQuery()
-        .add_axis("priority")
-        .add_value("first_custkeys")
-        .add_value("n_cust")
-    )
-    return board(cd, _read(spark, sf_dir, "orders")).slice(q).to_df()
-
-
-@query(
-    "q54_incremental_maintenance",
-    """
-    SELECT event_type,
-           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS total_value,
-           count(*) AS n
-    FROM events
-    GROUP BY 1
-    """,
-)
-def q54_incremental_maintenance(spark, sf_dir):
-    """Incremental view maintenance, end to end: half the events land
-    first and a cached slice is primed from them; the other half arrives
-    as a streaming micro-batch that CuttingBoard.refresh folds in by
-    partial-aggregate merge (streaming/incremental.py). The oracle is the
-    full recompute over ALL events — the merged slice must match it
-    exactly, proving the accumulator partial/final contract under
-    maintenance (no rescan of the primed half ever happens)."""
-    import os
-    import tempfile
-
-    from .accumulators import Sum as SumAcc
-    from .engine import CuttingBoard
-    from .streaming.incremental import stream_into_board
-
-    events = _read(spark, sf_dir, "events")
-    d = tempfile.mkdtemp(prefix="bacon_ivm_")
-    data, ckpt = os.path.join(d, "data"), os.path.join(d, "ckpt")
-    events.filter("event_id % 2 = 0").write.mode("overwrite").parquet(data)
-
-    cd = CubeDef("events")
-    cd.add_label(Label("event_type"))
-    cd.add_measure(Measure("total_value", dec("value"), acc=SumAcc()))
-    cd.add_measure(Measure("n", "event_id", acc=Count()))
-    q = CubeQuery().add_axis("event_type").add_value("total_value").add_value("n")
-
-    b = CuttingBoard(cd, spark.read.parquet(data), snapshot_cache=True)
-    stream = spark.readStream.schema(spark.read.parquet(data).schema).parquet(data)
-    sq = stream_into_board(stream, b, ckpt)
-    try:
-        sq.processAllAvailable()  # catch up before priming (consistency contract)
-        b.slice(q).rows()  # prime the cached slice from the first half
-        events.filter("event_id % 2 = 1").write.mode("append").parquet(data)
-        sq.processAllAvailable()  # delta micro-batch -> refresh merge
-    finally:
-        sq.stop()
-    return finalize(b.slice(q).to_df(), {"total_value": 2})
-
-
-# ---------------------------------------------------------------------------
-# Training-data pipeline: deterministic sampling, mixing, decontamination
-# ---------------------------------------------------------------------------
-
-from .llm import decontam as _decon  # noqa: E402
-from .operators import sampling as _samp  # noqa: E402
-
-_S55_DRAW = "(cast(('0x' || substr(md5('s55:' || cast(doc_id as varchar)), 1, 15)) as bigint) % 1000000)"
-_S56_DRAW = "(cast(('0x' || substr(md5('s56:' || cast(event_id as varchar)), 1, 15)) as bigint) % 1000000)"
-_S58_DRAW = "(cast(('0x' || substr(md5('s58/' || source || ':' || cast(doc_id as varchar)), 1, 15)) as bigint) % 1000000)"
-
-
-@query(
-    "q55_stratified_sample",
-    f"""
-    SELECT lang, count(*) AS n_kept, cast(sum(n_chars) as bigint) AS sum_chars
-    FROM documents
-    WHERE {_S55_DRAW} <
-          CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 200000 ELSE 100000 END
-    GROUP BY 1
-    """,
-)
-def q55_stratified_sample(spark, sf_dir):
-    """Deterministic stratified sampling (operators/sampling.py): keep 50%
-    of 'en', 20% of 'de', 10% of everything else, chosen by a salted md5
-    draw on doc_id — reproducible across runs/engines/partitionings, unlike
-    df.sampleBy. Pure map-side filter; the oracle recomputes the identical
-    draw in DuckDB."""
-    docs = _read_docs(spark, sf_dir)
-    kept = _samp.stratified_sample(
-        docs, "lang", "doc_id", {"en": 0.5, "de": 0.2}, default=0.1, salt="s55"
-    )
-    return kept.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("sum_chars")
-    )
-
-
-@query(
-    "q56_group_reservoir",
-    f"""
-    SELECT event_type, event_id FROM (
-      SELECT event_type, event_id,
-             row_number() OVER (PARTITION BY event_type
-                                ORDER BY {_S56_DRAW}, event_id) AS rn
-      FROM events) t
-    WHERE rn <= 5
-    """,
-)
-def q56_group_reservoir(spark, sf_dir):
-    """Deterministic per-group reservoir sample (operators/sampling.py):
-    the 5 uniformly-chosen events per event_type, selected by ranking the
-    salted hash draw inside each group — reservoir-sampling semantics with
-    exact reproducibility. One shuffle (by group), as the semantics
-    require."""
-    ev = _read(spark, sf_dir, "events")
-    return _samp.group_sample(ev, ["event_type"], "event_id", k=5, salt="s56").select(
-        "event_type", "event_id"
-    )
-
-
-@query(
-    "q57_decontamination",
-    f"""
-    WITH ev AS MATERIALIZED (
-      SELECT DISTINCT unnest({_dd.shingles_sql('text', 4)}) AS gram
-      FROM documents WHERE doc_id % 20 = 0
-    ),
-    tr AS (SELECT doc_id, unnest({_dd.shingles_sql('text', 4)}) AS gram
-           FROM documents WHERE doc_id % 20 <> 0)
-    SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (gram)
-    """,
-)
-def q57_decontamination(spark, sf_dir):
-    """Test-set decontamination (llm/decontam.py): training docs sharing
-    any word 4-gram with the (broadcast) eval set's shingle set. The train
-    side is never shuffled — map-side explode + broadcast semi-join, then
-    a distinct on ids only."""
-    docs = _read_docs(spark, sf_dir)
-    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
-    train = docs.filter(F.col("doc_id") % 20 != 0)
-    return _decon.contaminated_ids(train, eval_df, "text", "doc_id", k=4)
-
-
-@query(
-    "q58_source_mixture",
-    f"""
-    SELECT source AS mix_source, count(*) AS n, cast(sum(n_chars) as bigint) AS sum_chars
-    FROM documents
-    WHERE source IN ('src0', 'src1', 'src2')
-      AND {_S58_DRAW} <
-          CASE source WHEN 'src0' THEN 800000 WHEN 'src1' THEN 400000 ELSE 100000 END
-    GROUP BY 1
-    """,
-)
-def q58_source_mixture(spark, sf_dir):
-    """Deterministic source mixing (operators/sampling.py): three source
-    corpora sampled at 80% / 40% / 10% with independent per-source salted
-    draws, then unioned with a source tag — N map-side filters + a
-    zero-shuffle unionByName. mixture_rates() resolves target weights to
-    these rates from driver-side counts at pipeline-build time."""
-    docs = _read_docs(spark, sf_dir)
-    sources = {name: docs.filter(F.col("source") == name) for name in ("src0", "src1", "src2")}
-    mixed = _samp.mix_sources(
-        sources, {"src0": 0.8, "src1": 0.4, "src2": 0.1}, "doc_id", salt="s58"
-    )
-    return mixed.groupBy("mix_source").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("sum_chars")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Temporal joins (operators/temporal.py — scale-out extension; the
-# reference has no joins at all, SURVEY §2.4)
-# ---------------------------------------------------------------------------
-
-from .operators import temporal as _temporal  # noqa: E402
-
-
-@query(
-    "q59_asof_join",
-    """
-    SELECT e.event_id, e.user_id, e.value,
-           c.event_id AS click_event_id,
-           epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') e
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-      ON e.user_id = c.user_id AND e.ts >= c.ts
-    """,
-)
-def q59_asof_join(spark, sf_dir):
-    """As-of join (operators/temporal.py): each purchase event matched to
-    the same user's most recent click at-or-before it; purchases with no
-    prior click keep nulls. Union+window formulation — one shuffle on
-    user_id, no join node, no per-key range explosion."""
-    ev = _read(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id"
-    )
-    out = _temporal.asof_join(
-        purchases, clicks, on=["user_id"], left_ts="ts", prefix="click_"
-    )
-    return out.select(
-        "event_id",
-        "user_id",
-        "value",
-        F.col("click_event_id"),
-        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
-    )
-
-
-@query(
-    "q60_range_join",
-    """
-    SELECT e.event_id AS error_id,
-           count(x.event_id) AS n_events,
-           round(cast(sum(cast(x.value as decimal(38,4))) as double), 2) AS sum_value
-    FROM (SELECT * FROM events WHERE event_type = 'error') e
-    LEFT JOIN events x
-      ON x.ts >= e.ts AND x.ts < e.ts + INTERVAL 60 SECOND
-     AND x.event_id <> e.event_id
-    GROUP BY 1
-    """,
-)
-def q60_range_join(spark, sf_dir):
-    """Range join (operators/temporal.py): events inside the 60s window
-    after each error event, with NO equality key — the bucketed path
-    (points and exploded intervals hash-join on a 60s time bucket) replaces
-    the BroadcastNestedLoopJoin Spark would plan for a pure inequality
-    join. Interval fan-out is bounded at 2 buckets per error."""
-    ev = _read(spark, sf_dir, "events")
-    errors = ev.filter(F.col("event_type") == "error").select(
-        F.col("event_id").alias("error_id"),
-        F.col("ts").alias("lo"),
-        (F.col("ts") + F.expr("interval 60 seconds")).alias("hi"),
-    )
-    points = ev.select(
-        F.col("event_id").alias("x_id"), F.col("ts").alias("pts"),
-        F.col("value").cast("decimal(38,4)").alias("x_value"),
-    )
-    joined = _temporal.range_join(
-        points,
-        errors,
-        point="pts",
-        lower="lo",
-        upper="hi",
-        how="right",
-        bucket_us=60_000_000,
-        extra=F.col("x_id") != F.col("error_id"),
-    )
-    out = joined.groupBy("error_id").agg(
-        F.count("x_id").alias("n_events"), F.sum("x_value").alias("sum_value")
-    )
-    return finalize(out, {"sum_value": 2})
-
-
-# ---------------------------------------------------------------------------
-# Bucketed star join (operators/scale.py — the fact-to-fact path that
-# replaces broadcasting `orders` at TB scale, wired into the gate)
-# ---------------------------------------------------------------------------
-
-from .operators import scale as _scale  # noqa: E402
-
-def bucketed_star_tables(spark, sf_dir: str) -> tuple[str, str]:
-    """Bucketed lineitem/orders catalog tables for *sf_dir*, built once
-    per (session, sf). Both sides bucket+sort on the order key, so the
-    join plans as a zero-exchange SortMergeJoin (asserted in
-    tests/test_scale_ops.py). Data lands under the repo's spark-warehouse
-    regardless of the session's cwd-relative warehouse dir."""
-    import hashlib
-    import os
-
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    li, od = f"lineitem_bkt_{h}", f"orders_bkt_{h}"
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "spark-warehouse"
-    )
-    for name, table, bkey in (
-        ("lineitem", li, "l_orderkey"),
-        ("orders", od, "o_orderkey"),
-    ):
-        path = os.path.join(base, table)
-        has_data = os.path.exists(os.path.join(path, "_SUCCESS"))
-        if spark.catalog.tableExists(table):
-            if has_data:
-                continue
-            # catalog entry whose data dir was deleted: rebuild below
-            spark.sql(f"DROP TABLE IF EXISTS `{table}`")
-        if has_data:
-            # fixtures are immutable: re-register the bucketed files a
-            # previous session wrote instead of rewriting them (bucket
-            # ids live in the file names, so an external CLUSTERED BY
-            # table over them keeps the zero-exchange join plan)
-            schema = _read(spark, sf_dir, name).schema
-            ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
-            spark.sql(
-                f"CREATE TABLE {table} ({ddl}) USING parquet "
-                f"CLUSTERED BY ({bkey}) SORTED BY ({bkey}) INTO 16 BUCKETS "
-                f"LOCATION '{path}'"
-            )
-        else:
-            _scale.write_bucketed(
-                _read(spark, sf_dir, name), table, bkey, buckets=16, path=path
-            )
-    return li, od
-
-
-@query(
-    "q61_bucketed_star_join",
-    """
-    SELECT o.o_orderpriority AS priority,
-           count(*) AS n_items,
-           round(cast(sum(cast(l.l_extendedprice * (1 - l.l_discount) as decimal(38,4))) as double), 2) AS revenue
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    WHERE o.o_orderstatus = 'F'
-    GROUP BY 1
-    """,
-)
-def q61_bucketed_star_join(spark, sf_dir):
-    """Fact-to-fact join on co-bucketed tables: lineitem and orders are
-    bucket+sorted on the order key, so the SortMergeJoin needs no exchange
-    and no sort on either side — the plan a 100 TB fact join must have
-    once `orders` outgrows broadcast (SCALE.md §star-joins)."""
-    li, od = bucketed_star_tables(spark, sf_dir)
-    l, o = spark.table(li), spark.table(od)
-    joined = l.join(o, l["l_orderkey"] == o["o_orderkey"]).filter(
-        F.col("o_orderstatus") == "F"
-    )
-    out = joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,4)")).alias("revenue"),
-    )
-    return finalize(out, {"revenue": 2})
-
-
-@query(
-    "q62_streaming_oracle",
-    """
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type,
-           count(*) AS n,
-           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS sum_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
-def q62_streaming_oracle(spark, sf_dir):
-    """TRUE Structured Streaming run checked against the batch oracle: the
-    FULL events fixture streams through a tumbling-window aggregation in
-    complete mode (availableNow), and the final materialized state must
-    hash-match DuckDB's batch GROUP BY — i.e. the streaming path computes
-    exactly the batch answer on bounded input, which is the invariant
-    incremental view maintenance relies on (q54). Unlike q44 (rows-only,
-    limit-sampled input), the input here is deterministic, so the oracle
-    is exact."""
-    from .streaming.windows import run_stream_to_memory, scratch_dir, tumbling_window_agg
-
-    ev = _read(spark, sf_dir, "events")
-    d = scratch_dir("bacon_q62_")
-    ev.write.mode("overwrite").parquet(d)
-    stream = spark.readStream.schema(ev.schema).parquet(d)
-    agg = tumbling_window_agg(
-        stream,
-        {
-            "n": F.count(F.lit(1)),
-            "sum_value": F.round(F.sum(F.expr(dec("value"))).cast("double"), 2),
-        },
-        window="1 hour",
-        keys=("event_type",),
-        watermark="1 hour",
-    )
-    out = agg.select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        "event_type",
-        "n",
-        "sum_value",
-    )
-    import shutil
-
-    # complete mode emits the FULL state after every batch — the trailing
-    # no-data micro-batch would recompute and re-emit all of it for
-    # nothing (no watermark-gated flush to trigger here), so skip it:
-    # one data batch total
-    prev_nd = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    try:
-        run_stream_to_memory(out, "q62_stream", mode="complete")
-    finally:
-        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nd)
-        shutil.rmtree(d, ignore_errors=True)
-    return spark.table("q62_stream")
-
-
-@query(
-    "q63_overlap_join",
-    """
-    WITH spans AS (
-      SELECT user_id, event_type,
-             date_trunc('week', ts) AS wk,
-             min(ts) AS lo,
-             max(ts) + INTERVAL 1 MICROSECOND AS hi
-      FROM events GROUP BY 1, 2, 3
-    ),
-    err AS (SELECT * FROM spans WHERE event_type = 'error'),
-    pur AS (SELECT * FROM spans WHERE event_type = 'purchase')
-    SELECT err.user_id, strftime(err.wk, '%Y-%m-%d') AS week,
-           count(pur.user_id) AS n_overlaps
-    FROM err LEFT JOIN pur
-      ON err.lo < pur.hi AND pur.lo < err.hi
-    GROUP BY 1, 2
-    """,
-)
-def q63_overlap_join(spark, sf_dir):
-    """Interval-overlap join (operators/temporal.py): per-(user, week)
-    error-activity spans overlap-joined against ALL purchase-activity
-    spans with NO equality key — the bucketed path (both interval sides
-    explode onto day buckets, match emitted only in the first shared
-    bucket) keeps it a hash join. Half-open spans [min_ts, max_ts+1us)."""
-    ev = _read(spark, sf_dir, "events")
-    spans = (
-        ev.groupBy(
-            "user_id",
-            F.date_trunc("week", F.col("ts")).alias("wk"),
-            "event_type",
-        )
-        .agg(
-            F.min("ts").alias("lo"),
-            (F.max("ts") + F.expr("interval 1 microsecond")).alias("hi"),
-        )
-    )
-    err = spans.filter(F.col("event_type") == "error").select(
-        "user_id", F.col("wk").alias("err_wk"),
-        F.col("lo").alias("err_lo"), F.col("hi").alias("err_hi"),
-    )
-    pur = spans.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"),
-        F.col("lo").alias("p_lo"), F.col("hi").alias("p_hi"),
-    )
-    joined = _temporal.overlap_join(
-        err, pur, "err_lo", "err_hi", "p_lo", "p_hi",
-        bucket_us=86_400_000_000,
-    )
-    counts = joined.groupBy("user_id", "err_wk").agg(
-        F.count("p_user").alias("n_overlaps")
-    )
-    # left-join semantics (error spans with zero overlaps) recovered by
-    # re-joining the inner-join counts onto the span frame — the bucketed
-    # path is inner-only by design
-    return (
-        err.select("user_id", "err_wk")
-        .join(counts, ["user_id", "err_wk"], "left")
-        .select(
-            "user_id",
-            F.date_format("err_wk", "yyyy-MM-dd").alias("week"),
-            F.coalesce(F.col("n_overlaps"), F.lit(0)).alias("n_overlaps"),
-        )
-    )
-
-
-@query(
-    "q64_streaming_asof",
-    """
-    SELECT e.event_id, e.user_id, e.value,
-           c.event_id AS click_event_id,
-           epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') e
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-      ON e.user_id = c.user_id AND e.ts >= c.ts
-    """,
-)
-def q64_streaming_asof(spark, sf_dir):
-    """TRUE streaming as-of join (streaming/asof.py, applyInPandasWithState)
-    with an EXACT oracle: q59's purchases-to-latest-click join, but the two
-    sides stream file-by-file through the stateful operator. The input
-    files are staged DRIVER-side with pyarrow on tmpfs (one Spark job
-    collects both sides of the few-MB verification fixture; file order
-    pinned by explicit mtimes), and a far-future sentinel purchase
-    advances the final watermark past every real row, flushing all group
-    state; the appended output must then equal the batch join exactly."""
-    import shutil
-
-    from .streaming.asof import streaming_asof_join
-    from .streaming.windows import run_stream_to_memory, scratch_dir, stage_ordered_files
-
-    # persist bounds re-scans during staging (max-ts job + two staged
-    # writes would otherwise each re-read the parquet); verification-run
-    # sized, dropped in the finally below
-    ev = _read(spark, sf_dir, "events").persist()
-    pdf = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    cdf = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
-    # scalar max for the sentinel timestamp: result-sized collect
-    hi = ev.agg(F.max("ts")).first()[0]
-    d = scratch_dir("bacon_q64_")
-    ldir, rdir = d + "/purchases", d + "/clicks"
-    sent = spark.createDataFrame(
-        [(-1, -1, hi + dt.timedelta(hours=3), 0.0)],
-        "event_id long, user_id long, ts timestamp, value double",
-    )
-    # TWO triggers, the floor for watermark-driven append emission: batch 0
-    # reads data + sentinel together (maxFilesPerTrigger=2), so the
-    # watermark computed at its end already clears every real row, and the
-    # single closing no-data micro-batch flushes all group state. (The
-    # no-data batch IS the flush mechanism — disabling it strands the rows
-    # inside the final watermark horizon; measured: 15 rows lost at sf0.1.
-    # Many-file interleaving is covered by the streaming unit tests; the
-    # gate run keeps trigger count, i.e. fixed micro-batch cost, minimal.)
-    # All three frames are written by Spark — no toPandas round-trip.
-    stage_ordered_files([
-        (ldir, pdf, "overwrite"),
-        (rdir, cdf, "overwrite"),
-        (ldir, sent, "append"),
-    ])
-
-    pschema = "event_id long, user_id long, ts timestamp, value double"
-    cschema = "user_id long, ts timestamp, event_id long"
-    # shards = the 8 state partitions this run uses: each extra shard is
-    # an extra pandas/arrow state round-trip per trigger (32 shards cost
-    # 2x wall time at bench scale); on a real cluster raise both together
-    out = streaming_asof_join(
-        spark.readStream.schema(pschema)
-        .option("maxFilesPerTrigger", 2).parquet(ldir),
-        spark.readStream.schema(cschema)
-        .option("maxFilesPerTrigger", 2).parquet(rdir),
-        on=["user_id"], left_ts="ts", prefix="click_", delay="30 minutes",
-        shards=8,
-    )
-    # fewer state-store tasks per trigger: the stateful shuffle width is
-    # fixed at stream start, and 8 partitions are plenty at bench scale
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        run_stream_to_memory(out, "q64_stream", mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        ev.unpersist()
-        shutil.rmtree(d, ignore_errors=True)
-    return (
-        spark.table("q64_stream")
-        .filter(F.col("user_id") >= 0)
-        .select(
-            "event_id",
-            "user_id",
-            "value",
-            "click_event_id",
-            (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
-        )
-    )
-
-
-@query(
-    "q65_lattice_range_drill",
-    """
-    SELECT l_returnflag AS returnflag,
-           round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(38,4))) as double), 2) AS revenue,
-           count(*) AS n
-    FROM lineitem
-    WHERE date_trunc('month', l_shipdate) >= DATE '1997-06-01'
-    GROUP BY 1
-    """,
-)
-def q65_lattice_range_drill(spark, sf_dir):
-    """Range-filtered query served FROM a registered cube lattice: the
-    planner reads the (returnflag, ship_month) grain, applies the >= bound
-    to the materialized month values (a scan-bound over aggregate-sized
-    data, not a base re-scan), and merges finished values down to
-    returnflag — allowed because Sum/Count are reaggregatable. Extends the
-    eq/in lattice drills to every row-level filter op (engine._lattice_plan);
-    plan shape asserted in tests/test_scale_ops.py."""
-    from .operators.lattice import CubeLattice
-
-    cd = CubeDef("li")
-    cd.add_label(Label("returnflag", "l_returnflag"))
-    cd.add_label(Label("ship_month", "cast(date_trunc('month', l_shipdate) as date)"))
-    cd.add_measure(
-        Measure("revenue", dec("l_extendedprice * (1 - l_discount)"), acc=Sum())
-    )
-    cd.add_measure(Measure("n", "l_orderkey", acc=Count()))
-    li = _read(spark, sf_dir, "lineitem")
-    board = CuttingBoard(cd, li, cache_results=False)
-    lat = CubeLattice(
-        cd, li, axes=("returnflag", "ship_month"),
-        values=("revenue", "n"), persist=False,
-    )
-    board.register_lattice(lat)
-    q = (
-        CubeQuery()
-        .add_axis("returnflag")
-        .add_value("revenue")
-        .add_value("n")
-        .add_filter("ship_month", "ge", dt.date(1997, 6, 1))
-    )
-    return finalize(board.slice(q).to_df(), {"revenue": 2})
-
-
-@query(
-    "q66_streaming_asof_forward",
-    """
-    SELECT e.event_id, e.user_id, e.value,
-           CASE WHEN epoch_us(c.ts) - epoch_us(e.ts) <= 86400000000
-                THEN c.event_id END AS next_click_event_id,
-           CASE WHEN epoch_us(c.ts) - epoch_us(e.ts) <= 86400000000
-                THEN epoch_us(c.ts) - epoch_us(e.ts) END AS gap_us
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') e
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-      ON e.user_id = c.user_id AND e.ts <= c.ts
-    """,
-)
-def q66_streaming_asof_forward(spark, sf_dir):
-    """TRUE streaming FORWARD as-of join with an EXACT oracle: each
-    purchase matched to the user's EARLIEST click at-or-after it, within a
-    1-day tolerance (forward streaming as-of requires the tolerance — it
-    bounds both when a left row can finalize and how much right state is
-    retained; streaming/asof.py). Same staging as q64: both sides stream
-    file-by-file, a sentinel purchase past max_ts + tolerance + delay
-    flushes all state, and the appended output must hash-match DuckDB's
-    forward ASOF JOIN with the tolerance applied as a post-filter (the
-    nearest forward match is beyond tolerance iff no match is within it)."""
-    import shutil
-
-    from .streaming.asof import streaming_asof_join
-    from .streaming.windows import run_stream_to_memory, scratch_dir, stage_ordered_files
-
-    TOL_US = 86_400_000_000  # 1 day
-    # persist: same staging re-scan bound as q64
-    ev = _read(spark, sf_dir, "events").persist()
-    pdf = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    cdf = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
-    hi = ev.agg(F.max("ts")).first()[0]
-    d = scratch_dir("bacon_q66_")
-    ldir, rdir = d + "/purchases", d + "/clicks"
-    # watermark must clear max left_ts + tolerance for every real purchase
-    # to finalize: sentinel at hi + tolerance + 2h with a 30-minute delay
-    sent = spark.createDataFrame(
-        [(-1, -1, hi + dt.timedelta(days=1, hours=2), 0.0)],
-        "event_id long, user_id long, ts timestamp, value double",
-    )
-    stage_ordered_files([
-        (ldir, pdf, "overwrite"),
-        (rdir, cdf, "overwrite"),
-        (ldir, sent, "append"),
-    ])
-
-    pschema = "event_id long, user_id long, ts timestamp, value double"
-    cschema = "user_id long, ts timestamp, event_id long"
-    # same 2-trigger shape as q64: data + sentinel in batch 0, the closing
-    # no-data micro-batch flushes state once the watermark (sentinel-driven)
-    # clears every left ts + tolerance
-    out = streaming_asof_join(
-        spark.readStream.schema(pschema)
-        .option("maxFilesPerTrigger", 2).parquet(ldir),
-        spark.readStream.schema(cschema)
-        .option("maxFilesPerTrigger", 2).parquet(rdir),
-        on=["user_id"], left_ts="ts", prefix="click_",
-        direction="forward", tolerance_us=TOL_US,
-        delay="30 minutes", shards=8,
-    )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        run_stream_to_memory(out, "q66_stream", mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        ev.unpersist()
-        shutil.rmtree(d, ignore_errors=True)
-    return (
-        spark.table("q66_stream")
-        .filter(F.col("user_id") >= 0)
-        .select(
-            "event_id",
-            "user_id",
-            "value",
-            F.col("click_event_id").alias("next_click_event_id"),
-            (F.unix_micros("click_ts") - F.unix_micros("ts")).alias("gap_us"),
-        )
-    )
-
-
-@query(
-    "q67_streaming_overlap_join",
-    """
-    WITH spans AS (
-      SELECT user_id, event_type, date_trunc('day', ts) AS d,
-             min(ts) AS lo, max(ts) + INTERVAL 1 MICROSECOND AS hi
-      FROM events GROUP BY 1, 2, 3
-    ),
-    err AS (SELECT * FROM spans WHERE event_type = 'error'),
-    pur AS (SELECT user_id, date_trunc('week', lo) AS wk,
-                   min(lo) AS lo, max(hi) AS hi
-            FROM spans WHERE event_type = 'purchase' GROUP BY 1, 2)
-    SELECT err.user_id, strftime(err.d, '%Y-%m-%d') AS day,
-           strftime(pur.wk, '%Y-%m-%d') AS week
-    FROM err JOIN pur
-      ON err.user_id = pur.user_id AND err.lo < pur.hi AND pur.lo < err.hi
-    """,
-)
-def q67_streaming_overlap_join(spark, sf_dir):
-    """TRUE streaming interval-overlap join with an EXACT oracle
-    (streaming/overlap.py): per-(user, day) error-activity spans stream
-    against per-(user, week) purchase-activity spans; every overlapping
-    pair is emitted exactly once, in the micro-batch where the second
-    side arrives — no watermark wait and no flush sentinel, unlike the
-    streaming as-of queries, because symmetric-join emission only needs
-    both rows present. The delay exceeds the fixture's one-month time
-    span so the cross-side watermark cannot drop the later-staged side;
-    state pruning under a tight watermark is covered by the unit tests."""
-    import shutil
-
-    from .streaming.overlap import streaming_overlap_join
-    from .streaming.windows import run_stream_to_memory, scratch_dir, stage_ordered_files
-
-    ev = _read(spark, sf_dir, "events")
-    spans = (
-        ev.filter(F.col("event_type").isin("error", "purchase"))
-        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("d"), "event_type")
-        .agg(
-            F.min("ts").alias("lo"),
-            (F.max("ts") + F.expr("interval 1 microsecond")).alias("hi"),
-        )
-    )
-    err = spans.filter(F.col("event_type") == "error").select(
-        "user_id", "d", F.col("lo").alias("e_lo"), F.col("hi").alias("e_up")
-    )
-    pur = (
-        spans.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", F.date_trunc("week", F.col("lo")).alias("wk"))
-        .agg(F.min("lo").alias("p_lo"), F.max("hi").alias("p_up"))
-    )
-    d = scratch_dir("bacon_q67_")
-    ldir, rdir = d + "/errors", d + "/purchases"
-    # span frames stay distributed end-to-end: Spark writes the staged
-    # files directly (no toPandas), mtimes fix the arrival order; spans is
-    # persisted so the err/pur staging writes share one events aggregation
-    spans = spans.persist()
-    try:
-        stage_ordered_files([(ldir, err, "overwrite"), (rdir, pur, "overwrite")])
-    finally:
-        spans.unpersist()
-
-    eschema = "user_id long, d timestamp, e_lo timestamp, e_up timestamp"
-    pschema = "user_id long, wk timestamp, p_lo timestamp, p_up timestamp"
-    out = streaming_overlap_join(
-        spark.readStream.schema(eschema)
-        .option("maxFilesPerTrigger", 1).parquet(ldir),
-        spark.readStream.schema(pschema)
-        .option("maxFilesPerTrigger", 1).parquet(rdir),
-        "e_lo", "e_up", "p_lo", "p_up",
-        on=["user_id"], prefix="r_", delay="35 days", shards=8,
-    )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_nd = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    # symmetric-join emission happens in the batch where the second side
-    # arrives — the trailing no-data micro-batch emits nothing here (no
-    # watermark-gated flush like the as-of queries), so skip it: ONE
-    # trigger total
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    try:
-        run_stream_to_memory(out, "q67_stream", mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nd)
-        shutil.rmtree(d, ignore_errors=True)
-    return spark.table("q67_stream").select(
-        "user_id",
-        F.date_format("d", "yyyy-MM-dd").alias("day"),
-        F.date_format("r_wk", "yyyy-MM-dd").alias("week"),
-    )
-
-
-@query(
-    "q68_asof_nearest",
-    """
-    WITH e AS (SELECT * FROM events WHERE event_type = 'purchase'),
-    c AS (SELECT * FROM events WHERE event_type = 'click'),
-    b AS (SELECT e.event_id, c.event_id AS bid, c.ts AS bts
-          FROM e ASOF LEFT JOIN c
-            ON e.user_id = c.user_id AND e.ts >= c.ts),
-    f AS (SELECT e.event_id, c.event_id AS fid, c.ts AS fts
-          FROM e ASOF LEFT JOIN c
-            ON e.user_id = c.user_id AND e.ts <= c.ts)
-    SELECT e.event_id, e.user_id,
-      CASE WHEN b.bid IS NULL THEN f.fid
-           WHEN f.fid IS NULL THEN b.bid
-           WHEN epoch_us(f.fts) - epoch_us(e.ts)
-              < epoch_us(e.ts) - epoch_us(b.bts) THEN f.fid
-           ELSE b.bid END AS click_event_id,
-      CASE WHEN b.bid IS NULL THEN epoch_us(f.fts) - epoch_us(e.ts)
-           WHEN f.fid IS NULL THEN epoch_us(b.bts) - epoch_us(e.ts)
-           WHEN epoch_us(f.fts) - epoch_us(e.ts)
-              < epoch_us(e.ts) - epoch_us(b.bts)
-             THEN epoch_us(f.fts) - epoch_us(e.ts)
-           ELSE epoch_us(b.bts) - epoch_us(e.ts) END AS gap_us
-    FROM e
-    JOIN b USING (event_id)
-    JOIN f USING (event_id)
-    """,
-)
-def q68_asof_nearest(spark, sf_dir):
-    """Nearest-direction as-of join (operators/temporal.py): each
-    purchase matched to the same user's click closest in time, either
-    side, ties breaking backward. One shuffle on user_id — both
-    directional candidates come from two window passes inside the same
-    exchange, no join node. The oracle reconstructs 'nearest' from
-    DuckDB's backward and forward ASOF joins plus a CASE pick, which
-    also pins the tie-break (forward wins only on strictly smaller
-    gap)."""
-    ev = _read(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id"
-    )
-    out = _temporal.asof_join(
-        purchases, clicks, on=["user_id"], left_ts="ts",
-        direction="nearest", prefix="click_",
-    )
-    return out.select(
-        "event_id",
-        "user_id",
-        F.col("click_event_id"),
-        (F.unix_micros("click_ts") - F.unix_micros("ts")).alias("gap_us"),
-    )
-
-
-from .operators import graph as _graph  # noqa: E402
-
-
-# shared by q69/q91: LSH candidates -> exact-Jaccard edges -> connected
-# components via recursive min-label propagation; `comp` = (id, cluster_id)
-_DUP_COMP_CTE = f"""
-    WITH RECURSIVE {_LSH_KEYED_CTE},
-    cand AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM keyed a JOIN keyed b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    sh AS MATERIALIZED (SELECT doc_id, {_dd.shingles_sql('text')} AS s FROM documents),
-    edges AS MATERIALIZED (
-      SELECT c.id_a AS a, c.id_b AS b
-      FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id
-      WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE
-                  / len(list_distinct(list_concat(sa.s, sb.s)))::DOUBLE, 8) >= 0.2
-    ),
-    sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
-    reach(id, lbl) AS (
-      SELECT a, a FROM sym
-      UNION
-      SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.id
-    ),
-    comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
-"""
-
-
-@query(
-    "q69_dup_clusters",
-    f"""
-    {_DUP_COMP_CTE}
-    SELECT id AS doc_id, cluster_id,
-           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-    FROM comp
-    """,
-)
-def q69_dup_clusters(spark, sf_dir):
-    """Near-duplicate CLUSTERS: the LSH-candidate + exact-Jaccard pairs
-    of q30 become edges, and connected components
-    (operators/graph.py, alternating large-star/small-star — O(log n)
-    distributed rounds, no driver-side union-find) labels every involved
-    document with its cluster minimum. The oracle recomputes components
-    in DuckDB with a recursive min-label-propagation CTE — genuinely
-    iterative semantics, hash-checked exactly."""
-    from pyspark.sql import Window
-
-    docs = _read_docs(spark, sf_dir)
-    pairs = _dd.ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
-    cc = _graph.connected_components(pairs, src="id_a", dst="id_b")
-    return (
-        cc.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
-        .withColumn(
-            "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
-        )
-    )
-
-
-_PII_AUG_SQL = """
-      SELECT doc_id,
-             text || ' contact u' || doc_id || '@example.com via 10.0.' ||
-             (doc_id % 256) || '.' || ((doc_id * 7) % 256) ||
-             ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
-             (CASE WHEN doc_id % 2 = 0 THEN ' tel 555-867-5309' ELSE '' END)
-             AS aug
-      FROM documents
-"""
-
-
-@query(
-    "q70_pii_redaction",
-    f"""
-    WITH aug AS ({_PII_AUG_SQL})
-    SELECT doc_id, {_tx.redact_pii_sql('aug')} AS redacted,
-           {', '.join(f"{s} AS n_{n}" for n, s in _tx.pii_counts_sql('aug').items())}
-    FROM aug
-    """,
-)
-def q70_pii_redaction(spark, sf_dir):
-    """PII scrub over the corpus (llm/text.py): email / IPv4 / SSN /
-    phone patterns replaced in a fixed order by a pure-codegen
-    regexp_replace chain, with per-category match counts from the
-    unredacted text. The fixture corpus contains no PII, so the query
-    deterministically injects PII-shaped tokens derived from doc_id —
-    identically in Spark and in the oracle SQL — making the redaction
-    path's verification non-vacuous (every replacement position lands in
-    the value hash)."""
-    docs = _read_docs(spark, sf_dir)
-    aug = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(" contact u"),
-            F.col("doc_id").cast("string"),
-            F.lit("@example.com via 10.0."),
-            (F.col("doc_id") % 256).cast("string"),
-            F.lit("."),
-            ((F.col("doc_id") * 7) % 256).cast("string"),
-            F.lit(" ssn 123-45-"),
-            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-            F.when(F.col("doc_id") % 2 == 0, F.lit(" tel 555-867-5309")).otherwise(
-                F.lit("")
-            ),
-        ).alias("aug"),
-    )
-    counts = _tx.pii_counts(F.col("aug"))
-    return aug.select(
-        "doc_id",
-        _tx.redact_pii(F.col("aug")).alias("redacted"),
-        *[c.alias(f"n_{n}") for n, c in counts.items()],
-    )
-
-
-from .llm import ranking as _rank  # noqa: E402
-
-_BM25_TERMS = ("spark", "join", "window", "stream")
-
-
-@query("q71_bm25_topk", _rank.bm25_scores_sql(_BM25_TERMS))
-def q71_bm25_topk(spark, sf_dir):
-    """BM25 top-20 documents for a fixed query (llm/ranking.py): the
-    (doc, term) shuffle carries only the QUERY's terms, the tiny df
-    table is broadcast back, corpus stats are two scalar aggregates —
-    query-sized state over corpus-sized input. Per-term scores are
-    rounded then decimal-summed so the double sum is
-    associativity-proof; both engines evaluate the identical floating
-    expression shape (the oracle SQL is emitted from the same
-    function)."""
-    docs = _read_docs(spark, sf_dir)
-    return _rank.bm25_scores(docs, _BM25_TERMS)
-
-
-@query("q72_tfidf_top_terms", _rank.tfidf_top_terms_sql())
-def q72_tfidf_top_terms(spark, sf_dir):
-    """Per-document top-5 characteristic terms by tf-idf
-    (llm/ranking.py): document frequency via a count window over the
-    already-aggregated (doc, term) rows — no vocabulary-dim join that
-    would stop broadcasting at corpus scale — then row_number per doc
-    on (rounded score, term). Exactly three key-partitioned shuffles."""
-    docs = _read_docs(spark, sf_dir)
-    return _rank.tfidf_top_terms(docs)
-
-
-# ---------------------------------------------------------------------------
-# Round 2 additions: embedding LSH pairs, sequence packing, streaming dedup
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "q73_embedding_lsh_pairs",
-    _sim.lsh_bucket_pairs_sql(dim=64, threshold=0.2),
-)
-def q73_embedding_lsh_pairs(spark, sf_dir):
-    """Hyperplane-LSH candidate generation over embeddings with exact
-    cosine verification inside buckets (llm/similarity.lsh_bucket_pairs)
-    — the embedding twin of the MinHash band pipeline (q28→q30) and the
-    scale path q40's exact form deliberately avoids. The md5-derived
-    hyperplanes are engine-reproducible, so the ORACLE REPLICATES THE
-    BUCKETING: same buckets, same candidate set, same rounded cosines —
-    pinning the approximate algorithm's exact behavior, not just row
-    counts.
-
-    Bucket granularity is ADAPTIVE (similarity.adaptive_seed_count):
-    planes = max(8, ceil(log2(N/8))), so buckets stay ~8 vectors at any
-    corpus size and the in-bucket verify stays linear overall — with 8
-    static planes the sf0.1→sf1 sweep measured 20x wall at 10x data
-    (fixed-bucket LSH's classic quadratic trap). At the oracle SFs
-    (0.001/0.01) the rule yields exactly the pinned 8-plane oracle."""
-    import os
-
-    emb = _read(spark, sf_dir, "embeddings")
-    n = emb.count()
-    planes = _sim.adaptive_seed_count(n)
-    # Guard (ADVICE r3): the registered oracle SQL is pinned to the static
-    # 8-plane HYPERPLANE_SEEDS; if the gate fixtures ever grow past 2048
-    # vectors the adaptive rule would pick more planes and the oracle
-    # compare would fail for a reason unrelated to any real bug — fail
-    # HERE with the actual cause instead.
-    if os.path.basename(os.path.normpath(sf_dir)) in ("sf0.001", "sf0.01"):
-        assert planes == len(_sim.HYPERPLANE_SEEDS), (
-            f"gate fixture {sf_dir} grew to {n} vectors: adaptive_seed_count "
-            f"-> {planes} planes but the q73 oracle SQL is pinned to "
-            f"{len(_sim.HYPERPLANE_SEEDS)}; regenerate the oracle via "
-            f"lsh_bucket_pairs_sql(seeds=range(1, planes+1))"
-        )
-    seeds = tuple(range(1, planes + 1))
-    return _sim.lsh_bucket_pairs(emb, dim=64, threshold=0.2, seeds=seeds)
-
-
-from .operators.packing import pack_chunks, pack_chunks_sql  # noqa: E402
-
-_WS_TOKENS_SQL = _tx.whitespace_token_count_sql("text")
-
-
-@query(
-    "q74_sequence_packing",
-    pack_chunks_sql(_WS_TOKENS_SQL, chunk_tokens=512, shards=8),
-)
-def q74_sequence_packing(spark, sf_dir):
-    """Concat-then-chunk sequence packing (operators/packing.py): token
-    spans mapped onto fixed 512-token training chunks, sharded by
-    doc_id % 8 so the cumulative-sum window runs per shard instead of
-    as one total-order bottleneck. The window state is (id, n_tokens)
-    pairs only — document bodies never enter the shuffle."""
-    docs = _read_docs(spark, sf_dir)
-    return pack_chunks(
-        docs, _tx.whitespace_token_count(F.col("text")), chunk_tokens=512, shards=8
-    )
-
-
-@query(
-    "q75_streaming_dedup_groups",
-    f"""
-    SELECT {_dd.hash60_sql('text')} AS digest,
-           min(doc_id) AS keep_id,
-           count(*) AS n
-    FROM documents
-    GROUP BY 1
-    """,
-)
-def q75_streaming_dedup_groups(spark, sf_dir):
-    """TRUE streaming exact-dedup maintenance with an exact oracle: the
-    documents corpus streams in two micro-batches (split by doc_id
-    parity, staged distributedly) through a digest-keyed aggregate
-    (min id = keeper, count = multiplicity) in complete mode — the
-    incremental form of q22's batch dedup. State is one row per distinct
-    digest (digest + two longs), the same asymptotic state batch dedup
-    holds in its aggregation; on an unbounded stream the key set is
-    bounded by watermarked windows or dropDuplicatesWithinWatermark,
-    covered in tests/test_streaming.py."""
-    import shutil
-
-    from .streaming.windows import run_stream_to_memory, scratch_dir, stage_ordered_files
-
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    d = scratch_dir("bacon_q75_")
-    stage_ordered_files([
-        (d, docs.filter(F.col("doc_id") % 2 == 0), "overwrite"),
-        (d, docs.filter(F.col("doc_id") % 2 == 1), "append"),
-    ])
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
-    )
-    agg = (
-        stream.select("doc_id", _dd.hash60(F.col("text")).alias("digest"))
-        .groupBy("digest")
-        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n"))
-    )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        run_stream_to_memory(agg, "q75_stream", mode="complete")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        shutil.rmtree(d, ignore_errors=True)
-    return spark.table("q75_stream")
-
-
-from .operators.profile import profile as _profile, profile_sql as _profile_sql  # noqa: E402
-
-_PROFILE_COLS = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
-
-
-@query("q76_table_profile", _profile_sql("orders", _PROFILE_COLS))
-def q76_table_profile(spark, sf_dir):
-    """ANALYZE-style table profile (operators/profile.py): per-column
-    null count, exact distinct count, min/max in ONE aggregation pass
-    (Catalyst multi-distinct Expand — each shuffle carries one column's
-    values with map-side partials), unpivoted JVM-side via stack.
-
-    The conditional widen spreads the Expand's x5 row multiplication
-    across cores when the fixture ships orders as ONE file/partition; at
-    real scale the scan is already wide and widen adds no Exchange (same
-    rationale as _read_docs)."""
-    from .operators.scale import widen
-
-    return _profile(widen(_read(spark, sf_dir, "orders")), _PROFILE_COLS)
-
-
-_REP_SIGS = _tx.repetition_signals_sql("text")
-
-
-@query(
-    "q77_repetition_signals",
-    f"""
-    SELECT doc_id,
-           {_REP_SIGS['n_lines']} AS n_lines,
-           {_REP_SIGS['dup_line_ratio']} AS dup_line_ratio,
-           {_REP_SIGS['max_line_share']} AS max_line_share,
-           {_REP_SIGS['dup_bigram_ratio']} AS dup_bigram_ratio
-    FROM documents
-    WHERE doc_id < 200
-    """,
-)
-def q77_repetition_signals(spark, sf_dir):
-    """Gopher-style within-document repetition heuristics (llm/text.py):
-    duplicate-line ratio, most-repeated-line share, duplicate word-bigram
-    ratio — map-side expression work only, the standard boilerplate /
-    template / spam filters for pretraining corpora."""
-    docs = _read_docs(spark, sf_dir).filter(F.col("doc_id") < 200)
-    sigs = _tx.repetition_signals(F.col("text"))
-    return docs.select("doc_id", *[c.alias(n) for n, c in sigs.items()])
-
-
-@query(
-    "q78_salted_agg",
-    """
-    SELECT l_returnflag AS returnflag,
-           round(cast(sum(cast(l_quantity as decimal(38,4))) as double), 2) AS sum_qty,
-           count(*) AS n
-    FROM lineitem
-    GROUP BY 1
-    """,
-)
-def q78_salted_agg(spark, sf_dir):
-    """Skew-salted two-phase aggregation in the gate
-    (operators/scale.salted_agg): l_returnflag has only 3 values — the
-    canonical hot-key shape — so the partial aggregate groups on
-    (key, salt) to spread each hot key over 16 reducers, and the final
-    merge handles 3×16 rows. Decimal partials keep the re-aggregated
-    double sum bit-identical to the oracle's single-phase GROUP BY."""
-    from .operators.scale import salted_agg
-
-    li = _read(spark, sf_dir, "lineitem")
-    out = salted_agg(
-        li.select("l_returnflag", "l_quantity"),
-        key="l_returnflag",
-        aggs={
-            "p_sum": F.sum(F.expr(dec("l_quantity"))),
-            "p_n": F.count(F.lit(1)),
-        },
-        merges={
-            "sum_qty": F.round(F.sum("p_sum").cast("double"), 2),
-            "n": F.sum("p_n"),
-        },
-    )
-    return out.select(F.col("l_returnflag").alias("returnflag"), "sum_qty", "n")
-
-
-from .operators.maintenance import zorder_key, zorder_key_sql  # noqa: E402
-
-_Z_BITS = 8
-_Z_COLS = [("l_partkey", 0, 1 << 20), ("l_suppkey", 0, 1 << 14)]
-
-
-@query(
-    "q79_zorder_key",
-    f"""
-    SELECT l_orderkey, l_linenumber,
-           {zorder_key_sql(_Z_COLS, bits=_Z_BITS)} AS zkey
-    FROM lineitem
-    WHERE l_orderkey < 500
-    """,
-)
-def q79_zorder_key(spark, sf_dir):
-    """Morton (z-order) clustering key in the gate
-    (operators/maintenance.zorder_key): bit-interleaved quantized
-    (l_partkey, l_suppkey) — the key `compact(cluster_by=...)` sorts on
-    so multi-dimension range predicates prune files. Pure codegen bit
-    arithmetic; the oracle replicates quantization and interleaving
-    bit-for-bit."""
-    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        zorder_key(_Z_COLS, bits=_Z_BITS).alias("zkey"),
-    )
-
-
-@query(
-    "q80_synthetic_source",
-    """
-    WITH g AS (
-      SELECT i, cast(('0x' || substr(md5('42:' || i::VARCHAR), 1, 15)) as bigint) AS h
-      FROM range(0, 5000) t(i)
-    ),
-    ev AS (
-      SELECT i AS event_id,
-             ['view','click','purchase','error'][(h % 4) + 1] AS event_type,
-             round((h % 1000000) / 100.0, 2) AS value
-      FROM g
-    )
-    SELECT event_type, count(*) AS n,
-           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS total
-    FROM ev GROUP BY 1
-    """,
-)
-def q80_synthetic_source(spark, sf_dir):
-    """Custom Python DataSource in the gate (sources/synthetic.py,
-    Spark 4 DataSource API): the seeded generator plans real input
-    partitions and runs distributedly; the oracle regenerates the same
-    rows from range() via the shared md5 construction, so the source's
-    CONTENT is hash-checked, not just its row count. Falls back to a
-    driver-built DataFrame of the same generator when the API is absent
-    (content identical — gen_row is the single source of truth)."""
-    from .sources import synthetic
-
-    if synthetic.register(spark):
-        ev = (
-            spark.read.format("synthetic_events")
-            .option("numRows", 5000)
-            .option("seed", 42)
-            .option("numPartitions", 8)
-            .load()
-        )
-    else:  # pragma: no cover - pyspark without the DataSource API
-        ev = spark.createDataFrame(
-            [synthetic.gen_row(42, i) for i in range(5000)], synthetic.SCHEMA
-        )
-    out = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.expr(dec("value"))).alias("total"),
-    )
-    return finalize(out, {"total": 2})
-
-
-@query(
-    "q81_cdc_latest_by_key",
-    """
-    WITH ranked AS (
-      SELECT user_id, event_id, ts, event_type, value,
-             row_number() OVER (
-               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
-      FROM events
-    )
-    SELECT user_id, event_id, event_type,
-           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
-           round(value, 2) AS value
-    FROM ranked WHERE rk = 1
-    """,
-)
-def q81_cdc_latest_by_key(spark, sf_dir):
-    """CDC / upsert compaction: latest record per key (event time, then
-    id as the deterministic tie-break) — the canonical changelog
-    materialization. One hash shuffle on the key + a per-partition sort;
-    row_number (not max+join-back) so the whole row survives without a
-    second pass. At table scale this is the MERGE-less way to compact an
-    append log into current state."""
-    from pyspark.sql import Window
-
-    ev = _read(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return (
-        ev.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            "user_id",
-            "event_id",
-            "event_type",
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
-            F.round("value", 2).alias("value"),
-        )
-    )
-
-
-from .operators.sampling import dataset_split, dataset_split_sql  # noqa: E402
-
-_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
-
-
-@query(
-    "q82_dataset_split",
-    f"""
-    SELECT {dataset_split_sql('doc_id', _SPLITS)} AS split,
-           count(*) AS n,
-           cast(sum({_tx.whitespace_token_count_sql('text')}) as bigint) AS total_tokens,
-           min(doc_id) AS min_id
-    FROM documents
-    GROUP BY 1
-    """,
-)
-def q82_dataset_split(spark, sf_dir):
-    """Deterministic train/val/test split (operators/sampling.
-    dataset_split): each document lands in exactly one split by its id
-    hash against cumulative thresholds — map-side, engine-reproducible,
-    so re-running the pipeline never migrates a row between train and
-    eval. Aggregated per split with token mass (the number a mixture
-    planner actually needs)."""
-    docs = _read_docs(spark, sf_dir)
-    out = dataset_split(docs, "doc_id", _SPLITS)
-    return out.groupBy("split").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(_tx.whitespace_token_count(F.col("text")).cast("long")).alias("total_tokens"),
-        F.min("doc_id").alias("min_id"),
-    )
-
-
-@query(
-    "q83_text_chunking",
-    f"""
-    WITH chunks AS (
-      SELECT doc_id, unnest({_tx.chunk_tokens_sql('text', 64, 48)}) AS c
-      FROM documents
-      WHERE doc_id < 100
-    )
-    SELECT doc_id, c.chunk_id, c.n_tokens, c.digest
-    FROM chunks
-    """,
-)
-def q83_text_chunking(spark, sf_dir):
-    """Overlapping context-window chunking (llm/text.chunk_tokens):
-    64-token windows at stride 48, one output row per chunk carrying a
-    digest of the window instead of its text — map-side build + explode,
-    document bodies never amplified through the shuffle. The standard
-    RAG / pretraining window prep; the oracle rebuilds identical chunks
-    and digests from the same token stream."""
-    docs = _read_docs(spark, sf_dir).filter(F.col("doc_id") < 100)
-    chunks = docs.select(
-        "doc_id", F.explode(_tx.chunk_tokens(F.col("text"), 64, 48)).alias("c")
-    )
-    return chunks.select("doc_id", "c.chunk_id", "c.n_tokens", "c.digest")
-
-
-@query(
-    "q84_top_ngrams",
-    f"""
-    WITH toks AS (
-      SELECT {_tx.tokens_sql('text')} AS t FROM documents
-    ),
-    grams AS (
-      SELECT unnest(CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)),
-                    i -> array_to_string(list_slice(t, i, i + 1), ' ')) ELSE [] END) AS gram
-      FROM toks
-    ),
-    counted AS (SELECT gram, count(*) AS n FROM grams GROUP BY 1)
-    SELECT gram, n FROM counted
-    ORDER BY n DESC, gram LIMIT 20
-    """,
-)
-def q84_top_ngrams(spark, sf_dir):
-    """Corpus-wide top-20 word bigrams: map-side gram build + explode,
-    partial-aggregating shuffle on the gram key (small rows only), then
-    TakeOrderedAndProject with a deterministic (count, gram) tie-break.
-    The heavy-hitter vocabulary pass every tokenizer/mixture pipeline
-    runs."""
-    docs = _read_docs(spark, sf_dir)
-    toks = _tx.tokens(F.col("text"))
-    grams = docs.select(
-        F.explode(
-            F.when(
-                F.size(toks) >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - 2),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("gram")
-    )
-    out = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
-    return out.orderBy(F.col("n").desc(), F.col("gram")).limit(20)
-
-
-@query(
-    "q85_streaming_session",
-    """
-    WITH marked AS (
-      SELECT user_id, ts, value,
-             CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-                  THEN 1 ELSE 0 END AS new_sess
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
-    ),
-    sessions AS (
-      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, value
-                                    ROWS UNBOUNDED PRECEDING) AS sess_id
-      FROM marked
-    )
-    SELECT user_id,
-           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-           count(*) AS n_events,
-           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS sum_value
-    FROM sessions
-    GROUP BY user_id, sess_id
-    """,
-)
-def q85_streaming_session(spark, sf_dir):
-    """TRUE streaming session windows with an EXACT oracle: the full
-    events fixture streams through a watermarked session_window
-    aggregate in APPEND mode — a session emits only when the watermark
-    passes its close, so a far-future sentinel (its own session,
-    filtered out) flushes every real session. State is bounded to open
-    sessions per user. The oracle is q33's batch gaps-and-islands SQL
-    verbatim: streaming emission must reproduce the batch sessionization
-    bit-for-bit."""
-    import shutil
-
-    from .streaming.windows import (
-        run_stream_to_memory,
-        scratch_dir,
-        session_window_agg,
-        stage_ordered_files,
-        with_watermark,
-    )
-
-    # persist: the max-ts job and the staged write share one scan
-    ev = _read(spark, sf_dir, "events").persist()
-    hi = ev.agg(F.max("ts")).first()[0]
-    sschema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-    # ONE sentinel, TWO triggers: the watermark only advances at the END
-    # of a batch, and append-mode sessions emit in the batch after the
-    # watermark passes their close. Batch 0 reads data + sentinel together
-    # (maxFilesPerTrigger=2), so its end-of-batch watermark clears every
-    # real session, and the single closing no-data micro-batch emits them
-    # all (it is the flush mechanism — availableNow always runs it).
-    sent1 = spark.createDataFrame([(-1, hi + dt.timedelta(days=2), -1, "sent", 0.0, "{}")], sschema)
-    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
-    d = scratch_dir("bacon_q85_")
-    stage_ordered_files([
-        (d, ev.select(*cols), "overwrite"),
-        (d, sent1, "append"),
-    ])
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-        )
-        .option("maxFilesPerTrigger", 2)
-        .parquet(d)
-    )
-    agg = session_window_agg(
-        with_watermark(stream, "ts", "30 minutes"),
-        {
-            "n_events": F.count(F.lit(1)),
-            "sum_value": F.round(F.sum(F.expr(dec("value"))).cast("double"), 2),
-        },
-        gap="30 minutes",
-        keys=("user_id",),
-    )
-    # Drop the sentinel sessions by their START TIME, not by user_id:
-    # user_id is a grouping key, so a `user_id >= 0` filter legally
-    # pushes below the aggregate all the way into the parquet scan —
-    # the sentinel rows then never reach the watermark operator and the
-    # final real sessions never emit (observed: the last-gap sessions
-    # went missing). session_start is an aggregate output that cannot
-    # push through session merging, so it filters rows, not input.
-    out = agg.filter(F.col("session_start") <= F.lit(hi)).select(
-        "user_id",
-        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-        "n_events",
-        "sum_value",
-    )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        run_stream_to_memory(out, "q85_stream", mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        ev.unpersist()
-        shutil.rmtree(d, ignore_errors=True)
-    return spark.table("q85_stream")
-
-
-from .operators.sampling import draw_sql as _draw_sql  # noqa: E402
-
-
-@query(
-    "q86_top_ngrams_sampled",
-    f"""
-    WITH sampled AS (
-      SELECT text FROM documents
-      WHERE {_draw_sql('doc_id', 'topngrams')} < 250000
-    ),
-    sgrams AS (
-      SELECT unnest({_tx.word_ngrams_sql('text', 3)}) AS gram FROM sampled
-    ),
-    cand AS (
-      SELECT gram FROM (
-        SELECT gram, count(*) AS n FROM sgrams GROUP BY 1
-        ORDER BY n DESC, gram LIMIT 120
-      )
-    ),
-    grams AS (
-      SELECT unnest({_tx.word_ngrams_sql('text', 3)}) AS gram FROM documents
-    ),
-    exact AS (
-      SELECT g.gram, count(*) AS n
-      FROM grams g JOIN cand c ON g.gram = c.gram GROUP BY 1
-    )
-    SELECT gram, n FROM exact ORDER BY n DESC, gram LIMIT 15
-    """,
-)
-def q86_top_ngrams_sampled(spark, sf_dir):
-    """Heavy-hitter vocabulary pass with BOUNDED aggregation state
-    (llm/text.sampled_top_ngrams): candidates from a deterministic 25%
-    md5-hash document sample, then an exact recount of ONLY those
-    candidates over the full corpus behind a broadcast semi-join —
-    shuffled rows and agg state bounded by k*oversample at ANY corpus
-    size, unlike q84's direct groupBy whose state is the whole
-    vocabulary (the one >10x entry in SCALE_SWEEP.json).
-
-    The oracle replays the ENTIRE pipeline in DuckDB — same md5 draw
-    (shared dialect, operators/sampling.draw_sql), same candidate
-    top-(k*oversample) with (count, gram) tie-break, same exact recount
-    — so the match is bit-for-bit regardless of the corpus's heavy-
-    hitter structure. On the deliberately-uniform synthetic fixture the
-    sampled top-k may differ from the TRUE top-k (no gap for Chernoff
-    to work with — counts are near-flat ties); on a natural-language
-    corpus the heavy hitters dominate and the candidate set contains
-    them w.h.p. — tests/test_llm_ops.py pins that with a skewed
-    corpus."""
-    docs = _read_docs(spark, sf_dir)
-    return _tx.sampled_top_ngrams(docs, n=3, k=15, rate=0.25, oversample=8)
-
-
-@query(
-    "q87_boilerplate_ngrams",
-    f"""
-    WITH grams AS (
-      SELECT doc_id, unnest({_tx.word_ngrams_sql('text', 3)}) AS gram FROM documents
-    ),
-    bp AS (
-      SELECT gram FROM (
-        SELECT gram, count(DISTINCT doc_id) AS n_docs FROM grams GROUP BY 1
-      ) WHERE n_docs >= 5
-    ),
-    per_doc AS (
-      SELECT g.doc_id, count(*) AS n_grams, count(b.gram) AS n_boiler
-      FROM grams g LEFT JOIN bp b ON g.gram = b.gram GROUP BY 1
-    )
-    SELECT d.doc_id,
-           coalesce(p.n_grams, 0) AS n_grams,
-           coalesce(p.n_boiler, 0) AS n_boiler,
-           (CASE WHEN coalesce(p.n_grams, 0) > 0
-                 THEN (p.n_boiler * 1000000) // p.n_grams END)::BIGINT AS boiler_ppm
-    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
-    ORDER BY d.doc_id
-    """,
-)
-def q87_boilerplate_ngrams(spark, sf_dir):
-    """Boilerplate-contamination scoring (llm/text.boilerplate_stats): the
-    RefinedWeb/CCNet repeated-content idea on n-grams — trigrams appearing
-    in >= 5 distinct documents are corpus boilerplate; each document gets
-    exact occurrence counts and an integer parts-per-million contamination
-    score (integer div — no float rounding to flap the oracle).
-
-    Scale shape: the doc-frequency pass shuffles only (gram, doc_id)
-    pairs after a per-partition distinct; the boilerplate set (the
-    HIGH-frequency tail) is small by construction and broadcast, so the
-    per-doc scoring pass is a map-side hash probe plus one narrow
-    groupBy(doc_id). Bodies are never shuffled."""
-    docs = _read_docs(spark, sf_dir)
-    out = _tx.boilerplate_stats(docs, n=3, min_docs=5)
-    return out.orderBy("doc_id")
-
-
-from .llm import importance as _imp  # noqa: E402
-
-
-@query(
-    "q88_dsir_importance",
-    _imp.dsir_scores_sql("d.lang = 'en'"),
-)
-def q88_dsir_importance(spark, sf_dir):
-    """DSIR importance weights (llm/importance.dsir_scores — Xie et al.
-    2023, arXiv:2302.03169): hashed {1,2}-gram bucket models for the
-    target (lang='en') vs the raw corpus, per-document log importance
-    weight in integer micro-nats. The oracle rebuilds the whole model in
-    DuckDB from the shared md5 bucket dialect, so the match is exact.
-
-    Scale shape: feature pass shuffles at most num_buckets rows per doc
-    (never bodies); the bucket model is 64 rows, broadcast; scoring is a
-    map-side probe + one narrow per-doc integer sum."""
-    docs = _read_docs(spark, sf_dir)
-    return _imp.dsir_scores(docs, docs.filter(F.col("lang") == "en")).orderBy("doc_id")
-
-
-from .operators.profile import histogram as _hist, histogram_sql as _hist_sql  # noqa: E402
-
-
-@query(
-    "q89_histogram",
-    _hist_sql("lineitem", "l_extendedprice", 0.0, 110000.0, 22),
-)
-def q89_histogram(spark, sf_dir):
-    """Fixed-width histogram profile (operators/profile.histogram):
-    width_bucket binning of l_extendedprice into 22 bins over
-    [0, 110000), zero-filled spine, under/overflow buckets. One narrow
-    groupBy over a bounded key domain — the partial agg collapses every
-    partition to <= 24 rows before the shuffle, so cost is scan-bound at
-    any scale."""
-    li = _read(spark, sf_dir, "lineitem")
-    return _hist(li, "l_extendedprice", 0.0, 110000.0, 22)
-
-
-@query(
-    "q90_rolling_1h_window",
-    """
-    SELECT event_id, user_id,
-           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
-           count(*) OVER w AS n_1h,
-           round(cast(sum(cast(value as decimal(38,4))) OVER w as double), 2) AS sum_1h
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-    ORDER BY event_id
-    """,
-)
-def q90_rolling_1h_window(spark, sf_dir):
-    """Time-RANGE window frame: per user, the rolling 1-hour event count
-    and value sum ending at each event — Window.rangeBetween over epoch
-    microseconds (not ROWS: peers at the same instant and irregular event
-    spacing are handled by value range, the semantics ROWS frames get
-    wrong). The sum runs in exact decimal inside the frame so the
-    engine's sliding-frame accumulation order cannot flap the oracle.
-
-    Scale shape: one hash shuffle on user_id, per-partition sort by time,
-    frame maintained incrementally (add/evict) — no self-join, no
-    explode-by-interval blowup; state is the frame's width, not the
-    partition's."""
-    from pyspark.sql import Window
-
-    ev = _read(spark, sf_dir, "events").withColumn("t_us", F.unix_micros("ts"))
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("t_us")
-        .rangeBetween(-3_600_000_000, 0)
-    )
-    out = ev.select(
-        "event_id",
-        "user_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
-        F.count(F.lit(1)).over(w).alias("n_1h"),
-        F.round(F.sum(F.expr(dec("value"))).over(w).cast("double"), 2).alias("sum_1h"),
-    )
-    return out.orderBy("event_id")
-
-
-@query(
-    "q91_canonical_dedup",
-    f"""
-    {_DUP_COMP_CTE},
-    removed AS (SELECT id FROM comp WHERE id <> cluster_id),
-    stats AS (SELECT cluster_id, count(*) - 1 AS n_removed FROM comp GROUP BY 1)
-    SELECT d.doc_id, d.n_chars,
-           coalesce(s.n_removed, 0)::BIGINT AS n_removed
-    FROM documents d
-    LEFT JOIN stats s ON d.doc_id = s.cluster_id
-    WHERE d.doc_id NOT IN (SELECT id FROM removed)
-    ORDER BY d.doc_id
-    """,
-)
-def q91_canonical_dedup(spark, sf_dir):
-    """The end-product corpus dedup (llm/dedup.canonical_dedup): q69's
-    clusters applied — keep the cluster-minimum document, drop the rest,
-    annotate keepers with how many near-duplicates they absorbed. The
-    oracle replays LSH -> exact-Jaccard -> recursive-CTE components ->
-    anti-join in DuckDB, so the RETAINED CORPUS itself is hash-checked,
-    not just the cluster labels.
-
-    Scale shape: the cluster table is dup-population-sized; the corpus
-    meets it only through broadcastable equi-joins (left_anti + left) —
-    bodies never shuffle."""
-    docs = _read_docs(spark, sf_dir)
-    out = _dd.canonical_dedup(docs, threshold=0.2)
-    return out.select("doc_id", "n_chars", "n_removed").orderBy("doc_id")
-
-
-@query(
-    "q92_event_funnel",
-    """
-    WITH u AS (SELECT DISTINCT user_id FROM events),
-    v AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1),
-    c AS (
-      SELECT e.user_id, min(e.ts) AS t
-      FROM events e JOIN v ON e.user_id = v.user_id
-      WHERE e.event_type = 'click' AND epoch_us(e.ts) >= epoch_us(v.t)
-        AND epoch_us(e.ts) < epoch_us(v.t) + 86400000000 GROUP BY 1
-    ),
-    p AS (
-      SELECT e.user_id, min(e.ts) AS t
-      FROM events e JOIN c ON e.user_id = c.user_id
-      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= epoch_us(c.t)
-        AND epoch_us(e.ts) < epoch_us(c.t) + 86400000000 GROUP BY 1
-    ),
-    staged AS (
-      SELECT u.user_id,
-             CASE WHEN p.user_id IS NOT NULL THEN 3
-                  WHEN c.user_id IS NOT NULL THEN 2
-                  WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage,
-             epoch_us(p.t) - epoch_us(v.t) AS lat_us
-      FROM u
-      LEFT JOIN v ON u.user_id = v.user_id
-      LEFT JOIN c ON u.user_id = c.user_id
-      LEFT JOIN p ON u.user_id = p.user_id
-    )
-    SELECT stage, count(*)::BIGINT AS n_users,
-           (sum(lat_us) // 1000000)::BIGINT AS sum_latency_s
-    FROM staged GROUP BY 1 ORDER BY 1
-    """,
-)
-def q92_event_funnel(spark, sf_dir):
-    """Ordered conversion funnel over the event stream: view -> first
-    click within 24 hours of the first view -> first purchase within 24
-    hours of that click; users counted at their deepest ordered stage, with the total
-    view->purchase latency for full conversions (integer microsecond
-    arithmetic — no float). The sequential-pattern query every product
-    analytics stack runs.
-
-    Scale shape: three conditional min-aggregations all keyed user_id —
-    one shuffle establishes the key partitioning and the subsequent
-    joins/aggs are co-partitioned (no re-exchange under AQE); event rows
-    are filtered to the funnel's event types before any shuffle."""
-    ev = _read(spark, sf_dir, "events")
-    u = ev.select("user_id").distinct()
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(
-            (F.unix_micros("ts") >= F.unix_micros("t_view"))
-            & (F.unix_micros("ts") < F.unix_micros("t_view") + 86_400_000_000)
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(
-            (F.unix_micros("ts") >= F.unix_micros("t_click"))
-            & (F.unix_micros("ts") < F.unix_micros("t_click") + 86_400_000_000)
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_buy"))
-    )
-    staged = (
-        u.join(v, "user_id", "left")
-        .join(c.select("user_id", "t_click"), "user_id", "left")
-        .join(p, "user_id", "left")
-        .select(
-            F.when(F.col("t_buy").isNotNull(), 3)
-            .when(F.col("t_click").isNotNull(), 2)
-            .when(F.col("t_view").isNotNull(), 1)
-            .otherwise(0)
-            .alias("stage"),
-            (F.unix_micros("t_buy") - F.unix_micros("t_view")).alias("lat_us"),
-        )
-    )
-    out = staged.groupBy("stage").agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.expr("sum(lat_us) div 1000000").cast("long").alias("sum_latency_s"),
-    )
-    return out.orderBy("stage")
-
-
-@query(
-    "q94_cumulative_users",
-    """
-    WITH fs AS (
-      SELECT user_id, min(cast(ts AS date)) AS d FROM events GROUP BY 1
-    ),
-    daily AS (SELECT d, count(*) AS n_new FROM fs GROUP BY 1)
-    SELECT strftime(d, '%Y-%m-%d') AS day, n_new::BIGINT AS n_new,
-           (sum(n_new) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_users
-    FROM daily ORDER BY d
-    """,
-)
-def q94_cumulative_users(spark, sf_dir):
-    """Cumulative-distinct-users-by-day without a running COUNT DISTINCT:
-    reduce each user to their first-seen date (one narrow agg), count new
-    users per day, then a running integer sum — the standard trick that
-    turns an unbounded distinct-state metric into bounded aggregation
-    state. The global ordered window runs over the DAY-cardinality frame
-    (already aggregated, tiny), so the single-partition window is not a
-    scale bottleneck."""
-    from pyspark.sql import Window
-
-    ev = _read(spark, sf_dir, "events")
-    fs = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
-    daily = fs.groupBy("d").agg(F.count(F.lit(1)).alias("n_new"))
-    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        daily.select(
-            F.date_format("d", "yyyy-MM-dd").alias("day"),
-            F.col("n_new").cast("long").alias("n_new"),
-            F.sum("n_new").over(w).cast("long").alias("cum_users"),
-        )
-        .orderBy("day")
-    )
-
-
-@query(
-    "q95_retention_cohorts",
-    """
-    WITH fs AS (
-      SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events GROUP BY 1
-    ),
-    act AS (
-      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
-    )
-    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
-           ((cast(a.wk AS date) - cast(f.cohort AS date)) // 7)::BIGINT AS week_offset,
-           count(*)::BIGINT AS n_users
-    FROM fs f JOIN act a ON f.user_id = a.user_id
-    GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-)
-def q95_retention_cohorts(spark, sf_dir):
-    """Retention cohort matrix: users bucketed by the ISO week of their
-    first event, counted in every subsequent week they were active —
-    the (cohort_week, week_offset, n_users) triangle behind every
-    retention curve. Offsets are integer day arithmetic (no float).
-
-    Scale shape: both the first-seen reduction and the distinct
-    (user, week) activity set are keyed by user_id, so the join is
-    co-partitioned after one shuffle; the output is cohort x offset —
-    weeks-squared-sized, trivially small at any corpus scale."""
-    ev = _read(spark, sf_dir, "events")
-    fs = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort"))
-    act = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk")).distinct()
-    out = (
-        fs.join(act, "user_id")
-        .groupBy(
-            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
-            F.expr("datediff(cast(wk as date), cast(cohort as date)) div 7")
-            .cast("long")
-            .alias("week_offset"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-    )
-    return out.orderBy("cohort_week", "week_offset")
-
-
-@query(
-    "q96_activity_anomalies",
-    """
-    WITH daily AS (
-      SELECT user_id, cast(ts AS date) AS d, count(*) AS cnt
-      FROM events GROUP BY 1, 2
-    ),
-    stats AS (
-      SELECT user_id, count(*) AS n, sum(cnt) AS s, sum(cnt * cnt) AS ss
-      FROM daily GROUP BY 1
-    )
-    SELECT d.user_id, strftime(d.d, '%Y-%m-%d') AS day, d.cnt::BIGINT AS cnt
-    FROM daily d JOIN stats t ON d.user_id = t.user_id
-    WHERE t.n >= 7
-      AND (t.n * d.cnt - t.s) > 0
-      AND (t.n * d.cnt - t.s) * (t.n * d.cnt - t.s) > 4 * (t.n * t.ss - t.s * t.s)
-    ORDER BY d.user_id, day
-    """,
-)
-def q96_activity_anomalies(spark, sf_dir):
-    """Per-user activity-spike detection ENTIRELY in integer arithmetic:
-    a day is anomalous when its event count exceeds the user's mean by
-    more than 2 sample standard deviations. Clearing denominators turns
-    (cnt-mu)^2 > 4*sigma^2 into
-    (n*cnt - s)^2 > 4*(n*ss - s^2) over exact integer sums — no float
-    anywhere, so the oracle match is bit-exact by construction (the same
-    trick the engine's StdDev accumulator cannot use because it must
-    emit the float, not the comparison).
-
-    Scale shape: one groupBy(user, day) -> one groupBy(user), then a
-    co-partitioned self-join of day rows against user stats — all keyed
-    by user_id, single exchange under AQE."""
-    ev = _read(spark, sf_dir, "events")
-    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    stats = daily.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("cnt").alias("s"),
-        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
-    )
-    dev = F.col("n") * F.col("cnt") - F.col("s")
-    out = (
-        daily.join(stats, "user_id")
-        .filter(
-            (F.col("n") >= 7)
-            & (dev > 0)
-            & (dev * dev > 4 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s")))
-        )
-        .select(
-            "user_id",
-            F.date_format("d", "yyyy-MM-dd").alias("day"),
-            F.col("cnt").cast("long").alias("cnt"),
-        )
-    )
-    return out.orderBy("user_id", "day")
-
-
-@query(
-    "q93_corpus_prep_pipeline",
-    f"""
-    WITH quality AS (
-      SELECT * FROM documents
-      WHERE {_tx.quality_features_sql('text')['n_tokens']} >= 30
-        AND {_tx.quality_features_sql('text')['stopword_ratio']} <= 0.12
-    ),
-    keep AS (
-      SELECT min(doc_id) AS doc_id FROM quality GROUP BY {_dd.hash60_sql('text')}
-    ),
-    deduped AS (
-      SELECT q.* FROM quality q JOIN keep k ON q.doc_id = k.doc_id
-    )
-    SELECT {dataset_split_sql('doc_id', _SPLITS)} AS split, lang,
-           count(*) AS n_docs,
-           cast(sum({_tx.whitespace_token_count_sql('text')}) as bigint) AS total_tokens
-    FROM deduped
-    GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-)
-def q93_corpus_prep_pipeline(spark, sf_dir):
-    """The composed training-corpus preparation pipeline, end to end in
-    ONE lazy plan: quality gate (token count + stopword ratio, pure
-    codegen expressions) -> exact dedup (min-id per 60-bit digest) ->
-    deterministic train/val/test split -> per-(split, lang) doc and
-    token mass. Every stage is an operator verified alone elsewhere
-    (q23, q22, q82); this gate proves they COMPOSE — filters stay pushed
-    beneath the dedup shuffle, the split stays map-side, and one narrow
-    (digest,id) exchange plus the final small agg are the only shuffles
-    in the whole pipeline."""
-    docs = _read_docs(spark, sf_dir)
-    qf = _tx.quality_features(F.col("text"))
-    quality = docs.filter(
-        (qf["n_tokens"] >= 30) & (qf["stopword_ratio"] <= 0.12)
-    )
-    deduped = _dd.exact_dedup(quality)
-    split = dataset_split(deduped, "doc_id", _SPLITS)
-    out = split.groupBy("split", "lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(_tx.whitespace_token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
-    )
-    return out.orderBy("split", "lang")
-
-
-@query(
-    "q97_knn_join",
-    f"""
-    WITH q AS (
-      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-      ORDER BY {_draw_sql('vec_id', 'knn')}, vec_id LIMIT 8
-    ),
-    scored AS (
-      SELECT q.query_id, e.vec_id,
-             round({_sim.cosine_sql('e.embedding', 'q.qv')}, 6) AS cos_sim
-      FROM embeddings e, q
-      WHERE e.vec_id <> q.query_id
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos_sim DESC, vec_id ASC) AS rank
-      FROM scored
-    )
-    SELECT query_id, vec_id, cos_sim, rank::INT AS rank
-    FROM ranked WHERE rank <= 5
-    ORDER BY query_id, rank
-    """,
-)
-def q97_knn_join(spark, sf_dir):
-    """Batch exact k-NN join (llm/similarity.knn_join): a deterministic
-    FIXED-SIZE probe batch (the 8 smallest md5 draws — corpus-size-
-    independent, so gate cost scales linearly), each served its top-5
-    cosine neighbors. Broadcast query batch -> map-side scoring -> per-
-    partition bounded-heap pre-top-k (Arrow batches; state |Q|*k) ->
-    one small per-query window. The exact-serving complement to the
-    LSH (q73) and IVF (q47) approximate paths."""
-    emb = _read(spark, sf_dir, "embeddings")
-    from .operators.sampling import _draw
-
-    # FIXED probe budget (not a corpus fraction): the 8 smallest md5
-    # draws, vec_id tie-break — deterministic at any SF, and the join
-    # work stays LINEAR in corpus size instead of quadratic
-    probes = emb.orderBy(_draw(F.col("vec_id"), "knn"), F.col("vec_id")).limit(8)
-    out = _sim.knn_join(probes, emb, k=5, exclude_same_id=True)
-    return out.orderBy("query_id", "rank")
-
-
-@query(
-    "q98_udtf_tokenize",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, {_tx.tokens_sql('text')} AS t FROM documents WHERE doc_id < 20
-    ),
-    rows AS (
-      SELECT doc_id,
-             unnest(list_transform(range(1, len(t) + 1),
-                    i -> {{'pos': i, 'token': t[i]}})) AS r
-      FROM toks
-    )
-    SELECT doc_id, r.pos::INT AS pos, r.token AS token
-    FROM rows ORDER BY doc_id, pos
-    """,
-)
-def q98_udtf_tokenize(spark, sf_dir):
-    """Python UDTF surface (functions/udtf.TokenizeUDTF, Spark 4
-    ``@udtf``): one input row lateral-expands to a row per token with
-    its position, through the registered-SQL-function path
-    (``LATERAL tokenize(text)``) — pinning the third leg of the
-    SURVEY §2.11 UDF surface (scalar Column / pandas UDAF / UDTF) with
-    an exactness oracle on the shared tokenizer dialect. Arrow-batched,
-    map-side; the bounded doc slice keeps the gate result small."""
-    from .functions.udtf import register_udtfs
-
-    register_udtfs(spark)
-    docs = _read_docs(spark, sf_dir).filter(F.col("doc_id") < 20)
-    docs.createOrReplaceTempView("q98_docs")
-    out = spark.sql(
-        "SELECT d.doc_id, t.pos, t.token "
-        "FROM q98_docs d, LATERAL tokenize(d.text) t"
-    )
-    return out.orderBy("doc_id", "pos")
-
-
-@query(
-    "q99_watermark_late_drop",
-    """
-    WITH f1 AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-15'),
-    f2 AS (
-      SELECT * FROM events
-      WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-20'
-    ),
-    f3 AS (
-      SELECT * FROM events
-      WHERE ts < TIMESTAMP '2024-01-04'
-         OR (ts >= TIMESTAMP '2024-01-14' AND ts < TIMESTAMP '2024-01-16')
-    ),
-    wm1 AS (
-      SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000)
-             - INTERVAL 1 HOUR AS w
-      FROM f1
-    ),
-    accepted AS (
-      SELECT ts, value FROM f1
-      UNION ALL
-      SELECT ts, value FROM f2
-      UNION ALL
-      SELECT f3.ts, f3.value FROM f3, wm1
-      WHERE date_trunc('hour', f3.ts) + INTERVAL 1 HOUR > wm1.w
-    )
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-           count(*) AS n,
-           round(cast(sum(cast(value as decimal(38,4))) as double), 2) AS sum_value
-    FROM accepted GROUP BY 1
-    """,
-)
-def q99_watermark_late_drop(spark, sf_dir):
-    """Watermark LATE-DATA DROP semantics, proven exactly: trigger 1
-    streams the on-time prefix (ts < Jan 15), trigger 2 an advancing
-    on-time slice ([Jan 15, Jan 20)), trigger 3 a late replay (ts <
-    Jan 4 — far beyond the 1-hour watermark, must be DROPPED) plus a
-    boundary slice ([Jan 14, Jan 16) — windows ending after the
-    effective watermark must be ACCEPTED, re-counting replayed rows
-    like any at-least-once source); a far-future sentinel then advances
-    the watermark so append mode flushes every real window.
-
-    The acceptance rule the oracle replays was pinned empirically on
-    Spark 4.1 (numRowsDroppedByWatermark probes): a batch's LATE FILTER
-    applies the previous batch's progress-reported watermark — i.e. the
-    millisecond-floored max event time through batch n-2, minus the
-    delay — while state eviction uses the current one. The advancing
-    trigger-2 slice exists precisely so the replay batch filters
-    against max(trigger-1) - 1h. A row survives iff its window end
-    exceeds that watermark; the final emitted state is hash-checked,
-    dropped rows and double-counted replays included. The q62/q85
-    exactness family extended to the drop path, the part of streaming
-    correctness most pipelines never test."""
-    import datetime as _dt
-    import shutil
-
-    from .streaming.windows import (
-        run_stream_to_memory,
-        scratch_dir,
-        stage_ordered_files,
-        tumbling_window_agg,
-        with_watermark,
-    )
-
-    ev = _read(spark, sf_dir, "events").persist()
-    hi = ev.agg(F.max("ts")).first()[0]
-    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
-    sschema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-    jan = lambda d: _dt.datetime(2024, 1, d)  # noqa: E731
-    f1 = ev.filter(F.col("ts") < F.lit(jan(15)))
-    f2 = ev.filter((F.col("ts") >= F.lit(jan(15))) & (F.col("ts") < F.lit(jan(20))))
-    f3 = ev.filter(
-        (F.col("ts") < F.lit(jan(4)))
-        | ((F.col("ts") >= F.lit(jan(14))) & (F.col("ts") < F.lit(jan(16))))
-    )
-    sent = spark.createDataFrame(
-        [(-1, hi + _dt.timedelta(days=2), -1, "sent", 0.0, "{}")], sschema
-    )
-    d = scratch_dir("bacon_q99_")
-    stage_ordered_files([
-        (d, f1.select(*cols), "overwrite"),
-        (d, f2.select(*cols), "append"),
-        (d, f3.select(*cols), "append"),
-        (d, sent, "append"),
-    ])
-    stream = (
-        spark.readStream.schema(sschema).option("maxFilesPerTrigger", 1).parquet(d)
-    )
-    agg = tumbling_window_agg(
-        with_watermark(stream, "ts", "1 hour"),
-        {
-            "n": F.count(F.lit(1)),
-            "sum_value": F.round(F.sum(F.expr(dec("value"))).cast("double"), 2),
-        },
-        window="1 hour",
-    )
-    out = agg.filter(F.col("window_start") <= F.lit(hi)).select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        "n",
-        "sum_value",
-    )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        run_stream_to_memory(out, "q99_stream", mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        ev.unpersist()
-        shutil.rmtree(d, ignore_errors=True)
-    return spark.table("q99_stream")
-
-
-@query(
-    "q100_stream_stream_join",
-    """
-    SELECT c.user_id,
-           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
-           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
-           round(cast(cast(p.value as decimal(38,4)) as double), 2) AS purchase_value
-    FROM events c JOIN events p
-      ON c.user_id = p.user_id
-     AND p.event_type = 'purchase' AND c.event_type = 'click'
-     AND epoch_us(p.ts) >= epoch_us(c.ts)
-     AND epoch_us(p.ts) < epoch_us(c.ts) + 3600000000
-    ORDER BY c.user_id, click_ts, purchase_ts
-    """,
-)
-def q100_stream_stream_join(spark, sf_dir):
-    """NATIVE stream-stream inner join (Spark's built-in symmetric hash
-    join, not the custom stateful operators of q64-q67): clicks joined
-    to the purchases that follow within one hour, both sides true
-    streams with watermarks and an event-time range condition — the
-    state-bounding shape Structured Streaming requires. Both sides
-    stage in single triggers, so no state is evicted before matching
-    and the final append output must equal the batch join EXACTLY —
-    which the DuckDB oracle computes. Complements q99: q99 pins what
-    the watermark DROPS, this pins what join state RETAINS.
-
-    Scale shape: state is bounded by the 1-hour join window per key
-    side (watermark-evicted), shuffles are keyed on user_id, and the
-    range predicate prunes state probes — the standard production
-    clickstream-attribution join."""
-    import shutil
-
-    from .streaming.windows import run_stream_to_memory, scratch_dir, stage_ordered_files
-
-    ev = _read(spark, sf_dir, "events")
-    sschema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
-    clicks_b = ev.filter(F.col("event_type") == "click")
-    purch_b = ev.filter(F.col("event_type") == "purchase")
-    cdir, pdir = scratch_dir("bacon_q100c_"), scratch_dir("bacon_q100p_")
-    stage_ordered_files([
-        (cdir, clicks_b.select(*cols), "overwrite"),
-        (pdir, purch_b.select(*cols), "overwrite"),
-    ])
-    clicks = (
-        spark.readStream.schema(sschema).parquet(cdir)
-        .withWatermark("ts", "2 hours")
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-    )
-    purchases = (
-        spark.readStream.schema(sschema).parquet(pdir)
-        .withWatermark("ts", "2 hours")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-            F.col("value").alias("p_value"),
-        )
-    )
-    joined = clicks.join(
-        purchases,
-        (F.col("c_user") == F.col("p_user"))
-        & (F.unix_micros("p_ts") >= F.unix_micros("c_ts"))
-        & (F.unix_micros("p_ts") < F.unix_micros("c_ts") + 3_600_000_000),
-        "inner",
-    )
-    out = joined.select(
-        F.col("c_user").alias("user_id"),
-        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
-        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
-        F.round(F.expr(dec("p_value")).cast("double"), 2).alias("purchase_value"),
-    )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        run_stream_to_memory(out, "q100_stream", mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        shutil.rmtree(cdir, ignore_errors=True)
-        shutil.rmtree(pdir, ignore_errors=True)
-    return spark.table("q100_stream").orderBy("user_id", "click_ts", "purchase_ts")
-
-
-from .llm import lm as _lm  # noqa: E402
-
-
-@query(
-    "q101_lm_quality_scores",
-    _lm.bigram_lm_scores_sql("d.lang = 'en' AND d.source IN ('src0', 'src1')"),
-)
-def q101_lm_quality_scores(spark, sf_dir):
-    """CCNet-style LM quality scoring (llm/lm.bigram_lm_scores — Wenzek
-    et al. 2020, arXiv:1911.00359): an add-one-smoothed bigram model
-    fitted on the target subcorpus (lang='en', sources src0/src1 — the
-    'Wikipedia' stand-in) scores every document's total and mean bigram
-    log-probability in integer micro-nats; downstream selection keeps
-    the head/middle of this distribution. The oracle refits the entire
-    model in DuckDB from the same counts and expression shape — scores
-    match bit-for-bit.
-
-    Scale shape: model tables are target-corpus-sized and broadcast;
-    the corpus shuffles only (doc, bigram, cnt) rows; integer sums
-    everywhere past the 1-per-bigram quantized constant."""
-    docs = _read_docs(spark, sf_dir)
-    target = docs.filter(
-        (F.col("lang") == "en") & (F.col("source").isin("src0", "src1"))
-    )
-    return _lm.bigram_lm_scores(docs, target).orderBy("doc_id")
-
-
-# ---------------------------------------------------------------------------
-# round-3 batch 2: tokenizer training, time series, stats, graph ranking,
-# index construction, sub-document dedup
-# ---------------------------------------------------------------------------
-
-from .llm import bpe as _bpe  # noqa: E402
-from .operators import stats as _stats  # noqa: E402
-from .operators import timeseries as _ts  # noqa: E402
-
-
-@query("q102_bpe_pair_counts", _bpe.bpe_pair_counts_sql("documents", "text", 50))
-def q102_bpe_pair_counts(spark, sf_dir):
-    """BPE tokenizer-training merge candidates (llm/bpe.py, Sennrich et
-    al. 2016): corpus-wide adjacent character-pair frequencies weighted
-    by word frequency — the argmax set of the first BPE merge.
-
-    Scale shape: aggregates to the DISTINCT word vocabulary BEFORE
-    exploding pairs, so the only corpus-sized shuffle carries bare words
-    with map-side combine; pair explosion runs over the Zipf-bounded
-    vocabulary table."""
-    docs = _read_docs(spark, sf_dir)
-    return _bpe.bpe_pair_counts(docs, "text", top=50)
-
-
-_EWMA_ORDER = ["o_orderdate", "o_orderkey"]
-_EWMA_CENTS = "cast(round(o_totalprice * 100) as bigint)"
-
-
-@query(
-    "q103_ewma_customer_spend",
-    f"""
-    WITH _e AS (
-        SELECT o_custkey,
-               o_orderkey,
-               o_orderdate,
-               {_ts.dyadic_ewma_sql('o_custkey', _EWMA_ORDER, _EWMA_CENTS, 16)} AS ewma_cents,
-               row_number() OVER (PARTITION BY o_custkey
-                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
-        FROM orders
-    )
-    SELECT o_custkey, o_orderkey AS last_orderkey,
-           round(ewma_cents / 100, 4) AS ewma_spend
-    FROM _e WHERE rn = 1
-    """,
-)
-def q103_ewma_customer_spend(spark, sf_dir):
-    """Per-customer EWMA of order spend (operators/timeseries.dyadic_ewma):
-    alpha=1/2 over the 16 most recent orders, evaluated at each
-    customer's latest order.  Dyadic weights make the weighted sums
-    exact 64-bit integers — the EWMA is bit-reproducible across engines
-    and cluster topologies (no float reduction order anywhere).
-
-    Scale shape: one shuffle on o_custkey; both the EWMA lags and the
-    latest-row filter ride that single partitioning."""
-    from pyspark.sql import Window
-
-    orders = _read(spark, sf_dir, "orders").withColumn(
-        "_cents", F.expr(_EWMA_CENTS)
-    )
-    with_ewma = _ts.dyadic_ewma(
-        orders, "o_custkey", _EWMA_ORDER, "_cents", depth=16, out="_ewma_cents"
-    )
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
-    )
-    return (
-        with_ewma.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "o_custkey",
-            F.col("o_orderkey").alias("last_orderkey"),
-            F.round(F.col("_ewma_cents") / 100, 4).alias("ewma_spend"),
-        )
-    )
-
-
-_SESSION_LEN_US = "cast(round(value * 60 * 1000000) as bigint)"
-
-
-@query(
-    "q104_hourly_concurrency",
-    _ts.hourly_max_concurrency_sql(
-        f"SELECT ts AS s, make_timestamp(epoch_us(ts) + {_SESSION_LEN_US}) AS e "
-        "FROM events"
-    )
-    + " ORDER BY hour",
-)
-def q104_hourly_concurrency(spark, sf_dir):
-    """Peak concurrent sessions per hour (operators/timeseries
-    .interval_concurrency): each event opens a session of value minutes;
-    a +1/-1 sweep-line with half-open [start, end) semantics yields the
-    exact concurrency level at every boundary, maxed per hour.
-
-    Scale shape: NOT a global total order — the prefix sum decomposes
-    into per-day partitioned windows plus a day-count-sized broadcast
-    carry join, so the sweep parallelizes over any corpus length while
-    matching the oracle's single-window arithmetic integer-for-integer."""
-    ev = _read(spark, sf_dir, "events")
-    sessions = ev.select(
-        F.col("ts").alias("s"),
-        F.timestamp_micros(F.unix_micros("ts") + F.expr(_SESSION_LEN_US)).alias("e"),
-    )
-    return _ts.hourly_max_concurrency(sessions, "s", "e").orderBy("hour")
-
-
-@query(
-    "q105_price_quantity_regression",
-    f"""
-    WITH _r AS ({_stats.grouped_regression_sql(
-        'lineitem', 'l_returnflag',
-        'cast(l_quantity as bigint)',
-        'cast(round(l_extendedprice * 100) as bigint)')})
-    SELECT l_returnflag, n, round(slope, 6) AS slope,
-           round(intercept, 2) AS intercept, round(r2, 8) AS r2
-    FROM _r ORDER BY l_returnflag
-    """,
-)
-def q105_price_quantity_regression(spark, sf_dir):
-    """Per-returnflag OLS of extended price (cents) on quantity
-    (operators/stats.grouped_regression): slope/intercept/r² from
-    decimal-exact power sums — one partial-aggregated shuffle, division
-    only at the very end on identical integers in both engines.
-
-    The reference's accumulator set stops at StdDev; this extends the
-    same one-pass-sums pattern to second-order cross moments."""
-    li = _read(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.col("l_quantity").cast("bigint").alias("_x"),
-        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("_y"),
-    )
-    r = _stats.grouped_regression(li, "l_returnflag", "_x", "_y")
-    return r.select(
-        "l_returnflag",
-        "n",
-        F.round("slope", 6).alias("slope"),
-        F.round("intercept", 2).alias("intercept"),
-        F.round("r2", 8).alias("r2"),
-    ).orderBy("l_returnflag")
-
-
-@query(
-    "q106_pagerank_doc_graph",
-    _graph.pagerank_sql(
-        "SELECT doc_id AS id FROM documents",
-        "SELECT doc_id AS src, "
-        "(doc_id * 31 + t.i * 97) % (SELECT count(*) FROM documents) AS dst "
-        "FROM documents, generate_series(1, 4) AS t(i)",
-        iters=5,
-    )
-    + " ORDER BY rank_q DESC, id LIMIT 50",
-)
-def q106_pagerank_doc_graph(spark, sf_dir):
-    """Integer-quantized PageRank (operators/graph.pagerank_quantized)
-    over a deterministic synthetic citation graph on the document ids
-    (4 out-links per doc via a fixed affine map) — 5 power iterations
-    with 85/100 damping, all arithmetic 64-bit floor division so the
-    DuckDB oracle's unrolled-CTE replica matches bit-for-bit.
-
-    Scale shape: per iteration, one edge-table shuffle joined against
-    the node-sized rank vector; lineage cut per round.  The
-    domain-authority scoring step of web-corpus curation."""
-    docs = _read_docs(spark, sf_dir)
-    nodes = docs.select(F.col("doc_id").alias("id"))
-    n = nodes.count()
-    links = [((F.col("doc_id") * 31 + F.lit(i * 97)) % F.lit(n)) for i in range(1, 5)]
-    edges = docs.select(
-        F.col("doc_id").alias("src"), F.explode(F.array(*links)).alias("dst")
-    )
-    ranks = _graph.pagerank_quantized(nodes, edges, iters=5)
-    return ranks.orderBy(F.desc("rank_q"), F.asc("id")).limit(50)
-
-
-@query(
-    "q107_inverted_index",
-    _rank.inverted_index_sql("documents", "text", "doc_id", 2, 100, 20),
-)
-def q107_inverted_index(spark, sf_dir):
-    """Inverted-index construction (llm/ranking.inverted_index): per
-    term the document frequency, collection frequency, and a capped
-    posting list of the 20 lowest doc ids — the batch job behind corpus
-    search/retrieval indexes.  Postings are bounded BEFORE collection by
-    a per-term row_number on the same term-keyed exchange, so state per
-    term is O(cap) at any corpus size."""
-    docs = _read_docs(spark, sf_dir)
-    return _rank.inverted_index(docs, "text", "doc_id", min_df=2, top_terms=100, postings_cap=20)
-
-
-@query(
-    "q108_acctbal_robust_outliers",
-    _stats.mad_outliers_sql(
-        "customer", "c_mktsegment", "cast(round(c_acctbal * 100) as bigint)", 3.0
-    )
-    + " ORDER BY c_mktsegment",
-)
-def q108_acctbal_robust_outliers(spark, sf_dir):
-    """Robust per-segment outlier counts on account balances
-    (operators/stats.mad_outliers): median + MAD with the 1.4826
-    consistency constant, k=3.  Exact interpolated medians over integer
-    cents are multiples of 0.5 — deterministic across engines, unlike
-    mean/stddev z-scores on floats.
-
-    Scale shape: two group-keyed aggregations + broadcast joins of
-    group-sized tables back onto the fact."""
-    cust = _read(spark, sf_dir, "customer").select(
-        "c_mktsegment",
-        F.expr("cast(round(c_acctbal * 100) as bigint)").alias("_cents"),
-    )
-    return _stats.mad_outliers(cust, "c_mktsegment", "_cents", k=3.0).orderBy(
-        "c_mktsegment"
-    )
-
-
-@query(
-    "q109_winnow_overlap_pairs",
-    _dd.winnow_overlap_pairs_sql("documents", "text", "doc_id", 3, 4, 3)
-    + " ORDER BY id_a, id_b",
-)
-def q109_winnow_overlap_pairs(spark, sf_dir):
-    """Winnowing fingerprint overlap pairs (llm/dedup.winnow_minimizers,
-    Schleimer/Wilkerson/Aiken SIGMOD 2003 — the MOSS detector): distinct
-    window-minima of positional 3-shingle hashes guarantee any shared
-    6-token run yields a shared minimizer; pairs sharing >= 3 minimizers
-    are sub-document-overlap candidates.
-
-    Scale shape: identical to LSH banding — corpus maps to (minimizer,
-    id) fingerprints (bodies never shuffle), equi-join on the minimizer
-    bucket, pair aggregation bounded by bucket sizes."""
-    docs = _read_docs(spark, sf_dir)
-    return _dd.winnow_overlap_pairs(docs, "text", "doc_id", k=3, w=4, min_shared=3).orderBy(
-        "id_a", "id_b"
-    )
-
-
-@query(
-    "q110_duplicate_spans",
-    _dd.duplicate_spans_sql("documents", "text", "doc_id", 8, 100),
-)
-def q110_duplicate_spans(spark, sf_dir):
-    """Exact duplicated 8-token spans across documents (llm/dedup
-    .duplicate_spans — the detection pass of exact-substring dedup, Lee
-    et al. 2022): positional shingle hashes occurring in more than one
-    document, ranked by occurrence count.
-
-    Scale shape: corpus maps to (hash, id) pairs; one partial-aggregated
-    hash groupBy + TakeOrderedAndProject — span text never shuffles."""
-    docs = _read_docs(spark, sf_dir)
-    return _dd.duplicate_spans(docs, "text", "doc_id", k=8, top=100)
-
-
-from .operators import ranking as _grank  # noqa: E402
-
-
-@query(
-    "q111_global_rank",
-    """
-    SELECT doc_id, n_chars,
-           row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
-    FROM documents
-    ORDER BY rank
-    """,
-)
-def q111_global_rank(spark, sf_dir):
-    """Global total-order ranking WITHOUT a single-partition window
-    (operators/ranking.global_rank — the TeraSort numbering step): range
-    exchange + local sort + Arrow-batched partition/ordinal stamping + a
-    partition-count-sized offset join.  The oracle's row_number() is the
-    semantic spec; the implementation never funnels the corpus through
-    one task — the pattern behind corpus sharding and deterministic
-    pagination at 100 TB."""
-    docs = _read_docs(spark, sf_dir).select("doc_id", "n_chars")
-    ranked = _grank.global_rank(
-        docs, [F.desc("n_chars"), F.asc("doc_id")], out="rank"
-    )
-    return ranked.select("doc_id", "n_chars", "rank").orderBy("rank")
-
-
-@query(
-    "q112_quantile_buckets",
-    f"""
-    WITH _b AS ({{}}
-    )
-    SELECT bucket, cast(count(*) as bigint) AS n,
-           min(_cents) AS min_cents, max(_cents) AS max_cents
-    FROM _b GROUP BY bucket ORDER BY bucket
-    """.format(
-        _grank.quantile_buckets_sql(
-            "SELECT cast(round(o_totalprice * 100) as bigint) AS _cents "
-            "FROM orders",
-            "_cents",
-            10,
-        )
-    ),
-)
-def q112_quantile_buckets(spark, sf_dir):
-    """Exact-decile banding of order value (operators/ranking
-    .quantile_buckets): thresholds from one exact-percentile
-    aggregation, assignment as a broadcast threshold chain — quality-
-    band bucketing with NO global sort and no ntile tie divergence.
-    Verified as per-bucket count/min/max."""
-    orders = _read(spark, sf_dir, "orders").select(
-        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("_cents")
-    )
-    bucketed = _grank.quantile_buckets(orders, "_cents", n_buckets=10)
-    return (
-        bucketed.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("_cents").alias("min_cents"),
-            F.max("_cents").alias("max_cents"),
-        )
-        .orderBy("bucket")
-    )
-
-
-@query(
-    "q113_scd2_intervals",
-    """
-    SELECT user_id, event_id, event_type,
-           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
-           coalesce(strftime(lead(ts) OVER (PARTITION BY user_id
-                                            ORDER BY ts, event_id),
-                             '%Y-%m-%d %H:%M:%S'), 'current') AS valid_to
-    FROM events
-    WHERE user_id < 40
-    ORDER BY user_id, valid_from, event_id
-    """,
-)
-def q113_scd2_intervals(spark, sf_dir):
-    """SCD-type-2 validity-interval construction: each per-user event
-    becomes a [valid_from, valid_to) state row, valid_to = next event's
-    timestamp ('current' for the open row) — the standard
-    change-log → temporal-table build (CDC history, engine extension;
-    the reference has no ordered-state ops, SURVEY §2.5).
-
-    Scale shape: one shuffle on user_id; lead() rides that single
-    partitioning, state O(1) per row."""
-    from pyspark.sql import Window
-
-    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 40)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        ev.select(
-            "user_id",
-            "event_id",
-            "event_type",
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
-            F.coalesce(
-                F.date_format(F.lead("ts").over(w), "yyyy-MM-dd HH:mm:ss"),
-                F.lit("current"),
-            ).alias("valid_to"),
-        )
-        .orderBy("user_id", "valid_from", "event_id")
-    )
-
-
-@query(
-    "q114_pair_cooccurrence",
-    """
-    WITH _ut AS (SELECT DISTINCT user_id, event_type FROM events),
-    _n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
-    _tc AS (SELECT event_type, count(*) AS n FROM _ut GROUP BY event_type),
-    _pairs AS (
-        SELECT a.event_type AS type_a, b.event_type AS type_b,
-               count(*) AS n_ab
-        FROM _ut a JOIN _ut b
-          ON a.user_id = b.user_id AND a.event_type < b.event_type
-        GROUP BY a.event_type, b.event_type
-    )
-    SELECT type_a, type_b, cast(n_ab as bigint) AS n_ab,
-           cast(ta.n as bigint) AS n_a, cast(tb.n as bigint) AS n_b,
-           round(cast(n_ab as double) * n_users / (ta.n * tb.n), 6) AS lift
-    FROM _pairs
-    JOIN _tc ta ON ta.event_type = type_a
-    JOIN _tc tb ON tb.event_type = type_b
-    CROSS JOIN _n
-    ORDER BY type_a, type_b
-    """,
-)
-def q114_pair_cooccurrence(spark, sf_dir):
-    """Market-basket 2-itemset support + lift over (user, event_type)
-    baskets — the co-occurrence/association-mining step of behavioural
-    feature pipelines.  lift = N·n_ab / (n_a·n_b), computed as doubles
-    from identical integers in both engines.
-
-    Scale shape: the self-join is keyed on user_id (bounded by each
-    user's distinct-type set, domain-sized output); type totals are a
-    tiny broadcast; no all-pairs anywhere."""
-    ev = _read(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
-    n_users = ev.select(F.countDistinct("user_id").alias("n")).collect()[0]["n"]
-    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    a = ut.alias("a")
-    b = ut.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
-        )
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-    )
-    return (
-        pairs.join(
-            F.broadcast(tc.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))),
-            "type_a",
-        )
-        .join(
-            F.broadcast(tc.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))),
-            "type_b",
-        )
-        .select(
-            "type_a",
-            "type_b",
-            "n_ab",
-            "n_a",
-            "n_b",
-            F.round(
-                F.col("n_ab").cast("double") * F.lit(n_users) / (F.col("n_a") * F.col("n_b")),
-                6,
-            ).alias("lift"),
-        )
-        .orderBy("type_a", "type_b")
-    )
-
-
-@query(
-    "q115_window_suite",
-    """
-    SELECT c_custkey, c_mktsegment,
-           cast(rank()       OVER w as bigint) AS rnk,
-           cast(dense_rank() OVER w as bigint) AS drnk,
-           round(percent_rank() OVER w, 8) AS prnk,
-           round(cume_dist()    OVER w, 8) AS cdist,
-           cast(ntile(4) OVER w as int) AS quartile,
-           lag(cast(round(c_acctbal * 100) as bigint))  OVER w AS prev_cents,
-           lead(cast(round(c_acctbal * 100) as bigint)) OVER w AS next_cents
-    FROM customer
-    WHERE c_custkey < 300
-    WINDOW w AS (PARTITION BY c_mktsegment
-                 ORDER BY round(c_acctbal * 100) DESC, c_custkey)
-    ORDER BY c_mktsegment, rnk
-    """,
-)
-def q115_window_suite(spark, sf_dir):
-    """Full ANSI window-function suite (rank / dense_rank / percent_rank
-    / cume_dist / ntile / lag / lead) over a total per-segment order —
-    §2.5 parity widening (the reference has no window functions at all;
-    Spark's are ANSI-identical to DuckDB's, pinned here including ntile's
-    position-split rule, which is deterministic BECAUSE the order is
-    total).
-
-    Scale shape: one shuffle on the segment key; every function rides
-    the same sort."""
-    from pyspark.sql import Window
-
-    cust = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
-    cents = F.expr("cast(round(c_acctbal * 100) as bigint)")
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.desc(F.expr("round(c_acctbal * 100)")), F.asc("c_custkey")
-    )
-    return (
-        cust.select(
-            "c_custkey",
-            "c_mktsegment",
-            F.rank().over(w).cast("long").alias("rnk"),
-            F.dense_rank().over(w).cast("long").alias("drnk"),
-            F.round(F.percent_rank().over(w), 8).alias("prnk"),
-            F.round(F.cume_dist().over(w), 8).alias("cdist"),
-            F.ntile(4).over(w).cast("int").alias("quartile"),
-            F.lag(cents).over(w).alias("prev_cents"),
-            F.lead(cents).over(w).alias("next_cents"),
-        )
-        .orderBy("c_mktsegment", "rnk")
-    )
-
-
-@query(
-    "q116_multiset_ops",
-    """
-    WITH _c AS (SELECT c_nationkey AS nk FROM customer),
-    _s AS (SELECT s_nationkey AS nk FROM supplier),
-    _i AS (SELECT nk FROM _c INTERSECT ALL SELECT nk FROM _s),
-    _e AS (SELECT nk FROM _c EXCEPT ALL SELECT nk FROM _s)
-    SELECT nk, cast(sum(ni) as bigint) AS n_intersect_all,
-           cast(sum(ne) as bigint) AS n_except_all
-    FROM (
-        SELECT nk, 1 AS ni, 0 AS ne FROM _i
-        UNION ALL
-        SELECT nk, 0 AS ni, 1 AS ne FROM _e
-    )
-    GROUP BY nk
-    ORDER BY nk
-    """,
-)
-def q116_multiset_ops(spark, sf_dir):
-    """Multiset table ops — INTERSECT ALL / EXCEPT ALL (§2.7 widening
-    beyond q42's distinct-set forms): bag semantics with per-key
-    multiplicity min/difference, summarized as per-nationkey counts.
-
-    Scale shape: Spark lowers both to a single hash aggregation over
-    tagged counts — no sort, no join."""
-    c = _read(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
-    s = _read(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
-    i = c.intersectAll(s).groupBy("nk").agg(F.count(F.lit(1)).alias("n_intersect_all"))
-    e = c.exceptAll(s).groupBy("nk").agg(F.count(F.lit(1)).alias("n_except_all"))
-    return (
-        i.join(e, "nk", "full")
-        .select(
-            "nk",
-            F.coalesce("n_intersect_all", F.lit(0)).alias("n_intersect_all"),
-            F.coalesce("n_except_all", F.lit(0)).alias("n_except_all"),
-        )
-        .orderBy("nk")
-    )
-
-
-@query(
-    "q117_json_roundtrip",
-    """
-    SELECT user_id,
-           cast(count(*) as bigint) AS n_events,
-           cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_cents
-    FROM events
-    WHERE user_id < 60
-    GROUP BY user_id
-    ORDER BY user_id
-    """,
-)
-def q117_json_roundtrip(spark, sf_dir):
-    """Nested-JSON round-trip (to_json → from_json → lateral explode):
-    per-user events are packed into a JSON array-of-structs document,
-    parsed back with an explicit schema, exploded, and re-aggregated.
-    The oracle computes the aggregates DIRECTLY from the base rows — so
-    equality proves the serialize/parse/flatten path is lossless, the
-    property log-ingestion pipelines rely on.
-
-    Scale shape: pack and unpack are map-side expression work around one
-    user-keyed aggregation; the JSON documents never exceed one user's
-    events."""
-    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 60)
-    packed = ev.groupBy("user_id").agg(
-        F.to_json(
-            F.collect_list(
-                F.struct(
-                    F.col("event_type").alias("t"),
-                    F.expr("cast(round(value * 100) as bigint)").alias("v"),
-                )
-            )
-        ).alias("doc")
-    )
-    item_schema = "array<struct<t: string, v: bigint>>"
-    exploded = packed.select(
-        "user_id",
-        F.explode(F.from_json(F.col("doc"), item_schema)).alias("item"),
-    )
-    return (
-        exploded.groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("item.v").alias("sum_cents"),
-        )
-        .orderBy("user_id")
-    )
-
-
-@query(
-    "q118_salted_skew_join",
-    """
-    WITH _ev AS (
-        SELECT CASE WHEN user_id % 20 < 17 THEN 7 ELSE user_id END AS uid,
-               cast(round(value * 100) as bigint) AS cents
-        FROM events
-    ),
-    _dim AS (
-        SELECT DISTINCT user_id AS uid, user_id % 5 AS cohort FROM events
-    )
-    SELECT cohort, cast(count(*) as bigint) AS n,
-           cast(sum(cents) as bigint) AS sum_cents
-    FROM _ev JOIN _dim USING (uid)
-    GROUP BY cohort ORDER BY cohort
-    """,
-)
-def q118_salted_skew_join(spark, sf_dir):
-    """Skew-proof salted join (operators/scale.salted_join): 85% of the
-    fact rows are remapped onto ONE hot key — the power-law shape of
-    user/domain keys at web scale, where a plain hash join serializes
-    the hot key on a single reducer.  The salted form spreads it over 16
-    salt buckets by replicating only the dimension side; the oracle is
-    the PLAIN join, proving row-identical results.
-
-    (AQE's skew-join split does this adaptively for plain shuffles;
-    the manual form covers known-skew pipelines and co-grouped ops.)"""
-    from .operators.scale import salted_join
-
-    ev = _read(spark, sf_dir, "events").select(
-        F.when(F.col("user_id") % 20 < 17, F.lit(7))
-        .otherwise(F.col("user_id"))
-        .cast("long")
-        .alias("uid"),
-        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
-    )
-    dim = (
-        _read(spark, sf_dir, "events")
-        .select(F.col("user_id").alias("uid"))
-        .distinct()
-        .withColumn("cohort", (F.col("uid") % 5).cast("long"))
-    )
-    joined = salted_join(ev, dim, "uid", salt_buckets=16)
-    return (
-        joined.groupBy("cohort")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
-        .orderBy("cohort")
-    )
-
-
-#: deterministic typo seed injected on BOTH engines so the variant check
-#: is non-vacuous on the synthetic corpus (q70's injection pattern) —
-#: each typo twice to clear min_count
-_TYPO_DOC = "joim joim hasj hasj batck batck scen scen columm columm"
-
-
-@query(
-    "q119_spelling_variants",
-    _tx.spelling_variant_pairs_sql(
-        "(SELECT text FROM documents "
-        f"UNION ALL SELECT '{_TYPO_DOC}') _docs",
-        "text",
-        4,
-        2,
-        1,
-    )
-    + " ORDER BY word_a, word_b",
-)
-def q119_spelling_variants(spark, sf_dir):
-    """Spelling-variant / typo mining (llm/text.spelling_variant_pairs):
-    vocabulary word pairs at edit distance 1, blocked on (first char,
-    length±1) so levenshtein runs only inside equi-join blocks — the
-    blocking-then-verify shape of entity resolution, applied to corpus
-    normalization.  Corpus collapses to the Zipf-bounded vocabulary
-    before any join; bodies never shuffle.  A deterministic typo doc is
-    unioned in on both engines so the check can't pass vacuously."""
-    docs = _read_docs(spark, sf_dir).select("text")
-    typo = spark.range(1).select(F.lit(_TYPO_DOC).alias("text"))
-    return _tx.spelling_variant_pairs(docs.unionByName(typo), "text", 4, 2, 1).orderBy(
-        "word_a", "word_b"
-    )
-
-
-@query(
-    "q120_triangle_count",
-    _graph.triangle_count_sql(
-        "SELECT doc_id AS src, "
-        "(doc_id * 31 + t.i * 97) % (SELECT count(*) FROM documents) AS dst "
-        "FROM documents, generate_series(1, 4) AS t(i)"
-    ),
-)
-def q120_triangle_count(spark, sf_dir):
-    """Exact triangle counting (operators/graph.triangle_count) over the
-    q106 deterministic doc graph — wedge-join with DEGREE ORIENTATION
-    (Schank/Wagner 2005): every undirected edge points low-degree →
-    high-degree, bounding the quadratic wedge step at O(E^1.5) on any
-    graph, hot hubs included.  Both phases are node-keyed equi-joins;
-    the oracle runs the identical orientation in SQL."""
-    docs = _read_docs(spark, sf_dir)
-    n = docs.count()
-    links = [((F.col("doc_id") * 31 + F.lit(i * 97)) % F.lit(n)) for i in range(1, 5)]
-    edges = docs.select(
-        F.col("doc_id").alias("src"), F.explode(F.array(*links)).alias("dst")
-    )
-    return _graph.triangle_count(edges)
-
-
-@query(
-    "q121_grouped_fit_pandas",
-    f"""
-    WITH _r AS ({_stats.grouped_regression_sql(
-        'lineitem', 'l_returnflag',
-        'cast(l_quantity as bigint)',
-        'cast(round(l_extendedprice * 100) as bigint)')})
-    SELECT l_returnflag, n, round(slope, 6) AS slope,
-           round(intercept, 2) AS intercept, round(r2, 8) AS r2
-    FROM _r ORDER BY l_returnflag
-    """,
-)
-def q121_grouped_fit_pandas(spark, sf_dir):
-    """Grouped-map applyInPandas surface (§2.11): the SAME per-group OLS
-    spec as q105, executed imperatively in Arrow-batched pandas
-    (operators/timeseries.grouped_fit_pandas — Python bignum sums are
-    exact like the decimal path, so the grouped-map answer hash-matches
-    the declarative closed-form oracle bit-for-bit).  The template for
-    per-group fits Catalyst can't express; the declarative q105 form
-    remains the production path."""
-    li = _read(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.col("l_quantity").cast("bigint").alias("_x"),
-        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("_y"),
-    )
-    r = _ts.grouped_fit_pandas(li, "l_returnflag", "_x", "_y")
-    return r.select(
-        "l_returnflag",
-        "n",
-        F.round("slope", 6).alias("slope"),
-        F.round("intercept", 2).alias("intercept"),
-        F.round("r2", 8).alias("r2"),
-    ).orderBy("l_returnflag")
-
-
-@query(
-    "q122_time_weighted_avg",
-    """
-    WITH _d AS (
-        SELECT user_id,
-               cast(round(value * 100) as bigint) AS cents,
-               epoch_us(lead(ts) OVER (PARTITION BY user_id
-                                       ORDER BY ts, event_id))
-                   - epoch_us(ts) AS dur_us
-        FROM events
-    )
-    SELECT user_id,
-           round(cast(sum(cents * dur_us) as double)
-                 / cast(sum(dur_us) as double), 4) AS twa,
-           cast(count(*) as bigint) AS n_holds
-    FROM _d WHERE dur_us IS NOT NULL
-    GROUP BY user_id
-    HAVING sum(dur_us) > 0
-    ORDER BY user_id
-    """,
-)
-def q122_time_weighted_avg(spark, sf_dir):
-    """Per-user TIME-weighted average of a piecewise-constant signal:
-    each event's value holds until the next event; the average weights
-    by holding duration, not by sample count — the correct aggregate for
-    irregularly-sampled metrics (sensor readings, account balances,
-    position marks).  cents x micros products and both sums are exact
-    integers; the single division happens on identical integers in both
-    engines.
-
-    Scale shape: one user-keyed shuffle; lead() and the aggregation ride
-    the same partitioning."""
-    from pyspark.sql import Window
-
-    ev = _read(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    d = ev.select(
-        "user_id",
-        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
-        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dur_us"),
-    ).filter(F.col("dur_us").isNotNull())
-    return (
-        d.groupBy("user_id")
-        .agg(
-            F.round(
-                F.sum(F.col("cents") * F.col("dur_us")).cast("double")
-                / F.sum("dur_us").cast("double"),
-                4,
-            ).alias("twa"),
-            F.count(F.lit(1)).alias("n_holds"),
-            F.sum("dur_us").alias("_tot"),
-        )
-        .filter(F.col("_tot") > 0)
-        .drop("_tot")
-        .select("user_id", "twa", "n_holds")
-        .orderBy("user_id")
-    )
-
-
-_GAP_MIN_US = 6 * 3_600 * 1_000_000  # 6 hours
-
-
-@query(
-    "q123_gap_detection",
-    f"""
-    WITH _d AS (
-        SELECT user_id,
-               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   AS prev_ts,
-               ts
-        FROM events
-    )
-    SELECT user_id,
-           strftime(prev_ts, '%Y-%m-%d %H:%M:%S') AS gap_start,
-           strftime(ts, '%Y-%m-%d %H:%M:%S') AS gap_end,
-           cast((epoch_us(ts) - epoch_us(prev_ts)) // 60000000 as bigint)
-               AS gap_minutes
-    FROM _d
-    WHERE prev_ts IS NOT NULL
-      AND epoch_us(ts) - epoch_us(prev_ts) > {_GAP_MIN_US}
-    ORDER BY user_id, gap_start
-    """,
-)
-def q123_gap_detection(spark, sf_dir):
-    """Telemetry gap detection (data-quality / SLA monitoring): per-user
-    inter-event deltas above a 6-hour threshold become gap records with
-    integer-minute durations — the missing-data finder run before any
-    downstream training-window build.
-
-    Scale shape: one user-keyed shuffle, lag() on that partitioning,
-    pure filter after — no second pass."""
-    from pyspark.sql import Window
-
-    ev = _read(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    d = ev.select(
-        "user_id",
-        F.lag("ts").over(w).alias("prev_ts"),
-        F.col("ts"),
-    ).filter(F.col("prev_ts").isNotNull())
-    gap_us = F.unix_micros("ts") - F.unix_micros("prev_ts")
-    return (
-        d.filter(gap_us > _GAP_MIN_US)
-        .select(
-            "user_id",
-            F.date_format("prev_ts", "yyyy-MM-dd HH:mm:ss").alias("gap_start"),
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("gap_end"),
-            F.expr(f"(unix_micros(ts) - unix_micros(prev_ts)) div 60000000").alias(
-                "gap_minutes"
-            ),
-        )
-        .orderBy("user_id", "gap_start")
-    )
-
-
-@query(
-    "q124_latency_percentiles",
-    """
-    SELECT event_type,
-           cast(count(*) as bigint) AS n,
-           round(quantile_cont(cents, 0.50), 4) AS p50,
-           round(quantile_cont(cents, 0.95), 4) AS p95,
-           round(quantile_cont(cents, 0.99), 4) AS p99,
-           max(cents) AS max_cents
-    FROM (SELECT event_type, cast(round(value * 100) as bigint) AS cents
-          FROM events)
-    GROUP BY event_type
-    ORDER BY event_type
-    """,
-)
-def q124_latency_percentiles(spark, sf_dir):
-    """SLA-style percentile report (p50/p95/p99/max) per event type —
-    exact interpolated percentiles over integer cents (deterministic
-    multiples of 1/100 in both engines; Spark ``percentile`` ==
-    DuckDB ``quantile_cont``).
-
-    Scale shape: exact percentile is a sort-based aggregate per group —
-    group-keyed shuffle, per-group state the group's values. For
-    unbounded-cardinality metrics switch to approx_percentile (q51
-    covers the sketch form); the exact form is the SLA-report gate."""
-    ev = _read(spark, sf_dir, "events").select(
-        "event_type", F.expr("cast(round(value * 100) as bigint)").alias("cents")
-    )
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.expr("percentile(cents, 0.50)"), 4).alias("p50"),
-            F.round(F.expr("percentile(cents, 0.95)"), 4).alias("p95"),
-            F.round(F.expr("percentile(cents, 0.99)"), 4).alias("p99"),
-            F.max("cents").alias("max_cents"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@query(
-    "q125_integrity_audit",
-    """
-    SELECT 'customer_without_orders' AS check_name,
-           cast((SELECT count(*) FROM customer
-                 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
-                as bigint) AS n_violations
-    UNION ALL
-    SELECT 'orders_without_customer',
-           cast((SELECT count(*) FROM orders
-                 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
-                as bigint)
-    UNION ALL
-    SELECT 'lineitem_without_order',
-           cast((SELECT count(*) FROM lineitem
-                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
-                as bigint)
-    ORDER BY check_name
-    """,
-)
-def q125_integrity_audit(spark, sf_dir):
-    """Referential-integrity audit — the data-quality gate run before
-    any pipeline consumes a snapshot: per foreign-key edge, the count of
-    orphan rows via LEFT ANTI joins (null-safe, unlike raw NOT IN with
-    nulls — key columns here are non-null by schema).
-
-    Scale shape: each check is one anti join on the key (broadcast when
-    the parent side is dim-sized) collapsing to a single count — no
-    row-level output, no sort."""
-    cust = _read(spark, sf_dir, "customer")
-    orders = _read(spark, sf_dir, "orders")
-    li = _read(spark, sf_dir, "lineitem")
-
-    def check(name, df, key, parent, pkey):
-        n = (
-            df.join(parent.select(F.col(pkey).alias(key)), key, "left_anti")
-            .agg(F.count(F.lit(1)).alias("n_violations"))
-            .select(F.lit(name).alias("check_name"), "n_violations")
-        )
-        return n
-
-    return (
-        check("customer_without_orders", cust.select(F.col("c_custkey").alias("k")), "k", orders, "o_custkey")
-        .unionByName(check("orders_without_customer", orders.select(F.col("o_custkey").alias("k")), "k", cust, "c_custkey"))
-        .unionByName(check("lineitem_without_order", li.select(F.col("l_orderkey").alias("k")), "k", orders, "o_orderkey"))
-        .orderBy("check_name")
-    )
-
-
-@query(
-    "q126_point_in_time_lookup",
-    """
-    WITH _states AS (
-        SELECT user_id, event_type AS state,
-               ts AS valid_from,
-               coalesce(lead(ts) OVER (PARTITION BY user_id
-                                       ORDER BY ts, event_id),
-                        TIMESTAMP '9999-12-31') AS valid_to
-        FROM events WHERE user_id < 200
-    ),
-    _purchases AS (
-        SELECT event_id, user_id, ts FROM events
-        WHERE event_type = 'purchase' AND user_id < 200
-    )
-    SELECT p.event_id,
-           p.user_id,
-           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
-           s.state AS preceding_state
-    FROM _purchases p
-    JOIN _states s
-      ON p.user_id = s.user_id
-     AND s.valid_from <= p.ts - INTERVAL 1 MICROSECOND
-     AND p.ts - INTERVAL 1 MICROSECOND < s.valid_to
-    ORDER BY p.event_id
-    """,
-)
-def q126_point_in_time_lookup(spark, sf_dir):
-    """Point-in-time correct dimension lookup (feature-store semantics):
-    each purchase joins the SCD2 state row valid just BEFORE it
-    (ts − 1µs), so no information from the purchase instant leaks into
-    its own features — the leakage rule behind every training-data
-    point-in-time join.  Uses the q113 interval build + the bucketed
-    range-join operator (operators/temporal.range_join): equality on
-    user_id, residual interval predicate on the same shuffle.
-
-    Purchases whose user has no earlier event are dropped (inner) —
-    exactly the rows with no defined prior state."""
-    from pyspark.sql import Window
-
-    from .operators.temporal import range_join
-
-    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 200)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    states = ev.select(
-        "user_id",
-        F.col("event_type").alias("state"),
-        F.col("ts").alias("valid_from"),
-        F.coalesce(
-            F.lead("ts").over(w), F.lit("9999-12-31").cast("timestamp")
-        ).alias("valid_to"),
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id",
-        "user_id",
-        F.col("ts"),
-        F.timestamp_micros(F.unix_micros("ts") - 1).alias("_asof"),
-    )
-    joined = range_join(
-        purchases, states, "_asof", "valid_from", "valid_to", on=["user_id"]
-    ).drop(states["user_id"])
-    return joined.select(
-        "event_id",
-        "user_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
-        F.col("state").alias("preceding_state"),
-    ).orderBy("event_id")
-
-
-@query(
-    "q127_listagg",
-    """
-    SELECT c_mktsegment,
-           string_agg(c_name, ',' ORDER BY round(c_acctbal * 100) DESC, c_name)
-               AS top_names,
-           cast(count(*) as bigint) AS n
-    FROM (
-        SELECT c_mktsegment, c_name, c_acctbal,
-               row_number() OVER (PARTITION BY c_mktsegment
-                                  ORDER BY round(c_acctbal * 100) DESC, c_name)
-                   AS rn
-        FROM customer
-    )
-    WHERE rn <= 5
-    GROUP BY c_mktsegment
-    ORDER BY c_mktsegment
-    """,
-)
-def q127_listagg(spark, sf_dir):
-    """Ordered string aggregation (LISTAGG/string_agg parity): the top-5
-    customers per segment by balance, concatenated IN ORDER.  Spark has
-    no ordered listagg; the engine form collects (sort-key, value)
-    structs, sorts the group-local array, then projects — deterministic
-    because the sort key is total (cents desc, name).
-
-    Scale shape: the top-5 cut happens via WindowGroupLimit inside the
-    shuffle (same shape as q107's postings cap), so per-group state is
-    O(5) before any collection."""
-    from pyspark.sql import Window
-
-    cust = _read(spark, sf_dir, "customer")
-    cents = F.expr("cast(round(c_acctbal * 100) as bigint)")
-    w = Window.partitionBy("c_mktsegment").orderBy(F.desc(cents), F.asc("c_name"))
-    top = cust.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 5)
-    return (
-        top.groupBy("c_mktsegment")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(
-                            F.struct(
-                                (-cents).alias("_k"), F.col("c_name").alias("_v")
-                            )
-                        )
-                    ),
-                    lambda s: s["_v"],
-                ),
-            ).alias("top_names"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .orderBy("c_mktsegment")
-    )
-
-
-@query(
-    "q128_filtered_aggregates",
-    """
-    SELECT l_returnflag,
-           cast(count(*) as bigint) AS n_all,
-           cast(count(*) FILTER (WHERE l_discount > 0.05) as bigint)
-               AS n_discounted,
-           cast(sum(cast(round(l_extendedprice * 100) as bigint))
-                FILTER (WHERE l_tax > 0.04) as bigint) AS taxed_cents,
-           cast(max(cast(l_quantity as bigint))
-                FILTER (WHERE l_linestatus = 'F') as bigint) AS max_qty_f
-    FROM lineitem
-    GROUP BY l_returnflag
-    ORDER BY l_returnflag
-    """,
-)
-def q128_filtered_aggregates(spark, sf_dir):
-    """FILTER-clause conditional aggregation parity (§2.3): multiple
-    differently-filtered aggregates in ONE pass over the fact — the
-    idiom that replaces N self-joins in report queries.  All integer
-    sums; one partial-aggregated shuffle."""
-    li = _read(spark, sf_dir, "lineitem")
-    cents = F.expr("cast(round(l_extendedprice * 100) as bigint)")
-    qty = F.col("l_quantity").cast("bigint")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n_all"),
-            F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
-            F.sum(F.when(F.col("l_tax") > 0.04, cents)).alias("taxed_cents"),
-            F.max(F.when(F.col("l_linestatus") == "F", qty)).alias("max_qty_f"),
-        )
-        .orderBy("l_returnflag")
-    )
-
-
-@query(
-    "q129_grouping_sets",
-    """
-    SELECT coalesce(o_orderstatus, '<all>') AS status,
-           coalesce(o_orderpriority, '<all>') AS priority,
-           cast(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
-                as int) AS gid,
-           cast(count(*) as bigint) AS n,
-           cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
-               AS cents
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-                            (o_orderstatus), (o_orderpriority), ())
-    ORDER BY gid, status, priority
-    """,
-)
-def q129_grouping_sets(spark, sf_dir):
-    """Explicit GROUPING SETS + grouping() parity (§2.3; the lattice
-    operator q39/q65 SERVES these shapes from a materialization — this
-    query pins Spark's native one-pass form, grouping_id semantics
-    included, against the identical ANSI SQL in DuckDB).
-
-    Scale shape: Spark expands grouping sets map-side (each row feeds
-    its sets' partial aggregates) — one shuffle keyed on (keys, gid)."""
-    orders = _read(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("_q129_orders")
-    return spark.sql(
-        """
-        SELECT coalesce(o_orderstatus, '<all>') AS status,
-               coalesce(o_orderpriority, '<all>') AS priority,
-               cast(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
-                    as int) AS gid,
-               count(*) AS n,
-               sum(cast(round(o_totalprice * 100) as bigint)) AS cents
-        FROM _q129_orders
-        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-                                (o_orderstatus), (o_orderpriority), ())
-        ORDER BY gid, status, priority
-        """
-    )
-
-
-@query(
-    "q130_correlated_subquery",
-    """
-    SELECT c_custkey, c_mktsegment,
-           cast(round(c_acctbal * 100) as bigint) AS acct_cents,
-           (SELECT cast(max(round(o_totalprice * 100)) as bigint)
-            FROM orders WHERE o_custkey = c_custkey) AS max_order_cents
-    FROM customer
-    WHERE c_custkey < 200
-      AND (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) >= 3
-    ORDER BY c_custkey
-    """,
-)
-def q130_correlated_subquery(spark, sf_dir):
-    """Correlated scalar subqueries (SELECT-list + WHERE) — Catalyst
-    DECORRELATES both into aggregate-then-join plans (no per-row
-    re-execution; the rewrite that makes subquery-style reports viable
-    on 100 TB).  Identical ANSI text runs on DuckDB as the oracle."""
-    cust = _read(spark, sf_dir, "customer")
-    orders = _read(spark, sf_dir, "orders")
-    cust.createOrReplaceTempView("_q130_customer")
-    orders.createOrReplaceTempView("_q130_orders")
-    return spark.sql(
-        """
-        SELECT c_custkey, c_mktsegment,
-               cast(round(c_acctbal * 100) as bigint) AS acct_cents,
-               (SELECT cast(max(round(o_totalprice * 100)) as bigint)
-                FROM _q130_orders WHERE o_custkey = c_custkey)
-                   AS max_order_cents
-        FROM _q130_customer
-        WHERE c_custkey < 200
-          AND (SELECT count(*) FROM _q130_orders
-               WHERE o_custkey = c_custkey) >= 3
-        ORDER BY c_custkey
-        """
-    )
-
-
-@query(
-    "q131_bloom_prefilter_decontam",
-    f"""
-    WITH ev AS MATERIALIZED (
-      SELECT DISTINCT unnest({_dd.shingles_sql('text', 4)}) AS gram
-      FROM documents WHERE doc_id % 10 = 0
-    ),
-    tr AS (SELECT doc_id, unnest({_dd.shingles_sql('text', 4)}) AS gram
-           FROM documents WHERE doc_id % 10 <> 0)
-    SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (gram)
-    """,
-)
-def q131_bloom_prefilter_decontam(spark, sf_dir):
-    """Bloom-prefiltered decontamination (llm/decontam
-    .contaminated_ids_bloom): the eval shingle set is shipped as a
-    ~100 KB Bloom filter (bloom_filter_agg / might_contain) and only
-    bloom survivors hit the exact verify — the shape that scales the
-    contamination probe past broadcast-join limits when eval suites are
-    large.  Bloom filters cannot produce false negatives, so the FINAL
-    answer is exactly the q57-style exact probe — which is precisely
-    what the oracle computes (the oracle has no bloom at all)."""
-    docs = _read_docs(spark, sf_dir)
-    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
-    train = docs.filter(F.col("doc_id") % 10 != 0)
-    return _decon.contaminated_ids_bloom(train, eval_df, "text", "doc_id", k=4)
-
-
-_Q132_DRAW = _draw_sql("doc_id", "s132")
-
-
-@query(
-    "q132_temperature_mixture",
-    f"""
-    WITH _rates AS ({_samp.temperature_rates_sql(
-        "SELECT source, count(*) AS cnt FROM documents GROUP BY source")}),
-    _kept AS (
-        SELECT d.source, d.n_chars, r.rate_ppm
-        FROM documents d JOIN _rates r USING (source)
-        WHERE {_Q132_DRAW} < r.rate_ppm
-    )
-    SELECT source AS mix_source,
-           cast(count(*) as bigint) AS n,
-           cast(sum(n_chars) as bigint) AS sum_chars,
-           min(rate_ppm) AS rate_ppm
-    FROM _kept
-    GROUP BY source
-    ORDER BY mix_source
-    """,
-)
-def q132_temperature_mixture(spark, sf_dir):
-    """Temperature-based mixture rebalancing (operators/sampling
-    .temperature_rates — the alpha=1/2 multilingual/multi-source
-    sampling rule of mBERT/XLM-R): per-source keep rates
-    min(1, sqrt(cnt_max/cnt)) in integer ppm, applied via the
-    deterministic salted draw.  The only float ops are one division and
-    one sqrt — both IEEE correctly-rounded, so rates (and therefore the
-    kept set) are bit-identical across engines AND cluster topologies;
-    unlike a general pow(share, alpha), which drifts across libm
-    implementations (why the operator refuses alpha != 0.5).
-
-    Scale shape: the rate table is source-cardinality (broadcast);
-    draw + filter are map-side; one final bounded aggregation."""
-    docs = _read_docs(spark, sf_dir)
-    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
-    rates = _samp.temperature_rates(counts, "source", alpha=0.5)
-    kept = (
-        docs.join(F.broadcast(rates), "source")
-        .filter(_samp._draw(F.col("doc_id"), "s132") < F.col("rate_ppm"))
-    )
-    return (
-        kept.groupBy(F.col("source").alias("mix_source"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("n_chars").alias("sum_chars"),
-            F.min("rate_ppm").alias("rate_ppm"),
-        )
-        .orderBy("mix_source")
-    )
-
-
-@query(
-    "q133_incremental_lsh_dedup",
-    f"""
-    WITH sig133 AS MATERIALIZED (
-      SELECT doc_id, doc_id % 3 = 0 AS is_inc,
-             {_dd.minhash_signature_sql('text')} AS sig
-      FROM documents
-    ),
-    keyed133 AS MATERIALIZED (
-      SELECT doc_id, is_inc, unnest({_band_keys_sql('sig', 4, 2)}) AS band_key
-      FROM sig133
-    )
-    SELECT a.doc_id AS inc_id, b.doc_id AS match_id,
-           CASE WHEN b.is_inc THEN 'inc' ELSE 'base' END AS match_side,
-           cast(count(*) as bigint) AS n_shared_bands
-    FROM keyed133 a
-    JOIN keyed133 b
-      ON a.band_key = b.band_key
-     AND a.is_inc
-     AND (NOT b.is_inc OR a.doc_id < b.doc_id)
-    GROUP BY 1, 2, 3
-    ORDER BY inc_id, match_id
-    """,
-)
-def q133_incremental_lsh_dedup(spark, sf_dir):
-    """Incremental near-dedup (llm/dedup.incremental_lsh_pairs): a new
-    batch (doc_id % 3 = 0) generates LSH candidates against the
-    ALREADY-INDEXED base corpus plus itself — base x base, the O(history²)
-    product, never forms.  The daily-crawl-vs-historical-index shape of
-    production dedup; in production the base band keys are the persisted
-    LSH index, written bucketed on band_key so each day's join is
-    partition-local."""
-    docs = _read_docs(spark, sf_dir)
-    inc = docs.filter(F.col("doc_id") % 3 == 0)
-    base = docs.filter(F.col("doc_id") % 3 != 0)
-    pairs = _dd.incremental_lsh_pairs(base, inc, bands=4, rows=2)
-    return pairs.select(
-        "inc_id", "match_id", "match_side", "n_shared_bands"
-    ).orderBy("inc_id", "match_id")
-
-
-_Q134_EDGES = (
-    "SELECT doc_id AS src, "
-    "(doc_id * 31 + t.i * 97) % (SELECT count(*) FROM documents) AS dst "
-    "FROM documents, generate_series(1, 4) AS t(i)"
-)
-
-
-@query(
-    "q134_bounded_reachability",
-    _graph.bounded_reachability_sql(
-        _Q134_EDGES,
-        "SELECT doc_id AS id FROM documents WHERE doc_id % 100 = 0",
-        3,
-    )
-    + " ORDER BY id",
-)
-def q134_bounded_reachability(spark, sf_dir):
-    """Depth-limited transitive closure (operators/graph
-    .bounded_reachability): vertices within 3 directed hops of the seed
-    set with minimal hop distance — the recursive-CTE query class
-    (dependency cones, contamination blast radius) as frontier-driven
-    iterated joins.  Each round joins only the NEW frontier against the
-    edge table; the DuckDB oracle is a genuine depth-limited RECURSIVE
-    CTE over the same graph."""
-    docs = _read_docs(spark, sf_dir)
-    n = docs.count()
-    links = [((F.col("doc_id") * 31 + F.lit(i * 97)) % F.lit(n)) for i in range(1, 5)]
-    edges = docs.select(
-        F.col("doc_id").alias("src"), F.explode(F.array(*links)).alias("dst")
-    )
-    seeds = docs.filter(F.col("doc_id") % 100 == 0).select(
-        F.col("doc_id").alias("id")
-    )
-    out = _graph.bounded_reachability(edges, seeds, hops=3)
-    return out.select("id", F.col("min_hops").cast("int").alias("min_hops")).orderBy(
-        "id"
-    )
-
-
-@query(
-    "q135_markov_transitions",
-    """
-    WITH _seq AS (
-        SELECT user_id, event_type AS cur,
-               lead(event_type) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS nxt
-        FROM events
-    ),
-    _pairs AS (
-        SELECT cur, nxt, count(*) AS n
-        FROM _seq WHERE nxt IS NOT NULL
-        GROUP BY cur, nxt
-    ),
-    _tot AS (SELECT cur, sum(n) AS tot FROM _pairs GROUP BY cur)
-    SELECT p.cur AS from_type, p.nxt AS to_type,
-           cast(p.n as bigint) AS n,
-           round(cast(p.n as double) / cast(t.tot as double), 6) AS prob
-    FROM _pairs p JOIN _tot t ON p.cur = t.cur
-    ORDER BY from_type, to_type
-    """,
-)
-def q135_markov_transitions(spark, sf_dir):
-    """First-order Markov transition matrix over per-user event
-    sequences (lead() on one user-keyed shuffle): counts and empirical
-    transition probabilities — the behavioural-model / anomalous-flow
-    building block.  Probabilities are single divisions of identical
-    integers in both engines.
-
-    Scale shape: the transition domain is |event_types|² — partial
-    aggregation collapses each partition before the tiny shuffle."""
-    from pyspark.sql import Window
-
-    ev = _read(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        F.col("event_type").alias("cur"),
-        F.lead("event_type").over(w).alias("nxt"),
-    ).filter(F.col("nxt").isNotNull())
-    pairs = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
-    tot = pairs.groupBy("cur").agg(F.sum("n").alias("tot"))
-    return (
-        pairs.join(F.broadcast(tot), "cur")
-        .select(
-            F.col("cur").alias("from_type"),
-            F.col("nxt").alias("to_type"),
-            "n",
-            F.round(F.col("n").cast("double") / F.col("tot").cast("double"), 6).alias(
-                "prob"
-            ),
-        )
-        .orderBy("from_type", "to_type")
-    )
-
-
-@query(
-    "q136_jaccard_similarity_join",
-    _dd.prefix_filtered_jaccard_join_sql(
-        "(SELECT * FROM documents WHERE doc_id < 500) _d", "text", "doc_id", 0.85
-    )
-    + " ORDER BY id_a, id_b",
-)
-def q136_jaccard_similarity_join(spark, sf_dir):
-    """EXACT Jaccard-threshold set-similarity self-join via PPJoin-style
-    prefix filtering (llm/dedup.prefix_filtered_jaccard_join) — the
-    exact counterpart to q28's MinHash-LSH banding: tokens ranked
-    rarest-first, each doc explodes only its (|s|-ceil(t|s|)+1)-prefix,
-    candidates share a prefix token, then exact verification.  The
-    ORACLE runs the BRUTE-FORCE all-pairs form, so a hash match proves
-    the prefix filter misses nothing (the PPJoin completeness lemma,
-    empirically pinned).
-
-    Gate input is STRUCTURALLY capped at 500 docs (q40's precedent):
-    the synthetic corpus is drawn from one tiny vocabulary, so the
-    qualifying-pair count itself grows quadratically — measured 1.7M
-    true pairs at sf0.1 — and no join algorithm shrinks an inherently
-    quadratic ANSWER.  On real corpora the prefix filter is the exact
-    high-threshold path; corpus-wide near-dup at scale stays on the
-    LSH pipelines (q28/q133)."""
-    docs = _read_docs(spark, sf_dir).filter(F.col("doc_id") < 500)
-    return _dd.prefix_filtered_jaccard_join(docs, "text", "doc_id", 0.85).orderBy(
-        "id_a", "id_b"
-    )
-
-
-@query(
-    "q137_rolling_active_users",
-    """
-    WITH _du AS (
-        SELECT DISTINCT cast(date_trunc('day', ts) as date) AS day, user_id
-        FROM events
-    ),
-    _days AS (SELECT DISTINCT day FROM _du)
-    SELECT d.day,
-           cast(count(DISTINCT u.user_id) as bigint) AS wau,
-           cast((SELECT count(DISTINCT u2.user_id) FROM _du u2
-                 WHERE u2.day = d.day) as bigint) AS dau
-    FROM _days d
-    JOIN _du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
-    GROUP BY d.day
-    ORDER BY d.day
-    """,
-)
-def q137_rolling_active_users(spark, sf_dir):
-    """Rolling 7-day active users (WAU) + daily actives (DAU) per day —
-    the engagement metric every product pipeline computes.  A windowed
-    COUNT DISTINCT cannot partial-aggregate, so the scalable form
-    reduces to DISTINCT (day, user) pairs first (one shuffle, partial
-    agg), then each pair EXPLODES to the <= 7 report days it serves —
-    bounded fan-out replacing an unbounded distinct window state.
-
-    All integers; the oracle computes the same metric by a range join
-    over the distinct pairs."""
-    ev = _read(spark, sf_dir, "events")
-    du = ev.select(
-        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "user_id"
-    ).distinct()
-    contrib = du.select(
-        F.explode(
-            F.expr("sequence(day, date_add(day, 6), interval 1 day)")
-        ).alias("report_day"),
-        "day",
-        "user_id",
-    )
-    observed = du.select(F.col("day").alias("report_day")).distinct()
-    wau = (
-        contrib.join(observed, "report_day")
-        .groupBy("report_day")
-        .agg(F.countDistinct("user_id").alias("wau"))
-    )
-    dau = du.groupBy(F.col("day").alias("report_day")).agg(
-        F.countDistinct("user_id").alias("dau")
-    )
-    return (
-        wau.join(dau, "report_day")
-        .select(F.col("report_day").alias("day"), "wau", "dau")
-        .orderBy("day")
-    )
-
-
-@query(
-    "q138_embedding_quantization",
-    """
-    WITH _s AS (
-        SELECT vec_id, embedding,
-               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
-        FROM embeddings
-    )
-    SELECT vec_id,
-           cast(floor(mx * 1000000000) as bigint) AS scale_ppb,
-           array_to_string(
-               list_transform(embedding,
-                              x -> cast(round(x::DOUBLE * 127.0 / mx) as bigint)::VARCHAR),
-               ',') AS q8,
-           cast(list_sum(list_transform(embedding,
-                    x -> cast(round(x::DOUBLE * 127.0 / mx) as bigint)
-                         * cast(round(x::DOUBLE * 127.0 / mx) as bigint)))
-                as bigint) AS q_norm2
-    FROM _s
-    WHERE mx > 0 AND vec_id < 200
-    ORDER BY vec_id
-    """,
-)
-def q138_embedding_quantization(spark, sf_dir):
-    """Symmetric int8 embedding quantization (the storage/ANN-speedup
-    pipeline step: 4x smaller vectors, integer dot products): per-vector
-    scale = max|x|/127, q8[i] = round(x[i]·127/max|x|) — plus the
-    integer squared norm used by quantized similarity search.
-
-    Determinism: both engines see identical float32→double values; the
-    scalar multiply/divide/round sequence is identical IEEE ops, and
-    everything after quantization is integer arithmetic.  Map-side only."""
-    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    mx = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
-    q = F.transform(
-        F.col("embedding"),
-        lambda x: F.round(x.cast("double") * F.lit(127.0) / F.col("_mx")).cast("long"),
-    )
-    return (
-        emb.withColumn("_mx", mx)
-        .filter(F.col("_mx") > 0)
-        .withColumn("_q", q)
-        .select(
-            "vec_id",
-            F.floor(F.col("_mx") * 1_000_000_000).cast("long").alias("scale_ppb"),
-            F.concat_ws(",", F.transform(F.col("_q"), lambda v: v.cast("string"))).alias(
-                "q8"
-            ),
-            F.aggregate(
-                F.col("_q"),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v * v,
-            ).alias("q_norm2"),
-        )
-        .orderBy("vec_id")
-    )
-
-
-_Q139_QUANT = """
-        SELECT vec_id,
-               list_transform(embedding,
-                   x -> cast(round(x::DOUBLE * 127.0 /
-                        list_max(list_transform(embedding, y -> abs(y::DOUBLE))))
-                        as bigint)) AS q8
-        FROM embeddings
-        WHERE list_max(list_transform(embedding, y -> abs(y::DOUBLE))) > 0
-"""
-
-
-@query(
-    "q139_quantized_ann_topk",
-    f"""
-    WITH _q AS ({_Q139_QUANT}),
-    _probe AS (SELECT vec_id AS probe_id, q8 AS pq FROM _q WHERE vec_id < 5),
-    _scored AS (
-        SELECT p.probe_id, c.vec_id,
-               cast(list_sum(list_transform(list_zip(p.pq, c.q8),
-                        t -> t[1] * t[2])) as bigint) AS idot
-        FROM _probe p JOIN _q c ON c.vec_id <> p.probe_id
-    ),
-    _ranked AS (
-        SELECT probe_id, vec_id, idot,
-               row_number() OVER (PARTITION BY probe_id
-                                  ORDER BY idot DESC, vec_id) AS rn
-        FROM _scored
-    )
-    SELECT probe_id, vec_id, idot, cast(rn as int) AS rn
-    FROM _ranked WHERE rn <= 10
-    ORDER BY probe_id, rn
-    """,
-)
-def q139_quantized_ann_topk(spark, sf_dir):
-    """Top-k search over int8-QUANTIZED vectors (completing q138's
-    pipeline): integer dot products between quantized probe and corpus —
-    the 4x-memory-bandwidth ANN scoring kernel (what FAISS int8 / SQ8
-    does), bit-exact across engines because scoring is pure integer
-    arithmetic after the deterministic quantization step.
-
-    Scale shape: probes broadcast, corpus scored map-side, per-partition
-    pre-top-k via the rank window on the probe key (probe-cardinality
-    partitions). The quantized frame is PERSISTED so quantization (the
-    array-transform pass over every vector) runs once, not once per join
-    side (VERDICT r3 'What's wrong #3')."""
-    from pyspark import StorageLevel
-    from pyspark.sql import Window
-
-    emb = _read(spark, sf_dir, "embeddings")
-    mx = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
-    q8 = F.transform(
-        F.col("embedding"),
-        lambda x: F.round(x.cast("double") * F.lit(127.0) / F.col("_mx")).cast("long"),
-    )
-    quant = (
-        emb.withColumn("_mx", mx)
-        .filter(F.col("_mx") > 0)
-        .select("vec_id", q8.alias("q8"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    probes = quant.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("probe_id"), F.col("q8").alias("pq")
-    )
-    scored = (
-        quant.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            "vec_id",
-            F.aggregate(
-                F.zip_with(F.col("pq"), F.col("q8"), lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ).alias("idot"),
-        )
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("idot"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("int"))
-        .filter(F.col("rn") <= 10)
-        .select("probe_id", "vec_id", "idot", "rn")
-        .orderBy("probe_id", "rn")
-    )
-
-
-@query(
-    "q140_cm_heavy_hitters",
-    """
-    WITH _tok AS (
-        SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-                                  x -> x <> '')) AS tok
-        FROM documents
-    )
-    SELECT tok, cast(count(*) as bigint) AS cnt
-    FROM _tok
-    GROUP BY tok
-    HAVING count(*) >= 500
-    ORDER BY cnt DESC, tok
-    """,
-)
-def q140_cm_heavy_hitters(spark, sf_dir):
-    """Count-Min-prefiltered EXACT heavy hitters (the sketch analog of
-    q131's bloom pattern): a d=4 x w=2048 Count-Min sketch is built by
-    one cell-keyed aggregation over the PERSISTED token frame, collected
-    (64 KB), and embedded as literal arrays; then every token row probes
-    min-over-rows in pure codegen MAP-SIDE, BEFORE any per-token
-    aggregation — only rows whose estimate clears the threshold enter the
-    groupBy shuffle, and the exact count on those candidates confirms.
-    CM overestimates only (no false negatives), so prefilter + exact
-    verify equals the plain frequent-token query — exactly the
-    bloom-free, sketch-free oracle.
-
-    Scale shape (the whole point of the sketch): the corpus is tokenized
-    ONCE (persisted); the sketch build is a w*d-cell aggregation (state
-    8K cells, independent of vocabulary size); the candidate filter cuts
-    the per-token shuffle from |distinct tokens| to |candidates| — at
-    100 TB the vocabulary is billions of rare tokens and the candidates
-    are thousands, so the sketch removes ~the entire shuffle. The
-    pre-r4 lowering aggregated the full vocabulary first and probed
-    after, defeating the prefilter (VERDICT r3 'What's wrong #1')."""
-    from pyspark import StorageLevel
-
-    from .llm.text import tokens as _toks
-
-    threshold = 500
-    d, wdt = 4, 2048
-    docs = _read_docs(spark, sf_dir)
-    tok = docs.select(F.explode(_toks(F.col("text"))).alias("tok")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-
-    def cell(i):
-        return F.pmod(F.xxhash64(F.lit(f"cm{i}"), F.col("tok")), F.lit(wdt))
-
-    cells = tok.select(
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(i).alias("row"), cell(i).alias("col"))
-                for i in range(d)
-            ])
-        ).alias("c")
-    ).select("c.row", "c.col")
-    counters = cells.groupBy("row", "col").agg(F.count(F.lit(1)).alias("n")).collect()
-    tables = [[0] * wdt for _ in range(d)]
-    for r in counters:
-        tables[r["row"]][r["col"]] = r["n"]
-    lits = [F.lit(t) for t in tables]
-
-    est = F.least(
-        *[
-            F.element_at(
-                lits[i],
-                (F.pmod(F.xxhash64(F.lit(f"cm{i}"), F.col("tok")), F.lit(wdt)) + 1).cast(
-                    "int"
-                ),
-            )
-            for i in range(d)
-        ]
-    )
-    # map-side sketch probe FIRST: only candidate token rows (est >=
-    # threshold) are shuffled into the exact aggregation
-    return (
-        tok.filter(est >= threshold)
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= threshold)
-        .select("tok", "cnt")
-        .orderBy(F.desc("cnt"), F.asc("tok"))
-    )
-
-
-@query(
-    "q141_streaming_cdc_upsert",
-    """
-    WITH ranked AS (
-      SELECT user_id, event_id, ts, event_type, value,
-             row_number() OVER (
-               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
-      FROM events
-      WHERE user_id < 80
-    )
-    SELECT user_id, event_id, event_type,
-           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
-           round(value, 2) AS value
-    FROM ranked WHERE rk = 1
-    ORDER BY user_id
-    """,
-)
-def q141_streaming_cdc_upsert(spark, sf_dir):
-    """END-TO-END exactly-once streaming CDC materialization: the change
-    log streams through the manifest-committed idempotent sink
-    (streaming/sink.py — one batch is DELIBERATELY REPLAYED to simulate
-    post-crash at-least-once redelivery), the manifest table is read
-    back, and latest-per-key compaction (q81's operator) produces
-    current state.  The oracle computes the same state straight from
-    the batch table — equality proves the whole stream→exactly-once
-    sink→upsert-view path drops the replay and loses nothing.
-
-    Composes: file-source micro-batches, foreachBatch, the atomic
-    manifest protocol, and the CDC window — the production changelog
-    pipeline in one gate."""
-    import shutil
-
-    from pyspark.sql import Window
-
-    from .operators.maintenance import manifest_read
-    from .streaming.sink import idempotent_batch_writer
-    from .streaming.windows import scratch_dir, stage_ordered_files
-
-    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 80)
-    cols = ["event_id", "ts", "user_id", "event_type", "value"]
-    src = scratch_dir("bacon_q141src_")
-    out = scratch_dir("bacon_q141out_")
-    ckpt = scratch_dir("bacon_q141ck_")
-    try:
-        stage_ordered_files([(src, ev.select(*cols).repartition(4), "overwrite")])
-        sschema = "event_id long, ts timestamp, user_id long, event_type string, value double"
-        stream = (
-            spark.readStream.schema(sschema)
-            .option("maxFilesPerTrigger", "2")
-            .parquet(src)
-        )
-        writer = idempotent_batch_writer(out)
-        q = (
-            stream.writeStream.foreachBatch(writer)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-        # simulate at-least-once redelivery after a crash: replay batch 0
-        # verbatim — the sink must drop it without a version bump
-        first_files = sorted(
-            f for f in __import__("os").listdir(src) if f.endswith(".parquet")
-        )[:2]
-        replay = spark.read.parquet(*[f"{src}/{f}" for f in first_files])
-        writer(replay, 0)
-
-        table = manifest_read(spark, out)
-        w = Window.partitionBy("user_id").orderBy(
-            F.col("ts").desc(), F.col("event_id").desc()
-        )
-        return (
-            table.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select(
-                "user_id",
-                "event_id",
-                "event_type",
-                F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
-                F.round("value", 2).alias("value"),
-            )
-            .orderBy("user_id")
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        shutil.rmtree(src, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
-        shutil.rmtree(out, ignore_errors=True)
-
-
-@query(
-    "q142_distribution_drift",
-    """
-    WITH _v AS (
-        SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS split,
-               n_chars
-        FROM documents
-    ),
-    _edges AS (
-        SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS ts FROM _v
-    ),
-    _b AS (
-        SELECT split,
-               cast(1 + (CASE WHEN n_chars > ts[1] THEN 1 ELSE 0 END)
-                      + (CASE WHEN n_chars > ts[2] THEN 1 ELSE 0 END)
-                      + (CASE WHEN n_chars > ts[3] THEN 1 ELSE 0 END) as int)
-                   AS bucket
-        FROM _v CROSS JOIN _edges
-    ),
-    _counts AS (
-        SELECT bucket,
-               cast(sum(CASE WHEN split = 'a' THEN 1 ELSE 0 END) as bigint) AS n_a,
-               cast(sum(CASE WHEN split = 'b' THEN 1 ELSE 0 END) as bigint) AS n_b
-        FROM _b GROUP BY bucket
-    ),
-    _tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM _counts)
-    SELECT bucket, n_a, n_b,
-           round(
-             pow(cast(n_a as double) / ta - cast(n_b as double) / tb, 2)
-             / (cast(n_a + n_b as double) / (ta + tb)), 10) AS chi2_term
-    FROM _counts CROSS JOIN _tot
-    ORDER BY bucket
-    """,
-)
-def q142_distribution_drift(spark, sf_dir):
-    """Distribution-drift check between two dataset splits (the
-    monitoring gate run between training snapshots): both splits are
-    bucketed by SHARED exact-quartile edges of the combined data
-    (q112's threshold machinery), and a per-bucket chi-square-style
-    drift term compares the splits' proportions.  Counts are integers;
-    the drift terms are a fixed sequence of IEEE ops on identical
-    integers — deterministic cross-engine (pow(x,2) is x*x in both).
-
-    Scale shape: one percentile pass + one bucket aggregation; bucket
-    cardinality state only."""
-    docs = _read_docs(spark, sf_dir).select(
-        F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b").alias("split"),
-        "n_chars",
-    )
-    row = docs.select(
-        F.expr("percentile(n_chars, array(0.25, 0.5, 0.75))").alias("ts")
-    ).collect()[0]
-    t1, t2, t3 = row["ts"]
-    bucket = (
-        F.lit(1)
-        + F.when(F.col("n_chars") > t1, 1).otherwise(0)
-        + F.when(F.col("n_chars") > t2, 1).otherwise(0)
-        + F.when(F.col("n_chars") > t3, 1).otherwise(0)
-    ).cast("int")
-    counts = (
-        docs.withColumn("bucket", bucket)
-        .groupBy("bucket")
-        .agg(
-            F.sum(F.when(F.col("split") == "a", 1).otherwise(0)).alias("n_a"),
-            F.sum(F.when(F.col("split") == "b", 1).otherwise(0)).alias("n_b"),
-        )
-    )
-    tot = counts.agg(
-        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
-    )
-    pa = F.col("n_a").cast("double") / F.col("ta")
-    pb = F.col("n_b").cast("double") / F.col("tb")
-    pooled = (F.col("n_a") + F.col("n_b")).cast("double") / (F.col("ta") + F.col("tb"))
-    term = F.round(F.pow(pa - pb, 2) / pooled, 10)
-    return (
-        counts.crossJoin(F.broadcast(tot))
-        .select("bucket", "n_a", "n_b", term.alias("chi2_term"))
-        .orderBy("bucket")
-    )
-
-
-@query(
-    "q143_feature_hashing",
-    f"""
-    WITH _tok AS (
-        SELECT doc_id,
-               unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-                                  x -> x <> '')) AS tok
-        FROM documents WHERE doc_id < 100
-    ),
-    _feat AS (
-        SELECT doc_id,
-               {{h}} % 1024 AS idx,
-               cast(count(*) as bigint) AS val
-        FROM _tok
-        GROUP BY doc_id, {{h}} % 1024
-    ),
-    _ranked AS (
-        SELECT doc_id, idx, val,
-               row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS rn
-        FROM _feat
-    )
-    SELECT doc_id,
-           cast((SELECT count(*) FROM _feat f WHERE f.doc_id = r.doc_id)
-                as bigint) AS nnz,
-           array_to_string(list(idx::VARCHAR || ':' || val::VARCHAR
-                                ORDER BY idx), ' ') AS features
-    FROM _ranked r
-    WHERE rn <= 20
-    GROUP BY doc_id
-    ORDER BY doc_id
-    """.format(h="cast(('0x' || substr(md5(tok), 1, 15)) as bigint)"),
-)
-def q143_feature_hashing(spark, sf_dir):
-    """Hashing-trick text vectorization (Weinberger et al. 2009 — the
-    fixed-dimension, vocabulary-free featurizer): token counts hashed
-    into 1024 buckets via the shared md5 dialect; per doc the nonzero
-    count and the 20 lowest-index features as 'idx:val' pairs.  The
-    oracle recomputes the identical hash in DuckDB.
-
-    Scale shape: tokenize+hash map-side, one (doc, idx) aggregation,
-    WindowGroupLimit caps the per-doc feature sample inside the
-    shuffle."""
-    from pyspark.sql import Window
-
-    from .llm.dedup import hash60
-    from .llm.text import tokens as _toks
-
-    docs = _read_docs(spark, sf_dir).filter(F.col("doc_id") < 100)
-    feats = (
-        docs.select("doc_id", F.explode(_toks(F.col("text"))).alias("tok"))
-        .select("doc_id", (hash60(F.col("tok")) % 1024).alias("idx"))
-        .groupBy("doc_id", "idx")
-        .agg(F.count(F.lit(1)).alias("val"))
-    )
-    nnz = feats.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nnz"))
-    w = Window.partitionBy("doc_id").orderBy("idx")
-    top = (
-        feats.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct(F.col("idx"), F.col("val")))
-                    ),
-                    lambda s: F.concat_ws(
-                        ":", s["idx"].cast("string"), s["val"].cast("string")
-                    ),
-                ),
-            ).alias("features")
-        )
-    )
-    return (
-        nnz.join(top, "doc_id").select("doc_id", "nnz", "features").orderBy("doc_id")
-    )
-
-
-_Q144_FOLD = "(" + _draw_sql("source", "s144") + ") % 5"
-
-
-@query(
-    "q144_group_kfold",
-    f"""
-    WITH _f AS (
-        SELECT doc_id, source, cast({_Q144_FOLD} as int) AS fold
-        FROM documents
-    )
-    SELECT fold,
-           cast(count(*) as bigint) AS n_docs,
-           cast(count(DISTINCT source) as bigint) AS n_groups,
-           cast((SELECT max(nf) FROM (
-               SELECT count(DISTINCT fold) AS nf FROM _f GROUP BY source))
-               as bigint) AS max_folds_per_group
-    FROM _f
-    GROUP BY fold
-    ORDER BY fold
-    """,
-)
-def q144_group_kfold(spark, sf_dir):
-    """GROUP-aware k-fold assignment (GroupKFold — the anti-leakage CV
-    split): the fold is a deterministic salted draw of the GROUP key
-    (source), not the row, so every document of a group lands in the
-    same fold — near-duplicates and same-origin docs can never straddle
-    train/validation.  The result certifies it: max_folds_per_group is
-    1 by construction, and the oracle recomputes the same draws.
-
-    Scale shape: fold assignment is a map-side hash of an existing
-    column — no group table, no join, reproducible across engines and
-    partitionings (the same salted-md5 dialect as q55/q82)."""
-    docs = _read_docs(spark, sf_dir)
-    f = docs.select(
-        "doc_id",
-        "source",
-        (_samp._draw(F.col("source"), "s144") % 5).cast("int").alias("fold"),
-    )
-    per_group = f.groupBy("source").agg(
-        F.countDistinct("fold").alias("nf")
-    )
-    max_nf = per_group.agg(F.max("nf").alias("m"))
-    return (
-        f.groupBy("fold")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("source").alias("n_groups"),
-        )
-        .crossJoin(F.broadcast(max_nf))
-        .select("fold", "n_docs", "n_groups", F.col("m").alias("max_folds_per_group"))
-        .orderBy("fold")
-    )
-
-
-#: deterministic URL injection (q70's pattern): host derived from doc_id
-#: so BOTH engines synthesize identical links — makes the extraction
-#: check non-vacuous on the linkless synthetic corpus
-_Q145_URL = (
-    "' see https://host' || cast(doc_id % 7 as varchar) || "
-    "'.example.com/p/' || cast(doc_id as varchar) || ' and '"
-    "|| 'http://host' || cast(doc_id % 3 as varchar) || '.example.org/q'"
-)
-
-
-@query(
-    "q145_domain_stats",
-    f"""
-    WITH _aug AS (
-        SELECT doc_id, text || {_Q145_URL} AS text FROM documents
-    ),
-    _urls AS (
-        SELECT doc_id,
-               unnest(regexp_extract_all(text,
-                      'https?://([a-z0-9.-]+)', 1)) AS domain
-        FROM _aug
-    )
-    SELECT domain,
-           cast(count(*) as bigint) AS n_links,
-           cast(count(DISTINCT doc_id) as bigint) AS n_docs
-    FROM _urls
-    GROUP BY domain
-    ORDER BY domain
-    """,
-)
-def q145_domain_stats(spark, sf_dir):
-    """URL extraction + domain-level link statistics (the web-corpus
-    provenance/outlink analysis every crawl pipeline runs): URLs pulled
-    by a shared Spark∩DuckDB regex dialect, aggregated per domain.
-    Deterministic links are injected in-query on BOTH engines (q70's
-    pattern) so the check can't pass vacuously.
-
-    Scale shape: map-side regexp_extract_all + one domain-keyed
-    aggregation with map-side combine; domains are a bounded key
-    space."""
-    docs = _read_docs(spark, sf_dir)
-    aug = docs.withColumn(
-        "text",
-        F.concat(
-            F.col("text"),
-            F.lit(" see https://host"),
-            (F.col("doc_id") % 7).cast("string"),
-            F.lit(".example.com/p/"),
-            F.col("doc_id").cast("string"),
-            F.lit(" and http://host"),
-            (F.col("doc_id") % 3).cast("string"),
-            F.lit(".example.org/q"),
-        ),
-    )
-    urls = aug.select(
-        "doc_id",
-        F.explode(
-            F.expr("regexp_extract_all(text, 'https?://([a-z0-9.-]+)', 1)")
-        ).alias("domain"),
-    )
-    return (
-        urls.groupBy("domain")
-        .agg(
-            F.count(F.lit(1)).alias("n_links"),
-            F.countDistinct("doc_id").alias("n_docs"),
-        )
-        .orderBy("domain")
-    )
-
-
-@query(
-    "q146_full_star_query",
-    """
-    SELECT r.r_name AS region, p.p_brand AS brand,
-           cast(sum(cast(round(l.l_extendedprice * (1 - l.l_discount) * 100)
-                         as bigint)) as bigint) AS revenue_cents,
-           cast(count(*) as bigint) AS n_lines
-    FROM lineitem l
-    JOIN orders o   ON l.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation n   ON c.c_nationkey = n.n_nationkey
-    JOIN region r   ON n.n_regionkey = r.r_regionkey
-    JOIN part p     ON l.l_partkey = p.p_partkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey
-    WHERE s.s_acctbal >= 0
-    GROUP BY r.r_name, p.p_brand
-    ORDER BY region, brand
-    """,
-)
-def q146_full_star_query(spark, sf_dir):
-    """The FULL star schema in one query — all seven tables: revenue by
-    (region, brand) with a supplier-side predicate, exercising the
-    complete dimension chain the join-culling engine usually prunes
-    (q02 keeps 4 joins; this one needs every edge).
-
-    Scale shape: fact-sized work is one scan + broadcast hash joins for
-    every dimension (all dim tables are broadcast-sized by star-schema
-    construction); one aggregation keyed on the two output dims."""
-    li = _read(spark, sf_dir, "lineitem")
-    o = _read(spark, sf_dir, "orders")
-    c = _read(spark, sf_dir, "customer")
-    n = _read(spark, sf_dir, "nation")
-    r = _read(spark, sf_dir, "region")
-    p = _read(spark, sf_dir, "part")
-    s = _read(spark, sf_dir, "supplier")
-    joined = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .filter(s.s_acctbal >= 0)
-    )
-    rev = F.expr(
-        "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"
-    )
-    return (
-        joined.groupBy(F.col("r_name").alias("region"), F.col("p_brand").alias("brand"))
-        .agg(F.sum(rev).alias("revenue_cents"), F.count(F.lit(1)).alias("n_lines"))
-        .orderBy("region", "brand")
-    )
-
-
-@query(
-    "q147_local_supplier_revenue",
-    """
-    SELECT n.n_name AS nation,
-           cast(sum(cast(round(l.l_extendedprice * (1 - l.l_discount) * 100)
-                         as bigint)) as bigint) AS local_revenue_cents,
-           cast(count(*) as bigint) AS n_lines
-    FROM lineitem l
-    JOIN orders o   ON l.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey
-    JOIN nation n   ON c.c_nationkey = n.n_nationkey
-    WHERE s.s_nationkey = c.c_nationkey
-    GROUP BY n.n_name
-    ORDER BY nation
-    """,
-)
-def q147_local_supplier_revenue(spark, sf_dir):
-    """TPC-H Q5's signature shape: revenue where the SUPPLIER is in the
-    CUSTOMER's nation (s_nationkey = c_nationkey — a cross-dimension
-    equality predicate, not a star edge).  The predicate evaluates
-    after both broadcast joins, filtering fact rows without any extra
-    shuffle — the pattern for same-region/same-owner co-location
-    analytics."""
-    li = _read(spark, sf_dir, "lineitem")
-    o = _read(spark, sf_dir, "orders")
-    c = _read(spark, sf_dir, "customer")
-    s = _read(spark, sf_dir, "supplier")
-    n = _read(spark, sf_dir, "nation")
-    joined = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .filter(s.s_nationkey == c.c_nationkey)
-    )
-    rev = F.expr(
-        "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"
-    )
-    return (
-        joined.groupBy(F.col("n_name").alias("nation"))
-        .agg(
-            F.sum(rev).alias("local_revenue_cents"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-        .orderBy("nation")
-    )
-
-
-@query(
-    "q148_corpus_novelty",
-    f"""
-    WITH _g AS (
-        SELECT doc_id, unnest({_dd.shingles_sql('text', 3)}) AS gram
-        FROM documents
-    ),
-    _first AS (SELECT gram, min(doc_id) AS first_doc FROM _g GROUP BY gram),
-    _per AS (
-        SELECT g.doc_id,
-               count(*) AS n_grams,
-               sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
-        FROM _g g JOIN _first f ON g.gram = f.gram
-        GROUP BY g.doc_id
-    )
-    SELECT doc_id, cast(n_grams as bigint) AS n_grams,
-           cast(n_novel as bigint) AS n_novel,
-           round(cast(n_novel as double) / n_grams, 6) AS novelty
-    FROM _per
-    WHERE doc_id < 200
-    ORDER BY doc_id
-    """,
-)
-def q148_corpus_novelty(spark, sf_dir):
-    """Corpus-order novelty scoring: the fraction of each document's
-    distinct 3-gram shingles whose FIRST corpus occurrence (by min
-    doc_id) is that document — the contribution/novelty signal used to
-    prioritize which documents actually add content (the dedup-adjacent
-    ranking in data-curation pipelines; a doc of all-recycled n-grams
-    scores 0).
-
-    Scale shape: gram → min(doc) is one partial-aggregated shuffle of
-    (gram, id) pairs; the per-doc fraction joins that gram-cardinality
-    table back on the same key.  Bodies never shuffle."""
-    docs = _read_docs(spark, sf_dir)
-    g = docs.select(
-        "doc_id", F.explode(_dd.shingles(F.col("text"), 3)).alias("gram")
-    )
-    first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    per = (
-        g.join(first, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
-    )
-    return (
-        per.filter(F.col("doc_id") < 200)
-        .select(
-            "doc_id",
-            "n_grams",
-            "n_novel",
-            F.round(
-                F.col("n_novel").cast("double") / F.col("n_grams"), 6
-            ).alias("novelty"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@query(
-    "q149_higher_moments",
-    """
-    WITH _v AS (
-        SELECT l_returnflag AS g,
-               cast(round(l_extendedprice * 100) as bigint) AS x
-        FROM lineitem
-    ),
-    _s AS (
-        SELECT g, count(*) AS n,
-               sum(cast(x as hugeint)) AS s1,
-               sum(cast(x as hugeint) * cast(x as hugeint)) AS s2,
-               sum(cast(x as hugeint) * cast(x as hugeint) * cast(x as hugeint)) AS s3,
-               sum(cast(x as hugeint) * cast(x as hugeint) * cast(x as hugeint)
-                   * cast(x as hugeint)) AS s4
-        FROM _v GROUP BY g
-    ),
-    _d AS (
-        SELECT g, cast(n as double) AS n, cast(s1 as double) AS s1,
-               cast(s2 as double) AS s2, cast(s3 as double) AS s3,
-               cast(s4 as double) AS s4
-        FROM _s
-    ),
-    _m AS (
-        SELECT g, n,
-               s1 / n AS m1,
-               s2 / n - (s1 / n) * (s1 / n) AS m2,
-               s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n)
-                   AS m3,
-               s4 / n - 4 * (s1 / n) * (s3 / n)
-                      + 6 * (s1 / n) * (s1 / n) * (s2 / n)
-                      - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
-        FROM _d
-    )
-    SELECT g AS l_returnflag, cast(n as bigint) AS n,
-           round(m3 / (m2 * sqrt(m2)), 8) AS skewness,
-           round(m4 / (m2 * m2) - 3, 8) AS excess_kurtosis
-    FROM _m
-    ORDER BY l_returnflag
-    """,
-)
-def q149_higher_moments(spark, sf_dir):
-    """Third/fourth central moments per group — skewness and excess
-    kurtosis from one pass of exact power sums (completing the q07
-    Sum/StdDev family upward; distribution-shape monitoring for drift
-    beyond mean/variance).  Power sums are exact integers (decimal /
-    HUGEINT); the moment algebra is a fixed sequence of identical IEEE
-    ops, with x^1.5 spelled m2*sqrt(m2) — both correctly-rounded ops,
-    never libm pow.
-
-    Overflow guard (ADVICE r3): x⁴ sums approach 38 digits at ~10⁶-10⁷
-    rows of 10⁷-cent values; non-ANSI Spark would go NULL silently while
-    DuckDB's HUGEINT raises.  Same-pass max|x| feeds a raise_error guard
-    (n·max⁴ < 9.9e37) so overflow is an error on both engines."""
-    li = _read(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("g"),
-        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("x"),
-    )
-    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    x = F.col("x")
-    sums = li.groupBy("g").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(d(x)).alias("s1"),
-        F.sum((d(x) * d(x)).cast("decimal(38,0)")).alias("s2"),
-        F.sum((d(x) * d(x) * d(x)).cast("decimal(38,0)")).alias("s3"),
-        F.sum((d(x) * d(x) * d(x) * d(x)).cast("decimal(38,0)")).alias("s4"),
-        F.max(F.abs(x)).cast("double").alias("_mx"),
-    )
-    mx = F.col("_mx")
-    n_raw = F.col("n").cast("double")
-    sums = sums.withColumn(
-        "n",
-        F.when(
-            mx * mx * mx * mx * n_raw >= F.lit(9.9e37),
-            F.raise_error(
-                F.lit("q149 overflow risk: n*max|x|^4 approaches decimal(38,0); "
-                      "rescale x")
-            ).cast("long"),
-        ).otherwise(F.col("n")),
-    )
-    n = F.col("n").cast("double")
-    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
-    s3, s4 = F.col("s3").cast("double"), F.col("s4").cast("double")
-    m1 = s1 / n
-    m2 = s2 / n - m1 * m1
-    m3 = s3 / n - 3 * m1 * (s2 / n) + 2 * m1 * m1 * m1
-    m4 = s4 / n - 4 * m1 * (s3 / n) + 6 * m1 * m1 * (s2 / n) - 3 * m1 * m1 * m1 * m1
-    return sums.select(
-        F.col("g").alias("l_returnflag"),
-        F.col("n").cast("long").alias("n"),
-        F.round(m3 / (m2 * F.sqrt(m2)), 8).alias("skewness"),
-        F.round(m4 / (m2 * m2) - 3, 8).alias("excess_kurtosis"),
-    ).orderBy("l_returnflag")

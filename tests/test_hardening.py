@@ -121,3 +121,158 @@ def test_ignore_corrupt_files(spark, tmpdir):
     assert clean.count() == 10
     with pytest.raises(Exception):
         spark.read.option("ignoreCorruptFiles", "false").parquet(d).count()
+
+
+# ---------------------------------------------------------------------------
+# Fault injection (r4): worker loss mid-query / mid-stream, manifest rot
+# ---------------------------------------------------------------------------
+
+_KILL_BATCH = r"""
+import os, signal, sys
+from pyspark import TaskContext
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+# local[4,3]: 4 threads, tasks may fail up to 3 times -> the killed
+# attempt is retried (the local analogue of executor loss on a cluster)
+spark = (SparkSession.builder.master("local[4,3]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+def fn(it):
+    tc = TaskContext.get()
+    if tc.partitionId() == 0 and tc.attemptNumber() == 0:
+        os.kill(os.getpid(), signal.SIGKILL)  # first attempt dies mid-task
+    for pdf in it:
+        yield pdf
+
+df = spark.range(0, 1000, 1, 4).toDF("id")
+got = df.mapInPandas(fn, "id long").agg(F.sum("id").alias("s")).collect()[0]["s"]
+assert got == 499500, got
+print("BATCH_RETRY_OK")
+"""
+
+_KILL_STREAM = r"""
+import datetime as dt, os, signal, sys, tempfile
+from pyspark import TaskContext
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+spark = (SparkSession.builder.master("local[4,3]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+d = tempfile.mkdtemp(prefix="kill_stream_")
+rows = [(i, dt.datetime(2024, 1, 1, i % 24, 30), float(i)) for i in range(96)]
+spark.createDataFrame(rows, "id long, ts timestamp, v double") \
+    .repartition(4).write.mode("overwrite").parquet(d + "/data")
+
+def fn(it):
+    tc = TaskContext.get()
+    if tc.partitionId() == 0 and tc.attemptNumber() == 0:
+        os.kill(os.getpid(), signal.SIGKILL)  # die inside the micro-batch
+    for pdf in it:
+        yield pdf
+
+stream = spark.readStream.schema("id long, ts timestamp, v double").parquet(d + "/data")
+agg = (stream.mapInPandas(fn, "id long, ts timestamp, v double")
+       .withWatermark("ts", "1 hour")
+       .groupBy(F.window("ts", "1 hour"))
+       .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+       .select(F.col("window.start").alias("ws"), "n", "s"))
+q = (agg.writeStream.format("memory").queryName("kill_agg")
+     .outputMode("complete").trigger(availableNow=True)
+     .option("checkpointLocation", d + "/ck").start())
+q.awaitTermination()
+got = {str(r["ws"]): (r["n"], r["s"]) for r in spark.table("kill_agg").collect()}
+batch = (spark.read.parquet(d + "/data")
+         .groupBy(F.window("ts", "1 hour"))
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+         .select(F.col("window.start").alias("ws"), "n", "s"))
+want = {str(r["ws"]): (r["n"], r["s"]) for r in batch.collect()}
+assert got == want, (got, want)
+print("STREAM_RETRY_OK")
+"""
+
+
+def _run_isolated(code: str, marker: str):
+    """Run a fault-injection scenario in its own process (it needs a
+    local[N,maxFailures] master, which the shared session fixture can't
+    provide, and a SIGKILLed worker must not destabilize other tests)."""
+    import subprocess
+    import sys
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(code)
+        path = f.name
+    try:
+        r = subprocess.run(
+            [sys.executable, path], capture_output=True, text=True, timeout=300
+        )
+        assert marker in r.stdout, (r.stdout[-2000:], r.stderr[-2000:])
+    finally:
+        os.unlink(path)
+
+
+def test_worker_killed_mid_query_retries_to_same_answer():
+    """SIGKILL a Python worker on the FIRST attempt of one partition of a
+    batch query: the task must be retried and the job must converge on
+    the exact same answer — the local[32] analogue of losing an executor
+    on a 1000-executor cluster."""
+    _run_isolated(_KILL_BATCH, "BATCH_RETRY_OK")
+
+
+def test_worker_killed_mid_stream_retries_to_same_answer():
+    """Same, inside a streaming micro-batch: the killed attempt retries,
+    the stream completes, and the final state equals the batch answer
+    (checkpointed offsets + deterministic input => exactly-once)."""
+    _run_isolated(_KILL_STREAM, "STREAM_RETRY_OK")
+
+
+def test_corrupt_manifest_fails_closed(spark, tmpdir):
+    """A corrupted (truncated/garbage) manifest version must ERROR on
+    read — never silently fall back to the raw directory listing, which
+    could expose uncommitted/half-compacted data files."""
+    from bacon_spark.operators.maintenance import (
+        commit_manifest,
+        manifest_read,
+        read_manifest,
+    )
+
+    d = str(tmpdir + "/mtable")
+    spark.createDataFrame([(i,) for i in range(10)], "id long").write.parquet(d)
+    files = [
+        (f, os.path.getsize(os.path.join(d, f)))
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    ]
+    v = commit_manifest(d, files)
+    assert manifest_read(spark, d, v).count() == 10
+
+    man_path = os.path.join(d, "_manifest", f"v{v:010d}.json")
+    with open(man_path, "w") as f:
+        f.write('{"version": 1, "files": [{"pa')  # torn write
+    with pytest.raises(Exception):
+        read_manifest(d, v)
+    with pytest.raises(Exception):
+        manifest_read(spark, d, v).count()
+
+
+def test_manifest_listing_missing_file_fails_closed(spark, tmpdir):
+    """A manifest referencing a data file that no longer exists (deleted
+    out-of-band) must fail the read, not silently return partial data."""
+    from bacon_spark.operators.maintenance import commit_manifest, manifest_read
+
+    d = str(tmpdir + "/mtable2")
+    spark.createDataFrame([(i,) for i in range(10)], "id long").write.parquet(d)
+    files = [
+        (f, os.path.getsize(os.path.join(d, f)))
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    ]
+    v = commit_manifest(d, files + [("ghost.parquet", 123)])
+    with pytest.raises(Exception):
+        manifest_read(spark, d, v).count()
