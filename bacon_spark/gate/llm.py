@@ -512,6 +512,25 @@ def q109_winnow_overlap_pairs(spark, sf_dir):
 
 
 @query(
+    "q150_winnow_capped_pairs",
+    _dd.winnow_overlap_pairs_sql("documents", "text", "doc_id", 3, 4, 3, max_df=32)
+    + " ORDER BY id_a, id_b",
+)
+def q150_winnow_capped_pairs(spark, sf_dir):
+    """q109's winnowing overlap detector with the PRODUCTION df-cap:
+    minimizers appearing in more than 32 documents (boilerplate n-grams)
+    are dropped before the self-join, bounding bucket size so the pair
+    join is Σ min(bucket, 32)² — linear per decade instead of q109's
+    measured 4.6x/decade Σ bucket² tail.  The oracle replicates the cap,
+    so the recall trade (overlaps attested only by hot minimizers are
+    dropped) is pinned exactly, not approximated."""
+    docs = _read_docs(spark, sf_dir)
+    return _dd.winnow_overlap_pairs(
+        docs, "text", "doc_id", k=3, w=4, min_shared=3, max_df=32
+    ).orderBy("id_a", "id_b")
+
+
+@query(
     "q110_duplicate_spans",
     _dd.duplicate_spans_sql("documents", "text", "doc_id", 8, 100),
 )

@@ -20,8 +20,14 @@ def bucketed_star_tables(spark, sf_dir: str) -> tuple[str, str]:
 
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     li, od = f"lineitem_bkt_{h}", f"orders_bkt_{h}"
+    # anchor on the repo root (parent of the bacon_spark package), NOT on
+    # this file — the gate/ split moved __file__ a level deeper and a
+    # __file__-relative path silently rebuilt the tables elsewhere
+    import bacon_spark
+
     base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "spark-warehouse"
+        os.path.dirname(os.path.dirname(os.path.abspath(bacon_spark.__file__))),
+        "spark-warehouse",
     )
     for name, table, bkey in (
         ("lineitem", li, "l_orderkey"),

@@ -518,6 +518,7 @@ def winnow_overlap_pairs(
     k: int = 3,
     w: int = 4,
     min_shared: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Document pairs sharing >= *min_shared* winnowing minimizers:
     (id_a, id_b, shared) with id_a < id_b — near-dup / partial-overlap
@@ -526,11 +527,32 @@ def winnow_overlap_pairs(
     Scale shape: the corpus maps to (minimizer, id) pairs (fingerprint-
     sized, bodies never shuffled), the self-join is an equi-join on the
     minimizer bucket, and the pair aggregation is bounded by bucket
-    sizes — identical to the LSH-banding shape, not all-pairs."""
+    sizes — identical to the LSH-banding shape, not all-pairs.
+
+    *max_df* (the production path at scale): drop minimizers whose
+    document frequency exceeds the cap before the self-join.  Hot
+    minimizers are boilerplate n-grams shared by thousands of documents
+    — each contributes bucket² candidate pairs while carrying almost no
+    overlap signal (every pair it emits still needs min_shared-1 OTHER
+    shared minimizers to surface).  The cap turns the Σ bucket² join
+    cost into Σ min(bucket, max_df)², i.e. LINEAR in corpus size for
+    any fixed cap — this is the fix for the measured 4.6x/decade tail
+    of the uncapped q109 (SCALE.md).  The df-count aggregation and the
+    pair join shuffle on the same key, so Catalyst reuses one exchange.
+    Recall trade is explicit: an overlap attested ONLY by >max_df-hot
+    minimizers is dropped."""
     fps = df.select(
         F.col(id_col).alias("id"),
         F.explode(winnow_minimizers(F.col(text_col), k, w)).alias("m"),
     )
+    if max_df is not None:
+        keep = (
+            fps.groupBy("m")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("m")
+        )
+        fps = fps.join(keep, "m")
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(b, (F.col("a.m") == F.col("b.m")) & (F.col("a.id") < F.col("b.id")))
@@ -547,14 +569,20 @@ def winnow_overlap_pairs_sql(
     k: int = 3,
     w: int = 4,
     min_shared: int = 3,
+    max_df: int | None = None,
 ) -> str:
     fps = winnow_minimizers_sql(text_col, k, w)
+    df_filter = ""
+    if max_df is not None:
+        df_filter = f""",
+    _keep AS (SELECT m FROM _fp GROUP BY m HAVING count(*) <= {max_df})"""
+    src = "(SELECT _fp.* FROM _fp JOIN _keep USING (m))" if max_df is not None else "_fp"
     return f"""
     WITH _fp AS (
         SELECT {id_col} AS id, unnest({fps}) AS m FROM {table}
-    )
+    ){df_filter}
     SELECT a.id AS id_a, b.id AS id_b, cast(count(*) as bigint) AS shared
-    FROM _fp a JOIN _fp b ON a.m = b.m AND a.id < b.id
+    FROM {src} a JOIN {src} b ON a.m = b.m AND a.id < b.id
     GROUP BY a.id, b.id
     HAVING count(*) >= {min_shared}
     """
