@@ -320,6 +320,32 @@ def test_winnow_shared_run_guarantees_shared_minimizer(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+def test_winnow_max_df_drops_boilerplate_buckets_keeps_rare_overlap(spark):
+    # r4: the production df-cap. A boilerplate run shared by EVERY doc
+    # must stop generating pairs once its minimizers exceed max_df, while
+    # a genuine overlap between two docs (rare minimizers) survives.
+    boiler = "all rights reserved contact us today"
+    shared = "alpha beta gamma delta epsilon zeta"
+    texts = [f"{boiler} doc{i} filler{i} words{i} here{i}" for i in range(6)]
+    texts[0] = f"{boiler} {shared} unique0 tail0"
+    texts[1] = f"{boiler} {shared} unique1 tail1"
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_overlap_pairs(df, min_shared=1, max_df=3).collect()
+    }
+    # the genuine rare overlap survives the cap...
+    assert (0, 1) in capped
+    # ...while boilerplate-only pairs (e.g. docs 2-5) are gone
+    assert not any(a >= 2 and b >= 2 for a, b in capped)
+    # uncapped, boilerplate connects everything — the quadratic bucket
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_overlap_pairs(df, min_shared=1).collect()
+    }
+    assert any(a >= 2 and b >= 2 for a, b in uncapped)
+
+
 # ---------------------------------------------------------------------------
 # duplicate spans
 # ---------------------------------------------------------------------------
