@@ -448,6 +448,65 @@ def q91_canonical_dedup(spark, sf_dir):
     return out.select("doc_id", "n_chars", "n_removed").orderBy("doc_id")
 
 
+_STAR_JACC = (
+    "round(len(list_intersect(sa.s, sb.s))::DOUBLE"
+    " / len(list_distinct(list_concat(sa.s, sb.s)))::DOUBLE, 8)"
+)
+
+
+@query(
+    "q151_canonical_dedup_scalable",
+    f"""
+    WITH RECURSIVE {_LSH_KEYED_CTE},
+    hub AS (
+      SELECT band_key, min(doc_id) AS hub FROM keyed
+      GROUP BY 1 HAVING count(*) > 1
+    ),
+    star AS (
+      SELECT DISTINCT h.hub AS a, k.doc_id AS b
+      FROM keyed k JOIN hub h USING (band_key)
+      WHERE k.doc_id <> h.hub
+    ),
+    sh AS MATERIALIZED (SELECT doc_id, {_dd.shingles_sql('text')} AS s FROM documents),
+    edges AS MATERIALIZED (
+      SELECT st.a, st.b
+      FROM star st JOIN sh sa ON st.a = sa.doc_id JOIN sh sb ON st.b = sb.doc_id
+      WHERE {_STAR_JACC} >= 0.2
+    ),
+    sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+    reach(id, lbl) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.id
+    ),
+    comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    removed AS (SELECT id FROM comp WHERE id <> cluster_id),
+    stats AS (SELECT cluster_id, count(*) - 1 AS n_removed FROM comp GROUP BY 1)
+    SELECT d.doc_id, d.n_chars,
+           coalesce(s.n_removed, 0)::BIGINT AS n_removed
+    FROM documents d
+    LEFT JOIN stats s ON d.doc_id = s.cluster_id
+    WHERE d.doc_id NOT IN (SELECT id FROM removed)
+    ORDER BY d.doc_id
+    """,
+)
+def q151_canonical_dedup_scalable(spark, sf_dir):
+    """q91's keep-one dedup on the STAR-EDGE candidate graph
+    (llm/dedup.canonical_dedup_scalable): each LSH band bucket
+    contributes member→bucket-min hub edges (Σ bucket, linear) instead
+    of all in-bucket pairs (Σ bucket², measured 42.8x wall per decade on
+    q91 at sf1→sf10), hub edges are verified with exact shingle Jaccard
+    ≥ 0.2, and connected components + keep-cluster-min run as before.
+    The oracle replays the identical star construction, per-edge verify,
+    and recursive-CTE components, so the retained corpus of the SCALABLE
+    path is hash-checked exactly — including its documented recall trade
+    vs the pair graph (a member whose hub edge fails verification
+    disconnects even if a non-hub pair would have passed)."""
+    docs = _read_docs(spark, sf_dir)
+    out = _dd.canonical_dedup_scalable(docs, threshold=0.2)
+    return out.select("doc_id", "n_chars", "n_removed").orderBy("doc_id")
+
+
 @query(
     "q97_knn_join",
     f"""

@@ -215,6 +215,95 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_star_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bands: int = 4,
+    rows: int = 2,
+    sig_df: DataFrame | None = None,
+) -> DataFrame:
+    """STAR edges per LSH band bucket: every bucket member connects to the
+    bucket-minimum id (the hub), giving Σ bucket edges instead of
+    Σ bucket² pairs — the linear-in-cluster-size candidate graph big
+    dedup pipelines use for clustering.
+
+    Connectivity: any two docs sharing a bucket are joined through its
+    hub, so the components of the star graph EQUAL the components of the
+    full in-bucket pair graph.  What is lost vs :func:`lsh_candidate_
+    pairs` is only the per-pair evidence (n_shared_bands / direct pair
+    list) — exactly the part that cost bucket².  Returns distinct
+    (id_a=hub, id_b=member) with id_a < id_b by construction."""
+    if sig_df is None:
+        sig_df = signature_frame(df, text_col, id_col, k)
+    keyed = sig_df.select(
+        F.col(id_col),
+        F.explode(minhash_band_keys(F.col("sig"), bands, rows)).alias("band_key"),
+    )
+    hubs = (
+        keyed.groupBy("band_key")
+        .agg(F.min(id_col).alias("_hub"), F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("band_key", "_hub")
+    )
+    return (
+        keyed.join(hubs, "band_key")
+        .filter(F.col(id_col) != F.col("_hub"))
+        .select(F.col("_hub").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+
+
+def canonical_dedup_scalable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float | None = None,
+    bands: int = 4,
+    rows: int = 2,
+) -> DataFrame:
+    """:func:`canonical_dedup` on the star-edge candidate graph — the
+    100 TB path.  :func:`canonical_dedup` enumerates every verified pair
+    inside each near-dup cluster (Σ cluster² — measured 42.8x wall at
+    10x data on the replica corpus, SCALE.md decade 2); this variant
+    clusters through Σ bucket hub edges, linear in cluster size.
+
+    *threshold*: optionally verify each STAR EDGE with exact shingle
+    Jaccard before clustering.  Note the explicit recall trade vs the
+    pair graph: a member whose hub edge fails verification disconnects
+    even if some non-hub pair would have passed — the price of never
+    materializing pairs.  With threshold=None the components exactly
+    equal canonical_dedup's candidate components (see lsh_star_edges)."""
+    from ..operators.graph import connected_components
+
+    edges = lsh_star_edges(df, text_col, id_col, k, bands, rows)
+    if threshold is not None:
+        sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("_sh")).persist()
+        a, b = sh.alias("sa"), sh.alias("sb")
+        edges = (
+            edges.join(a, edges.id_a == F.col(f"sa.{id_col}"))
+            .join(b, edges.id_b == F.col(f"sb.{id_col}"))
+            .filter(
+                F.round(jaccard(F.col("sa._sh"), F.col("sb._sh")), 8) >= threshold
+            )
+            .select("id_a", "id_b")
+        )
+    cc = connected_components(edges, src="id_a", dst="id_b")
+    losers = cc.filter(F.col("id") != F.col("component")).select("id")
+    stats = (
+        cc.groupBy("component")
+        .agg((F.count(F.lit(1)) - 1).alias("n_removed"))
+        .withColumnRenamed("component", id_col)
+    )
+    return (
+        df.join(losers.withColumnRenamed("id", id_col), id_col, "left_anti")
+        .join(stats, id_col, "left")
+        .withColumn("n_removed", F.coalesce(F.col("n_removed"), F.lit(0)))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
