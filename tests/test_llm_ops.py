@@ -450,3 +450,52 @@ def test_bigram_lm_scores_rank_fluent_text_higher(spark):
     assert out[5]["n_bigrams"] == 0 and out[5]["logprob_micro"] is None
     # in-model doc scores above the smoothed floor
     assert out[1]["avg_logprob_micro"] > out[4]["avg_logprob_micro"]
+
+
+# ---------------------------------------------------------------------------
+# Scalable canonical dedup (r4): star-edge graph vs pair graph
+# ---------------------------------------------------------------------------
+
+
+def test_star_edges_components_equal_pair_graph(spark):
+    """Unverified star-edge components must EQUAL the unverified LSH pair
+    graph's components (any two bucket members connect through the hub) —
+    the invariant that lets canonical_dedup_scalable replace sum-bucket^2
+    pair enumeration with sum-bucket hub edges."""
+    from pyspark.sql import Row
+
+    from bacon_spark.operators.graph import connected_components
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy dog tonight",  # near-dup of 0
+        "a completely different document about spark plans here",
+        "a completely different document about spark plans there",  # near-dup of 2
+        "the quick brown fox jumps over a lazy dog today",  # near-dup of 0/1
+        "nothing shares shingles with anything else zzz qqq www",
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+
+    pair_cc = connected_components(
+        dd.lsh_candidate_pairs(df).select("id_a", "id_b"), src="id_a", dst="id_b"
+    )
+    star_cc = connected_components(
+        dd.lsh_star_edges(df), src="id_a", dst="id_b"
+    )
+    pairs = {(r["id"], r["component"]) for r in pair_cc.collect()}
+    stars = {(r["id"], r["component"]) for r in star_cc.collect()}
+    assert pairs == stars and pairs  # identical labeling, non-trivial
+
+
+def test_canonical_dedup_scalable_keeps_cluster_minimum(spark):
+    from pyspark.sql import Row
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappab",  # dup of 0
+        "unrelated corpus text with entirely different words inside",
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    out = {r["doc_id"]: r["n_removed"]
+           for r in dd.canonical_dedup_scalable(df, threshold=0.2).collect()}
+    assert out == {0: 1, 2: 0}  # doc 1 removed into cluster-min 0
