@@ -508,6 +508,39 @@ def q151_canonical_dedup_scalable(spark, sf_dir):
 
 
 @query(
+    "q152_embedding_dedup_scalable",
+    _sim.embedding_dedup_scalable_sql(dim=64, threshold=0.2)
+    + " ",
+)
+def q152_embedding_dedup_scalable(spark, sf_dir):
+    """Keep-one EMBEDDING near-dup dedup via bucket star edges
+    (llm/similarity.embedding_dedup_scalable) — the embedding twin of
+    q151 and the scale path past q73's Σ bucket² pair enumeration:
+    hyperplane buckets contribute member→bucket-min hub edges, hub
+    edges verified with exact cosine ≥ 0.2 (q73's threshold, so the
+    gate actually forms clusters — 35 vectors removed at sf0.01),
+    components keep the
+    cluster-minimum vector.  The oracle replays identical buckets, star
+    edges, verify, and recursive-CTE components.  Same adaptive-plane
+    rule + gate-SF guard as q73 (the oracle pins the 8-plane
+    instantiation)."""
+    import os
+
+    emb = _read(spark, sf_dir, "embeddings")
+    n = emb.count()
+    planes = _sim.adaptive_seed_count(n)
+    if os.path.basename(os.path.normpath(sf_dir)) in ("sf0.001", "sf0.01"):
+        assert planes == len(_sim.HYPERPLANE_SEEDS), (
+            f"gate fixture {sf_dir} grew to {n} vectors; regenerate the "
+            f"q152 oracle for {planes} planes"
+        )
+    seeds = tuple(range(1, planes + 1))
+    return _sim.embedding_dedup_scalable(emb, dim=64, threshold=0.2, seeds=seeds).orderBy(
+        "vec_id"
+    )
+
+
+@query(
     "q97_knn_join",
     f"""
     WITH q AS (

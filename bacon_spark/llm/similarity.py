@@ -279,6 +279,117 @@ def lsh_bucket_pairs_sql(
     """
 
 
+def embedding_dedup_scalable(
+    df: DataFrame,
+    dim: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seeds=HYPERPLANE_SEEDS,
+) -> DataFrame:
+    """Keep-one embedding near-dup dedup via bucket STAR edges — the
+    embedding twin of llm/dedup.canonical_dedup_scalable (and the scale
+    path past :func:`lsh_bucket_pairs`' Σ bucket² enumeration): every
+    hyperplane bucket contributes member→bucket-min hub edges (Σ bucket,
+    linear in bucket size), hub edges are verified with exact cosine ≥
+    *threshold*, connected components label clusters, and the cluster-
+    minimum id survives.
+
+    Returns (id, n_removed): the retained vectors with how many
+    near-duplicates each absorbed.  Recall trade (documented, same as
+    the text-side star graph): a member whose hub edge fails the cosine
+    verify disconnects even if some non-hub in-bucket pair would have
+    passed."""
+    from ..operators.graph import connected_components
+
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bits(F.col(vec_col), dim, seeds).alias("bucket"),
+    )
+    hubs = (
+        bucketed.groupBy("bucket")
+        .agg(F.min(id_col).alias("_hub"), F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("bucket", "_hub")
+    )
+    hub_vec = bucketed.select(
+        F.col(id_col).alias("_hub"), F.col(vec_col).alias("_hv")
+    )
+    edges = (
+        bucketed.join(hubs, "bucket")
+        .filter(F.col(id_col) != F.col("_hub"))
+        .join(hub_vec, "_hub")
+        .filter(F.round(cosine(F.col("_hv"), F.col(vec_col)), 6) >= F.lit(threshold))
+        .select(F.col("_hub").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+    cc = connected_components(edges, src="id_a", dst="id_b")
+    losers = cc.filter(F.col("id") != F.col("component")).select("id")
+    stats = (
+        cc.groupBy("component")
+        .agg((F.count(F.lit(1)) - 1).alias("n_removed"))
+        .withColumnRenamed("component", id_col)
+    )
+    return (
+        df.select(id_col)
+        .join(losers.withColumnRenamed("id", id_col), id_col, "left_anti")
+        .join(stats, id_col, "left")
+        .withColumn("n_removed", F.coalesce(F.col("n_removed"), F.lit(0)))
+    )
+
+
+def embedding_dedup_scalable_sql(
+    dim: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+    seeds=HYPERPLANE_SEEDS,
+) -> str:
+    """DuckDB twin of :func:`embedding_dedup_scalable` (identical buckets,
+    identical star edges, identical verify, recursive-CTE components)."""
+    proj = (
+        f"list_sum(list_transform(list_zip({vec_col}, plane), "
+        f"p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+    )
+    return f"""
+    WITH RECURSIVE planes AS ({hyperplane_planes_sql_cte(dim, seeds)}),
+    bucketed AS MATERIALIZED (
+      SELECT {id_col} AS id, {vec_col} AS v,
+             sum(CASE WHEN {proj} > 0 THEN (1::BIGINT << si) ELSE 0 END)::BIGINT AS bucket
+      FROM {table} CROSS JOIN planes
+      GROUP BY 1, 2
+    ),
+    hub AS (
+      SELECT bucket, min(id) AS hub FROM bucketed GROUP BY 1 HAVING count(*) > 1
+    ),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT h.hub AS a, m.id AS b
+      FROM bucketed m
+      JOIN hub h USING (bucket)
+      JOIN bucketed hv ON hv.id = h.hub
+      WHERE m.id <> h.hub
+        AND round({cosine_sql('hv.v', 'm.v')}, 6) >= {threshold}
+    ),
+    sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+    reach(id, lbl) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.id
+    ),
+    comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    removed AS (SELECT id FROM comp WHERE id <> cluster_id),
+    stats AS (SELECT cluster_id, count(*) - 1 AS n_removed FROM comp GROUP BY 1)
+    SELECT e.{id_col},
+           coalesce(s.n_removed, 0)::BIGINT AS n_removed
+    FROM {table} e
+    LEFT JOIN stats s ON e.{id_col} = s.cluster_id
+    WHERE e.{id_col} NOT IN (SELECT id FROM removed)
+    ORDER BY e.{id_col}
+    """
+
+
 def ann_lsh_topk(
     df: DataFrame,
     query_vec_row: list[float],

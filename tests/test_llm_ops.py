@@ -499,3 +499,23 @@ def test_canonical_dedup_scalable_keeps_cluster_minimum(spark):
     out = {r["doc_id"]: r["n_removed"]
            for r in dd.canonical_dedup_scalable(df, threshold=0.2).collect()}
     assert out == {0: 1, 2: 0}  # doc 1 removed into cluster-min 0
+
+
+def test_embedding_dedup_scalable_keeps_cluster_minimum(spark):
+    """r4: embedding star-edge dedup — near-identical vectors collapse to
+    the min id; an orthogonal vector survives untouched."""
+    from pyspark.sql import Row
+
+    base = [1.0, 0.0, 0.5, 0.25] * 16  # dim 64
+    near = [v * 1.001 for v in base]   # cosine ~1 with base
+    ortho = ([0.0, 1.0, -0.5, 0.25] * 16)
+    df = spark.createDataFrame(
+        [Row(vec_id=0, embedding=base),
+         Row(vec_id=1, embedding=near),
+         Row(vec_id=2, embedding=ortho)]
+    )
+    out = {r["vec_id"]: r["n_removed"]
+           for r in sim.embedding_dedup_scalable(df, dim=64, threshold=0.9).collect()}
+    assert out.get(0) == 1      # absorbed vec 1
+    assert 1 not in out         # removed
+    assert out.get(2) == 0      # untouched
