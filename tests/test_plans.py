@@ -373,3 +373,28 @@ def test_q139_quantization_cached_once(spark):
         assert plan.count("InMemoryTableScan") >= 2  # probe + corpus sides
     finally:
         spark.catalog.clearCache()
+
+
+def test_star_edge_ops_have_no_inequality_pair_joins(spark):
+    # r4 scalable dedup: the star-edge graph must be built from EQUALITY
+    # joins only (bucket key, hub id) — the sum-bucket^2 pair enumeration
+    # shows up as a self-join with an `id < id` condition, which must not
+    # exist anywhere in these plans
+    from pyspark.sql import functions as F
+
+    from bacon_spark.llm.dedup import lsh_star_edges
+    from bacon_spark.llm.similarity import embedding_dedup_scalable
+    from bacon_spark.sources.star import read_table
+
+    docs = read_table(spark, SF, "documents")
+    plan = lsh_star_edges(docs)._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if "Join" in line:
+            assert " < " not in line, line
+
+    emb = read_table(spark, SF, "embeddings")
+    out = embedding_dedup_scalable(emb, dim=64, threshold=0.2)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if "Join" in line and "LeftAnti" not in line:
+            assert " < " not in line, line
