@@ -603,9 +603,56 @@ def q109_winnow_overlap_pairs(spark, sf_dir):
     )
 
 
+_Q150_BOILER_DOCS = [
+    (1000000, "all rights reserved contact our support team now for more information today uniqaa tailaa filleraa"),
+    (1000001, "all rights reserved contact our support team now for more information today uniqba tailab fillerbb"),
+    (1000002, "all rights reserved contact our support team now for more information today uniqca tailac fillercc"),
+    (1000003, "all rights reserved contact our support team now for more information today uniqda tailad fillerdd"),
+    (1000004, "all rights reserved contact our support team now for more information today uniqea tailae filleree"),
+    (1000005, "all rights reserved contact our support team now for more information today uniqfa tailaf fillerff"),
+    (1000006, "all rights reserved contact our support team now for more information today uniqga tailag fillergg"),
+    (1000007, "all rights reserved contact our support team now for more information today uniqha tailah fillerhh"),
+    (1000008, "all rights reserved contact our support team now for more information today uniqia tailai fillerii"),
+    (1000009, "all rights reserved contact our support team now for more information today uniqja tailaj fillerjj"),
+    (1000010, "all rights reserved contact our support team now for more information today uniqka tailak fillerkk"),
+    (1000011, "all rights reserved contact our support team now for more information today uniqla tailal fillerll"),
+    (1000012, "all rights reserved contact our support team now for more information today uniqma tailam fillermm"),
+    (1000013, "all rights reserved contact our support team now for more information today uniqna tailan fillernn"),
+    (1000014, "all rights reserved contact our support team now for more information today uniqoa tailao filleroo"),
+    (1000015, "all rights reserved contact our support team now for more information today uniqpa tailap fillerpp"),
+    (1000016, "all rights reserved contact our support team now for more information today uniqqa tailaq fillerqq"),
+    (1000017, "all rights reserved contact our support team now for more information today uniqra tailar fillerrr"),
+    (1000018, "all rights reserved contact our support team now for more information today uniqsa tailas fillerss"),
+    (1000019, "all rights reserved contact our support team now for more information today uniqta tailat fillertt"),
+    (1000020, "all rights reserved contact our support team now for more information today uniqua tailau filleruu"),
+    (1000021, "all rights reserved contact our support team now for more information today uniqva tailav fillervv"),
+    (1000022, "all rights reserved contact our support team now for more information today uniqwa tailaw fillerww"),
+    (1000023, "all rights reserved contact our support team now for more information today uniqxa tailax fillerxx"),
+    (1000024, "all rights reserved contact our support team now for more information today uniqya tailay filleryy"),
+    (1000025, "all rights reserved contact our support team now for more information today uniqza tailaz fillerzz"),
+    (1000026, "all rights reserved contact our support team now for more information today uniqab tailba filleraa"),
+    (1000027, "all rights reserved contact our support team now for more information today uniqbb tailbb fillerbb"),
+    (1000028, "all rights reserved contact our support team now for more information today uniqcb tailbc fillercc"),
+    (1000029, "all rights reserved contact our support team now for more information today uniqdb tailbd fillerdd"),
+    (1000030, "all rights reserved contact our support team now for more information today uniqeb tailbe filleree"),
+    (1000031, "all rights reserved contact our support team now for more information today uniqfb tailbf fillerff"),
+    (1000032, "all rights reserved contact our support team now for more information today uniqgb tailbg fillergg"),
+    (1000033, "all rights reserved contact our support team now for more information today uniqhb tailbh fillerhh"),
+    (1000034, "all rights reserved contact our support team now for more information today uniqib tailbi fillerii"),
+    (1000035, "all rights reserved contact our support team now for more information today uniqjb tailbj fillerjj"),
+    (1000036, "all rights reserved contact our support team now for more information today uniqkb tailbk fillerkk"),
+    (1000037, "all rights reserved contact our support team now for more information today uniqlb tailbl fillerll"),
+    (1000038, "all rights reserved contact our support team now for more information today uniqmb tailbm fillermm"),
+    (1000039, "all rights reserved contact our support team now for more information today uniqnb tailbn fillernn"),
+]
+
+
 @query(
     "q150_winnow_capped_pairs",
-    _dd.winnow_overlap_pairs_sql("documents", "text", "doc_id", 3, 4, 3, max_df=32)
+    _dd.winnow_overlap_pairs_sql(
+        "(SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT * FROM (VALUES (1000000, 'all rights reserved contact our support team now for more information today uniqaa tailaa filleraa'), (1000001, 'all rights reserved contact our support team now for more information today uniqba tailab fillerbb'), (1000002, 'all rights reserved contact our support team now for more information today uniqca tailac fillercc'), (1000003, 'all rights reserved contact our support team now for more information today uniqda tailad fillerdd'), (1000004, 'all rights reserved contact our support team now for more information today uniqea tailae filleree'), (1000005, 'all rights reserved contact our support team now for more information today uniqfa tailaf fillerff'), (1000006, 'all rights reserved contact our support team now for more information today uniqga tailag fillergg'), (1000007, 'all rights reserved contact our support team now for more information today uniqha tailah fillerhh'), (1000008, 'all rights reserved contact our support team now for more information today uniqia tailai fillerii'), (1000009, 'all rights reserved contact our support team now for more information today uniqja tailaj fillerjj'), (1000010, 'all rights reserved contact our support team now for more information today uniqka tailak fillerkk'), (1000011, 'all rights reserved contact our support team now for more information today uniqla tailal fillerll'), (1000012, 'all rights reserved contact our support team now for more information today uniqma tailam fillermm'), (1000013, 'all rights reserved contact our support team now for more information today uniqna tailan fillernn'), (1000014, 'all rights reserved contact our support team now for more information today uniqoa tailao filleroo'), (1000015, 'all rights reserved contact our support team now for more information today uniqpa tailap fillerpp'), (1000016, 'all rights reserved contact our support team now for more information today uniqqa tailaq fillerqq'), (1000017, 'all rights reserved contact our support team now for more information today uniqra tailar fillerrr'), (1000018, 'all rights reserved contact our support team now for more information today uniqsa tailas fillerss'), (1000019, 'all rights reserved contact our support team now for more information today uniqta tailat fillertt'), (1000020, 'all rights reserved contact our support team now for more information today uniqua tailau filleruu'), (1000021, 'all rights reserved contact our support team now for more information today uniqva tailav fillervv'), (1000022, 'all rights reserved contact our support team now for more information today uniqwa tailaw fillerww'), (1000023, 'all rights reserved contact our support team now for more information today uniqxa tailax fillerxx'), (1000024, 'all rights reserved contact our support team now for more information today uniqya tailay filleryy'), (1000025, 'all rights reserved contact our support team now for more information today uniqza tailaz fillerzz'), (1000026, 'all rights reserved contact our support team now for more information today uniqab tailba filleraa'), (1000027, 'all rights reserved contact our support team now for more information today uniqbb tailbb fillerbb'), (1000028, 'all rights reserved contact our support team now for more information today uniqcb tailbc fillercc'), (1000029, 'all rights reserved contact our support team now for more information today uniqdb tailbd fillerdd'), (1000030, 'all rights reserved contact our support team now for more information today uniqeb tailbe filleree'), (1000031, 'all rights reserved contact our support team now for more information today uniqfb tailbf fillerff'), (1000032, 'all rights reserved contact our support team now for more information today uniqgb tailbg fillergg'), (1000033, 'all rights reserved contact our support team now for more information today uniqhb tailbh fillerhh'), (1000034, 'all rights reserved contact our support team now for more information today uniqib tailbi fillerii'), (1000035, 'all rights reserved contact our support team now for more information today uniqjb tailbj fillerjj'), (1000036, 'all rights reserved contact our support team now for more information today uniqkb tailbk fillerkk'), (1000037, 'all rights reserved contact our support team now for more information today uniqlb tailbl fillerll'), (1000038, 'all rights reserved contact our support team now for more information today uniqmb tailbm fillermm'), (1000039, 'all rights reserved contact our support team now for more information today uniqnb tailbn fillernn')) _b(doc_id, text)) _docs",
+        "text", "doc_id", 3, 4, 3, max_df=32)
     + " ORDER BY id_a, id_b",
 )
 def q150_winnow_capped_pairs(spark, sf_dir):
@@ -613,12 +660,20 @@ def q150_winnow_capped_pairs(spark, sf_dir):
     minimizers appearing in more than 32 documents (boilerplate n-grams)
     are dropped before the self-join, bounding bucket size so the pair
     join is Σ min(bucket, 32)² — linear per decade instead of q109's
-    measured 4.6x/decade Σ bucket² tail.  The oracle replicates the cap,
-    so the recall trade (overlaps attested only by hot minimizers are
-    dropped) is pinned exactly, not approximated."""
-    docs = _read_docs(spark, sf_dir)
+    measured 48.9x/decade Σ bucket² tail at sf1→sf10.  The oracle
+    replicates the cap, so the recall trade (overlaps attested only by
+    hot minimizers are dropped) is pinned exactly, not approximated.
+
+    The fixtures' own minimizers never exceed df 7, so 40 deterministic
+    BOILERPLATE docs (one shared 12-token preamble → shared minimizers
+    with df 40 > cap 32) are unioned in on both engines — q119's
+    can't-pass-vacuously pattern: the 780 boilerplate-only pairs that
+    the uncapped q109 join would emit must be ABSENT here, and that
+    absence is part of the hash."""
+    docs = _read_docs(spark, sf_dir).select("doc_id", "text")
+    boiler = spark.createDataFrame(_Q150_BOILER_DOCS, "doc_id long, text string")
     return _dd.winnow_overlap_pairs(
-        docs, "text", "doc_id", k=3, w=4, min_shared=3, max_df=32
+        docs.unionByName(boiler), "text", "doc_id", k=3, w=4, min_shared=3, max_df=32
     ).orderBy("id_a", "id_b")
 
 
