@@ -637,6 +637,27 @@ def q119_spelling_variants(spark, sf_dir):
     )
 
 
+@query(
+    "q153_quality_filter_scores",
+    _imp.hashed_linear_scores_sql("documents", "text", "doc_id", 1024, "qlw")
+    + " ORDER BY doc_id",
+)
+def q153_quality_filter_scores(spark, sf_dir):
+    """Quality-classifier inference (llm/importance.hashed_linear_scores)
+    — the fastText/CCNet-style linear filter every production pipeline
+    runs before training.  Hashing-trick features (q143's trick), md5-
+    derived deterministic weights (the LSH-hyperplane constant trick, so
+    inference needs no broadcast side at all), integer-exact logit in
+    micro-units.
+
+    Scale shape: pure whole-stage-codegen array expressions — zero
+    shuffle, zero UDFs, zero broadcast; the entire filter is a map-side
+    projection over the corpus scan.  (A trained model would broadcast
+    a dim-sized weight array; same plan shape.)"""
+    docs = _read_docs(spark, sf_dir)
+    return _imp.hashed_linear_scores(docs, "text", "doc_id").orderBy("doc_id")
+
+
 _Q132_DRAW = _draw_sql("doc_id", "s132")
 
 

@@ -205,3 +205,95 @@ def dsir_scores_sql(
     FROM {table} d LEFT JOIN scored s ON d.{id_expr} = s.doc_id
     ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fastText-style filter inference)
+# ---------------------------------------------------------------------------
+
+
+def hashed_linear_scores(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+    seed: str = "qlw",
+):
+    """Quality-classifier INFERENCE at corpus scale: a linear model over
+    hashing-trick token features (the fastText/CCNet-style quality
+    filter every production pipeline runs over 100 TB before training).
+
+    The weight for feature bucket j is a pure deterministic function of
+    j — ``hash60(seed:j) % 2001 - 1000`` (milli-units in [-1000, 1000]),
+    the same md5-derived-constant trick as the LSH hyperplanes — so
+    "inference" needs NO broadcast side at all: score =
+    Σ_tokens w(bucket(token)) / n_tokens folds entirely into
+    whole-stage codegen array expressions, zero shuffle, zero UDFs.
+    (A trained model would broadcast a dim-sized weight array instead;
+    the plan shape is identical.)
+
+    Emitted integer-exact (``logit_micro`` = round(1e6 · mean weight in
+    [-1,1] units)), so the cross-engine hash can't flake on libm: the
+    only float op is one double division of exact integers.
+
+    Returns (id, n_tokens, logit_micro, keep) — keep = logit_micro > 0."""
+    from pyspark.sql import functions as F
+
+    from .dedup import hash60
+    from .text import tokens
+
+    def w(tok):
+        idx = F.pmod(hash60(tok), F.lit(dim))
+        return F.pmod(hash60(F.concat(F.lit(seed + ":"), idx.cast("string"))), F.lit(2001)) - 1000
+
+    toks = tokens(F.col(text_col))
+    s = F.aggregate(
+        F.transform(toks, lambda t: w(t)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n = F.size(toks)
+    logit_micro = F.when(
+        n > 0, F.round(s.cast("double") * 1000.0 / n.cast("double")).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        logit_micro.alias("logit_micro"),
+        (logit_micro > 0).alias("keep"),
+    )
+
+
+def hashed_linear_scores_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+    seed: str = "qlw",
+) -> str:
+    """DuckDB twin of :func:`hashed_linear_scores` (identical md5 weight
+    derivation, identical integer scoring)."""
+    from .dedup import hash60_sql
+    from .text import tokens_sql
+
+    idx = f"({hash60_sql('t')} % {dim})"
+    w = f"({hash60_sql(chr(39) + seed + ':' + chr(39) + ' || ' + idx + '::VARCHAR')} % 2001 - 1000)"
+    toks = tokens_sql(text_col)
+    return f"""
+    WITH _t AS (
+        SELECT {id_col},
+               {toks} AS toks
+        FROM {table}
+    )
+    SELECT {id_col},
+           len(toks)::BIGINT AS n_tokens,
+           CASE WHEN len(toks) > 0
+                THEN round(list_sum(list_transform(toks, t -> {w}))::DOUBLE
+                           * 1000.0 / len(toks)::DOUBLE)::BIGINT
+                ELSE 0 END AS logit_micro,
+           CASE WHEN len(toks) > 0
+                THEN round(list_sum(list_transform(toks, t -> {w}))::DOUBLE
+                           * 1000.0 / len(toks)::DOUBLE)::BIGINT > 0
+                ELSE FALSE END AS keep
+    FROM _t
+    """

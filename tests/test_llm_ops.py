@@ -519,3 +519,23 @@ def test_embedding_dedup_scalable_keeps_cluster_minimum(spark):
     assert out.get(0) == 1      # absorbed vec 1
     assert 1 not in out         # removed
     assert out.get(2) == 0      # untouched
+
+
+def test_hashed_linear_scores_integer_exact_and_empty_safe(spark):
+    """r4 quality filter: deterministic integer logit; empty/whitespace
+    docs score 0 and are not kept."""
+    from pyspark.sql import Row
+
+    from bacon_spark.llm.importance import hashed_linear_scores
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="some plain words here"),
+         Row(doc_id=1, text="   "),
+         Row(doc_id=2, text="some plain words here")]
+    )
+    rows = {r["doc_id"]: r for r in hashed_linear_scores(df).collect()}
+    assert rows[1]["n_tokens"] == 0 and rows[1]["logit_micro"] == 0 and not rows[1]["keep"]
+    # identical text -> identical integer score (determinism)
+    assert rows[0]["logit_micro"] == rows[2]["logit_micro"]
+    assert rows[0]["keep"] == (rows[0]["logit_micro"] > 0)
+    assert rows[0]["n_tokens"] == 4
