@@ -234,6 +234,46 @@ def q46_multimodal_features(spark, sf_dir):
 
 
 @query(
+    "q154_multimodal_phash_dedup",
+    """
+    WITH assets AS (
+      SELECT i AS asset_id,
+             list_transform(range(0, 60), j -> (i*31 + j*7) % 256) AS head
+      FROM (SELECT unnest(range(0, 300)) AS i)
+    ),
+    hashed AS (
+      SELECT asset_id,
+             list_sum(list_transform(range(0, 60),
+                j -> CASE WHEN head[j+1] > list_sum(head)/60.0
+                          THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS ahash
+      FROM assets
+    )
+    SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+           bit_count(xor(a.ahash, b.ahash))::INT AS hamming
+    FROM hashed a JOIN hashed b ON a.asset_id < b.asset_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def q154_multimodal_phash_dedup(spark, sf_dir):
+    """Perceptual-hash near-duplicate detection over multimodal binary
+    assets (llm/multimodal.phash_near_dup) — the image-dedup pass of a
+    multimodal pipeline: aHash signatures computed through the REAL
+    Arrow mapInPandas plumbing (the resize kernel is the documented
+    stub), banded into 15-bit keys, candidate pairs from band-bucket
+    equi-joins, exact Hamming via codegen bit_count(xor).
+
+    The banded path is pigeonhole-COMPLETE for hamming <= 3 < 4 bands,
+    so the oracle verifies it against the BRUTE-FORCE all-pairs answer:
+    any missing or spurious pair fails the hash, proving the candidate
+    generation exact, not approximate."""
+    from ..llm.multimodal import phash_near_dup, synthetic_assets
+
+    assets = synthetic_assets(spark, 300)
+    return phash_near_dup(assets, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@query(
     "q47_ann_ivf_topk",
     """
     SELECT 10 AS k, 8 AS nlist, 3 AS nprobe,

@@ -126,3 +126,90 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate detection (the multimodal dedup pass)
+# ---------------------------------------------------------------------------
+
+PHASH_BITS = 60  # fits a non-negative BIGINT in both engines
+PHASH_BANDS = 4  # 4 x 15-bit bands
+
+AHASH_SCHEMA = StructType(
+    [StructField("asset_id", LongType()), StructField("ahash", LongType())]
+)
+
+
+def ahash_assets(df: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Average-hash signatures over binary payloads via mapInPandas — the
+    perceptual-dedup analogue of extract_image_features: bit j is set iff
+    byte j of the (stub-)decoded payload exceeds the mean of the first
+    PHASH_BITS bytes.  (A real image aHash resizes to 8x8 grayscale
+    first — that resize is the stubbed kernel; the hash arithmetic and
+    all Spark plumbing are identical.)"""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real image decode requires PIL/torchvision; not in this container"
+                )
+
+            def h(p: bytes) -> int:
+                head = p[:PHASH_BITS]
+                if not head:
+                    return 0
+                mean = sum(head) / float(PHASH_BITS)
+                return sum(1 << j for j, b in enumerate(head) if b > mean)
+
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"], "ahash": pdf["payload"].map(h).astype("int64")}
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(run, AHASH_SCHEMA)
+
+
+def phash_near_dup(df: DataFrame, max_hamming: int = 3, decode_stub: bool = True) -> DataFrame:
+    """Perceptual near-duplicate pairs over a multimodal asset table:
+    (id_a, id_b, hamming) with Hamming(aHash_a, aHash_b) <= max_hamming.
+
+    Scale shape: signatures band into PHASH_BANDS 15-bit keys; candidate
+    pairs come from band-bucket EQUI-joins (never all-pairs) and the
+    exact Hamming check is one codegen bit_count(xor).  Completeness is
+    pigeonhole-exact, not probabilistic: max_hamming < PHASH_BANDS
+    guarantees every qualifying pair shares at least one unchanged band,
+    so the banded join finds EXACTLY the brute-force answer (the oracle
+    computes it brute-force)."""
+    assert max_hamming < PHASH_BANDS, "pigeonhole completeness needs max_hamming < bands"
+    sig = ahash_assets(df, decode_stub=decode_stub)
+    width = PHASH_BITS // PHASH_BANDS
+    keyed = sig.select(
+        "asset_id",
+        "ahash",
+        F.explode(
+            F.array(*[
+                F.concat(
+                    F.lit(f"{b}:"),
+                    F.shiftright(F.col("ahash"), b * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    ).cast("string"),
+                )
+                for b in range(PHASH_BANDS)
+            ])
+        ).alias("band_key"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.asset_id") < F.col("b.asset_id")))
+        .select(
+            F.col("a.asset_id").alias("id_a"),
+            F.col("b.asset_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

@@ -539,3 +539,30 @@ def test_hashed_linear_scores_integer_exact_and_empty_safe(spark):
     assert rows[0]["logit_micro"] == rows[2]["logit_micro"]
     assert rows[0]["keep"] == (rows[0]["logit_micro"] > 0)
     assert rows[0]["n_tokens"] == 4
+
+
+def test_phash_banded_equals_brute_force(spark):
+    """r4 multimodal dedup: the banded candidate path must reproduce the
+    brute-force Hamming<=3 pair set exactly (pigeonhole: 3 errors can't
+    touch all 4 bands)."""
+    from itertools import combinations
+
+    from bacon_spark.llm.multimodal import (
+        PHASH_BITS,
+        ahash_assets,
+        phash_near_dup,
+        synthetic_assets,
+    )
+
+    assets = synthetic_assets(spark, 80)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dup(assets, max_hamming=3).collect()
+    }
+    sig = {r["asset_id"]: r["ahash"] for r in ahash_assets(assets).collect()}
+    want = {}
+    for a, b in combinations(sorted(sig), 2):
+        h = bin(sig[a] ^ sig[b]).count("1")
+        if h <= 3:
+            want[(a, b)] = h
+    assert got == want and want  # exact and non-trivial
