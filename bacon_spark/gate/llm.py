@@ -581,6 +581,85 @@ def q152_embedding_dedup_scalable(spark, sf_dir):
 
 
 @query(
+    "q155_corpus_prep_v2",
+    f"""
+    WITH RECURSIVE qscore AS ({_imp.hashed_linear_scores_sql("documents", "text", "doc_id")}),
+    kept AS MATERIALIZED (
+      SELECT d.doc_id, d.source, d.text
+      FROM documents d JOIN qscore q USING (doc_id)
+      WHERE q.keep
+    ),
+    sig AS MATERIALIZED (
+      SELECT doc_id, {_dd.minhash_signature_sql('text')} AS sig FROM kept
+    ),
+    keyed AS MATERIALIZED (
+      SELECT doc_id, unnest({_band_keys_sql('sig', 4, 2)}) AS band_key FROM sig
+    ),
+    hub AS (
+      SELECT band_key, min(doc_id) AS hub FROM keyed
+      GROUP BY 1 HAVING count(*) > 1
+    ),
+    star AS (
+      SELECT DISTINCT h.hub AS a, k.doc_id AS b
+      FROM keyed k JOIN hub h USING (band_key) WHERE k.doc_id <> h.hub
+    ),
+    sh AS MATERIALIZED (SELECT doc_id, {_dd.shingles_sql('text')} AS s FROM kept),
+    edges AS MATERIALIZED (
+      SELECT st.a, st.b
+      FROM star st JOIN sh sa ON st.a = sa.doc_id JOIN sh sb ON st.b = sb.doc_id
+      WHERE {_STAR_JACC} >= 0.2
+    ),
+    sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+    reach(id, lbl) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.id
+    ),
+    comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    removed AS (SELECT id FROM comp WHERE id <> cluster_id),
+    stats AS (SELECT cluster_id, count(*) - 1 AS n_removed FROM comp GROUP BY 1)
+    SELECT k.source,
+           cast(count(*) as bigint) AS n_docs,
+           cast(sum(coalesce(s.n_removed, 0)) as bigint) AS n_absorbed,
+           cast(sum({_tx.whitespace_token_count_sql('k.text')}) as bigint) AS total_tokens
+    FROM kept k
+    LEFT JOIN stats s ON k.doc_id = s.cluster_id
+    WHERE k.doc_id NOT IN (SELECT id FROM removed)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q155_corpus_prep_v2(spark, sf_dir):
+    """The round-4 corpus-prep pipeline, composed in ONE lazy plan from
+    this round's production operators: q153's zero-shuffle quality
+    filter -> q151's star-edge canonical dedup (Σ bucket hub edges,
+    exact-Jaccard verified) -> per-source corpus accounting (docs kept,
+    near-dups absorbed, token mass).  q93 proved the v1 composition
+    (threshold quality + exact dedup + split); this proves the scalable
+    round-4 replacements compose the same way — the quality filter stays
+    a map-side projection under the dedup shuffles, and the only
+    corpus-sized exchanges are the banding and hub-edge joins.  The
+    oracle replays the ENTIRE pipeline (linear scores, star graph,
+    recursive components, keep-one, accounting) in DuckDB."""
+    docs = _read_docs(spark, sf_dir)
+    scored = _imp.hashed_linear_scores(docs, "text", "doc_id")
+    kept = docs.join(scored.filter(F.col("keep")).select("doc_id"), "doc_id").select(
+        "doc_id", "source", "text"
+    )
+    dd_out = _dd.canonical_dedup_scalable(kept, threshold=0.2)
+    return (
+        dd_out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_removed").cast("bigint").alias("n_absorbed"),
+            F.sum(_tx.whitespace_token_count(F.col("text")))
+            .cast("bigint")
+            .alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "q97_knn_join",
     f"""
     WITH q AS (
