@@ -74,7 +74,13 @@ def _ensure_workers_import(spark: SparkSession) -> None:
     import tempfile
     import zipfile
 
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    # the PACKAGE root, not this file's directory — this helper lives in
+    # the gate/ subpackage since the r4 split, and zipping gate/ as
+    # "bacon_spark" shipped workers a fake package whose relative imports
+    # broke ("attempted relative import beyond top-level package")
+    import bacon_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(bacon_spark.__file__))
     zpath = os.path.join(tempfile.gettempdir(), "bacon_spark_pkg.zip")
     with zipfile.ZipFile(zpath, "w") as z:
         for root, _dirs, files in os.walk(pkg_dir):

@@ -90,3 +90,41 @@ def test_oracle_compare_detects_mutations(spark):
     # documented tolerance), above it: DIFFERENT
     assert co.norm_rows(cols, [(1, 10.0 + 1e-12), (2, 20.0), (3, None)]) == base
     assert co.norm_rows(cols, [(1, 10.0 + 1e-6), (2, 20.0), (3, None)]) != base
+
+
+def test_worker_import_from_foreign_cwd():
+    """r4 regression: the gate/ split moved _ensure_workers_import into a
+    subpackage and its __file__-relative zip shipped gate/ AS bacon_spark
+    — workers then failed any mapInPandas/UDF query when the harness ran
+    outside the repo root ('attempted relative import beyond top-level
+    package'). Run a Python-worker gate query from /tmp to pin the fix."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    code = """
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as m
+n = m.queries()["q46_multimodal_features"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, n
+print("FOREIGN_CWD_OK")
+"""
+    # a stale zip from another session must not mask the logic under test
+    stale = os.path.join(tempfile.gettempdir(), "bacon_spark_pkg.zip")
+    if os.path.exists(stale):
+        os.unlink(stale)
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=tempfile.gettempdir(),
+    )
+    assert "FOREIGN_CWD_OK" in r.stdout, (r.stdout[-1500:], r.stderr[-1500:])
