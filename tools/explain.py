@@ -29,6 +29,12 @@ DEFAULT = [
     "q118_salted_skew_join",
     "q120_triangle_count",
     "q126_point_in_time_lookup",
+    "q140_cm_heavy_hitters",
+    "q150_winnow_capped_pairs",
+    "q151_canonical_dedup_scalable",
+    "q152_embedding_dedup_scalable",
+    "q153_quality_filter_scores",
+    "q155_corpus_prep_v2",
 ]
 
 
