@@ -33,6 +33,15 @@ SENSITIVE = [
     "q138_embedding_quantization",
     "q55_stratified_sample",
     "q82_dataset_split",
+    # r4 additions: star-edge dedup (CC labels must not depend on
+    # partitioning), df-capped winnowing, integer quality logits, pHash
+    # banding, and the composed v2 pipeline
+    "q150_winnow_capped_pairs",
+    "q151_canonical_dedup_scalable",
+    "q152_embedding_dedup_scalable",
+    "q153_quality_filter_scores",
+    "q154_multimodal_phash_dedup",
+    "q155_corpus_prep_v2",
 ]
 
 
