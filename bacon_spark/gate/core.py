@@ -1174,7 +1174,8 @@ def q52_keyset_page(spark, sf_dir):
     "q53_capped_distinct",
     """
     SELECT o_orderpriority AS priority,
-           list_slice(list_sort(list(DISTINCT o_custkey)), 1, 10) AS first_custkeys,
+           array_to_string(list_slice(list_sort(list(DISTINCT o_custkey)), 1, 10), ',')
+             AS first_custkeys,
            count(DISTINCT o_custkey) AS n_cust
     FROM orders
     GROUP BY 1
@@ -1185,7 +1186,11 @@ def q53_capped_distinct(spark, sf_dir):
     customers per priority via the CappedCollectSet accumulator. The
     bounded-intermediate twin (operators.scale.capped_distinct) produces
     the identical result with per-group state capped end-to-end — the
-    100 TB form; equivalence is asserted in tests."""
+    100 TB form; equivalence is asserted in tests.
+
+    The capped set is emitted as a sorted comma-joined STRING, not
+    array<bigint>: the driver's canonicalizer sorts via pandas, which
+    cannot factorize list cells (same contract as q13's tag_union)."""
     from ..accumulators import CappedCollectSet
 
     cd = CubeDef("orders")
@@ -1198,7 +1203,15 @@ def q53_capped_distinct(spark, sf_dir):
         .add_value("first_custkeys")
         .add_value("n_cust")
     )
-    return board(cd, _read(spark, sf_dir, "orders")).slice(q).to_df()
+    out = board(cd, _read(spark, sf_dir, "orders")).slice(q).to_df()
+    return out.select(
+        "priority",
+        F.array_join(
+            F.expr("transform(array_sort(first_custkeys), x -> cast(x as string))"),
+            ",",
+        ).alias("first_custkeys"),
+        "n_cust",
+    )
 
 
 @query(

@@ -59,6 +59,46 @@ def test_sampled_queries_run_at_smoke_sf(spark):
         assert qs[name](spark, "/root/testdata/sf0.001").count() >= 0, name
 
 
+def test_no_complex_typed_output_columns(spark):
+    """r4 verdict task #2: the driver's canonicalizer sorts result cells
+    via pandas, which cannot factorize list/struct/map cells — q53 went
+    red in the driver's snapshot for exactly this (array<bigint> column)
+    while hash-matching in a list-normalizing comparator.  Pin the
+    contract: NO queries() output schema and NO oracle_sql() result
+    relation may carry a complex-typed column.  Set-valued results must
+    be flattened (sorted comma-joined string — the q13/q53 pattern)."""
+    import duckdb
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    mod = _load_entry()
+    sf = "/root/testdata/sf0.001"
+
+    bad_spark = []
+    for name, fn in mod.queries().items():
+        df = fn(spark, sf)
+        for field in df.schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                bad_spark.append((name, field.name, str(field.dataType)))
+    assert bad_spark == [], bad_spark
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    bad_oracle = []
+    for name, sql in mod.oracle_sql().items():
+        desc = con.execute("DESCRIBE " + sql.rstrip().rstrip(";")).fetchall()
+        for col, typ, *_ in desc:
+            t = typ.upper()
+            if "[]" in t or "STRUCT" in t or "MAP(" in t or "LIST" in t:
+                bad_oracle.append((name, col, typ))
+    assert bad_oracle == [], bad_oracle
+
+
 def test_oracle_compare_detects_mutations(spark):
     """Negative control for the correctness harness: the same
     normalization+compare used by tools/check_oracle.py must FAIL on a
