@@ -54,5 +54,6 @@ from .cubedef import (
 from .cubequery import CubeQuery
 from .engine import CuttingBoard, Slice, SliceMatrix
 from .errors import BaconSparkError, DataError, QueryError
+from .utils.caching import managed_persist, release_caches
 
 __version__ = "0.1.0"

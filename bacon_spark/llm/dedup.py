@@ -180,10 +180,13 @@ def signature_frame(
 ) -> DataFrame:
     """(id, sig) frame with the signature computed ONCE and persisted —
     the self-join in candidate generation would otherwise recompute the
-    md5-heavy signature expression on both sides."""
-    return df.select(
-        F.col(id_col), minhash_signature(F.col(text_col), k).alias("sig")
-    ).persist()
+    md5-heavy signature expression on both sides.  Managed persist: the
+    session owner releases it via bacon_spark.release_caches()."""
+    from ..utils.caching import managed_persist
+
+    return managed_persist(
+        df.select(F.col(id_col), minhash_signature(F.col(text_col), k).alias("sig"))
+    )
 
 
 def lsh_candidate_pairs(
@@ -278,9 +281,15 @@ def canonical_dedup_scalable(
     equal canonical_dedup's candidate components (see lsh_star_edges)."""
     from ..operators.graph import connected_components
 
+    from ..utils.caching import managed_persist
+
     edges = lsh_star_edges(df, text_col, id_col, k, bands, rows)
     if threshold is not None:
-        sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("_sh")).persist()
+        # managed: the returned plan still reads this frame, so the
+        # SESSION owner unpersists via bacon_spark.release_caches()
+        sh = managed_persist(
+            df.select(F.col(id_col), shingles(F.col(text_col), k).alias("_sh"))
+        )
         a, b = sh.alias("sa"), sh.alias("sb")
         edges = (
             edges.join(a, edges.id_a == F.col(f"sa.{id_col}"))
@@ -390,7 +399,11 @@ def ngram_jaccard_pairs(
 
     The exact check touches only LSH-bucketed pairs, so the quadratic term
     is bounded by bucket sizes, not corpus size."""
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("_sh")).persist()
+    from ..utils.caching import managed_persist
+
+    sh = managed_persist(
+        df.select(F.col(id_col), shingles(F.col(text_col), k).alias("_sh"))
+    )
     cand = lsh_candidate_pairs(df, text_col, id_col, k, bands, rows)
     a = sh.alias("sa")
     b = sh.alias("sb")

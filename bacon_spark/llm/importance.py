@@ -212,6 +212,35 @@ def dsir_scores_sql(
 # ---------------------------------------------------------------------------
 
 
+def hashed_linear_logit_micro(c, dim: int = 1024, seed: str = "qlw"):
+    """The scoring COLUMN of :func:`hashed_linear_scores` alone — a pure
+    whole-stage-codegen expression, so a caller that only needs the keep
+    predicate can ``df.filter(hashed_linear_logit_micro(col) > 0)``
+    map-side with no join and no second corpus scan (q155 uses this)."""
+    from pyspark.sql import functions as F
+
+    from .dedup import hash60
+    from .text import tokens
+
+    def w(tok):
+        idx = F.pmod(hash60(tok), F.lit(dim))
+        return (
+            F.pmod(hash60(F.concat(F.lit(seed + ":"), idx.cast("string"))), F.lit(2001))
+            - 1000
+        )
+
+    toks = tokens(c)
+    s = F.aggregate(
+        F.transform(toks, lambda t: w(t)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n = F.size(toks)
+    return F.when(
+        n > 0, F.round(s.cast("double") * 1000.0 / n.cast("double")).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+
+
 def hashed_linear_scores(
     df,
     text_col: str = "text",
@@ -239,23 +268,11 @@ def hashed_linear_scores(
     Returns (id, n_tokens, logit_micro, keep) — keep = logit_micro > 0."""
     from pyspark.sql import functions as F
 
-    from .dedup import hash60
     from .text import tokens
 
-    def w(tok):
-        idx = F.pmod(hash60(tok), F.lit(dim))
-        return F.pmod(hash60(F.concat(F.lit(seed + ":"), idx.cast("string"))), F.lit(2001)) - 1000
-
     toks = tokens(F.col(text_col))
-    s = F.aggregate(
-        F.transform(toks, lambda t: w(t)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
     n = F.size(toks)
-    logit_micro = F.when(
-        n > 0, F.round(s.cast("double") * 1000.0 / n.cast("double")).cast("long")
-    ).otherwise(F.lit(0).cast("long"))
+    logit_micro = hashed_linear_logit_micro(F.col(text_col), dim=dim, seed=seed)
     return df.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),

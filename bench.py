@@ -77,9 +77,12 @@ def _run():
         # signature/board frames; left around they accumulate across 136
         # timed runs and GC pressure inflates the TAIL queries' numbers
         # (measured: the last ~15 queries ran 2-6x slower without this)
+        from bacon_spark import release_caches
+
         for tbl in spark.catalog.listTables():
             if tbl.isTemporary:
                 spark.catalog.dropTempView(tbl.name)
+        release_caches()  # operator-managed persists (q139/q140/q155/...)
         spark.catalog.clearCache()
 
     # Short keys (q01 not q01_pricing_summary) + 2-decimal rounding keep

@@ -83,6 +83,14 @@ def main():
             rec["err"] = f"spark: {e}"
             n_fail += 1
             continue
+        finally:
+            # operator-managed persists (q139/q140/q155/...) are owned by
+            # the session driver: release per query so a 155-query sweep
+            # doesn't accumulate executor cache (bench.py does the same)
+            from bacon_spark import release_caches
+
+            release_caches()
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"WEAK {name}: rows-only check, {len(srows)} rows")
             rec["err"] = "no_oracle"
