@@ -1,0 +1,190 @@
+"""Pure-Python (stdlib-only) decoders for UNCOMPRESSED image formats.
+
+VERDICT r4 task #6: the container has no PIL/ffmpeg, so the multimodal
+kernels were fully stubbed. This module vendors real decoders for the
+two formats that need no codec — binary PPM/PGM (netpbm P6/P5) and
+uncompressed 24-bit BMP (BI_RGB) — so ``decode_stub=False`` works
+end-to-end on real pixels for those kinds, and NotImplementedError only
+remains for genuinely codec-bound formats (JPEG/PNG/video).
+
+Everything here is deterministic integer arithmetic (luma and resize use
+integer division), so asset hashes are bit-stable across platforms — a
+requirement for the perceptual-dedup oracle checks.
+
+Encoders are included so tests can synthesize real image payloads
+without any library.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# ---------------------------------------------------------------------------
+# netpbm: P6 (binary RGB) / P5 (binary grayscale)
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Binary PPM (P6, maxval 255) from a width*height*3 RGB byte string."""
+    assert len(rgb) == width * height * 3
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def encode_pgm(width: int, height: int, gray: bytes) -> bytes:
+    """Binary PGM (P5, maxval 255) from a width*height grayscale byte string."""
+    assert len(gray) == width * height
+    return b"P5\n%d %d\n255\n" % (width, height) + gray
+
+
+def _pnm_header(payload: bytes) -> tuple[bytes, int, int, int, int]:
+    """Parse a netpbm header: (magic, width, height, maxval, data_offset).
+
+    Handles arbitrary whitespace and ``#`` comment lines, per the spec."""
+    magic = payload[:2]
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        # skip whitespace and comments
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raster
+    return magic, fields[0], fields[1], fields[2], pos
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode binary PPM/PGM to (width, height, grayscale bytes).
+
+    RGB is reduced with integer ITU-R 601 luma:
+    ``(299r + 587g + 114b + 500) // 1000``."""
+    magic, w, h, maxval, off = _pnm_header(payload)
+    if maxval != 255:
+        raise NotImplementedError(f"netpbm maxval {maxval} (only 8-bit supported)")
+    if magic == b"P5":
+        gray = payload[off : off + w * h]
+        if len(gray) != w * h:
+            raise ValueError("truncated PGM raster")
+        return w, h, gray
+    if magic == b"P6":
+        raster = payload[off : off + w * h * 3]
+        if len(raster) != w * h * 3:
+            raise ValueError("truncated PPM raster")
+        gray = bytes(
+            (299 * raster[i] + 587 * raster[i + 1] + 114 * raster[i + 2] + 500) // 1000
+            for i in range(0, len(raster), 3)
+        )
+        return w, h, gray
+    raise NotImplementedError(f"netpbm magic {magic!r} (only binary P5/P6 supported)")
+
+
+# ---------------------------------------------------------------------------
+# BMP: uncompressed 24-bit BI_RGB, BITMAPINFOHEADER
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Uncompressed 24-bit BMP from width*height*3 RGB (top-down input;
+    stored bottom-up with 4-byte row padding, as the format requires)."""
+    assert len(rgb) == width * height * 3
+    row_pad = (-width * 3) % 4
+    raster = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        for x in range(width):
+            i = (y * width + x) * 3
+            raster += bytes((rgb[i + 2], rgb[i + 1], rgb[i]))  # BGR
+        raster += b"\x00" * row_pad
+    pixel_offset = 14 + 40
+    file_size = pixel_offset + len(raster)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_offset)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    return header + dib + bytes(raster)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode uncompressed 24-bit BMP to (width, height, grayscale bytes),
+    top-down row order. Handles bottom-up AND top-down (negative height)
+    rasters and 4-byte row padding."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_offset,) = struct.unpack_from("<I", payload, 10)
+    dib_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    if dib_size < 40:
+        raise NotImplementedError("BMP core-header variant not supported")
+    planes, bitcount, compression = struct.unpack_from("<HHI", payload, 26)
+    if bitcount != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (got {bitcount}-bit, "
+            f"compression={compression})"
+        )
+    top_down = height < 0
+    h = abs(height)
+    stride = (width * 3 + 3) & ~3
+    gray = bytearray(width * h)
+    for out_y in range(h):
+        src_y = out_y if top_down else h - 1 - out_y
+        row = pixel_offset + src_y * stride
+        for x in range(width):
+            i = row + x * 3
+            b_, g_, r_ = payload[i], payload[i + 1], payload[i + 2]
+            gray[out_y * width + x] = (299 * r_ + 587 * g_ + 114 * b_ + 500) // 1000
+    return width, h, bytes(gray)
+
+
+# ---------------------------------------------------------------------------
+# dispatch + deterministic resize
+# ---------------------------------------------------------------------------
+
+
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Sniff the payload's magic bytes and decode to (w, h, grayscale).
+
+    Raises NotImplementedError for codec-bound formats (JPEG/PNG/...) —
+    the documented remaining stub surface."""
+    if payload[:2] in (b"P5", b"P6"):
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError("JPEG decode requires a codec library (PIL)")
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("PNG decode requires a codec library (PIL)")
+    raise NotImplementedError(f"unrecognized image format (magic {payload[:4]!r})")
+
+
+def resize_gray(gray: bytes, w: int, h: int, tw: int, th: int) -> bytes:
+    """Box-average resize of a grayscale raster to tw x th, all-integer
+    (sum // count), so results are bit-identical everywhere."""
+    out = bytearray(tw * th)
+    for ty in range(th):
+        y0, y1 = ty * h // th, max((ty + 1) * h // th, ty * h // th + 1)
+        for tx in range(tw):
+            x0, x1 = tx * w // tw, max((tx + 1) * w // tw, tx * w // tw + 1)
+            s = 0
+            for y in range(y0, min(y1, h)):
+                row = y * w
+                for x in range(x0, min(x1, w)):
+                    s += gray[row + x]
+            n = (min(y1, h) - y0) * (min(x1, w) - x0)
+            out[ty * tw + tx] = s // n if n else 0
+    return bytes(out)
+
+
+def ahash_pixels(payload: bytes, bits: int, grid: tuple[int, int]) -> int:
+    """Real-pixel average hash: decode, box-resize to grid (= bits cells),
+    set bit j iff cell j's gray exceeds the cell mean. The real-decoder
+    twin of the byte-histogram stub in :mod:`.multimodal`."""
+    tw, th = grid
+    assert tw * th == bits
+    w, h, gray = decode_image(payload)
+    cells = resize_gray(gray, w, h, tw, th)
+    mean = sum(cells) / float(bits)
+    return sum(1 << j for j in range(bits) if cells[j] > mean)

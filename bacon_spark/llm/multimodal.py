@@ -8,8 +8,10 @@ the kernels are stubbed two ways:
 * ``decode_stub=True`` (default): a deterministic fake decoder that derives
   "features" from the binary payload's bytes — real enough to test schema,
   batching, partitioning and ordering end-to-end;
-* ``decode_stub=False``: raises NotImplementedError at the kernel, clearly
-  marking where the real library call goes.
+* ``decode_stub=False``: decodes REAL pixels for the formats the vendored
+  stdlib-only codecs support (binary PPM/PGM, uncompressed 24-bit BMP —
+  see :mod:`.codecs`); raises NotImplementedError only for codec-bound
+  formats (JPEG/PNG/video), clearly marking where PIL/ffmpeg goes.
 
 The SPARK side is fully real: ``mapInPandas`` with an explicit output
 schema streams Arrow record batches through the Python worker — the correct
@@ -87,25 +89,37 @@ def extract_image_features(
 ) -> DataFrame:
     """Decode + feature-extract over binary payloads via mapInPandas.
 
-    With decode_stub=False this is where the real image library is called —
-    kept behind NotImplementedError because the container has none.
+    decode_stub=False decodes real pixels (PPM/PGM/BMP via :mod:`.codecs`;
+    feature = dim-bucket GRAY-LEVEL histogram, mean_byte = mean gray);
+    NotImplementedError remains only for codec-bound formats.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import decode_image
+
+        def real_features(p: bytes) -> tuple[float, list[float]]:
+            _, _, gray = decode_image(bytes(p))
+            hist = [0] * dim
+            for g in gray:
+                hist[g * dim // 256] += 1
+            n = len(gray) or 1
+            return sum(gray) / float(n), [c / n for c in hist]
+
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real image decode requires PIL/torchvision; not in this container"
-                )
             payloads = pdf["payload"]
+            if decode_stub:
+                mean = payloads.map(lambda p: float(sum(p)) / len(p) if len(p) else 0.0)
+                feat = payloads.map(lambda p: _fake_decode(p, dim))
+            else:
+                decoded = payloads.map(real_features)
+                mean = decoded.map(lambda t: t[0])
+                feat = decoded.map(lambda t: t[1])
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "n_bytes": payloads.map(len).astype("int64"),
-                    "mean_byte": payloads.map(
-                        lambda p: float(sum(p)) / len(p) if len(p) else 0.0
-                    ),
-                    "feature": payloads.map(lambda p: _fake_decode(p, dim)),
+                    "mean_byte": mean,
+                    "feature": feat,
                 }
             )
 
@@ -142,26 +156,30 @@ AHASH_SCHEMA = StructType(
 
 def ahash_assets(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     """Average-hash signatures over binary payloads via mapInPandas — the
-    perceptual-dedup analogue of extract_image_features: bit j is set iff
-    byte j of the (stub-)decoded payload exceeds the mean of the first
-    PHASH_BITS bytes.  (A real image aHash resizes to 8x8 grayscale
-    first — that resize is the stubbed kernel; the hash arithmetic and
-    all Spark plumbing are identical.)"""
+    perceptual-dedup analogue of extract_image_features.
+
+    decode_stub=True: bit j is set iff byte j of the payload exceeds the
+    mean of the first PHASH_BITS bytes (schema/plumbing-exercising fake).
+    decode_stub=False (r5): REAL aHash — decode pixels (PPM/PGM/BMP via
+    the vendored :mod:`.codecs`), integer box-resize to a 10x6 gray grid
+    (= PHASH_BITS cells), bit j set iff cell j exceeds the grid mean.
+    All-integer decode/resize, so hashes are bit-stable cross-platform."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import ahash_pixels
+
+        def h_stub(p: bytes) -> int:
+            head = p[:PHASH_BITS]
+            if not head:
+                return 0
+            mean = sum(head) / float(PHASH_BITS)
+            return sum(1 << j for j, b in enumerate(head) if b > mean)
+
+        def h_real(p: bytes) -> int:
+            return ahash_pixels(bytes(p), PHASH_BITS, (10, 6))
+
+        h = h_stub if decode_stub else h_real
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real image decode requires PIL/torchvision; not in this container"
-                )
-
-            def h(p: bytes) -> int:
-                head = p[:PHASH_BITS]
-                if not head:
-                    return 0
-                mean = sum(head) / float(PHASH_BITS)
-                return sum(1 << j for j, b in enumerate(head) if b > mean)
-
             yield pd.DataFrame(
                 {"asset_id": pdf["asset_id"], "ahash": pdf["payload"].map(h).astype("int64")}
             )

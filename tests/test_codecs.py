@@ -1,0 +1,167 @@
+"""Real-pixel decode path for the multimodal kernels (VERDICT r4 task #6):
+the vendored stdlib-only PPM/PGM/BMP codecs, the integer box resize, and
+the end-to-end aHash/near-dup pipeline on REAL images (decode_stub=False).
+NotImplementedError must remain only for codec-bound formats (JPEG/PNG)."""
+
+import pytest
+
+from bacon_spark.llm.codecs import (
+    ahash_pixels,
+    decode_bmp,
+    decode_image,
+    decode_ppm,
+    encode_bmp,
+    encode_pgm,
+    encode_ppm,
+    resize_gray,
+)
+from bacon_spark.llm.multimodal import (
+    ASSET_SCHEMA,
+    PHASH_BITS,
+    ahash_assets,
+    extract_image_features,
+    phash_near_dup,
+)
+
+
+def _gradient_rgb(w, h, invert=False, noise_at=()):
+    """Deterministic RGB gradient; noise_at pixels get a brightness bump."""
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = (x * 255 // max(w - 1, 1) + y * 255 // max(h - 1, 1)) // 2
+            if invert:
+                v = 255 - v
+            if (x, y) in noise_at:
+                v = min(255, v + 40)
+            px += bytes((v, v, v))
+    return bytes(px)
+
+
+def test_ppm_pgm_roundtrip_exact():
+    w, h = 5, 3
+    rgb = _gradient_rgb(w, h)
+    dw, dh, gray = decode_ppm(encode_ppm(w, h, rgb))
+    assert (dw, dh) == (w, h)
+    # gray of an (v,v,v) pixel is v exactly under integer luma
+    assert list(gray) == [rgb[i] for i in range(0, len(rgb), 3)]
+    # P5 grayscale round-trips bit-exactly
+    assert decode_ppm(encode_pgm(w, h, gray)) == (w, h, gray)
+
+
+def test_ppm_header_comments_and_whitespace():
+    raw = b"P5 #comment\n# another\n 3\t2 #dims\n255\n" + bytes(range(6))
+    assert decode_ppm(raw) == (3, 2, bytes(range(6)))
+
+
+def test_bmp_roundtrip_padding_and_row_order():
+    # width 5 -> 15-byte rows padded to 16: exercises the stride logic
+    w, h = 5, 3
+    rgb = _gradient_rgb(w, h)
+    dw, dh, gray = decode_bmp(encode_bmp(w, h, rgb))
+    assert (dw, dh) == (w, h)
+    assert list(gray) == [rgb[i] for i in range(0, len(rgb), 3)]
+
+
+def test_bmp_matches_ppm_for_same_pixels():
+    rgb = _gradient_rgb(8, 8)
+    assert decode_bmp(encode_bmp(8, 8, rgb)) == decode_ppm(encode_ppm(8, 8, rgb))
+
+
+def test_luma_weights():
+    # pure red / green / blue pixels hit the integer 601 luma exactly
+    _, _, gray = decode_ppm(encode_ppm(3, 1, bytes((255, 0, 0, 0, 255, 0, 0, 0, 255))))
+    assert list(gray) == [76, 150, 29]  # (299*255+500)//1000 etc.
+
+
+def test_decode_image_dispatch_and_codec_stubs():
+    rgb = _gradient_rgb(4, 4)
+    assert decode_image(encode_ppm(4, 4, rgb)) == decode_ppm(encode_ppm(4, 4, rgb))
+    assert decode_image(encode_bmp(4, 4, rgb)) == decode_bmp(encode_bmp(4, 4, rgb))
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n fake png")
+
+
+def test_resize_gray_box_average():
+    # 4x2 -> 2x1: each output cell is the integer mean of a 2x2 box
+    gray = bytes([10, 20, 30, 40, 50, 60, 70, 80])
+    assert list(resize_gray(gray, 4, 2, 2, 1)) == [(10 + 20 + 50 + 60) // 4, (30 + 40 + 70 + 80) // 4]
+    # identity resize is exact
+    assert resize_gray(gray, 4, 2, 4, 2) == gray
+    # upscale (target > source) must not crash or zero out
+    up = resize_gray(bytes([0, 255]), 2, 1, 4, 1)
+    assert list(up) == [0, 0, 255, 255]
+
+
+def test_ahash_invariance_and_sensitivity():
+    big = encode_ppm(32, 24, _gradient_rgb(32, 24))
+    # format-invariant: same pixels via BMP give the same hash
+    assert ahash_pixels(big, 60, (10, 6)) == ahash_pixels(
+        encode_bmp(32, 24, _gradient_rgb(32, 24)), 60, (10, 6)
+    )
+    # resolution-robust: the same gradient at 2x resolution hashes close
+    h1 = ahash_pixels(big, 60, (10, 6))
+    h2 = ahash_pixels(encode_ppm(64, 48, _gradient_rgb(64, 48)), 60, (10, 6))
+    assert bin(h1 ^ h2).count("1") <= 3
+    # inversion flips (nearly) every bit
+    h3 = ahash_pixels(encode_ppm(32, 24, _gradient_rgb(32, 24, invert=True)), 60, (10, 6))
+    assert bin(h1 ^ h3).count("1") >= 40
+
+
+def _asset_rows():
+    """6 real images: 0=gradient(ppm), 1=same pixels as BMP (exact dup),
+    2=lightly-noised gradient (near dup), 3=inverted (far), 4=flat gray
+    (far), 5=2x-resolution gradient (near)."""
+    g = _gradient_rgb(32, 24)
+    return [
+        (0, "image", encode_ppm(32, 24, g), "image/x-portable-pixmap", 32, 24, 0),
+        (1, "image", encode_bmp(32, 24, g), "image/bmp", 32, 24, 0),
+        (2, "image", encode_ppm(32, 24, _gradient_rgb(32, 24, noise_at={(3, 3), (10, 7)})),
+         "image/x-portable-pixmap", 32, 24, 0),
+        (3, "image", encode_ppm(32, 24, _gradient_rgb(32, 24, invert=True)),
+         "image/x-portable-pixmap", 32, 24, 0),
+        (4, "image", encode_pgm(16, 16, bytes([128] * 256)), "image/x-portable-graymap", 16, 16, 0),
+        (5, "image", encode_ppm(64, 48, _gradient_rgb(64, 48)), "image/x-portable-pixmap", 64, 48, 0),
+    ]
+
+
+def test_real_pixel_ahash_end_to_end(spark):
+    rows = _asset_rows()
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = {r["asset_id"]: r["ahash"] for r in ahash_assets(df, decode_stub=False).collect()}
+    # the Spark kernel must equal the local pure-Python hash, per asset
+    for rid, _, payload, *_ in rows:
+        assert got[rid] == ahash_pixels(payload, PHASH_BITS, (10, 6)), rid
+    assert got[0] == got[1]  # exact dup across formats
+
+
+def test_real_pixel_near_dup_matches_brute_force(spark):
+    rows = _asset_rows()
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dup(df, max_hamming=3, decode_stub=False).collect()
+    }
+    hashes = {rid: ahash_pixels(p, PHASH_BITS, (10, 6)) for rid, _, p, *_ in rows}
+    brute = {
+        (a, b): bin(hashes[a] ^ hashes[b]).count("1")
+        for a in hashes
+        for b in hashes
+        if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    assert pairs == brute  # banded join is pigeonhole-COMPLETE on real pixels
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0  # cross-format exact dup found
+
+
+def test_real_pixel_features(spark):
+    rows = _asset_rows()
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    feats = {r["asset_id"]: r for r in extract_image_features(df, dim=8, decode_stub=False).collect()}
+    flat = feats[4]
+    assert flat["mean_byte"] == pytest.approx(128.0)
+    # flat-gray image: every pixel lands in bucket 128*8//256 = 4
+    assert flat["feature"][4] == pytest.approx(1.0)
+    assert sum(feats[0]["feature"]) == pytest.approx(1.0)
+    assert feats[0]["n_bytes"] == len(rows[0][2])
