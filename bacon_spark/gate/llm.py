@@ -1209,3 +1209,47 @@ def q148_corpus_novelty(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+from ..llm import clustering as _cl  # noqa: E402
+
+
+@query(
+    "q156_kmeans_clusters",
+    _cl.kmeans_assign_sql(k=8, dim=64) + " ",
+)
+def q156_kmeans_clusters(spark, sf_dir):
+    """Deterministic distributed k-means assignment over the embedding
+    corpus (llm/clustering.kmeans_assign, k=8, one Lloyd update) — the
+    clustering stage of SemDeDup-style semantic dedup. md5-seeded
+    initial centroids, rounded-argmin assignment with index tie-break,
+    DECIMAL-exact centroid update, so the DuckDB oracle replays every
+    step bit-for-bit.
+
+    Scale shape: per Lloyd step the assignment is pure map-side codegen
+    against k*dim centroid LITERALS (no broadcast join, no shuffle) and
+    the update is one groupBy(cluster, component) whose output is k*dim
+    rows regardless of corpus size; driver state is the centroid matrix
+    only."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return _cl.kmeans_assign(emb, k=8, iters=1).orderBy("vec_id")
+
+
+@query(
+    "q157_semantic_dedup",
+    _cl.semantic_dedup_stats_sql(k=8, dim=64, threshold=0.2) + " ",
+)
+def q157_semantic_dedup(spark, sf_dir):
+    """SemDeDup (llm/clustering.semantic_dedup_stats): k-means cluster
+    the embeddings, then WITHIN each cluster remove members whose exact
+    cosine to the cluster's minimum-id hub clears 0.2 (q152's binding
+    threshold — 53 vectors removed at sf0.01, so the verify is
+    non-vacuous). Complements q152's hash-bucket star dedup with the
+    learned-structure variant: candidates come from k-means clusters,
+    so near-dups that straddle hyperplane buckets still meet.
+
+    Scale shape: map-side assignment (q156), k-row hub aggregate
+    broadcast back, one map-side cosine per member — no corpus-sized
+    shuffle beyond the k*dim centroid update."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return _cl.semantic_dedup_stats(emb, k=8, threshold=0.2, iters=1)

@@ -1,0 +1,269 @@
+"""Deterministic distributed k-means over embedding columns — the
+clustering stage of SemDeDup-style semantic dedup (cluster first, then
+dedup WITHIN clusters, so the near-dup search never compares across
+clusters; Abbas et al. 2023, public preprint).
+
+Engine extension (no reference analogue — the reference has no vector
+surface). Everything is constructed for cross-engine bit-equality so the
+DuckDB oracle can replay it:
+
+* seeding: the k vectors with the smallest (md5 draw, id) — no RNG;
+* assignment: argmin of squared L2 distance, rounded to 6 dp with the
+  centroid index as tie-break (the repo's proven cosine-oracle pattern);
+* centroid update: per-component DECIMAL-exact sums divided as doubles —
+  summation-order-independent, so distributed recompute matches the
+  oracle's single-threaded one bit-for-bit.
+
+Scale shape (the reason k-means is THE semantic-dedup clusterer at
+100 TB): per Lloyd step, assignment is MAP-SIDE (k x dim centroid
+literals folded into whole-stage codegen — no broadcast join, no
+shuffle) and the update is ONE groupBy(cluster, component) shuffle whose
+output is k*dim rows, independent of corpus size. Driver state is the
+k x dim centroid matrix (bounded); the corpus is never collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.sampling import _draw, draw_sql
+
+#: decimal scale for the exact component sums in the centroid update
+_DEC = "decimal(38,12)"
+
+
+def _d2(vec, cent: list[float]):
+    """Squared L2 distance between an array<double> column and a literal
+    centroid, folded left-to-right (matches DuckDB's list_sum order)."""
+    c = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(vec, cents: list[tuple[int, list[float]]]):
+    """argmin_ci round(d2, 6), ties to the smallest centroid index."""
+    structs = [
+        F.struct(F.round(_d2(vec, c), 6).alias("d"), F.lit(ci).alias("ci"))
+        for ci, c in cents
+    ]
+    return F.array_min(F.array(*structs))["ci"]
+
+
+def seed_centroids(
+    df: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding",
+    salt: str = "km",
+) -> list[tuple[int, list[float]]]:
+    """The k vectors with the smallest (md5 draw, id), as (index, vector).
+    A TakeOrderedAndProject of k rows — no full sort, no RNG."""
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(_draw(F.col(id_col), salt), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    return [(i, list(r["v"])) for i, r in enumerate(rows)]
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "km",
+    include_vec: bool = False,
+) -> DataFrame:
+    """(id, cluster) under the centroids after *iters* Lloyd updates
+    (plus the double-cast vector as ``_v`` when *include_vec* — the
+    semantic-dedup composition needs it without a second corpus scan).
+
+    Each update: map-side assignment against centroid literals, then one
+    bounded groupBy(cluster, component) producing k*dim decimal-exact
+    sums (collected — k*dim rows, corpus-size-independent). Empty
+    clusters drop out of the update (both engines identically); indices
+    are NOT renumbered, so labels stay stable across iterations."""
+    vec = F.col(vec_col).cast("array<double>")
+    cents = seed_centroids(df, k, id_col, vec_col, salt)
+    for _ in range(iters):
+        assigned = df.select(F.col(id_col), vec.alias("_v")).withColumn(
+            "_ci", _assign(F.col("_v"), cents)
+        )
+        sums = (
+            assigned.select("_ci", F.posexplode("_v").alias("_j", "_x"))
+            .groupBy("_ci", "_j")
+            .agg(
+                F.sum(F.col("_x").cast(_DEC)).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()  # k*dim rows — bounded, corpus-size-independent
+        )
+        by_ci: dict[int, dict[int, float]] = {}
+        n_ci: dict[int, int] = {}
+        for r in sums:
+            by_ci.setdefault(r["_ci"], {})[r["_j"]] = float(r["_s"])
+            n_ci[r["_ci"]] = r["_n"]
+        cents = [
+            (ci, [comp[j] / n_ci[ci] for j in sorted(comp)])
+            for ci, comp in sorted(by_ci.items())
+        ]
+    out = [F.col(id_col), _assign(vec, cents).cast("int").alias("cluster")]
+    if include_vec:
+        out.append(vec.alias("_v"))
+    return df.select(*out)
+
+
+_D2_SQL = (
+    "list_sum(list_transform(list_zip({v}, {c}), "
+    "p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)))"
+)
+
+
+def _kmeans_cte_sql(
+    k: int, dim: int, id_col: str, vec_col: str, table: str, salt: str
+) -> str:
+    """Shared WITH-body ending in ``a1(id, v, cluster)`` — the iters=1
+    assignment both oracle builders select from."""
+    d2 = _D2_SQL
+    return f"""seeds AS (
+      SELECT row_number() OVER (ORDER BY {draw_sql(id_col, salt)}, {id_col}) - 1 AS ci,
+             {vec_col} AS c
+      FROM {table}
+      ORDER BY {draw_sql(id_col, salt)}, {id_col}
+      LIMIT {k}
+    ),
+    a0 AS (
+      SELECT e.{id_col} AS id, e.{vec_col} AS v,
+             (SELECT s.ci FROM seeds s
+              ORDER BY round({d2.format(v=f'e.{vec_col}', c='s.c')}, 6), s.ci
+              LIMIT 1) AS ci
+      FROM {table} e
+    ),
+    upd AS (
+      SELECT ci, j,
+             sum((v[j]::DOUBLE)::DECIMAL(38,12))::DOUBLE / count(*) AS m
+      FROM a0 CROSS JOIN range(1, {dim} + 1) t(j)
+      GROUP BY ci, j
+    ),
+    c1 AS (
+      SELECT ci, list(m ORDER BY j) AS c FROM upd GROUP BY ci
+    ),
+    a1 AS MATERIALIZED (
+      SELECT e.{id_col} AS id, e.{vec_col} AS v,
+             (SELECT c1.ci FROM c1
+              ORDER BY round({d2.format(v=f'e.{vec_col}', c='c1.c')}, 6), c1.ci
+              LIMIT 1)::INT AS cluster
+      FROM {table} e
+    )"""
+
+
+def kmeans_assign_sql(
+    k: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+    salt: str = "km",
+) -> str:
+    """DuckDB twin of :func:`kmeans_assign` with iters=1: identical seeds,
+    identical rounded-argmin assignment, identical decimal-exact update."""
+    return f"""
+    WITH {_kmeans_cte_sql(k, dim, id_col, vec_col, table, salt)}
+    SELECT id AS {id_col}, cluster FROM a1 ORDER BY 1
+    """
+
+
+def semantic_dedup_stats(
+    df: DataFrame,
+    k: int = 8,
+    threshold: float = 0.2,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "km",
+) -> DataFrame:
+    """SemDeDup: k-means cluster, then keep-one WITHIN each cluster for
+    members whose exact cosine to the cluster's minimum-id hub clears
+    *threshold*. Returns per-cluster accounting
+    (cluster, n_vecs, n_removed, n_kept).
+
+    The within-cluster graph is the HUB STAR (member -> cluster-min), the
+    same linear-edge trade as embedding_dedup_scalable — but here the
+    candidate set is the k-means cluster, not a hash bucket, so the
+    search respects learned structure and never compares across clusters.
+    Scale shape: assignment is map-side (see kmeans_assign); hubs are a
+    k-row aggregate broadcast back; the verify is one map-side cosine per
+    member. No corpus-sized shuffle beyond the assignment's k*dim update.
+    """
+    from .similarity import cosine
+
+    assigned = kmeans_assign(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, salt=salt,
+        include_vec=True,
+    )
+    hubs = assigned.groupBy("cluster").agg(F.min(id_col).alias("_hub"))
+    hub_vecs = (
+        assigned.join(F.broadcast(hubs), "cluster")
+        .filter(F.col(id_col) == F.col("_hub"))
+        .select("cluster", F.col("_v").alias("_hv"))
+    )
+    # the hub itself always survives: only NON-hub members can be removed
+    flagged = (
+        assigned.join(F.broadcast(hubs), "cluster")
+        .join(F.broadcast(hub_vecs), "cluster")
+        .select(
+            "cluster",
+            F.when(
+                (F.col(id_col) != F.col("_hub"))
+                & (F.round(cosine(F.col("_v"), F.col("_hv")), 6) >= threshold),
+                1,
+            ).otherwise(0).alias("_removed"),
+        )
+    )
+    return (
+        flagged.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("_removed").cast("bigint").alias("n_removed"),
+            (F.count(F.lit(1)) - F.sum("_removed")).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def semantic_dedup_stats_sql(
+    k: int = 8,
+    dim: int = 64,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+    salt: str = "km",
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup_stats` (iters=1)."""
+    from .similarity import cosine_sql
+
+    return f"""
+    WITH {_kmeans_cte_sql(k, dim, id_col, vec_col, table, salt)},
+    hub AS (SELECT cluster, min(id) AS hub FROM a1 GROUP BY 1),
+    hv AS (
+      SELECT h.cluster, a.v AS hvec FROM hub h JOIN a1 a ON a.id = h.hub
+    ),
+    flagged AS (
+      SELECT a.cluster,
+             CASE WHEN a.id <> h.hub
+                   AND round({cosine_sql('a.v', 'hv.hvec')}, 6) >= {threshold}
+                  THEN 1 ELSE 0 END AS removed
+      FROM a1 a JOIN hub h USING (cluster) JOIN hv USING (cluster)
+    )
+    SELECT cluster,
+           count(*)::BIGINT AS n_vecs,
+           sum(removed)::BIGINT AS n_removed,
+           (count(*) - sum(removed))::BIGINT AS n_kept
+    FROM flagged
+    GROUP BY cluster
+    ORDER BY cluster
+    """

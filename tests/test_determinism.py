@@ -42,6 +42,10 @@ SENSITIVE = [
     "q153_quality_filter_scores",
     "q154_multimodal_phash_dedup",
     "q155_corpus_prep_v2",
+    # r5 additions: k-means assignment (decimal-exact centroid update)
+    # and the SemDeDup composition on top of it
+    "q156_kmeans_clusters",
+    "q157_semantic_dedup",
 ]
 
 
