@@ -20,7 +20,11 @@ and the sweep must measure plan scaling, not artifact explosion. The
 word MULTISET per document is preserved, so token counts and quality
 ratios stay realistic.
 
-Usage: python tools/gen_scale_data.py [replicas=10] [out_dir]
+Usage: python tools/gen_scale_data.py [replicas=10] [out_dir] [src_dir]
+
+src_dir (default /root/testdata/sf0.1) lets a bigger replica build on a
+replica (sf100-equivalent = 10 replicas OF .scale/sf10, rather than a
+1000-way union of sf0.1 — same data volume, bounded plan size).
 """
 
 from __future__ import annotations
@@ -61,9 +65,31 @@ def replicate(df: DataFrame, n: int, offsets: dict[str, int], transform=None) ->
     return out
 
 
+def _alphabet_perm(i: int) -> str:
+    """Deterministic full-alphabet permutation for replica *i* (md5-seeded
+    Fisher-Yates). The pre-r5 Caesar shift had only 26 distinct images, so
+    replicas i and i+26 shared a vocabulary — past ~26 replicas the corpus
+    filled with cross-replica exact twins and dedup outputs exploded; a
+    seeded permutation gives every replica (up to 26!) its own vocabulary,
+    and composes safely when replicating an already-replicated corpus."""
+    import hashlib
+
+    lower = list("abcdefghijklmnopqrstuvwxyz")
+    state = hashlib.md5(f"scalegen:{i}".encode()).digest()
+    out = lower[:]
+    for j in range(25, 0, -1):
+        # extend the digest stream as needed: one byte of entropy per swap
+        if j % 16 == 0:
+            state = hashlib.md5(state).digest()
+        r = state[j % 16] % (j + 1)
+        out[j], out[r] = out[r], out[j]
+    return "".join(out)
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scale/sf1"
+    src = sys.argv[3] if len(sys.argv) > 3 else SRC
     os.makedirs(out_dir, exist_ok=True)
 
     spark = (
@@ -77,7 +103,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     from bacon_spark.sources.star import read_table
 
-    t = {name: read_table(spark, SRC, name) for name in
+    t = {name: read_table(spark, src, name) for name in
          "region nation customer supplier part orders lineitem events documents embeddings".split()}
 
     s_order = stride_of(t["orders"], "o_orderkey")
@@ -94,30 +120,45 @@ def main():
     def doc_transform(i):
         if i == 0:
             return {}
-        # per-replica substitution cipher (Caesar shift by i): word/char
-        # counts, lengths, and whitespace structure are preserved, but the
-        # vocabularies of different replicas are DISJOINT — so dedup sees
-        # 10x as many dup groups of the original sizes, not every doc with
-        # 9 perfect twins. (A multiset-preserving word scramble fails
-        # here: n-gram-set Jaccard and MinHash buckets are order-blind, so
-        # scrambled replicas remain similarity-1 pairs and in-bucket
-        # verification explodes quadratically — observed 69x wall at 10x
-        # data before this fix.)
+        # per-replica substitution cipher (seeded alphabet permutation):
+        # word/char counts, lengths, and whitespace structure are
+        # preserved, but the vocabularies of different replicas are
+        # DISJOINT — so dedup sees n-times as many dup groups of the
+        # original sizes, not every doc with n-1 perfect twins. (A
+        # multiset-preserving word scramble fails here: n-gram-set
+        # Jaccard and MinHash buckets are order-blind, so scrambled
+        # replicas remain similarity-1 pairs and in-bucket verification
+        # explodes quadratically — observed 69x wall at 10x data before
+        # this fix. And a Caesar shift fails past 26 replicas — see
+        # _alphabet_perm.)
         lower = "abcdefghijklmnopqrstuvwxyz"
-        upper = lower.upper()
-        rl = lower[i:] + lower[:i]
-        ru = upper[i:] + upper[:i]
-        return {"text": F.translate(F.col("text"), lower + upper, rl + ru)}
+        rl = _alphabet_perm(i)
+        return {
+            "text": F.translate(
+                F.col("text"), lower + lower.upper(), rl + rl.upper()
+            )
+        }
+
+    import hashlib as _hl
 
     def emb_transform(i):
         if i == 0:
             return {}
-        # rotate components by i: norm preserved, direction decorrelated
+        # rotate components by i AND flip signs by a per-replica seeded
+        # pattern: norm preserved, direction decorrelated. Rotation alone
+        # wraps at dim replicas (replicas i and i+dim became cosine-1.0
+        # twins); the 2^dim sign patterns remove the wrap.
+        signs = _hl.md5(f"scalegen-emb:{i}".encode()).digest() * (dim // 16 + 1)
         rot = F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
             lambda j: F.element_at(F.col("embedding"), (j + F.lit(i)) % F.lit(dim) + 1),
         )
-        return {"embedding": rot.cast("array<float>")}
+        flipped = F.zip_with(
+            rot,
+            F.array(*[F.lit(1.0 if signs[k] % 2 == 0 else -1.0) for k in range(dim)]),
+            lambda v, s: v * s,
+        )
+        return {"embedding": flipped.cast("array<float>")}
 
     jobs = [
         ("region", t["region"], {}, None),
