@@ -61,6 +61,10 @@ def main():
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        # the HDFS-backed state store is ON-HEAP: high-cardinality keys
+        # (--keys user_id at sf100 ≈ millions of state rows) OOM the 1g
+        # local-mode default long before any real knee appears
+        .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
     )
     if args.rocksdb:
