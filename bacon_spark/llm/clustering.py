@@ -197,12 +197,20 @@ def semantic_dedup_stats(
     Scale shape: assignment is map-side (see kmeans_assign); hubs are a
     k-row aggregate broadcast back; the verify is one map-side cosine per
     member. No corpus-sized shuffle beyond the assignment's k*dim update.
+    The assignment frame is PERSISTED (managed — session owner releases
+    via release_caches): three consumers read it (hub aggregate, hub
+    vectors, the verify), and without the cache each re-scans the corpus
+    and re-computes the k x dim argmin (plan-audited: 4 parquet scans
+    pre-fix, 1 after).
     """
+    from ..utils.caching import managed_persist
     from .similarity import cosine
 
-    assigned = kmeans_assign(
-        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, salt=salt,
-        include_vec=True,
+    assigned = managed_persist(
+        kmeans_assign(
+            df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, salt=salt,
+            include_vec=True,
+        )
     )
     hubs = assigned.groupBy("cluster").agg(F.min(id_col).alias("_hub"))
     hub_vecs = (

@@ -35,6 +35,8 @@ DEFAULT = [
     "q152_embedding_dedup_scalable",
     "q153_quality_filter_scores",
     "q155_corpus_prep_v2",
+    "q156_kmeans_clusters",
+    "q157_semantic_dedup",
 ]
 
 
