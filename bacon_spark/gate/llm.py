@@ -1253,3 +1253,24 @@ def q157_semantic_dedup(spark, sf_dir):
     shuffle beyond the k*dim centroid update."""
     emb = _read(spark, sf_dir, "embeddings")
     return _cl.semantic_dedup_stats(emb, k=8, threshold=0.2, iters=1)
+
+
+@query("q158_segment_dedup", _dd.segment_dedup_sql("documents", "text", "doc_id", 8, 2))
+def q158_segment_dedup(spark, sf_dir):
+    """C4/CCNet-style cross-document repeated-segment REMOVAL
+    (llm/dedup.segment_dedup): every aligned 8-word segment occurring in
+    more than 2 distinct documents is dropped from every document, and
+    the cleaned corpus is re-emitted in order — the production rewrite
+    step downstream of the q87 boilerplate REPORT and the q110 duplicate-
+    span ENUMERATION. At sf0.01 the rule binds on 17 hot segments (max
+    df 6), so the rewrite is non-vacuous.
+
+    Scale shape: bodies never shuffle. One persisted ints-only
+    (id, pos, hash60) frame feeds both the hot-set aggregate (shuffles
+    8-byte hashes) and the per-doc drop positions; the hot set and the
+    drop positions are broadcast; the rewrite itself is map-side array
+    work (filter-by-position + concat_ws) on the original scan. The
+    oracle keys the hot set by the segment STRING, so a hash match also
+    certifies hash60 injectivity on the corpus segment set."""
+    docs = _read_docs(spark, sf_dir)
+    return _dd.segment_dedup(docs, "text", "doc_id", seg_words=8, max_df=2)

@@ -900,3 +900,163 @@ def prefix_filtered_jaccard_join_sql(
                  - len(list_intersect(a.toks, b.toks)) as double)
           >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated-segment removal (C4 / CCNet line-dedup analogue)
+# ---------------------------------------------------------------------------
+
+
+def doc_segments(c: Column, seg_words: int = 8) -> Column:
+    """Non-overlapping fixed-width word segments of a document, built
+    entirely map-side (split -> slice -> rejoin; no explode, no shuffle).
+
+    The corpus model here is a single-line token stream, so the "line"
+    unit of CCNet-style dedup is re-based on aligned *seg_words*-word
+    windows; on a corpus with real newlines the same operator applies to
+    ``split(text, '\\n')`` directly."""
+    words = F.filter(F.split(c, " "), lambda w: w != F.lit(""))
+
+    def segs(ws: Column) -> Column:
+        n = F.size(ws)
+        return F.when(
+            n > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(n / F.lit(seg_words)).cast("int") - 1),
+                lambda i: F.concat_ws(" ", F.slice(ws, i * seg_words + 1, seg_words)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return segs(words)
+
+
+def hot_segment_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 8,
+    max_df: int = 2,
+) -> DataFrame:
+    """hash60 of every segment appearing in MORE than *max_df* distinct
+    documents — the cross-corpus repeated-content set (boilerplate,
+    licence blurbs, templated chrome). Shuffle carries (hash, doc_id)
+    ints only; bodies never move. The result is the high-document-
+    frequency tail: small by construction (17 rows at sf0.01)."""
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(doc_segments(F.col(text_col), seg_words)).alias("pos", "seg"),
+    ).select(id_col, "pos", hash60(F.col("seg")).alias("h"))
+    return (
+        exploded.select(id_col, "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_df)
+        .select("h")
+    )
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 8,
+    max_df: int = 2,
+    broadcast_drops: bool = True,
+) -> DataFrame:
+    """C4/CCNet-style cross-document repeated-segment REMOVAL: rewrite
+    each document with every segment that occurs in more than *max_df*
+    distinct documents dropped, preserving the order of what remains.
+
+    This is the production rewrite step downstream of the reporting
+    surfaces (q87 identifies boilerplate n-grams, q110 enumerates
+    duplicate spans); here the corpus itself is cleaned.
+
+    Returns (id, n_segments, n_dropped, new_text) for EVERY input
+    document (unchanged docs have n_dropped = 0 and new_text = the
+    whitespace-normalized original).
+
+    Scale shape (the point): document bodies are NEVER shuffled.
+
+    * one corpus scan builds the (id, pos, hash) frame — ints only —
+      persisted (managed) because both the hot-set aggregate and the
+      drop-position aggregate read it;
+    * the hot set is a broadcast-sized high-df tail; joining it back is
+      a broadcast hash join on a long;
+    * per-doc drop positions (only docs that contain hot segments) are
+      broadcast back onto the original scan, and the rewrite is pure
+      map-side array work: filter-by-position + concat_ws.
+
+    With *broadcast_drops* False the rewrite joins shuffle-side instead
+    — the CCNet layout, one body shuffle — for corpora where boilerplate
+    incidence is too broad to broadcast."""
+    from ..utils.caching import managed_persist
+
+    segs = doc_segments(F.col(text_col), seg_words)
+    exploded = managed_persist(
+        df.select(
+            F.col(id_col),
+            F.posexplode(segs).alias("pos", "seg"),
+        ).select(id_col, "pos", hash60(F.col("seg")).alias("h"))
+    )
+    hot = (
+        exploded.select(id_col, "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_df)
+        .select("h")
+    )
+    drops = exploded.join(F.broadcast(hot), "h").groupBy(id_col).agg(
+        F.collect_set("pos").alias("_drop_pos")
+    )
+    if broadcast_drops:
+        drops = F.broadcast(drops)
+    drop_pos = F.coalesce(F.col("_drop_pos"), F.array().cast("array<int>"))
+    kept = F.filter(segs, lambda s, i: ~F.array_contains(drop_pos, i))
+    return (
+        df.join(drops, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size(segs).alias("n_segments"),
+            (F.size(segs) - F.size(kept)).alias("n_dropped"),
+            F.concat_ws(" ", kept).alias("new_text"),
+        )
+    )
+
+
+def segment_dedup_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 8,
+    max_df: int = 2,
+) -> str:
+    """DuckDB oracle for :func:`segment_dedup`: same segmentation, hot
+    set keyed by the segment STRING itself (hash-collision-free ground
+    truth — a hash match therefore also certifies hash60's injectivity
+    on the corpus segment set)."""
+    sw = seg_words
+    ws = f"list_filter(string_split({text_col}, ' '), w -> w <> '')"
+    return f"""
+    WITH segs AS (
+      SELECT {id_col}, i - 1 AS pos,
+             array_to_string(list_slice(ws, (i - 1) * {sw} + 1, (i - 1) * {sw} + {sw}), ' ') AS seg
+      FROM (SELECT {id_col}, {ws} AS ws FROM {table}),
+           LATERAL unnest(range(1, cast(ceil(len(ws) / {sw}.0) AS bigint) + 1)) AS t(i)
+    ),
+    hot AS (
+      SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT {id_col}) > {max_df}
+    ),
+    rewritten AS (
+      SELECT s.{id_col} AS {id_col}, count(*) AS n_segments, count(h.seg) AS n_dropped,
+             string_agg(CASE WHEN h.seg IS NULL THEN s.seg END, ' ' ORDER BY s.pos) AS agg_text
+      FROM segs s LEFT JOIN hot h USING (seg)
+      GROUP BY s.{id_col}
+    )
+    SELECT d.{id_col} AS {id_col},
+           cast(coalesce(r.n_segments, 0) as int) AS n_segments,
+           cast(coalesce(r.n_dropped, 0) as int) AS n_dropped,
+           coalesce(r.agg_text, '') AS new_text
+    FROM {table} d LEFT JOIN rewritten r USING ({id_col})
+    """

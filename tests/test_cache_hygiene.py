@@ -21,7 +21,12 @@ def test_managed_queries_release_cleanly(spark):
     assert _cache_empty(spark)
 
     sf = "/root/testdata/sf0.001"
-    for name in ["q139_quantized_ann_topk", "q140_cm_heavy_hitters", "q155_corpus_prep_v2"]:
+    for name in [
+        "q139_quantized_ann_topk",
+        "q140_cm_heavy_hitters",
+        "q155_corpus_prep_v2",
+        "q158_segment_dedup",
+    ]:
         assert QUERIES[name](spark, sf).count() > 0, name
 
     # negative control: the persists really happened (a vacuously empty

@@ -566,3 +566,59 @@ def test_phash_banded_equals_brute_force(spark):
         if h <= 3:
             want[(a, b)] = h
     assert got == want and want  # exact and non-trivial
+
+
+# ---------------------------------------------------------------------------
+# Cross-document segment removal (r5): C4/CCNet-style rewrite
+# ---------------------------------------------------------------------------
+
+
+def test_doc_segments_aligned_windows(spark):
+    df = spark.createDataFrame([(0, "a b c d e f g")], "doc_id long, text string")
+    out = df.select(dd.doc_segments(F.col("text"), 3).alias("s")).collect()[0]["s"]
+    assert out == ["a b c", "d e f", "g"]
+
+
+def test_doc_segments_empty_and_multispace(spark):
+    df = spark.createDataFrame([(0, ""), (1, "a  b   c")], "doc_id long, text string")
+    rows = {r["doc_id"]: r["s"] for r in
+            df.select("doc_id", dd.doc_segments(F.col("text"), 2).alias("s")).collect()}
+    assert rows[0] == []
+    assert rows[1] == ["a b", "c"]  # whitespace-normalized
+
+
+def test_segment_dedup_drops_hot_preserves_order(spark):
+    # segment "x y" (words 0-1) appears in docs 0,1,2 -> df=3 > max_df=2 -> dropped.
+    # Doc 3's unique text must survive untouched; doc 4 is empty.
+    rows = [
+        (0, "x y a b"),
+        (1, "x y c d"),
+        (2, "x y e f"),
+        (3, "p q r s"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in
+           dd.segment_dedup(df, seg_words=2, max_df=2).collect()}
+    for i in range(3):
+        assert out[i]["n_segments"] == 2 and out[i]["n_dropped"] == 1
+    assert out[0]["new_text"] == "a b"
+    assert out[1]["new_text"] == "c d"
+    assert out[2]["new_text"] == "e f"
+    assert out[3] == {"doc_id": 3, "n_segments": 2, "n_dropped": 0, "new_text": "p q r s"}
+    assert out[4] == {"doc_id": 4, "n_segments": 0, "n_dropped": 0, "new_text": ""}
+    from bacon_spark.utils.caching import release_caches
+
+    release_caches()
+
+
+def test_segment_dedup_df_boundary_not_dropped(spark):
+    # df exactly == max_df must be KEPT (rule is strictly greater-than).
+    rows = [(0, "x y"), (1, "x y"), (2, "a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["n_dropped"] for r in
+           dd.segment_dedup(df, seg_words=2, max_df=2).collect()}
+    assert out == {0: 0, 1: 0, 2: 0}
+    from bacon_spark.utils.caching import release_caches
+
+    release_caches()
