@@ -1274,3 +1274,58 @@ def q158_segment_dedup(spark, sf_dir):
     certifies hash60 injectivity on the corpus segment set."""
     docs = _read_docs(spark, sf_dir)
     return _dd.segment_dedup(docs, "text", "doc_id", seg_words=8, max_df=2)
+
+
+_LEAK_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@query(
+    "q159_leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_LSH_KEYED_CTE},
+    hub AS (
+      SELECT band_key, min(doc_id) AS hub FROM keyed
+      GROUP BY 1 HAVING count(*) > 1
+    ),
+    star AS (
+      SELECT DISTINCT h.hub AS a, k.doc_id AS b
+      FROM keyed k JOIN hub h USING (band_key)
+      WHERE k.doc_id <> h.hub
+    ),
+    sh AS MATERIALIZED (SELECT doc_id, {_dd.shingles_sql('text')} AS s FROM documents),
+    edges AS MATERIALIZED (
+      SELECT st.a, st.b
+      FROM star st JOIN sh sa ON st.a = sa.doc_id JOIN sh sb ON st.b = sb.doc_id
+      WHERE {_STAR_JACC} >= 0.2
+    ),
+    sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+    reach(id, lbl) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.id
+    ),
+    comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS leak_group,
+           {dataset_split_sql('coalesce(c.cluster_id, d.doc_id)', _LEAK_FRACTIONS, 'leak')} AS split
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    ORDER BY d.doc_id
+    """,
+)
+def q159_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (llm/dedup.leakage_safe_split):
+    the split key is the document's near-dup COMPONENT over q151's
+    verified star-edge graph (singletons key by their own id), so no
+    near-dup cluster ever straddles a split boundary — eval examples
+    cannot have training-set near-twins. The oracle replays LSH banding,
+    star edges, exact-Jaccard verify, recursive-CTE components, and the
+    identical salted-hash draw in DuckDB, hash-checking every
+    assignment.
+
+    Scale shape: inherits the star-edge graph's Σ-bucket-hub-edge
+    linearity; components meet the corpus through one broadcast
+    equi-join; the draw is map-side whole-stage codegen."""
+    docs = _read_docs(spark, sf_dir)
+    return _dd.leakage_safe_split(
+        docs, _LEAK_FRACTIONS, threshold=0.2, salt="leak"
+    )

@@ -258,6 +258,41 @@ def lsh_star_edges(
     )
 
 
+def star_edge_graph(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float | None = None,
+    bands: int = 4,
+    rows: int = 2,
+) -> DataFrame:
+    """:func:`lsh_star_edges`, optionally with each hub edge verified by
+    exact shingle Jaccard — the shared candidate graph under
+    :func:`canonical_dedup_scalable` and :func:`leakage_safe_split`.
+
+    When *threshold* is not None the shingle frame is persisted
+    (managed: the returned plan reads it twice — once per edge endpoint
+    — so the SESSION owner unpersists via bacon_spark.release_caches())."""
+    from ..utils.caching import managed_persist
+
+    edges = lsh_star_edges(df, text_col, id_col, k, bands, rows)
+    if threshold is not None:
+        sh = managed_persist(
+            df.select(F.col(id_col), shingles(F.col(text_col), k).alias("_sh"))
+        )
+        a, b = sh.alias("sa"), sh.alias("sb")
+        edges = (
+            edges.join(a, edges.id_a == F.col(f"sa.{id_col}"))
+            .join(b, edges.id_b == F.col(f"sb.{id_col}"))
+            .filter(
+                F.round(jaccard(F.col("sa._sh"), F.col("sb._sh")), 8) >= threshold
+            )
+            .select("id_a", "id_b")
+        )
+    return edges
+
+
 def canonical_dedup_scalable(
     df: DataFrame,
     text_col: str = "text",
@@ -281,24 +316,7 @@ def canonical_dedup_scalable(
     equal canonical_dedup's candidate components (see lsh_star_edges)."""
     from ..operators.graph import connected_components
 
-    from ..utils.caching import managed_persist
-
-    edges = lsh_star_edges(df, text_col, id_col, k, bands, rows)
-    if threshold is not None:
-        # managed: the returned plan still reads this frame, so the
-        # SESSION owner unpersists via bacon_spark.release_caches()
-        sh = managed_persist(
-            df.select(F.col(id_col), shingles(F.col(text_col), k).alias("_sh"))
-        )
-        a, b = sh.alias("sa"), sh.alias("sb")
-        edges = (
-            edges.join(a, edges.id_a == F.col(f"sa.{id_col}"))
-            .join(b, edges.id_b == F.col(f"sb.{id_col}"))
-            .filter(
-                F.round(jaccard(F.col("sa._sh"), F.col("sb._sh")), 8) >= threshold
-            )
-            .select("id_a", "id_b")
-        )
+    edges = star_edge_graph(df, text_col, id_col, k, threshold, bands, rows)
     cc = connected_components(edges, src="id_a", dst="id_b")
     losers = cc.filter(F.col("id") != F.col("component")).select("id")
     stats = (
@@ -1060,3 +1078,55 @@ def segment_dedup_sql(
            coalesce(r.agg_text, '') AS new_text
     FROM {table} d LEFT JOIN rewritten r USING ({id_col})
     """
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe dataset split (near-dup components never straddle splits)
+# ---------------------------------------------------------------------------
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    fractions,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float | None = None,
+    bands: int = 4,
+    rows: int = 2,
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment in which a document and ALL its near
+    duplicates land in the SAME split — the leakage-safe version of
+    :func:`bacon_spark.operators.sampling.dataset_split`.
+
+    A plain per-document hash split puts ~(1 - sum f_i^2) of every
+    near-dup cluster's mass across split boundaries, so eval examples
+    have training-set near-twins and measured loss is contaminated (the
+    core motivation of training-data dedup work). Here the split key is
+    the document's near-dup COMPONENT (star-edge LSH graph, optionally
+    exact-Jaccard-verified; singletons key by their own id), so the
+    boundary can never cut a cluster.
+
+    Returns every input id with (leak_group, split); the split
+    assignment is the same deterministic salted-hash draw as
+    dataset_split, applied to the group key — reproducible across
+    engines, partitionings, and runs.
+
+    Scale shape: inherits the star-edge graph's linearity (Σ bucket hub
+    edges, never Σ bucket²); components are dup-population-sized and
+    meet the corpus through one broadcastable equi-join; the draw is
+    map-side codegen."""
+    from ..operators.graph import connected_components
+    from ..operators.sampling import dataset_split
+
+    edges = star_edge_graph(df, text_col, id_col, k, threshold, bands, rows)
+    cc = connected_components(edges, src="id_a", dst="id_b").withColumnRenamed(
+        "id", id_col
+    )
+    grouped = df.select(id_col).join(F.broadcast(cc), id_col, "left").withColumn(
+        "leak_group", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    return dataset_split(grouped, F.col("leak_group"), fractions, salt).select(
+        id_col, "leak_group", "split"
+    )

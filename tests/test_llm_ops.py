@@ -622,3 +622,47 @@ def test_segment_dedup_df_boundary_not_dropped(spark):
     from bacon_spark.utils.caching import release_caches
 
     release_caches()
+
+
+def test_leakage_safe_split_never_splits_components(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog tonight"),
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "completely different words entirely in this document"),
+        (4, "yet another unrelated piece of text goes here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in
+           dd.leakage_safe_split(df, {"train": 0.5, "test": 0.5}).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}  # every doc assigned exactly once
+    # 0/1/2 form one near-dup component: same group, same split
+    assert out[0]["leak_group"] == out[1]["leak_group"] == out[2]["leak_group"] == 0
+    assert out[0]["split"] == out[1]["split"] == out[2]["split"]
+    # singletons key by their own id
+    assert out[3]["leak_group"] == 3 and out[4]["leak_group"] == 4
+    # deterministic: a second run reproduces every assignment
+    again = {r["doc_id"]: r.asDict() for r in
+             dd.leakage_safe_split(df, {"train": 0.5, "test": 0.5}).collect()}
+    assert again == out
+    from bacon_spark.utils.caching import release_caches
+
+    release_caches()
+
+
+def test_leakage_safe_split_verified_edges_disconnect(spark):
+    # With a Jaccard threshold the spurious band collision between two
+    # genuinely different docs must NOT merge their groups.
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta iota"),
+        (2, "one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["leak_group"] for r in
+           dd.leakage_safe_split(df, {"train": 1.0}, threshold=0.99).collect()}
+    # at threshold ~1.0 nothing verifies: all singletons
+    assert out == {0: 0, 1: 1, 2: 2}
+    from bacon_spark.utils.caching import release_caches
+
+    release_caches()
