@@ -1329,3 +1329,35 @@ def q159_leakage_safe_split(spark, sf_dir):
     return _dd.leakage_safe_split(
         docs, _LEAK_FRACTIONS, threshold=0.2, salt="leak"
     )
+
+
+from ..llm import pq as _pq  # noqa: E402
+
+
+@query("q160_pq_ann_topk", _pq.pq_ann_topk_sql(m=8, k=8, dim=64, n=10))
+def q160_pq_ann_topk(spark, sf_dir):
+    """Product-quantization ANN (llm/pq.py): per-subspace codebooks
+    (8 subspaces x 8 centroids, md5-seeded deterministic k-means, one
+    DECIMAL-exact Lloyd update from shared global seeds), byte codes per
+    vector, and asymmetric-distance top-10 for five probes. Completes
+    the ANN ladder (q31 brute force -> q47 IVF -> q139 int8) with the
+    64x index-compression technique (64 doubles -> 8 byte codes) that
+    keeps a 100 TB corpus's ANN index in cluster memory. The oracle
+    replays seeding, per-subspace updates, encoding, and ADC scoring —
+    every distance rounded and tie-broken identically.
+
+    Scale shape: codebook learning is one map-side assignment pass plus
+    one k*dim-row bounded collect; encoding and ADC are whole-stage-
+    codegen expressions against literal codebooks (no joins, no lookup
+    broadcast); top-k is a rank window over probe-cardinality
+    partitions."""
+    emb = _read(spark, sf_dir, "embeddings")
+    cbs = _pq.pq_codebooks(emb, m=8, k=8, dim=64)
+    probes = [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return _pq.pq_ann_topk(emb, cbs, probes, n=10)

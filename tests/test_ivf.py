@@ -40,3 +40,45 @@ def test_ivf_cells_partition_corpus(emb):
         assert len(counts) == 4
     finally:
         idx.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (r5)
+# ---------------------------------------------------------------------------
+
+
+def _toy_vectors(spark):
+    # two tight groups in each half-space so subspace codebooks separate them
+    rows = [
+        (0, [0.0, 0.0, 10.0, 10.0]),
+        (1, [0.1, 0.0, 10.0, 10.1]),
+        (2, [5.0, 5.0, 0.0, 0.0]),
+        (3, [5.1, 5.0, 0.0, 0.1]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_codes_group_near_identical_vectors(spark):
+    from bacon_spark.llm import pq
+
+    df = _toy_vectors(spark)
+    cbs = pq.pq_codebooks(df, m=2, k=2, dim=4)
+    assert len(cbs) == 2 and all(len(cb) <= 2 for cb in cbs)
+    codes = {r["vec_id"]: (r["c0"], r["c1"]) for r in pq.pq_codes(df, cbs).collect()}
+    assert codes[0] == codes[1]  # near-identical vectors share codes
+    assert codes[2] == codes[3]
+    assert codes[0] != codes[2]  # the two groups separate
+
+
+def test_pq_ann_topk_ranks_own_group_first(spark):
+    from bacon_spark.llm import pq
+    from pyspark.sql import functions as F
+
+    df = _toy_vectors(spark)
+    cbs = pq.pq_codebooks(df, m=2, k=2, dim=4)
+    probes = [(0, [0.0, 0.0, 10.0, 10.0])]
+    out = [(r["vec_id"], r["rn"]) for r in pq.pq_ann_topk(df, cbs, probes, n=4).collect()]
+    ranked_ids = [v for v, _ in out]
+    # group {0,1} (same reconstruction) must rank ahead of group {2,3}
+    assert set(ranked_ids[:2]) == {0, 1}
+    assert set(ranked_ids[2:]) == {2, 3}
