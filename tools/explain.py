@@ -37,6 +37,9 @@ DEFAULT = [
     "q155_corpus_prep_v2",
     "q156_kmeans_clusters",
     "q157_semantic_dedup",
+    "q158_segment_dedup",
+    "q159_leakage_safe_split",
+    "q160_pq_ann_topk",
 ]
 
 
