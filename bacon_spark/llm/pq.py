@@ -38,16 +38,6 @@ from .clustering import _DEC, _D2_SQL, _assign, seed_centroids
 Codebooks = list[list[tuple[int, list[float]]]]
 
 
-def _d2_cols(a: Column, b: Column) -> Column:
-    """Squared L2 between two array<double> COLUMNS, left-folded (the
-    column-column variant of clustering._d2)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def pq_codebooks(
     df: DataFrame,
     m: int = 8,
@@ -153,37 +143,54 @@ def pq_ann_topk(
     literal codebooks enter the expression (no join, no lookup table to
     broadcast). approx_d is rounded to 6 dp with the id as tie-break.
 
-    Codebook slots for clusters that went empty in the Lloyd update keep
-    their seed slice as a placeholder; no code can name them (assignment
-    only ranges over surviving centroids), they exist so element_at can
-    index by centroid id without renumbering."""
+    The scoring pass is the textbook ADC layout: the distance from each
+    probe slice to each sub-centroid is precomputed DRIVER-side into an
+    m x k lookup table per probe (m*k*|probes| floats — bounded), and
+    the corpus pass is m element_at lookups plus a left-folded sum per
+    (row, probe) — no per-row distance arithmetic at all. The python
+    float fold that builds the tables is the same left-to-right IEEE
+    sequence as the oracle's list_sum, so the hash check still closes.
+
+    Lookup slots for clusters that went empty in the Lloyd update hold
+    infinity; no code can name them (assignment only ranges over
+    surviving centroids)."""
     m = len(codebooks)
     subdim = len(codebooks[0][0][1])
     k = max(ci for cb in codebooks for ci, _ in cb) + 1
     vec = F.col(vec_col).cast("array<double>")
 
-    def cb_lit(s: int) -> Column:
+    def adc_table(pv: list[float], s: int) -> list[float]:
         by_ci = dict(codebooks[s])
-        slots = []
+        ps = pv[s * subdim : (s + 1) * subdim]
+        out = []
         for ci in range(k):
-            v = by_ci.get(ci, [0.0] * subdim)  # placeholder, never addressed
-            slots.append(F.array(*[F.lit(float(x)) for x in v]))
-        return F.array(*slots)
+            if ci in by_ci:
+                d = 0.0
+                for a, b in zip(ps, by_ci[ci]):
+                    d = d + (a - b) * (a - b)
+                out.append(d)
+            else:
+                out.append(float("inf"))  # placeholder, never addressed
+        return out
 
-    codes = [
-        _assign(F.slice(vec, s * subdim + 1, subdim), codebooks[s]) for s in range(m)
-    ]
+    coded = df.select(
+        F.col(id_col),
+        *[
+            _assign(F.slice(vec, s * subdim + 1, subdim), codebooks[s]).alias(f"_c{s}")
+            for s in range(m)
+        ],
+    )
     per_probe = []
     for pid, pv in probes:
         d: Column | None = None
         for s in range(m):
-            ps = F.array(*[F.lit(float(x)) for x in pv[s * subdim : (s + 1) * subdim]])
-            ds = _d2_cols(ps, F.element_at(cb_lit(s), codes[s] + 1))
+            tbl = F.array(*[F.lit(x) for x in adc_table(pv, s)])
+            ds = F.element_at(tbl, F.col(f"_c{s}") + 1)
             d = ds if d is None else d + ds
         per_probe.append(
             F.struct(F.lit(pid).alias("probe_id"), F.round(d, 6).alias("approx_d"))
         )
-    scored = df.select(
+    scored = coded.select(
         F.col(id_col), F.explode(F.array(*per_probe)).alias("_p")
     ).select(
         F.col("_p.probe_id").alias("probe_id"),
