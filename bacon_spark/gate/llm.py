@@ -1361,3 +1361,30 @@ def q160_pq_ann_topk(spark, sf_dir):
         .collect()
     ]
     return _pq.pq_ann_topk(emb, cbs, probes, n=10)
+
+
+@query("q161_ivfpq_ann_topk", _pq.ivfpq_ann_topk_sql(coarse_k=8, m=8, k=8, dim=64, nprobe=2, n=10))
+def q161_ivfpq_ann_topk(spark, sf_dir):
+    """IVF-PQ search (llm/pq.ivfpq_ann_topk) — the production ANN index
+    structure: a deterministic coarse k-means quantizer routes vectors
+    into 8 inverted lists, the residual (vector minus cell centroid) is
+    product-quantized (8x8 codebooks), and each probe scans only its 2
+    nearest cells, scoring candidates via driver-built ADC tables over
+    residual codes. Composes q156's coarse quantizer with q160's PQ; the
+    oracle replays the entire index build and search.
+
+    Scale shape: the persisted residual frame is one map-side pass; at
+    real scale the corpus is written partitioned by cell so an nprobe
+    probe is a partition-pruned read of nprobe/coarse_k of the data —
+    the cell filter here expresses that prune. Everything else is the
+    q160 ADC shape: bounded collects, literal tables, rank window per
+    probe."""
+    emb = _read(spark, sf_dir, "embeddings")
+    probes = [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return _pq.ivfpq_ann_topk(emb, probes, coarse_k=8, m=8, k=8, dim=64, nprobe=2, n=10)

@@ -68,18 +68,18 @@ def seed_centroids(
     return [(i, list(r["v"])) for i, r in enumerate(rows)]
 
 
-def kmeans_assign(
+def kmeans_centroids(
     df: DataFrame,
     k: int = 8,
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = "km",
-    include_vec: bool = False,
-) -> DataFrame:
-    """(id, cluster) under the centroids after *iters* Lloyd updates
-    (plus the double-cast vector as ``_v`` when *include_vec* — the
-    semantic-dedup composition needs it without a second corpus scan).
+) -> list[tuple[int, list[float]]]:
+    """The (index, centroid) list after *iters* Lloyd updates from the
+    md5-draw seeds — the trained model :func:`kmeans_assign` applies,
+    exposed for compositions that need the centroids themselves (IVF-PQ
+    residual encoding).
 
     Each update: map-side assignment against centroid literals, then one
     bounded groupBy(cluster, component) producing k*dim decimal-exact
@@ -110,6 +110,24 @@ def kmeans_assign(
             (ci, [comp[j] / n_ci[ci] for j in sorted(comp)])
             for ci, comp in sorted(by_ci.items())
         ]
+    return cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "km",
+    include_vec: bool = False,
+) -> DataFrame:
+    """(id, cluster) under :func:`kmeans_centroids`'s model (plus the
+    double-cast vector as ``_v`` when *include_vec* — the semantic-dedup
+    composition needs it without a second corpus scan). Assignment is
+    pure map-side codegen against the centroid literals."""
+    vec = F.col(vec_col).cast("array<double>")
+    cents = kmeans_centroids(df, k, iters, id_col, vec_col, salt)
     out = [F.col(id_col), _assign(vec, cents).cast("int").alias("cluster")]
     if include_vec:
         out.append(vec.alias("_v"))

@@ -213,15 +213,22 @@ def pq_ann_topk(
 
 
 def _subspace_cte_sql(
-    s: int, k: int, subdim: int, id_col: str, vec_col: str, table: str
+    s: int,
+    k: int,
+    subdim: int,
+    id_col: str,
+    vec_col: str,
+    table: str,
+    seeds_cte: str = "seeds",
 ) -> str:
     """a0_s / upd_s / c1_s — clustering._kmeans_cte_sql's body for ONE
     subspace, assigning the SLICED vectors against the SLICED global
-    seeds."""
+    seeds (*seeds_cte* names the seed CTE so compositions that already
+    use "seeds" for a coarse quantizer can rename)."""
     lo, hi = s * subdim + 1, (s + 1) * subdim
     d2 = _D2_SQL
     return f"""sl{s} AS (
-      SELECT ci, list_slice(c, {lo}, {hi}) AS c FROM seeds
+      SELECT ci, list_slice(c, {lo}, {hi}) AS c FROM {seeds_cte}
     ),
     a0_{s} AS (
       SELECT e.{id_col} AS id, list_slice(e.{vec_col}, {lo}, {hi}) AS v
@@ -296,6 +303,283 @@ def pq_ann_topk_sql(
              round({adc_terms}, 6) AS approx_d
       FROM {table} pr CROSS JOIN codes
       WHERE {probe_pred.replace(id_col, 'pr.' + id_col)}
+    ),
+    ranked AS (
+      SELECT probe_id, {id_col}, approx_d,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY approx_d, {id_col}) AS rn
+      FROM scored
+    )
+    SELECT probe_id, {id_col}, approx_d, cast(rn as int) AS rn
+    FROM ranked WHERE rn <= {n}
+    ORDER BY probe_id, rn
+    """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer + residual product codes (the FAISS IVFPQ shape)
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_ann_topk(
+    df: DataFrame,
+    probes: list[tuple[int, list[float]]],
+    coarse_k: int = 8,
+    m: int = 8,
+    k: int = 8,
+    dim: int = 64,
+    nprobe: int = 2,
+    n: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_salt: str = "ivfc",
+    pq_salt: str = "pq",
+) -> DataFrame:
+    """IVF-PQ search — the production ANN index structure at corpus
+    scale: a coarse k-means quantizer routes each vector to one of
+    *coarse_k* inverted lists, the RESIDUAL (vector minus its cell
+    centroid) is product-quantized, and a query scans only the *nprobe*
+    cells nearest the probe, scoring candidates by ADC over their
+    residual codes. Returns (probe_id, id, approx_d, rn) with rn <= n.
+
+    Composition of the engine's two deterministic quantizers
+    (clustering.kmeans_centroids for the coarse step, pq_codebooks over
+    the residual frame), so the DuckDB oracle replays the whole index
+    build bit-for-bit. Probe-to-cell routing runs as a tiny SPARK job
+    over the probe list (probe-count rows) so its rounding tie-breaks
+    are engine-identical, never python's.
+
+    Scale shape: the residual frame is ints+arrays map-side work,
+    persisted (managed) because codebook seeding, the Lloyd update, and
+    encoding all read it; at real scale the corpus is WRITTEN
+    partitioned by cell, so an nprobe probe is a partition-pruned read
+    of ~nprobe/coarse_k of the data (the same layout contract as
+    IVF-Flat, llm/ivf.py) — here the cell filter expresses that prune.
+    Scoring is the same driver-built ADC tables as :func:`pq_ann_topk`,
+    one table per (probe, probed cell)."""
+    from ..utils.caching import managed_persist
+    from .clustering import _d2, kmeans_centroids
+
+    subdim = dim // m
+    vec = F.col(vec_col).cast("array<double>")
+    ccents = kmeans_centroids(df, coarse_k, 1, id_col, vec_col, coarse_salt)
+    max_ci = max(ci for ci, _ in ccents) + 1
+    by_ci = dict(ccents)
+    cent_lit = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in by_ci.get(ci, [0.0] * dim)])
+            for ci in range(max_ci)
+        ]
+    )
+    resid = managed_persist(
+        df.select(
+            F.col(id_col),
+            _assign(vec, ccents).alias("_cell"),
+            vec.alias("_v"),
+        ).select(
+            id_col,
+            "_cell",
+            F.zip_with(
+                F.col("_v"),
+                F.element_at(cent_lit, F.col("_cell") + 1),
+                lambda x, y: x - y,
+            ).alias("_rv"),
+        )
+    )
+    cbs = pq_codebooks(resid, m, k, dim, id_col, "_rv", pq_salt)
+
+    # probe -> nprobe nearest cells, routed by a probe-count-row Spark job
+    spark = df.sparkSession
+    pdf = spark.createDataFrame(
+        [(pid, [float(x) for x in pv]) for pid, pv in probes],
+        f"{id_col} long, _pv array<double>",
+    )
+    ranked_cells = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.round(_d2(F.col("_pv"), c), 6).alias("d"),
+                        F.lit(ci).alias("ci"),
+                    )
+                    for ci, c in ccents
+                ]
+            )
+        ),
+        1,
+        nprobe,
+    )
+    probe_cells = {
+        r[id_col]: list(r["cells"])
+        for r in pdf.select(
+            F.col(id_col),
+            F.transform(ranked_cells, lambda s: s["ci"]).alias("cells"),
+        ).collect()
+    }
+
+    def adc_table(pr: list[float], s: int) -> list[float]:
+        by_code = dict(cbs[s])
+        ps = pr[s * subdim : (s + 1) * subdim]
+        out = []
+        for ci in range(max(c for c, _ in cbs[s]) + 1):
+            if ci in by_code:
+                d = 0.0
+                for a, b in zip(ps, by_code[ci]):
+                    d = d + (a - b) * (a - b)
+                out.append(d)
+            else:
+                out.append(float("inf"))  # placeholder, never addressed
+        return out
+
+    coded = resid.select(
+        F.col(id_col),
+        F.col("_cell"),
+        *[
+            _assign(F.slice(F.col("_rv"), s * subdim + 1, subdim), cbs[s]).alias(
+                f"_c{s}"
+            )
+            for s in range(m)
+        ],
+    )
+    per_probe = []
+    for pid, pv in probes:
+        branch: Column | None = None
+        for cell in probe_cells[pid]:
+            pr = [a - b for a, b in zip(pv, by_ci[cell])]
+            d: Column | None = None
+            for s in range(m):
+                tbl = F.array(*[F.lit(x) for x in adc_table(pr, s)])
+                ds = F.element_at(tbl, F.col(f"_c{s}") + 1)
+                d = ds if d is None else d + ds
+            cond = F.col("_cell") == cell
+            branch = F.when(cond, d) if branch is None else branch.when(cond, d)
+        per_probe.append(
+            F.struct(
+                F.lit(pid).alias("probe_id"), F.round(branch, 6).alias("approx_d")
+            )
+        )
+    scored = (
+        coded.select(F.col(id_col), F.explode(F.array(*per_probe)).alias("_p"))
+        .select(
+            F.col("_p.probe_id").alias("probe_id"),
+            F.col(id_col),
+            F.col("_p.approx_d").alias("approx_d"),
+        )
+        .filter(F.col("approx_d").isNotNull())
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy("approx_d", id_col)
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= n)
+        .orderBy("probe_id", "rn")
+    )
+
+
+def ivfpq_ann_topk_sql(
+    coarse_k: int = 8,
+    m: int = 8,
+    k: int = 8,
+    dim: int = 64,
+    nprobe: int = 2,
+    n: int = 10,
+    probe_pred: str = "vec_id < 5",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+    coarse_salt: str = "ivfc",
+    pq_salt: str = "pq",
+) -> str:
+    """DuckDB replay of the whole IVF-PQ build and search: coarse
+    seeding + Lloyd update, residual frame, per-subspace residual
+    codebooks, encoding, nprobe cell routing, ADC scoring — identical
+    rounding, folds, and tie-breaks throughout."""
+    subdim = dim // m
+    d2 = _D2_SQL
+    subspaces = ",\n    ".join(
+        _subspace_cte_sql(s, k, subdim, "id", "rv", "resid", seeds_cte="pseeds")
+        for s in range(m)
+    )
+    code_cols = ", ".join(
+        f"""(SELECT t.ci FROM c1_{s} t
+             ORDER BY round({d2.format(v=f"list_slice(r.rv, {s * subdim + 1}, {(s + 1) * subdim})", c='t.c')}, 6), t.ci
+             LIMIT 1) AS c{s}"""
+        for s in range(m)
+    )
+    presid = (
+        "list_transform(list_zip(pc.pv, pc.cc), "
+        "q -> q[1]::DOUBLE - q[2]::DOUBLE)"
+    )
+    adc_terms = " + ".join(
+        d2.format(
+            v=f"list_slice({presid}, {s * subdim + 1}, {(s + 1) * subdim})",
+            c=f"(SELECT t.c FROM c1_{s} t WHERE t.ci = codes.c{s})",
+        )
+        for s in range(m)
+    )
+    return f"""
+    WITH cseeds AS (
+      SELECT row_number() OVER (ORDER BY {draw_sql(id_col, coarse_salt)}, {id_col}) - 1 AS ci,
+             {vec_col} AS c
+      FROM {table}
+      ORDER BY {draw_sql(id_col, coarse_salt)}, {id_col}
+      LIMIT {coarse_k}
+    ),
+    ca0 AS (
+      SELECT e.{id_col} AS id, e.{vec_col} AS v,
+             (SELECT s.ci FROM cseeds s
+              ORDER BY round({d2.format(v=f'e.{vec_col}', c='s.c')}, 6), s.ci
+              LIMIT 1) AS ci
+      FROM {table} e
+    ),
+    cupd AS (
+      SELECT ci, j,
+             sum((v[j]::DOUBLE)::DECIMAL(38,12))::DOUBLE / count(*) AS m
+      FROM ca0 CROSS JOIN range(1, {dim} + 1) t(j)
+      GROUP BY ci, j
+    ),
+    cc1 AS MATERIALIZED (
+      SELECT ci, list(m ORDER BY j) AS c FROM cupd GROUP BY ci
+    ),
+    resid AS MATERIALIZED (
+      SELECT e.{id_col} AS id,
+             (SELECT t.ci FROM cc1 t
+              ORDER BY round({d2.format(v=f'e.{vec_col}', c='t.c')}, 6), t.ci
+              LIMIT 1)::INT AS cell,
+             list_transform(
+               list_zip(e.{vec_col},
+                        (SELECT t.c FROM cc1 t
+                         ORDER BY round({d2.format(v=f'e.{vec_col}', c='t.c')}, 6), t.ci
+                         LIMIT 1)),
+               q -> q[1]::DOUBLE - q[2]::DOUBLE) AS rv
+      FROM {table} e
+    ),
+    pseeds AS (
+      SELECT row_number() OVER (ORDER BY {draw_sql('id', pq_salt)}, id) - 1 AS ci,
+             rv AS c
+      FROM resid
+      ORDER BY {draw_sql('id', pq_salt)}, id
+      LIMIT {k}
+    ),
+    {subspaces},
+    codes AS MATERIALIZED (
+      SELECT r.id, r.cell, {code_cols}
+      FROM resid r
+    ),
+    pcells AS MATERIALIZED (
+      SELECT pr.{id_col} AS probe_id, t.ci AS cell, t.c AS cc,
+             pr.{vec_col} AS pv
+      FROM {table} pr,
+           LATERAL (SELECT ci, c FROM cc1
+                    ORDER BY round({d2.format(v=f'pr.{vec_col}', c='cc1.c')}, 6), ci
+                    LIMIT {nprobe}) t
+      WHERE {probe_pred.replace(id_col, 'pr.' + id_col)}
+    ),
+    scored AS (
+      SELECT pc.probe_id, codes.id AS {id_col},
+             round({adc_terms}, 6) AS approx_d
+      FROM pcells pc JOIN codes ON codes.cell = pc.cell
     ),
     ranked AS (
       SELECT probe_id, {id_col}, approx_d,

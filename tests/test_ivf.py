@@ -82,3 +82,40 @@ def test_pq_ann_topk_ranks_own_group_first(spark):
     # group {0,1} (same reconstruction) must rank ahead of group {2,3}
     assert set(ranked_ids[:2]) == {0, 1}
     assert set(ranked_ids[2:]) == {2, 3}
+
+
+def test_ivfpq_routes_and_ranks_by_cell(spark):
+    from bacon_spark.llm import pq
+    from bacon_spark.utils.caching import release_caches
+
+    # two far-apart groups: coarse quantizer must separate them, and a
+    # probe at group A must rank A members first while only probing
+    # nprobe=1 cell (so group B never appears at all)
+    rows = [
+        (0, [0.0, 0.0, 10.0, 10.0]),
+        (1, [0.1, 0.0, 10.0, 10.1]),
+        (2, [50.0, 50.0, 0.0, 0.0]),
+        (3, [50.1, 50.0, 0.0, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = [(0, [0.0, 0.0, 10.0, 10.0])]
+    out = [(r["vec_id"], r["rn"]) for r in
+           pq.ivfpq_ann_topk(df, probes, coarse_k=2, m=2, k=2, dim=4,
+                             nprobe=1, n=4).collect()]
+    ids = [v for v, _ in out]
+    assert set(ids) <= {0, 1}          # the far cell is never scanned
+    assert ids[0] in (0, 1)
+    release_caches()
+
+
+def test_ivfpq_cache_hygiene(spark):
+    from bacon_spark.llm import pq
+    from bacon_spark.utils.caching import release_caches
+
+    rows = [(i, [float(i), 0.0, 1.0, 0.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pq.ivfpq_ann_topk(df, [(0, [0.0, 0.0, 1.0, 0.0])], coarse_k=2, m=2,
+                      k=2, dim=4, nprobe=1, n=3).collect()
+    assert not spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    release_caches()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
