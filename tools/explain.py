@@ -40,6 +40,7 @@ DEFAULT = [
     "q158_segment_dedup",
     "q159_leakage_safe_split",
     "q160_pq_ann_topk",
+    "q161_ivfpq_ann_topk",
 ]
 
 
