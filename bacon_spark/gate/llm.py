@@ -1388,3 +1388,21 @@ def q161_ivfpq_ann_topk(spark, sf_dir):
         .collect()
     ]
     return _pq.ivfpq_ann_topk(emb, probes, coarse_k=8, m=8, k=8, dim=64, nprobe=2, n=10)
+
+
+@query("q162_within_doc_dedup", _dd.within_doc_segment_dedup_sql("documents", "text", "doc_id", 2))
+def q162_within_doc_dedup(spark, sf_dir):
+    """Within-document repeated-segment removal (llm/dedup.within_doc_
+    segment_dedup): only the FIRST occurrence of each aligned 3-word
+    segment survives inside a document — the in-document half of
+    repeated-content cleanup, run before q158's cross-document pass so
+    self-repetition can't inflate a document's own segment df. 2-word
+    segments bind on 181 documents (250 drops) at sf0.01, so the
+    rewrite is non-vacuous.
+
+    Scale shape: zero shuffle — a single map-side projection
+    (let-bound segment array, array_position first-occurrence filter,
+    concat_ws) at any corpus size; the oracle replays it with a
+    row_number window."""
+    docs = _read_docs(spark, sf_dir)
+    return _dd.within_doc_segment_dedup(docs, "text", "doc_id", seg_words=2)

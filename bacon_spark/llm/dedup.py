@@ -1130,3 +1130,77 @@ def leakage_safe_split(
     return dataset_split(grouped, F.col("leak_group"), fractions, salt).select(
         id_col, "leak_group", "split"
     )
+
+
+def within_doc_segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 8,
+) -> DataFrame:
+    """WITHIN-document repeated-segment removal: keep only the FIRST
+    occurrence of each aligned *seg_words*-word segment inside a
+    document — the in-document half of repeated-content cleanup (q158's
+    :func:`segment_dedup` is the cross-document half; pipelines run this
+    one first, since self-repetition would otherwise inflate a
+    document's own segment df).
+
+    Pure map-side array work — ``array_position(segs, s) == i + 1``
+    keeps exactly the first occurrence — so the operator is a zero-
+    shuffle projection at ANY corpus size."""
+    segs = doc_segments(F.col(text_col), seg_words)
+
+    def rewrite(ss: Column) -> Column:
+        kept = F.filter(ss, lambda s, i: F.array_position(ss, s) == i + 1)
+        return F.struct(
+            F.size(ss).alias("n_segments"),
+            (F.size(ss) - F.size(kept)).alias("n_dropped"),
+            F.concat_ws(" ", kept).alias("new_text"),
+        )
+
+    from ..functions.exprs import let
+
+    out = let(segs, rewrite)
+    return df.select(
+        F.col(id_col),
+        out["n_segments"].alias("n_segments"),
+        out["n_dropped"].alias("n_dropped"),
+        out["new_text"].alias("new_text"),
+    )
+
+
+def within_doc_segment_dedup_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 8,
+) -> str:
+    """DuckDB oracle for :func:`within_doc_segment_dedup`: first
+    occurrence per (doc, segment) via a row_number window, reassembled
+    in order."""
+    sw = seg_words
+    ws = f"list_filter(string_split({text_col}, ' '), w -> w <> '')"
+    return f"""
+    WITH segs AS (
+      SELECT {id_col}, i - 1 AS pos,
+             array_to_string(list_slice(ws, (i - 1) * {sw} + 1, (i - 1) * {sw} + {sw}), ' ') AS seg
+      FROM (SELECT {id_col}, {ws} AS ws FROM {table}),
+           LATERAL unnest(range(1, cast(ceil(len(ws) / {sw}.0) AS bigint) + 1)) AS t(i)
+    ),
+    firsts AS (
+      SELECT {id_col}, pos, seg,
+             row_number() OVER (PARTITION BY {id_col}, seg ORDER BY pos) AS occ
+      FROM segs
+    ),
+    rewritten AS (
+      SELECT {id_col}, count(*) AS n_segments,
+             count(*) FILTER (WHERE occ > 1) AS n_dropped,
+             string_agg(CASE WHEN occ = 1 THEN seg END, ' ' ORDER BY pos) AS agg_text
+      FROM firsts GROUP BY {id_col}
+    )
+    SELECT d.{id_col} AS {id_col},
+           cast(coalesce(r.n_segments, 0) as int) AS n_segments,
+           cast(coalesce(r.n_dropped, 0) as int) AS n_dropped,
+           coalesce(r.agg_text, '') AS new_text
+    FROM {table} d LEFT JOIN rewritten r USING ({id_col})
+    """

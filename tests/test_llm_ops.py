@@ -666,3 +666,17 @@ def test_leakage_safe_split_verified_edges_disconnect(spark):
     from bacon_spark.utils.caching import release_caches
 
     release_caches()
+
+
+def test_within_doc_segment_dedup_keeps_first_occurrence(spark):
+    rows = [
+        (0, "a b a b c d"),   # 3 segments of 2: "a b","a b","c d" -> second dropped
+        (1, "x y z w"),
+        (2, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in
+           dd.within_doc_segment_dedup(df, seg_words=2).collect()}
+    assert out[0] == {"doc_id": 0, "n_segments": 3, "n_dropped": 1, "new_text": "a b c d"}
+    assert out[1] == {"doc_id": 1, "n_segments": 2, "n_dropped": 0, "new_text": "x y z w"}
+    assert out[2] == {"doc_id": 2, "n_segments": 0, "n_dropped": 0, "new_text": ""}
