@@ -112,6 +112,12 @@ def test_ivfpq_cache_hygiene(spark):
     from bacon_spark.llm import pq
     from bacon_spark.utils.caching import release_caches
 
+    # order-independence: other fixtures (the demo CuttingBoard) own
+    # long-lived slice caches; start from a clean shared cacheManager so
+    # the emptiness asserts below see only THIS operator's persists.
+    release_caches()
+    spark.catalog.clearCache()
+
     rows = [(i, [float(i), 0.0, 1.0, 0.0]) for i in range(8)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     pq.ivfpq_ann_topk(df, [(0, [0.0, 0.0, 1.0, 0.0])], coarse_k=2, m=2,
