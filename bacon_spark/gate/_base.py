@@ -180,6 +180,7 @@ from ..llm import bpe as _bpe  # noqa: E402
 from ..operators import stats as _stats  # noqa: E402
 from ..operators import timeseries as _ts  # noqa: E402
 from ..operators import ranking as _grank  # noqa: E402
+from ..operators import sketch as _sk  # noqa: E402
 
 __all__ = [
     "Average",
@@ -236,6 +237,7 @@ __all__ = [
     "_samp",
     "_scale",
     "_sim",
+    "_sk",
     "_stats",
     "_temporal",
     "_ts",

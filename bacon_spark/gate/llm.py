@@ -1406,3 +1406,178 @@ def q162_within_doc_dedup(spark, sf_dir):
     row_number window."""
     docs = _read_docs(spark, sf_dir)
     return _dd.within_doc_segment_dedup(docs, "text", "doc_id", seg_words=2)
+
+
+_Q163_GRAMS = f"SELECT source, unnest({_dd.shingles_sql('text', 3)}) AS gram FROM documents"
+
+
+@query(
+    "q163_hll_vocabulary",
+    f"""
+    WITH grams AS MATERIALIZED ({_Q163_GRAMS}),
+    reg AS MATERIALIZED ({_sk.hll_registers_sql('grams', 'gram', 'source, ')}),
+    per_src AS ({_sk.hll_estimate_sql('reg', 'source, ')}),
+    merged_reg AS (SELECT bucket, max(reg) AS reg FROM reg GROUP BY 1),
+    merged AS ({_sk.hll_estimate_sql('merged_reg')}),
+    est AS (
+      SELECT source, buckets_used, hll_estimate FROM per_src
+      UNION ALL
+      SELECT '__all__' AS source, buckets_used, hll_estimate FROM merged
+    ),
+    ex AS (
+      SELECT source, count(DISTINCT gram)::BIGINT AS n_exact FROM grams GROUP BY 1
+      UNION ALL
+      SELECT '__all__' AS source, count(DISTINCT gram)::BIGINT AS n_exact FROM grams
+    )
+    SELECT e.source AS source, e.buckets_used AS buckets_used,
+           e.hll_estimate AS hll_estimate, x.n_exact AS n_exact,
+           round(((e.hll_estimate - x.n_exact) / x.n_exact) * 100, 4) AS rel_err_pct
+    FROM est e JOIN ex x USING (source)
+    """,
+)
+def q163_hll_vocabulary(spark, sf_dir):
+    """Per-source + merged-global n-gram vocabulary cardinality via a
+    deterministic HyperLogLog (operators/sketch.py): m=4096 registers
+    built from the shared 60-bit md5 hash, harmonic sum in exact BIGINT,
+    the '__all__' row estimated by MERGING the per-source register frames
+    (max per bucket) — never rescanning the corpus. The exact distinct
+    counts and rel-error columns are the gate's verification side; at
+    corpus scale only the sketch path runs.
+
+    Scale shape: the distinct-vocab shuffle (the thing that dies at
+    100 TB — n-gram vocabulary grows ~linearly with corpus size) is
+    replaced by a partial-aggregated register frame of at most
+    |sources|*4096 tiny rows; merge-by-max makes it a rollup citizen
+    (per-source sketches re-aggregate to global for free).
+
+    HLL math is cross-engine bit-identical: bucket/width via shifts,
+    rho via length(bin(w)), register terms as BIGINT 2^(R-rho), one
+    final float division (+ ln small-range correction, bit-identical
+    Spark/DuckDB/CPython on this platform, see operators/sketch.py)."""
+    from ..utils.caching import managed_persist
+
+    docs = _read_docs(spark, sf_dir)
+    grams = managed_persist(
+        docs.select("source", F.explode(_dd.shingles(F.col("text"), 3)).alias("gram"))
+    )
+    reg = managed_persist(_sk.hll_registers(grams, "gram", ["source"]))
+    per_src = _sk.hll_estimate(reg, ["source"]).select(
+        "source", "buckets_used", "hll_estimate"
+    )
+    merged = _sk.hll_merge(reg).select(
+        F.lit("__all__").alias("source"), "buckets_used", "hll_estimate"
+    )
+    est = per_src.unionByName(merged)
+    ex_src = grams.groupBy("source").agg(F.countDistinct("gram").alias("n_exact"))
+    ex_all = grams.agg(F.countDistinct("gram").alias("n_exact")).select(
+        F.lit("__all__").alias("source"), "n_exact"
+    )
+    ex = ex_src.unionByName(ex_all)
+    return est.join(ex, "source").select(
+        "source",
+        "buckets_used",
+        "hll_estimate",
+        "n_exact",
+        F.round(
+            ((F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact")) * 100, 4
+        ).alias("rel_err_pct"),
+    )
+
+
+@query(
+    "q164_kmv_corpus_overlap",
+    f"""
+    WITH grams AS MATERIALIZED (
+      SELECT source, unnest({_dd.shingles_sql('text', 3)}) AS gram
+      FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    hashed AS MATERIALIZED (
+      SELECT source, {_dd.hash60_sql("cast(gram as varchar)")} AS h FROM grams
+    ),
+    syn AS MATERIALIZED (SELECT DISTINCT h FROM hashed ORDER BY h LIMIT 256),
+    est AS ({_sk.kmv_estimate_sql('syn')}),
+    memb AS (
+      SELECT h, max(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS in_b
+      FROM hashed JOIN syn USING (h) GROUP BY 1
+    ),
+    ov AS (SELECT count(*)::BIGINT AS n_syn,
+                  cast(sum(in_a * in_b) as bigint) AS n_both FROM memb),
+    exm AS (
+      SELECT h, max(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS in_b
+      FROM hashed GROUP BY 1
+    ),
+    exv AS (SELECT count(*)::BIGINT AS exact_union,
+                   cast(sum(in_a * in_b) as bigint) AS exact_inter FROM exm)
+    SELECT 256::BIGINT AS kmv_k, ov.n_syn AS n_synopsis,
+           est.kmv_estimate AS est_union, exv.exact_union AS exact_union,
+           round(ov.n_both / ov.n_syn, 6) AS est_jaccard,
+           round(exv.exact_inter / exv.exact_union, 6) AS exact_jaccard
+    FROM ov, est, exv
+    """,
+)
+def q164_kmv_corpus_overlap(spark, sf_dir):
+    """Corpus-pair overlap estimation from ONE bounded synopsis
+    (operators/sketch.py, Beyer et al. SIGMOD'07): the k=256 smallest
+    distinct shingle hashes of src0 UNION src1 estimate both the union's
+    distinct count ((k-1)*2^60 / h_(k)) and the corpora's Jaccard
+    similarity (fraction of synopsis members present in BOTH) — the
+    question "how much does corpus B add to corpus A?" answered without
+    ever materializing either distinct set. Exact union/Jaccard columns
+    are the gate's verification side.
+
+    Scale shape: per-partition distinct k-minima (bounded-memory Arrow
+    iterator) feed a global top-k of <= k*n_partitions rows; membership
+    flags come from broadcasting the 256-row synopsis against the gram
+    stream (map-side semi-join), so the only groupBy shuffles <= k rows.
+    The exact side's full-distinct shuffle exists only at gate SF.
+
+    All synopsis math is exact integer until the two final divisions,
+    written with identical literals/op order on both engines."""
+    from ..utils.caching import managed_persist
+
+    k = 256
+    docs = _read_docs(spark, sf_dir).filter(F.col("source").isin("src0", "src1"))
+    hashed = managed_persist(
+        docs.select(
+            "source", F.explode(_dd.shingles(F.col("text"), 3)).alias("gram")
+        ).select("source", _dd.hash60(F.col("gram").cast("string")).alias("h"))
+    )
+    syn = managed_persist(_sk.kmv_from_hashes(hashed, k=k))
+    est = _sk.kmv_estimate(syn, k=k).withColumnRenamed("kmv_estimate", "est_union")
+    flags = [
+        F.max((F.col("source") == "src0").cast("int")).alias("in_a"),
+        F.max((F.col("source") == "src1").cast("int")).alias("in_b"),
+    ]
+    ov = (
+        hashed.join(F.broadcast(syn), "h")
+        .groupBy("h")
+        .agg(*flags)
+        .agg(
+            F.count(F.lit(1)).alias("n_syn"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        )
+    )
+    exv = (
+        hashed.groupBy("h")
+        .agg(*flags)
+        .agg(
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("exact_inter"),
+        )
+    )
+    return (
+        ov.crossJoin(est)
+        .crossJoin(exv)
+        .select(
+            F.lit(k).cast("long").alias("kmv_k"),
+            F.col("n_syn").alias("n_synopsis"),
+            "est_union",
+            "exact_union",
+            F.round(F.col("n_both") / F.col("n_syn"), 6).alias("est_jaccard"),
+            F.round(F.col("exact_inter") / F.col("exact_union"), 6).alias(
+                "exact_jaccard"
+            ),
+        )
+    )

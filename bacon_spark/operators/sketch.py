@@ -1,0 +1,224 @@
+"""Bounded-state cardinality / similarity sketches (HyperLogLog, KMV).
+
+Complements the Count-Min heavy-hitter prefilter (gate q140): where CM
+bounds *frequency* state, these bound *distinct-count* state. At 100 TB a
+`COUNT(DISTINCT x)` over a high-cardinality column (n-gram vocabulary,
+user ids, URLs) shuffles every distinct value; an HLL register array is
+m = 2^p cells no matter the input size, and a KMV synopsis is k values.
+Both reduce the shuffle to a constant-size partial-aggregate — the only
+plan shape that survives the scale-up.
+
+Unlike `approx_count_distinct` (whose xxHash64-based registers DuckDB
+cannot reproduce), every sketch here is built from the shared 60-bit md5
+hash (`llm/dedup.hash60` — identical SQL on both engines) with all
+register math in exact integer arithmetic:
+
+* HLL: bucket = h mod 2^p; the remaining 60-p bits w give the register
+  value rho = (60-p) - bitlength(w) + 1 (bitlength via `length(bin(w))`,
+  identical in Spark and DuckDB). The harmonic sum Σ 2^-M_j is kept as the
+  exact BIGINT Σ 2^(R-M_j) at scale R = 60-p+1 (max 2^p · 2^R ≤ 2^62, no
+  overflow), so the only float ops are the final alpha·m²·2^R / S division
+  and the small-range `ln` correction — both verified bit-identical across
+  Spark / DuckDB / CPython on this platform, and rounded to 6 digits
+  before comparison anyway.
+* KMV: the k smallest *distinct* hashes; estimate (k-1)·2^60 / h_(k).
+  Integer until the single final division. The same k-min synopsis of a
+  union estimates Jaccard overlap between two corpora: |kmin(A∪B) ∩ A ∩ B|
+  / k (Beyer et al., "On Synopses for Distinct-Value Estimation Under
+  Multiset Operations", SIGMOD'07).
+
+Scale shapes:
+
+* `hll_registers` is a two-level aggregate: partial max(rho) per
+  (group, bucket) map-side, then a shuffle of at most |groups|·2^p tiny
+  rows. Registers MERGE by max — `hll_merge` computes a global estimate
+  from per-group register frames without touching the raw data again
+  (the re-aggregation property that makes HLL a lattice/rollup citizen).
+* `kmv_synopsis` dedups per partition and keeps k minima there
+  (`mapInPandas`, bounded memory), so the global top-k sees at most
+  k · n_partitions candidate rows instead of the full distinct set.
+
+Reference analogue: none — the reference (GambitResearch/bacon) has no
+approximate aggregates; this is scale surface mandated by the brief.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm.dedup import hash60, hash60_sql
+
+#: default HLL precision: m = 2^12 = 4096 registers, ~1.6% standard error
+DEFAULT_P = 12
+
+
+def _alpha_expr(m: int) -> str:
+    """The HLL bias constant alpha_m as an expression string evaluated
+    identically (same literals, same op order) on both engines."""
+    # float literals are wrapped in cast(.. as double): DuckDB parses a
+    # bare 0.7213 as DECIMAL(5,4) and would divide in decimal, drifting
+    # from Spark's double math by an ulp (observed at the gate)
+    if m >= 128:
+        return f"(cast(0.7213 as double) / (cast(1.0 as double) + cast(1.079 as double) / {m}))"
+    # small-m constants from Flajolet et al. §4; not used by the defaults
+    return {16: "0.673", 32: "0.697", 64: "0.709"}[m]
+
+
+def hll_registers(
+    df: DataFrame, value: str, groups: Sequence[str] = (), p: int = DEFAULT_P
+) -> DataFrame:
+    """Per-group HLL register frame: one row per (groups..., bucket) with
+    the max rank rho. This is the mergeable sketch state — at most 2^p
+    rows per group regardless of input size, built with map-side partial
+    aggregation (the shuffle moves registers, not values)."""
+    m = 1 << p
+    width = 60 - p  # bits left after the bucket index
+    h = hash60(F.col(value).cast("string"))
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(width + 1)).otherwise(
+        F.lit(width) - F.length(F.bin(w)) + F.lit(1)
+    )
+    return (
+        df.select(*groups, (h % m).alias("bucket"), rho.alias("rho"))
+        .groupBy(*groups, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_estimate(reg: DataFrame, groups: Sequence[str] = (), p: int = DEFAULT_P) -> DataFrame:
+    """Estimate per group from a register frame. Harmonic sum in exact
+    BIGINT at scale 2^R (R = 60-p+1); empty registers contribute 2^R
+    each. Small-range correction: linear counting m·ln(m/V) when the raw
+    estimate ≤ 2.5m and V > 0 empty registers remain."""
+    m = 1 << p
+    r = 60 - p + 1
+    scale = 1 << r
+    terms = reg.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("b_used"),
+        F.sum(F.expr(f"shiftleft(1L, {r} - reg)")).alias("s_used"),
+    )
+    s_total = F.col("s_used") + (F.lit(m) - F.col("b_used")) * F.lit(scale)
+    raw = F.expr(_alpha_expr(m)) * m * m * scale / s_total
+    v_empty = F.lit(m) - F.col("b_used")
+    est = F.when(
+        (raw <= 2.5 * m) & (v_empty > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty)
+    ).otherwise(raw)
+    return terms.select(
+        *groups,
+        F.col("b_used").alias("buckets_used"),
+        F.round(est, 4).alias("hll_estimate"),
+    )
+
+
+def hll_merge(reg: DataFrame, p: int = DEFAULT_P) -> DataFrame:
+    """Merge a grouped register frame into ONE global register set (max
+    per bucket) and estimate from it — no rescan of the raw data. The
+    merged estimate is exactly what a single global HLL would have
+    produced (max is associative/commutative/idempotent)."""
+    merged = reg.groupBy("bucket").agg(F.max("reg").alias("reg"))
+    return hll_estimate(merged, (), p)
+
+
+def hll_registers_sql(table_expr: str, value_expr: str, groups: str = "", p: int = DEFAULT_P) -> str:
+    """DuckDB form of :func:`hll_registers` (oracle building block).
+    `groups` is a comma-led column list prefix, e.g. ``"source, "``."""
+    m = 1 << p
+    width = 60 - p
+    h = hash60_sql(f"cast({value_expr} as varchar)")
+    gsel = f"{groups.strip().rstrip(',')}, " if groups.strip() else ""
+    return f"""
+      SELECT {gsel}({h}) % {m} AS bucket,
+             max(CASE WHEN ({h}) // {m} = 0 THEN {width + 1}
+                      ELSE {width} - length(bin(({h}) // {m})) + 1 END) AS reg
+      FROM {table_expr}
+      GROUP BY ALL
+    """
+
+
+def hll_estimate_sql(reg_cte: str, groups: str = "", p: int = DEFAULT_P) -> str:
+    """DuckDB form of :func:`hll_estimate` over a register CTE."""
+    m = 1 << p
+    r = 60 - p + 1
+    scale = 1 << r
+    gsel = f"{groups.strip().rstrip(',')}, " if groups.strip() else ""
+    gby = "GROUP BY ALL" if groups.strip() else ""
+    return f"""
+      SELECT {gsel}b_used AS buckets_used,
+             round(CASE WHEN ({_alpha_expr(m)} * {m} * {m} * {scale} / s_total) <= 2.5 * {m}
+                         AND ({m} - b_used) > 0
+                        THEN cast({m} as double) * ln(cast({m} as double) / ({m} - b_used))
+                        ELSE {_alpha_expr(m)} * {m} * {m} * {scale} / s_total END,
+                   4) AS hll_estimate
+      FROM (
+        SELECT {gsel}count(*) AS b_used,
+               cast(sum(1::BIGINT << ({r} - reg)) as bigint)
+                 + ({m} - count(*)) * {scale}::BIGINT AS s_total
+        FROM {reg_cte}
+        {gby}
+      )
+    """
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values)
+# ---------------------------------------------------------------------------
+
+
+def kmv_from_hashes(hdf: DataFrame, k: int = 256) -> DataFrame:
+    """The k smallest distinct values of an `h` (long) column, computed
+    with bounded memory: each partition dedups and keeps its own k minima
+    (Arrow batch iterator, never materializing the partition), so the
+    global exact top-k (TakeOrderedAndProject) sees ≤ k·n_partitions rows.
+    Returns a frame with a single `h` column, ≤ k rows."""
+
+    def kmin(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: pd.Series | None = None
+        for b in batches:
+            cand = b["h"] if best is None else pd.concat([best, b["h"]])
+            best = cand.drop_duplicates().nsmallest(k)
+        if best is not None:
+            yield best.to_frame()
+
+    partial = hdf.select("h").mapInPandas(kmin, schema="h long")
+    return partial.distinct().orderBy("h").limit(k)
+
+
+def kmv_synopsis(df: DataFrame, value: str, k: int = 256) -> DataFrame:
+    """:func:`kmv_from_hashes` over the shared 60-bit hash of `value`."""
+    return kmv_from_hashes(
+        df.select(hash60(F.col(value).cast("string")).alias("h")), k
+    )
+
+
+def kmv_estimate(syn: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-count estimate (k-1)·2^60 / h_(k) from a synopsis frame.
+    If fewer than k distinct values exist the synopsis IS the distinct
+    set and the exact count is returned instead."""
+    agg = syn.agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("hk"))
+    est = F.when(
+        F.col("n") < k, F.col("n").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.col("hk"))
+    return agg.select(F.round(est, 4).alias("kmv_estimate"))
+
+
+def kmv_synopsis_sql(table_expr: str, value_expr: str, k: int = 256) -> str:
+    """DuckDB form of :func:`kmv_synopsis`."""
+    h = hash60_sql(f"cast({value_expr} as varchar)")
+    return f"""
+      SELECT DISTINCT ({h}) AS h FROM {table_expr} ORDER BY 1 LIMIT {k}
+    """
+
+
+def kmv_estimate_sql(syn_cte: str, k: int = 256) -> str:
+    """DuckDB form of :func:`kmv_estimate` (same literals, same op order,
+    so the one float division is bit-identical)."""
+    return f"""
+      SELECT round(CASE WHEN count(*) < {k} THEN count(*)::DOUBLE
+                        ELSE {float(k - 1)} * {float(1 << 60)} / max(h) END,
+                   4) AS kmv_estimate
+      FROM {syn_cte}
+    """

@@ -46,6 +46,10 @@ SENSITIVE = [
     # and the SemDeDup composition on top of it
     "q156_kmeans_clusters",
     "q157_semantic_dedup",
+    # r5 sketches: HLL registers merge by max (order-free); KMV k-minima
+    # are a set property, not a partitioning property
+    "q163_hll_vocabulary",
+    "q164_kmv_corpus_overlap",
 ]
 
 
