@@ -20,6 +20,7 @@ from .accumulators import (
     Max,
     Min,
     RatioSum,
+    SketchDistinct,
     StdDev,
     Sum,
     Union,

@@ -258,6 +258,38 @@ class ApproxCountDistinct(Accumulator):
         return f"approx_count_distinct({expr})"
 
 
+class SketchDistinct(Accumulator):
+    """Engine extension: DETERMINISTIC HyperLogLog distinct estimate
+    (operators/sketch.py). Same constant-memory scale story as
+    ``ApproxCountDistinct``, but the registers are built from the shared
+    60-bit md5 hash with exact-integer harmonic sums, so the estimate is
+    bit-identical across engines / partitionings / cluster sizes and
+    oracle-checkable in DuckDB (gate q165).
+
+    Not a single Catalyst aggregate: the engine plans each such measure
+    as a (axes, bucket) register aggregation plus estimate
+    (engine._aggregate_frame) — which is also why the FINISHED estimate
+    is not reaggregatable (registers merge by max; estimates don't), so
+    rollup-reuse/lattice/totals paths recompute instead of merging."""
+
+    def __init__(self, p: int = 12):
+        if not 4 <= p <= 16:
+            raise ValueError("HLL precision p must be in [4, 16]")
+        self.p = p
+
+    def agg(self, c):
+        raise NotImplementedError(
+            "SketchDistinct is planned by the engine as a register "
+            "aggregation (engine._aggregate_frame), not a single Column"
+        )
+
+    def sql(self, expr):
+        # pushdown path: an exact distinct count satisfies the
+        # approximate contract (sources that can't build registers
+        # still answer correctly, just without the sketch's economy)
+        return f"count(DISTINCT {expr})"
+
+
 class Percentile(Accumulator):
     """Engine extension: exact continuous percentile (linear interpolation
     between closest ranks — same definition as SQL ``percentile_cont`` /

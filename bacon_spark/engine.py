@@ -384,6 +384,17 @@ class CuttingBoard:
             df = df.filter(pred)
 
         axis_cols = [self.cubedef.get_label(a).column().alias(a) for a in query.axes]
+
+        from .accumulators import SketchDistinct
+
+        sketch_vals = [
+            v
+            for v in query.values
+            if isinstance(self.cubedef.get_value(v).acc, SketchDistinct)
+        ]
+        if sketch_vals:
+            return self._aggregate_with_sketches(query, df, axis_cols, sketch_vals)
+
         agg_cols = [self.cubedef.get_value(v).agg_column().alias(v) for v in query.values]
 
         if not agg_cols:
@@ -393,6 +404,58 @@ class CuttingBoard:
             return df.groupBy(*axis_cols).agg(*agg_cols)
         # dim=0 query: grand total only (/root/reference/bacon/cutting.py:111-112)
         return df.agg(*agg_cols)
+
+    def _aggregate_with_sketches(
+        self,
+        query: CubeQuery,
+        df: DataFrame,
+        axis_cols: list[Column],
+        sketch_vals: list[str],
+    ) -> DataFrame:
+        """SketchDistinct measures can't compile to a single aggregate
+        Column: each is planned as its own (axes, bucket) HLL register
+        aggregation (operators/sketch.py) whose per-group estimate frame
+        joins the ordinary-measure frame on the axes.
+
+        Scale shape: every register frame partial-aggregates map-side
+        down to <= |groups|*2^p tiny rows before its shuffle — the whole
+        point vs count_distinct's shuffle-every-value — so the join
+        inputs here are result-sized. The raw frame is scanned once for
+        the ordinary measures plus once per sketch measure; persist the
+        input upstream when that matters (the slice cache already does).
+        A group whose sketch input is all-null estimates 0.0, matching
+        count_distinct."""
+        from .operators.sketch import hll_estimate, hll_registers
+
+        axes = list(query.axes)
+        in_sketch = set(sketch_vals)
+        normal_vals = [v for v in query.values if v not in in_sketch]
+        agg_cols = [self.cubedef.get_value(v).agg_column().alias(v) for v in normal_vals]
+        if axis_cols:
+            out = (
+                df.groupBy(*axis_cols).agg(*agg_cols)
+                if agg_cols
+                else df.select(*axis_cols).distinct()
+            )
+        else:
+            out = df.agg(*agg_cols) if agg_cols else None
+        for v in sketch_vals:
+            meas = self.cubedef.get_value(v)
+            p = meas.acc.p
+            base = df.select(*axis_cols, meas.column().alias("__sketch_in__"))
+            est = hll_estimate(
+                hll_registers(base, "__sketch_in__", axes, p=p), axes, p=p
+            ).select(*axes, F.coalesce(F.col("hll_estimate"), F.lit(0.0)).alias(v))
+            if out is None:
+                out = est
+            elif axes:
+                out = out.join(est, axes, "left").withColumn(
+                    v, F.coalesce(F.col(v), F.lit(0.0))
+                )
+            else:
+                out = out.crossJoin(est)
+        # restore the query's declared value order
+        return out.select(*axes, *query.values)
 
     def _order(self, df: DataFrame, query: CubeQuery) -> DataFrame:
         sort_cols: list[Column] = []

@@ -29,6 +29,7 @@ from ..accumulators import (
     Max,
     Min,
     RatioSum,
+    SketchDistinct,
     StdDev,
     Sum,
     Union,
@@ -211,6 +212,7 @@ __all__ = [
     "QuarterNumLabel",
     "RatioSum",
     "SetLabel",
+    "SketchDistinct",
     "SparkSession",
     "StdDev",
     "Sum",

@@ -1525,3 +1525,49 @@ def q130_correlated_subquery(spark, sf_dir):
         ORDER BY c_custkey
         """
     )
+
+
+@query(
+    "q165_sketch_distinct_measure",
+    f"""
+    WITH reg AS MATERIALIZED (
+      {_sk.hll_registers_sql('lineitem', 'l_suppkey', 'l_returnflag AS returnflag, ')}
+    ),
+    est AS ({_sk.hll_estimate_sql('reg', 'returnflag, ')}),
+    ex AS (
+      SELECT l_returnflag AS returnflag, count(*) AS n_rows,
+             count(DISTINCT l_suppkey) AS n_suppliers
+      FROM lineitem GROUP BY 1
+    )
+    SELECT ex.returnflag AS returnflag, ex.n_rows AS n_rows,
+           est.hll_estimate AS approx_suppliers, ex.n_suppliers AS n_suppliers
+    FROM ex JOIN est USING (returnflag)
+    """,
+)
+def q165_sketch_distinct_measure(spark, sf_dir):
+    """SketchDistinct as a first-class CUBE MEASURE: the deterministic
+    HLL estimate (operators/sketch.py) declared like any other
+    accumulator and planned by the engine (engine._aggregate_with_
+    sketches) as a per-(axis, bucket) register aggregation joined to the
+    ordinary-measure frame — count_distinct economics inside the OLAP
+    surface (the reference has no approximate aggregates; and unlike the
+    ApproxCountDistinct/HLL++ accumulator, this estimate is
+    bit-reproducible and DuckDB-checkable). The exact n_suppliers column
+    alongside is the gate's verification side.
+
+    Scale shape: the sketch measure's shuffle is <= |groups|*4096
+    register rows with map-side partial max — the value column itself
+    never shuffles; the join inputs are result-sized."""
+    cd = CubeDef("li")
+    cd.add_label(Label("returnflag", "l_returnflag"))
+    cd.add_measure(Measure("n_rows", "l_suppkey", acc=Count()))
+    cd.add_measure(Measure("approx_suppliers", "l_suppkey", acc=SketchDistinct()))
+    cd.add_measure(Measure("n_suppliers", "l_suppkey", acc=CountDistinct()))
+    q = (
+        CubeQuery()
+        .add_axis("returnflag")
+        .add_value("n_rows")
+        .add_value("approx_suppliers")
+        .add_value("n_suppliers")
+    )
+    return board(cd, _read(spark, sf_dir, "lineitem")).slice(q).to_df()

@@ -36,6 +36,19 @@ class CubeLattice:
         # grain is exact with no read-time re-aggregation — any
         # accumulator is admissible at build time; only refresh() needs
         # the reaggregatable contract.
+        from ..accumulators import SketchDistinct
+
+        for v in values:
+            if isinstance(cubedef.get_value(v).acc, SketchDistinct):
+                # a lattice of finished HLL ESTIMATES would be unmergeable
+                # and unservable; materializing register frames per grain
+                # is a different structure (future work) — refuse loudly
+                # rather than failing inside grouping-set codegen
+                raise ValueError(
+                    f"SketchDistinct measure {v!r} cannot be materialized "
+                    "in a lattice; query it directly (the engine plans it "
+                    "as a register aggregation per slice)"
+                )
         self.cubedef = cubedef
         self.axes = tuple(axes)
         self.values = tuple(values)

@@ -83,7 +83,8 @@ def hll_registers(
         F.lit(width) - F.length(F.bin(w)) + F.lit(1)
     )
     return (
-        df.select(*groups, (h % m).alias("bucket"), rho.alias("rho"))
+        df.where(F.col(value).isNotNull())  # distinct-count semantics skip nulls
+        .select(*groups, (h % m).alias("bucket"), rho.alias("rho"))
         .groupBy(*groups, "bucket")
         .agg(F.max("rho").alias("reg"))
     )
@@ -135,6 +136,7 @@ def hll_registers_sql(table_expr: str, value_expr: str, groups: str = "", p: int
              max(CASE WHEN ({h}) // {m} = 0 THEN {width + 1}
                       ELSE {width} - length(bin(({h}) // {m})) + 1 END) AS reg
       FROM {table_expr}
+      WHERE ({value_expr}) IS NOT NULL
       GROUP BY ALL
     """
 

@@ -50,6 +50,7 @@ SENSITIVE = [
     # are a set property, not a partitioning property
     "q163_hll_vocabulary",
     "q164_kmv_corpus_overlap",
+    "q165_sketch_distinct_measure",
 ]
 
 

@@ -83,3 +83,78 @@ def test_hll_register_bounds(spark, p):
     reg = sk.hll_registers(df, "v", p=p).collect()
     assert len(reg) <= (1 << p)
     assert all(1 <= r["reg"] <= 60 - p + 1 for r in reg)
+
+
+# --- SketchDistinct as a cube measure (engine._aggregate_with_sketches) ---
+
+
+def _board(spark, rows):
+    from bacon_spark import (
+        Count,
+        CountDistinct,
+        CubeDef,
+        CubeQuery,
+        CuttingBoard,
+        SketchDistinct,
+    )
+    from bacon_spark.cubedef import Label, Measure
+
+    df = spark.createDataFrame(rows, "g string, v long")
+    cd = CubeDef("t")
+    cd.add_label(Label("g", "g"))
+    cd.add_measure(Measure("n", "v", acc=Count()))
+    cd.add_measure(Measure("approx_v", "v", acc=SketchDistinct()))
+    cd.add_measure(Measure("exact_v", "v", acc=CountDistinct()))
+    return CubeDef, CubeQuery, CuttingBoard(cd, df, cache_results=False)
+
+
+def test_sketch_measure_mixed_slice(spark):
+    from bacon_spark import CubeQuery
+
+    rows = [("a", i % 100) for i in range(1_000)] + [("b", i) for i in range(5_000)]
+    _, _, board = _board(spark, rows)
+    q = CubeQuery().add_axis("g").add_value("n").add_value("approx_v").add_value("exact_v")
+    out = {r["g"]: r for r in board.slice(q).to_df().collect()}
+    assert out["a"]["n"] == 1_000 and out["a"]["exact_v"] == 100
+    # small cardinalities sit in the near-exact linear-counting regime
+    assert abs(out["a"]["approx_v"] - 100) / 100 < 0.05
+    assert abs(out["b"]["approx_v"] - 5_000) / 5_000 < 0.05
+
+
+def test_sketch_measure_only_and_grand_total(spark):
+    from bacon_spark import CubeQuery
+
+    rows = [("a", i) for i in range(2_000)] + [("b", i) for i in range(2_000)]
+    _, _, board = _board(spark, rows)
+    # sketch-only slice (no ordinary aggregate to anchor the groupBy)
+    q = CubeQuery().add_axis("g").add_value("approx_v")
+    got = {r["g"]: r["approx_v"] for r in board.slice(q).to_df().collect()}
+    assert set(got) == {"a", "b"}
+    assert all(abs(e - 2_000) / 2_000 < 0.05 for e in got.values())
+    # dim=0 grand total: values shared across groups dedup globally
+    q0 = CubeQuery().add_value("approx_v").add_value("exact_v")
+    r0 = board.slice(q0).to_df().collect()[0]
+    assert r0["exact_v"] == 2_000
+    assert abs(r0["approx_v"] - 2_000) / 2_000 < 0.05
+
+
+def test_sketch_measure_all_null_group_is_zero(spark):
+    from bacon_spark import CubeQuery
+
+    rows = [("a", 1), ("a", 2), ("nullgrp", None), ("nullgrp", None)]
+    _, _, board = _board(spark, rows)
+    q = CubeQuery().add_axis("g").add_value("n").add_value("approx_v")
+    out = {r["g"]: r for r in board.slice(q).to_df().collect()}
+    assert out["nullgrp"]["n"] == 2  # Count counts rows, nulls included
+    assert out["nullgrp"]["approx_v"] == 0.0  # distinct of all-null = empty
+
+
+def test_sketch_measure_refused_by_lattice(spark):
+    import pytest as _pytest
+
+    from bacon_spark.operators.lattice import CubeLattice
+
+    rows = [("a", 1), ("b", 2)]
+    _, _, board = _board(spark, rows)
+    with _pytest.raises(ValueError, match="SketchDistinct"):
+        CubeLattice(board.cubedef, board.df, ("g",), ("approx_v",))
