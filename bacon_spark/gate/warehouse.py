@@ -975,3 +975,55 @@ def q149_higher_moments(spark, sf_dir):
         F.round(m3 / (m2 * F.sqrt(m2)), 8).alias("skewness"),
         F.round(m4 / (m2 * m2) - 3, 8).alias("excess_kurtosis"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q166_ams_selfjoin_size",
+    f"""
+    WITH est AS ({_sk.ams_f2_sql('events', 'user_id')}),
+    ex AS (
+      SELECT cast(sum(cnt * cnt) as bigint) AS f2_exact,
+             cast(sum(cnt) as bigint) AS n_rows
+      FROM (SELECT count(*) AS cnt FROM events
+            WHERE user_id IS NOT NULL GROUP BY user_id)
+    )
+    SELECT est.f2_estimate AS f2_estimate, ex.f2_exact AS f2_exact,
+           ex.n_rows AS n_rows,
+           round(((est.f2_estimate - ex.f2_exact) / ex.f2_exact) * 100, 4)
+             AS rel_err_pct
+    FROM est, ex
+    """,
+)
+def q166_ams_selfjoin_size(spark, sf_dir):
+    """AMS F2 sketch (operators/sketch.ams_f2, Alon-Matias-Szegedy):
+    the SELF-JOIN SIZE of events.user_id — sum of per-key frequency
+    squared, the quantity that decides whether a join key is skewed
+    enough to salt (operators/scale.salted_join) — estimated in ONE
+    map-side pass with 64 +-1 counters and NO groupBy on the key. The
+    exact F2 (which needs the per-key shuffle the sketch avoids) is the
+    gate's verification side.
+
+    Scale shape: the sketch aggregates 64 longs with map-side partial
+    sums — constant state, no per-key anything; counters merge by
+    addition so per-shard sketches re-aggregate for free. Signs come
+    from md5 bits, so the estimate is bit-identical across engines and
+    partitionings (exact integers until one division)."""
+    ev = _read(spark, sf_dir, "events")
+    est = _sk.ams_f2(ev, "user_id")
+    ex = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum(F.col("cnt") * F.col("cnt")).alias("f2_exact"),
+            F.sum("cnt").alias("n_rows"),
+        )
+    )
+    return est.crossJoin(ex).select(
+        "f2_estimate",
+        "f2_exact",
+        "n_rows",
+        F.round(
+            ((F.col("f2_estimate") - F.col("f2_exact")) / F.col("f2_exact")) * 100, 4
+        ).alias("rel_err_pct"),
+    )

@@ -215,6 +215,61 @@ def kmv_synopsis_sql(table_expr: str, value_expr: str, k: int = 256) -> str:
     """
 
 
+def ams_f2(df: DataFrame, value: str, d: int = 64, salt: str = "ams") -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon-Matias-Szegedy, STOC'96):
+    estimates F2 = sum over keys of frequency^2 — the SELF-JOIN SIZE of
+    the column, the quantity that decides whether a join key needs
+    salting (operators/scale.py) — in ONE map-side pass with d counters,
+    no groupBy on the key.
+
+    Z_j = sum over rows of sign_j(v), sign_j in {-1,+1} taken from bit
+    (j mod 30) of the 60-bit md5 hash of ('{salt}{j//30}:' || v); the
+    estimator is mean(Z_j^2). Everything is exact integer arithmetic
+    (sums of +-1, squares, one final division by d), so the estimate is
+    bit-identical across engines and partitionings, and the Z_j sums
+    merge by ADDITION — partial aggregation applies and per-shard
+    sketches re-aggregate to global for free.
+
+    Returns one row: f2_estimate (double). Relative std error ~
+    sqrt(2/d) (~18% at d=64); use the estimate for order-of-magnitude
+    skew decisions, not accounting."""
+    nh = (d + 29) // 30  # 30 usable sign bits per 60-bit hash
+    base = df.where(F.col(value).isNotNull()).select(
+        *[
+            hash60(F.concat(F.lit(f"{salt}{i}:"), F.col(value).cast("string"))).alias(
+                f"_h{i}"
+            )
+            for i in range(nh)
+        ]
+    )
+    cols = [
+        F.sum((F.shiftright(F.col(f"_h{j // 30}"), j % 30) % 2) * 2 - 1).alias(f"z{j}")
+        for j in range(d)
+    ]
+    z = base.agg(*cols)
+    sq = sum((F.col(f"z{j}") * F.col(f"z{j}") for j in range(d)), F.lit(0).cast("long"))
+    return z.select((sq / d).alias("f2_estimate"))
+
+
+def ams_f2_sql(table_expr: str, value_expr: str, d: int = 64, salt: str = "ams") -> str:
+    """DuckDB form of :func:`ams_f2` (identical hash, bit and op order)."""
+    nh = (d + 29) // 30
+    hs = ", ".join(
+        f"{hash60_sql(f'{chr(39)}{salt}{i}:{chr(39)} || cast({value_expr} as varchar)')} AS _h{i}"
+        for i in range(nh)
+    )
+    zs = ", ".join(
+        f"sum((_h{j // 30} >> {j % 30}) % 2 * 2 - 1) AS z{j}" for j in range(d)
+    )
+    sq = " + ".join(f"z{j} * z{j}" for j in range(d))
+    return f"""
+      SELECT (0 + {sq}) / {d} AS f2_estimate
+      FROM (SELECT {zs}
+            FROM (SELECT {hs} FROM {table_expr}
+                  WHERE ({value_expr}) IS NOT NULL))
+    """
+
+
 def kmv_estimate_sql(syn_cte: str, k: int = 256) -> str:
     """DuckDB form of :func:`kmv_estimate` (same literals, same op order,
     so the one float division is bit-identical)."""

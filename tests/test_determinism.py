@@ -51,6 +51,7 @@ SENSITIVE = [
     "q163_hll_vocabulary",
     "q164_kmv_corpus_overlap",
     "q165_sketch_distinct_measure",
+    "q166_ams_selfjoin_size",
 ]
 
 

@@ -158,3 +158,38 @@ def test_sketch_measure_refused_by_lattice(spark):
     _, _, board = _board(spark, rows)
     with _pytest.raises(ValueError, match="SketchDistinct"):
         CubeLattice(board.cubedef, board.df, ("g",), ("approx_v",))
+
+
+def test_sketch_measure_sql_pushdown_compiles_exact(spark):
+    # sources that can't build registers (SQL pushdown) fall back to an
+    # exact distinct count — a correct answer under the approx contract
+    from bacon_spark import CubeDef, CubeQuery, SketchDistinct
+    from bacon_spark.cubedef import Label, Measure
+    from bacon_spark.sql import SqlCuttingBoard
+
+    cd = CubeDef("t")
+    cd.add_label(Label("g", "g"))
+    cd.add_measure(Measure("approx_v", "v", acc=SketchDistinct()))
+    q = CubeQuery().add_axis("g").add_value("approx_v")
+    sql = SqlCuttingBoard(cd, spark, "tbl").compile(q)
+    assert "count(DISTINCT" in sql
+
+
+def test_ams_f2_accuracy_and_nulls(spark):
+    # uniform column: every key unique -> F2 = n exactly; rel std error
+    # ~ sqrt(2/64) ~ 18%, assert 3 sigma. Nulls are skipped.
+    df = spark.range(20_000).select(
+        F.when(F.col("id") % 100 == 0, None).otherwise(F.col("id")).alias("v")
+    )
+    n = 20_000 - 200
+    est = sk.ams_f2(df, "v").collect()[0]["f2_estimate"]
+    assert abs(est - n) / n < 0.55
+
+
+def test_ams_f2_sees_skew(spark):
+    # one hot key with 5k occurrences dominates: F2 >= 25M, while the
+    # uniform remainder contributes 5k — the sketch must see the square
+    hot = spark.range(5_000).select(F.lit(7).cast("long").alias("v"))
+    uni = spark.range(5_000).select((F.col("id") + 100).alias("v"))
+    est = sk.ams_f2(hot.union(uni), "v").collect()[0]["f2_estimate"]
+    assert est > 10_000_000  # far beyond the uniform-only F2 of ~10k
