@@ -1009,3 +1009,91 @@ def q141_streaming_cdc_upsert(spark, sf_dir):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+_Q167_EV = """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             user_id
+      FROM events WHERE event_id < 5000
+"""
+
+
+@query(
+    "q167_streaming_distinct_sketch",
+    f"""
+    WITH ev AS MATERIALIZED ({_Q167_EV}),
+    reg AS ({_sk.hll_registers_sql('ev', 'user_id', 'window_start, ')}),
+    est AS ({_sk.hll_estimate_sql('reg', 'window_start, ')}),
+    ex AS (
+      SELECT window_start, count(DISTINCT user_id)::BIGINT AS n_exact
+      FROM ev GROUP BY 1
+    )
+    SELECT e.window_start AS window_start, e.buckets_used AS buckets_used,
+           e.hll_estimate AS approx_users, x.n_exact AS n_exact
+    FROM est e JOIN ex x USING (window_start)
+    """,
+)
+def q167_streaming_distinct_sketch(spark, sf_dir):
+    """Windowed distinct-user estimation as a TRUE Structured Streaming
+    job, via the deterministic HLL (operators/sketch.py): the stream
+    aggregates max(rho) per (hour, bucket) — an order-free, mergeable
+    aggregate, so the cross-batch state merge is EXACTLY the batch
+    sketch and the estimate hash-matches DuckDB's one-shot replay. The
+    classic "distinct users per window" question answered with 4096
+    longs of state per window instead of one state row per user (the
+    thing that OOMs streaming distinct at scale — see
+    tools/stream_bench.py's state-knee measurements).
+
+    Harness (q44 pattern): deterministic subset staged as two ordered
+    files, one per trigger, complete-mode memory sink keeps the final
+    merged registers; the estimate is a finishing projection over that
+    state. In production the same plan runs append-mode with a watermark
+    on the window column (max is insensitive to the late/early split);
+    the exact n_exact column is computed batch-side for verification."""
+    import shutil
+
+    from ..streaming.windows import (
+        run_stream_to_memory,
+        scratch_dir,
+        stage_ordered_files,
+    )
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 5000)
+        .select(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "user_id",
+            "event_id",
+        )
+    )
+    d = scratch_dir("bacon_q167_")
+    stage_ordered_files([
+        (d, ev.filter(F.col("event_id") < 2500), "overwrite"),
+        (d, ev.filter(F.col("event_id") >= 2500), "append"),
+    ])
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    reg_stream = _sk.hll_registers(
+        stream.select("window_start", "user_id"), "user_id", ["window_start"]
+    )
+    prev_nd = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        run_stream_to_memory(reg_stream, "q167_stream", mode="complete")
+    finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nd)
+        shutil.rmtree(d, ignore_errors=True)
+    reg = spark.table("q167_stream")
+    est = _sk.hll_estimate(reg, ["window_start"]).select(
+        "window_start", "buckets_used", F.col("hll_estimate").alias("approx_users")
+    )
+    exact = ev.groupBy("window_start").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "window_start")
