@@ -41,6 +41,11 @@ DEFAULT = [
     "q159_leakage_safe_split",
     "q160_pq_ann_topk",
     "q161_ivfpq_ann_topk",
+    "q162_within_doc_dedup",
+    "q163_hll_vocabulary",
+    "q164_kmv_corpus_overlap",
+    "q165_sketch_distinct_measure",
+    "q166_ams_selfjoin_size",
 ]
 
 
