@@ -1027,3 +1027,55 @@ def q166_ams_selfjoin_size(spark, sf_dir):
             ((F.col("f2_estimate") - F.col("f2_exact")) / F.col("f2_exact")) * 100, 4
         ).alias("rel_err_pct"),
     )
+
+
+@query(
+    "q168_auto_salted_join",
+    """
+    WITH _ev AS (
+        SELECT CASE WHEN user_id % 20 < 17 THEN 7 ELSE user_id END AS uid,
+               cast(round(value * 100) as bigint) AS cents
+        FROM events
+    ),
+    _dim AS (
+        SELECT DISTINCT user_id AS uid, user_id % 5 AS cohort FROM events
+    )
+    SELECT cohort, cast(count(*) as bigint) AS n,
+           cast(sum(cents) as bigint) AS sum_cents
+    FROM _ev JOIN _dim USING (uid)
+    GROUP BY cohort ORDER BY cohort
+    """,
+)
+def q168_auto_salted_join(spark, sf_dir):
+    """Statistics-driven salting (operators/scale.auto_salt_join): the
+    q118 skew construction again, but the SALTING DECISION is made by
+    the AMS F2 sketch (q166's operator) instead of the caller's
+    knowledge — one map-side 64-counter pass estimates the mean
+    collision factor F2/n (~0.85^2·n here, far over the threshold), so
+    the join runs salted; a uniform key would run plain (unit-tested
+    plan shapes in tests/test_sketch.py). Oracle is the PLAIN join —
+    the decision must never change results, only the shuffle shape.
+
+    Scale note: the sketch pass is scan-bound with constant state; at
+    real scale make the decision once per ingest, not per query."""
+    from ..operators.scale import auto_salt_join
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 20 < 17, F.lit(7))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("uid"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    dim = (
+        _read(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("uid"))
+        .distinct()
+        .withColumn("cohort", (F.col("uid") % 5).cast("long"))
+    )
+    joined = auto_salt_join(ev, dim, "uid", salt_buckets=16)
+    return (
+        joined.groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
+        .orderBy("cohort")
+    )

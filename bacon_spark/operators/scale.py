@@ -170,3 +170,44 @@ def salted_join(
         F.explode(F.sequence(F.lit(0).cast("int"), F.lit(salt_buckets - 1).cast("int"))),
     )
     return b.join(s, [key, "_salt"]).drop("_salt")
+
+
+def auto_salt_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    skew_threshold: float = 8.0,
+) -> DataFrame:
+    """:func:`salted_join` with the salting DECISION made by a sketch:
+    one map-side AMS pass (operators/sketch.ams_f2 — 64 counters, no
+    per-key shuffle) estimates the big side's self-join size F2; the
+    mean collision factor F2/n is the expected number of same-key rows a
+    reducer row meets, i.e. how hot the average probe is. Above
+    *skew_threshold* the join runs salted, otherwise plain — the
+    statistics-driven version of "salt it when the skew is KNOWN",
+    without requiring the caller to know it.
+
+    Results are row-identical either way (salting never changes join
+    semantics); only the physical shuffle shape differs. The decision is
+    DETERMINISTIC (md5-signed counters), so a pipeline re-run picks the
+    same plan — unlike AQE's runtime stats, which this complements for
+    engines/paths where AQE's skew handling doesn't reach (co-grouped
+    inputs, streaming foreachBatch joins).
+
+    Cost: one extra scan of the big side's key column (a scan-bound
+    64-long aggregate). At 100 TB, run it once per ingest and cache the
+    decision alongside the table statistics rather than per query."""
+    from .sketch import ams_f2
+
+    stats = (
+        big.where(F.col(key).isNotNull())
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(ams_f2(big, key))
+        .collect()[0]
+    )
+    n = stats["n"] or 0
+    hot = n > 0 and (stats["f2_estimate"] / n) > skew_threshold
+    if hot:
+        return salted_join(big, small, key, salt_buckets)
+    return big.join(small, key)

@@ -193,3 +193,37 @@ def test_ams_f2_sees_skew(spark):
     uni = spark.range(5_000).select((F.col("id") + 100).alias("v"))
     est = sk.ams_f2(hot.union(uni), "v").collect()[0]["f2_estimate"]
     assert est > 10_000_000  # far beyond the uniform-only F2 of ~10k
+
+
+def test_auto_salt_join_decision_and_equivalence(spark):
+    from bacon_spark.operators.scale import auto_salt_join
+
+    # skewed: 90% of fact rows on one key -> F2/n ~ 0.81*n >> threshold
+    skew = spark.range(2_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("x"),
+    )
+    uni = spark.range(2_000).select(F.col("id").alias("k"), F.col("id").alias("x"))
+    dim = spark.range(2_000).select(F.col("id").alias("k"), (F.col("id") % 3).alias("c"))
+
+    j_skew = auto_salt_join(skew, dim, "k")
+    j_uni = auto_salt_join(uni, dim, "k")
+    # decision is visible in the plan: the salted path hashes whole rows
+    assert "xxhash64" in j_skew._jdf.queryExecution().toString()
+    assert "xxhash64" not in j_uni._jdf.queryExecution().toString()
+    # and must never change results
+    plain = sorted((r["k"], r["x"], r["c"]) for r in skew.join(dim, "k").collect())
+    auto = sorted((r["k"], r["x"], r["c"]) for r in j_skew.collect())
+    assert plain == auto
+
+
+def test_sketch_measure_plan_partial_aggregates(spark):
+    # the register aggregation must partial-aggregate map-side (the
+    # whole point: only registers cross the exchange, never values)
+    rows = [("a", i) for i in range(500)]
+    _, _, board = _board(spark, rows)
+    from bacon_spark import CubeQuery
+
+    q = CubeQuery().add_axis("g").add_value("approx_v")
+    plan = board.slice(q).to_df()._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan
