@@ -52,6 +52,7 @@ SENSITIVE = [
     "q164_kmv_corpus_overlap",
     "q165_sketch_distinct_measure",
     "q166_ams_selfjoin_size",
+    "q168_auto_salted_join",
 ]
 
 
