@@ -30,6 +30,7 @@ which is precisely the reference's design intent.
 
 from __future__ import annotations
 
+import functools
 import threading
 from collections import OrderedDict
 
@@ -449,8 +450,21 @@ class CuttingBoard:
             if out is None:
                 out = est
             elif axes:
-                out = out.join(est, axes, "left").withColumn(
-                    v, F.coalesce(F.col(v), F.lit(0.0))
+                # NULL axis values are real groups (groupBy keeps them), so
+                # the estimate must attach with null-SAFE key equality — a
+                # plain equi-join would orphan every NULL-labeled group and
+                # coalesce its estimate to 0.0.
+                est = est.select(
+                    *[F.col(a).alias(f"__est_{a}__") for a in axes], v
+                )
+                cond = functools.reduce(
+                    Column.__and__,
+                    [F.col(a).eqNullSafe(F.col(f"__est_{a}__")) for a in axes],
+                )
+                out = (
+                    out.join(est, cond, "left")
+                    .drop(*[f"__est_{a}__" for a in axes])
+                    .withColumn(v, F.coalesce(F.col(v), F.lit(0.0)))
                 )
             else:
                 out = out.crossJoin(est)

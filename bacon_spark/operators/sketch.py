@@ -190,9 +190,16 @@ def kmv_from_hashes(hdf: DataFrame, k: int = 256) -> DataFrame:
 
 
 def kmv_synopsis(df: DataFrame, value: str, k: int = 256) -> DataFrame:
-    """:func:`kmv_from_hashes` over the shared 60-bit hash of `value`."""
+    """:func:`kmv_from_hashes` over the shared 60-bit hash of `value`.
+    NULLs are excluded explicitly (distinct-count semantics, matching
+    hll_registers) — relying on hash-of-null propagating is engine-
+    dependent: DuckDB's DISTINCT would admit the NULL hash row when fewer
+    than k distinct values exist and over-count by one."""
     return kmv_from_hashes(
-        df.select(hash60(F.col(value).cast("string")).alias("h")), k
+        df.where(F.col(value).isNotNull()).select(
+            hash60(F.col(value).cast("string")).alias("h")
+        ),
+        k,
     )
 
 
@@ -211,7 +218,9 @@ def kmv_synopsis_sql(table_expr: str, value_expr: str, k: int = 256) -> str:
     """DuckDB form of :func:`kmv_synopsis`."""
     h = hash60_sql(f"cast({value_expr} as varchar)")
     return f"""
-      SELECT DISTINCT ({h}) AS h FROM {table_expr} ORDER BY 1 LIMIT {k}
+      SELECT DISTINCT ({h}) AS h FROM {table_expr}
+      WHERE ({value_expr}) IS NOT NULL
+      ORDER BY 1 LIMIT {k}
     """
 
 

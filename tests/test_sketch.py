@@ -227,3 +227,55 @@ def test_sketch_measure_plan_partial_aggregates(spark):
     q = CubeQuery().add_axis("g").add_value("approx_v")
     plan = board.slice(q).to_df()._jdf.queryExecution().executedPlan().toString()
     assert "partial_max" in plan
+
+
+def test_sketch_measure_null_axis_group(spark):
+    # ADVICE r5: the estimate frame must attach null-SAFELY — a NULL axis
+    # value is a real group and its estimate must not collapse to 0.0
+    from bacon_spark import CubeQuery
+
+    rows = [(None, 1), (None, 2), (None, 3), ("a", 1)]
+    _, _, board = _board(spark, rows)
+    q = CubeQuery().add_axis("g").add_value("n").add_value("approx_v").add_value("exact_v")
+    out = {r["g"]: r for r in board.slice(q).to_df().collect()}
+    assert out[None]["exact_v"] == 3
+    assert abs(out[None]["approx_v"] - 3) < 0.5  # linear-counting regime: near-exact
+    assert abs(out["a"]["approx_v"] - 1) < 0.5
+
+
+def test_sketch_only_null_axis_multi_measure(spark):
+    # sketch-only slice with >1 sketch measure exercises the est-to-est
+    # join; NULL groups must survive that path too
+    from bacon_spark import CubeDef, CubeQuery, CuttingBoard, SketchDistinct
+    from bacon_spark.cubedef import Label, Measure
+
+    df = spark.createDataFrame(
+        [(None, 1, 10), (None, 2, 10), ("a", 1, 20)], "g string, v long, w long"
+    )
+    cd = CubeDef("t")
+    cd.add_label(Label("g", "g"))
+    cd.add_measure(Measure("av", "v", acc=SketchDistinct()))
+    cd.add_measure(Measure("aw", "w", acc=SketchDistinct()))
+    board = CuttingBoard(cd, df, cache_results=False)
+    q = CubeQuery().add_axis("g").add_value("av").add_value("aw")
+    out = {r["g"]: r for r in board.slice(q).to_df().collect()}
+    assert abs(out[None]["av"] - 2) < 0.5 and abs(out[None]["aw"] - 1) < 0.5
+    assert abs(out["a"]["av"] - 1) < 0.5 and abs(out["a"]["aw"] - 1) < 0.5
+
+
+def test_kmv_null_values_excluded(spark):
+    # ADVICE r5: kmv_synopsis must filter NULLs like hll_registers does —
+    # and the DuckDB twin must agree (below-k exact branch is where the
+    # engines diverged)
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(v,) for v in ["x", "y", "z", None, None]], "v string"
+    )
+    syn = sk.kmv_synopsis(df, "v", k=256)
+    assert syn.count() == 3
+    assert sk.kmv_estimate(syn, k=256).collect()[0]["kmv_estimate"] == 3.0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES ('x'),('y'),('z'),(NULL),(NULL)) v(v)")
+    sql = sk.kmv_estimate_sql(f"({sk.kmv_synopsis_sql('t', 'v', k=256)})", k=256)
+    assert con.execute(sql).fetchone()[0] == 3.0
