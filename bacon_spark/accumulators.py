@@ -270,7 +270,11 @@ class SketchDistinct(Accumulator):
     as a (axes, bucket) register aggregation plus estimate
     (engine._aggregate_frame) — which is also why the FINISHED estimate
     is not reaggregatable (registers merge by max; estimates don't), so
-    rollup-reuse/lattice/totals paths recompute instead of merging."""
+    slice-cache rollup/drill paths recompute instead of merging. For
+    materialized reuse, register a ``SketchLattice``
+    (operators/lattice.py): it stores the REGISTER frame at the finest
+    grain and serves every coarser slice/filter/total exactly by
+    re-maxing registers before estimating."""
 
     def __init__(self, p: int = 12):
         if not 4 <= p <= 16:

@@ -288,17 +288,28 @@ class CuttingBoard:
         wanted = set(query.axes) | fnames
         dropped = fnames - set(query.axes)
         needs_reagg = any(op != "eq" and n in dropped for n, op, _ in fil)
-        if needs_reagg and not self._reaggregatable(query, needed=True):
-            return None
         for lat in self._lattices:
-            if wanted <= set(lat.axes) and set(query.values) <= set(lat.values):
-                grain = tuple(a for a in lat.axes if a in wanted)
-                df = lat.slice_df(grain)
-                for n, op, v in fil:
-                    df = df.filter(FILTER_OPS[op](F.col(n), v))
-                if needs_reagg:
-                    return self._reaggregate(df, query)
-                return df.select(*query.axes, *query.values)
+            if not (
+                wanted <= set(lat.axes) and set(query.values) <= set(lat.values)
+            ):
+                continue
+            srv = getattr(lat, "serve_query", None)
+            if srv is not None:
+                # register-level lattice (SketchLattice): filters apply to
+                # the REGISTER frame and re-max before the estimate, so
+                # every filter shape — eq or not, axis kept or dropped —
+                # is exact without the reaggregatable gate the
+                # finished-value path below needs
+                return srv(tuple(query.axes), tuple(query.values), fil, FILTER_OPS)
+            if needs_reagg and not self._reaggregatable(query, needed=True):
+                continue
+            grain = tuple(a for a in lat.axes if a in wanted)
+            df = lat.slice_df(grain)
+            for n, op, v in fil:
+                df = df.filter(FILTER_OPS[op](F.col(n), v))
+            if needs_reagg:
+                return self._reaggregate(df, query)
+            return df.select(*query.axes, *query.values)
         return None
 
     def _reuse_plan(self, query: CubeQuery, cached_q: CubeQuery, cached_df: DataFrame):

@@ -1571,3 +1571,58 @@ def q165_sketch_distinct_measure(spark, sf_dir):
         .add_value("n_suppliers")
     )
     return board(cd, _read(spark, sf_dir, "lineitem")).slice(q).to_df()
+
+
+@query(
+    "q170_sketch_lattice_rollup",
+    f"""
+    WITH base AS MATERIALIZED (
+      SELECT l_returnflag AS returnflag, l_suppkey
+      FROM lineitem WHERE l_linestatus <> 'F'
+    ),
+    reg AS MATERIALIZED ({_sk.hll_registers_sql('base', 'l_suppkey', 'returnflag, ')}),
+    per AS ({_sk.hll_estimate_sql('reg', 'returnflag, ')}),
+    merged_reg AS (SELECT bucket, max(reg) AS reg FROM reg GROUP BY 1),
+    merged AS ({_sk.hll_estimate_sql('merged_reg')})
+    SELECT returnflag, hll_estimate AS approx_suppliers FROM per
+    UNION ALL
+    SELECT '__all__' AS returnflag, hll_estimate FROM merged
+    ORDER BY returnflag
+    """,
+)
+def q170_sketch_lattice_rollup(spark, sf_dir):
+    """SketchLattice (operators/lattice.py): approximate distinct as a
+    full ROLLUP citizen. One register frame materialized at the finest
+    grain (returnflag x linestatus — at most |groups|*2^p tiny rows)
+    serves every coarser grain, every filter drill (eq or NOT — here a
+    `ne` on the DROPPED linestatus axis, the shape a finished-value
+    lattice can never serve), and the grand total, by re-maxing
+    registers before estimating — bit-identical to direct computation
+    over the filtered base, which is exactly what the DuckDB oracle
+    replays. A CubeLattice of finished HLL estimates would be a dead
+    end (estimates don't merge); registers merge exactly by max.
+
+    Scale shape: the base is scanned ONCE at build (ingest-time, like
+    an index); every served query aggregates register rows — shuffle
+    <= |groups|*4096 rows with map-side partial max, independent of
+    fact-table size. refresh() folds deltas in by max (exact IVM)."""
+    from ..operators.lattice import SketchLattice
+    from ..utils.caching import managed_persist
+
+    cd = CubeDef("li")
+    cd.add_label(Label("returnflag", "l_returnflag"))
+    cd.add_label(Label("linestatus", "l_linestatus"))
+    cd.add_measure(Measure("approx_suppliers", "l_suppkey", acc=SketchDistinct()))
+    lat = SketchLattice(
+        cd,
+        _read(spark, sf_dir, "lineitem"),
+        axes=("returnflag", "linestatus"),
+        values=("approx_suppliers",),
+        persist=False,
+    )
+    fil = (("linestatus", "ne", "F"),)
+    per = lat.serve_query(("returnflag",), ("approx_suppliers",), fil)
+    total = lat.serve_query((), ("approx_suppliers",), fil).select(
+        F.lit("__all__").alias("returnflag"), "approx_suppliers"
+    )
+    return per.unionByName(total).orderBy("returnflag")

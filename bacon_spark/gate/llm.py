@@ -1390,6 +1390,79 @@ def q161_ivfpq_ann_topk(spark, sf_dir):
     return _pq.ivfpq_ann_topk(emb, probes, coarse_k=8, m=8, k=8, dim=64, nprobe=2, n=10)
 
 
+def _ivfpq_index_path(sf_dir):
+    """Per-dataset index cache dir, anchored on the PACKAGE root (the
+    harness cwd varies — see tests/test_foreign_cwd.py) and keyed on the
+    dataset path so sf dirs never share an index."""
+    import hashlib
+    import os
+
+    import bacon_spark
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(bacon_spark.__file__)))
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(root, ".ann_index", f"ivfpq-{key}")
+
+
+def _ivfpq_prebuilt(spark, sf_dir):
+    """Build-if-absent the q169 IVF-PQ index artifact (once-per-ingest;
+    bench.py runs this as the untimed prepare hook). Idempotent: a
+    committed manifest under the cache dir means a complete (codes,
+    model) pair exists — the put-if-absent manifest publish guarantees
+    no reader ever sees a partial index."""
+    from ..llm import pq_index as _pqi
+    from ..operators.maintenance import read_manifest
+    from ..utils.caching import release_caches
+
+    path = _ivfpq_index_path(sf_dir)
+    if read_manifest(path) is None:
+        emb = _read(spark, sf_dir, "embeddings")
+        _pqi.ivfpq_index_build(emb, path, coarse_k=8, m=8, k=8, dim=64)
+        release_caches()  # build fully materialized; nothing lazy reads it
+    return path
+
+
+@query(
+    "q169_ivfpq_index_search",
+    _pq.ivfpq_ann_topk_sql(
+        coarse_k=8, m=8, k=8, dim=64, nprobe=3, n=8,
+        probe_pred="vec_id >= 5 AND vec_id < 10",
+    ),
+    prepare=_ivfpq_prebuilt,
+)
+def q169_ivfpq_index_search(spark, sf_dir):
+    """Search-only IVF-PQ against the PREBUILT index (llm/pq_index.py) —
+    the production ANN cost model, where the index is built once at
+    ingest (q161's whole pipeline, persisted: hive-partitioned coded
+    corpus + model in the manifest) and a query pays only routing, a
+    partition-pruned codes read, ADC scoring, and the rank window. The
+    batch (broadcast-frame) ADC form is forced so the gate hash-checks
+    the large-probe-set scale path, not just the literal plan. The
+    oracle replays the full build+search in DuckDB — valid because the
+    prebuilt search is bit-identical to the end-to-end composition
+    (pinned by tests/test_pq_index.py).
+
+    Scale shape: no corpus pass, no training job — the codes read
+    touches nprobe/coarse_k of the index via directory pruning
+    (PartitionFilters, plan-asserted), scoring is one BroadcastHashJoin
+    against a |probes|*nprobe-row ADC-table frame, and the per-vector
+    work is m element_at lookups."""
+    from ..llm import pq_index as _pqi
+
+    path = _ivfpq_prebuilt(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    probes = [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return _pqi.ivfpq_index_search(
+        spark, path, probes, nprobe=3, n=8, literal_threshold=0
+    )
+
+
 @query("q162_within_doc_dedup", _dd.within_doc_segment_dedup_sql("documents", "text", "doc_id", 2))
 def q162_within_doc_dedup(spark, sf_dir):
     """Within-document repeated-segment removal (llm/dedup.within_doc_

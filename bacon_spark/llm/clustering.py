@@ -53,6 +53,74 @@ def _assign(vec, cents: list[tuple[int, list[float]]]):
     return F.array_min(F.array(*structs))["ci"]
 
 
+#: above this many centroid floats (k x dim summed over all centroids),
+#: assignment stops folding the centroids into the plan as literals and
+#: carries them as DATA in a single-row broadcast frame instead. The
+#: literal path is the right call at gate sizes (k=8-16: whole-stage
+#: codegen, zero joins, zero broadcasts) but folds k*dim doubles into the
+#: expression tree — at SemDeDup-production k (1e4-1e5 clusters) that is
+#: a multi-MB plan and a codegen blowup. The broadcast path costs one
+#: BroadcastNestedLoopJoin against a ONE-ROW frame (cheaper than the
+#: groupBy-argmin alternative, which would shuffle the corpus) and keeps
+#: the identical rounded-argmin float sequence, so results are
+#: bit-identical either way. Threshold documented in SCALE.md.
+LITERAL_ASSIGN_FLOATS = 10_000
+
+
+def _assign_dyn(vec, cents_col):
+    """:func:`_assign` against a COLUMN of (ci, c) structs instead of
+    plan literals — same zip_with/aggregate left fold, same round(·,6),
+    same min-struct tie-break, so the result is bit-identical."""
+    return F.array_min(
+        F.transform(
+            cents_col,
+            lambda s: F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(vec, s["c"], lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                ).alias("d"),
+                s["ci"].alias("ci"),
+            ),
+        )
+    )["ci"]
+
+
+def centroid_frame(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """The centroid model as a ONE-ROW DataFrame (array of (ci, c)
+    structs) — broadcast-join fodder for :func:`assign_column`'s
+    above-threshold path."""
+    payload = [[(int(ci), [float(x) for x in c]) for ci, c in cents]]
+    return spark.createDataFrame(
+        [payload], "_cents array<struct<ci:int,c:array<double>>>"
+    )
+
+
+def assign_column(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec,
+    out: str,
+    threshold: int = LITERAL_ASSIGN_FLOATS,
+) -> DataFrame:
+    """*df* plus column *out* = deterministic nearest-centroid index.
+
+    Below *threshold* total centroid floats: literal-codegen `_assign`
+    (zero joins). Above: the centroids ride as data in a single-row
+    broadcast frame and the identical expression runs against the joined
+    column — plan size and codegen stay O(1) in k while the per-row work
+    is unchanged. Results are bit-identical on both paths (equivalence
+    is pinned by tests/test_clustering.py at k=64)."""
+    n_floats = sum(len(c) for _, c in cents)
+    if n_floats <= threshold:
+        return df.withColumn(out, _assign(vec, cents))
+    joined = df.crossJoin(F.broadcast(centroid_frame(df.sparkSession, cents)))
+    return joined.withColumn(out, _assign_dyn(vec, F.col("_cents"))).drop("_cents")
+
+
 def seed_centroids(
     df: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding",
     salt: str = "km",
@@ -75,6 +143,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = "km",
+    assign_threshold: int = LITERAL_ASSIGN_FLOATS,
 ) -> list[tuple[int, list[float]]]:
     """The (index, centroid) list after *iters* Lloyd updates from the
     md5-draw seeds — the trained model :func:`kmeans_assign` applies,
@@ -89,8 +158,12 @@ def kmeans_centroids(
     vec = F.col(vec_col).cast("array<double>")
     cents = seed_centroids(df, k, id_col, vec_col, salt)
     for _ in range(iters):
-        assigned = df.select(F.col(id_col), vec.alias("_v")).withColumn(
-            "_ci", _assign(F.col("_v"), cents)
+        assigned = assign_column(
+            df.select(F.col(id_col), vec.alias("_v")),
+            cents,
+            F.col("_v"),
+            "_ci",
+            assign_threshold,
         )
         sums = (
             assigned.select("_ci", F.posexplode("_v").alias("_j", "_x"))
@@ -121,17 +194,21 @@ def kmeans_assign(
     vec_col: str = "embedding",
     salt: str = "km",
     include_vec: bool = False,
+    assign_threshold: int = LITERAL_ASSIGN_FLOATS,
 ) -> DataFrame:
     """(id, cluster) under :func:`kmeans_centroids`'s model (plus the
     double-cast vector as ``_v`` when *include_vec* — the semantic-dedup
     composition needs it without a second corpus scan). Assignment is
-    pure map-side codegen against the centroid literals."""
+    pure map-side codegen against the centroid literals below
+    *assign_threshold* total centroid floats, a single-row broadcast
+    centroid frame above it (see :func:`assign_column`)."""
     vec = F.col(vec_col).cast("array<double>")
-    cents = kmeans_centroids(df, k, iters, id_col, vec_col, salt)
-    out = [F.col(id_col), _assign(vec, cents).cast("int").alias("cluster")]
-    if include_vec:
-        out.append(vec.alias("_v"))
-    return df.select(*out)
+    cents = kmeans_centroids(df, k, iters, id_col, vec_col, salt, assign_threshold)
+    base = df.select(F.col(id_col), vec.alias("_v"))
+    out = assign_column(base, cents, F.col("_v"), "cluster", assign_threshold)
+    out = out.withColumn("cluster", F.col("cluster").cast("int"))
+    cols = [id_col, "cluster"] + (["_v"] if include_vec else [])
+    return out.select(*cols)
 
 
 _D2_SQL = (

@@ -52,12 +52,10 @@ def _lloyd(X: "np.ndarray", k: int, seed: int, max_iter: int = 25) -> "np.ndarra
     return cent
 
 
-def nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
-    """Index of the nearest centroid (squared L2), as one JVM-side
-    expression: distances fold via zip_with/aggregate over centroid array
-    literals, let-bound so the distance array is computed once."""
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-    v = vec.cast("array<double>")
+def _nearest_from(cents: Column, v: Column) -> Column:
+    """argmin cell index from a centroid ARRAY column — shared by the
+    literal and broadcast paths so both run the identical distance fold
+    and first-position tie-break."""
     dists = F.transform(
         cents,
         lambda c: F.aggregate(
@@ -67,6 +65,44 @@ def nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
         ),
     )
     return let(dists, lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"))
+
+
+def nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid (squared L2), as one JVM-side
+    expression: distances fold via zip_with/aggregate over centroid array
+    literals, let-bound so the distance array is computed once."""
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    return _nearest_from(cents, vec.cast("array<double>"))
+
+
+def cell_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out: str = "cell",
+    threshold: int | None = None,
+) -> DataFrame:
+    """*df* plus column *out* = nearest-centroid index, switching from
+    plan-literal centroids to a single-row broadcast centroid frame when
+    nlist x dim exceeds *threshold* floats (default
+    clustering.LITERAL_ASSIGN_FLOATS). Production IVF wants nlist ~
+    sqrt(corpus) — 1e4-1e5 cells at 100 TB — where literal folding means
+    multi-MB plans; the broadcast path keeps plan size O(1) in nlist
+    while the per-row distance fold (and therefore the result) is
+    bit-identical. See SCALE.md."""
+    from .clustering import LITERAL_ASSIGN_FLOATS
+
+    threshold = LITERAL_ASSIGN_FLOATS if threshold is None else threshold
+    if sum(len(c) for c in centroids) <= threshold:
+        return df.withColumn(out, nearest_cell(F.col(vec_col), centroids))
+    cent_df = df.sparkSession.createDataFrame(
+        [([[float(x) for x in c] for c in centroids],)],
+        "_cells array<array<double>>",
+    )
+    joined = df.crossJoin(F.broadcast(cent_df))
+    return joined.withColumn(
+        out, _nearest_from(F.col("_cells"), F.col(vec_col).cast("array<double>"))
+    ).drop("_cells")
 
 
 class IVFIndex:
@@ -99,9 +135,7 @@ class IVFIndex:
         sample = vecs.collect()
         X = np.array([r[1] for r in sample], dtype=np.float64)
         self.centroids = [[float(x) for x in c] for c in _lloyd(X, nlist, seed, max_iter)]
-        self.indexed = df.withColumn(
-            "cell", nearest_cell(F.col(vec_col), self.centroids)
-        ).persist()
+        self.indexed = cell_assign(df, self.centroids, vec_col, "cell").persist()
 
     def probe_cells(self, query_vec: list[float], nprobe: int) -> list[int]:
         """nprobe nearest centroids by cosine (driver-side: nlist is small

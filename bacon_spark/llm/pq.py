@@ -321,6 +321,193 @@ def pq_ann_topk_sql(
 # ---------------------------------------------------------------------------
 
 
+def adc_lookup_table(
+    codebooks: Codebooks, s: int, pr: list[float]
+) -> list[float]:
+    """ADC lookup table for subspace *s* of (residual) probe *pr*: entry
+    ci = d2(probe slice, sub-centroid ci), left-folded python floats —
+    the exact IEEE sequence the DuckDB oracle's list_sum replays. Slots
+    for clusters that went empty in the Lloyd update hold infinity; no
+    code can name them (assignment only ranges over survivors)."""
+    subdim = len(codebooks[0][0][1])
+    by_ci = dict(codebooks[s])
+    ps = pr[s * subdim : (s + 1) * subdim]
+    out = []
+    for ci in range(max(c for c, _ in codebooks[s]) + 1):
+        if ci in by_ci:
+            d = 0.0
+            for a, b in zip(ps, by_ci[ci]):
+                d = d + (a - b) * (a - b)
+            out.append(d)
+        else:
+            out.append(float("inf"))  # placeholder, never addressed
+    return out
+
+
+def ivfpq_model(
+    df: DataFrame,
+    coarse_k: int = 8,
+    m: int = 8,
+    k: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_salt: str = "ivfc",
+    pq_salt: str = "pq",
+) -> tuple[list[tuple[int, list[float]]], Codebooks, DataFrame]:
+    """The IVF-PQ index model: (coarse centroids, residual codebooks,
+    managed-persisted residual frame (id, _cell, _rv)). One corpus
+    assignment pass builds the residual frame; codebook learning reads
+    it (seeding + one Lloyd update) — the caller encodes from the SAME
+    persisted frame so the corpus is scanned once end-to-end."""
+    from ..utils.caching import managed_persist
+    from .clustering import kmeans_centroids
+
+    vec = F.col(vec_col).cast("array<double>")
+    ccents = kmeans_centroids(df, coarse_k, 1, id_col, vec_col, coarse_salt)
+    max_ci = max(ci for ci, _ in ccents) + 1
+    by_ci = dict(ccents)
+    cent_lit = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in by_ci.get(ci, [0.0] * dim)])
+            for ci in range(max_ci)
+        ]
+    )
+    resid = managed_persist(
+        df.select(
+            F.col(id_col),
+            _assign(vec, ccents).alias("_cell"),
+            vec.alias("_v"),
+        ).select(
+            id_col,
+            "_cell",
+            F.zip_with(
+                F.col("_v"),
+                F.element_at(cent_lit, F.col("_cell") + 1),
+                lambda x, y: x - y,
+            ).alias("_rv"),
+        )
+    )
+    cbs = pq_codebooks(resid, m, k, dim, id_col, "_rv", pq_salt)
+    return ccents, cbs, resid
+
+
+def ivfpq_encode(
+    resid: DataFrame, codebooks: Codebooks, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, cell, c0..c{m-1}) over a residual frame — the stored form of
+    the index: one int cell plus m small int codes per vector (map-side,
+    whole-stage codegen against the literal codebooks)."""
+    m = len(codebooks)
+    subdim = len(codebooks[0][0][1])
+    return resid.select(
+        F.col(id_col),
+        F.col("_cell").cast("int").alias("cell"),
+        *[
+            _assign(F.slice(F.col("_rv"), s * subdim + 1, subdim), codebooks[s])
+            .cast("int")
+            .alias(f"c{s}")
+            for s in range(m)
+        ],
+    )
+
+
+def route_probes(
+    spark,
+    probes: list[tuple[int, list[float]]],
+    ccents: list[tuple[int, list[float]]],
+    nprobe: int,
+    id_col: str = "vec_id",
+) -> dict[int, list[int]]:
+    """probe id -> its nprobe nearest coarse cells, routed by a
+    probe-count-row SPARK job so the rounding tie-breaks are
+    engine-identical (never python's)."""
+    from .clustering import _d2
+
+    pdf = spark.createDataFrame(
+        [(pid, [float(x) for x in pv]) for pid, pv in probes],
+        f"{id_col} long, _pv array<double>",
+    )
+    ranked_cells = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.round(_d2(F.col("_pv"), c), 6).alias("d"),
+                        F.lit(ci).alias("ci"),
+                    )
+                    for ci, c in ccents
+                ]
+            )
+        ),
+        1,
+        nprobe,
+    )
+    return {
+        r[id_col]: list(r["cells"])
+        for r in pdf.select(
+            F.col(id_col),
+            F.transform(ranked_cells, lambda s: s["ci"]).alias("cells"),
+        ).collect()
+    }
+
+
+def _rank_topk(scored: DataFrame, n: int, id_col: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy("approx_d", id_col)
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= n)
+        .orderBy("probe_id", "rn")
+    )
+
+
+def score_adc_literal(
+    coded: DataFrame,
+    probes: list[tuple[int, list[float]]],
+    probe_cells: dict[int, list[int]],
+    ccents: list[tuple[int, list[float]]],
+    codebooks: Codebooks,
+    n: int = 10,
+    id_col: str = "vec_id",
+    cell_col: str = "_cell",
+) -> DataFrame:
+    """ADC scoring with the per-(probe, cell) lookup tables folded into
+    the plan as array literals — zero joins, right at gate probe counts,
+    O(|probes| * nprobe * m * k) plan growth (see score_adc_batch for
+    the large-probe-set form)."""
+    m = len(codebooks)
+    by_ci = dict(ccents)
+    per_probe = []
+    for pid, pv in probes:
+        branch: Column | None = None
+        for cell in probe_cells[pid]:
+            pr = [a - b for a, b in zip(pv, by_ci[cell])]
+            d: Column | None = None
+            for s in range(m):
+                tbl = F.array(*[F.lit(x) for x in adc_lookup_table(codebooks, s, pr)])
+                ds = F.element_at(tbl, F.col(f"_c{s}") + 1)
+                d = ds if d is None else d + ds
+            cond = F.col(cell_col) == cell
+            branch = F.when(cond, d) if branch is None else branch.when(cond, d)
+        per_probe.append(
+            F.struct(
+                F.lit(pid).alias("probe_id"), F.round(branch, 6).alias("approx_d")
+            )
+        )
+    scored = (
+        coded.select(F.col(id_col), F.explode(F.array(*per_probe)).alias("_p"))
+        .select(
+            F.col("_p.probe_id").alias("probe_id"),
+            F.col(id_col),
+            F.col("_p.approx_d").alias("approx_d"),
+        )
+        .filter(F.col("approx_d").isNotNull())
+    )
+    return _rank_topk(scored, n, id_col)
+
+
 def ivfpq_ann_topk(
     df: DataFrame,
     probes: list[tuple[int, list[float]]],
@@ -351,86 +538,17 @@ def ivfpq_ann_topk(
 
     Scale shape: the residual frame is ints+arrays map-side work,
     persisted (managed) because codebook seeding, the Lloyd update, and
-    encoding all read it; at real scale the corpus is WRITTEN
-    partitioned by cell, so an nprobe probe is a partition-pruned read
-    of ~nprobe/coarse_k of the data (the same layout contract as
-    IVF-Flat, llm/ivf.py) — here the cell filter expresses that prune.
-    Scoring is the same driver-built ADC tables as :func:`pq_ann_topk`,
-    one table per (probe, probed cell)."""
-    from ..utils.caching import managed_persist
-    from .clustering import _d2, kmeans_centroids
-
+    encoding all read it; at real scale the index is BUILT ONCE and the
+    coded corpus written partitioned by cell (llm/pq_index.py — the
+    build/search split), so an nprobe probe is a partition-pruned read
+    of ~nprobe/coarse_k of the data. This end-to-end form exists as the
+    oracle-checked composition; scoring is the same driver-built ADC
+    tables as :func:`pq_ann_topk`, one table per (probe, probed cell)."""
+    ccents, cbs, resid = ivfpq_model(
+        df, coarse_k, m, k, dim, id_col, vec_col, coarse_salt, pq_salt
+    )
+    probe_cells = route_probes(df.sparkSession, probes, ccents, nprobe, id_col)
     subdim = dim // m
-    vec = F.col(vec_col).cast("array<double>")
-    ccents = kmeans_centroids(df, coarse_k, 1, id_col, vec_col, coarse_salt)
-    max_ci = max(ci for ci, _ in ccents) + 1
-    by_ci = dict(ccents)
-    cent_lit = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in by_ci.get(ci, [0.0] * dim)])
-            for ci in range(max_ci)
-        ]
-    )
-    resid = managed_persist(
-        df.select(
-            F.col(id_col),
-            _assign(vec, ccents).alias("_cell"),
-            vec.alias("_v"),
-        ).select(
-            id_col,
-            "_cell",
-            F.zip_with(
-                F.col("_v"),
-                F.element_at(cent_lit, F.col("_cell") + 1),
-                lambda x, y: x - y,
-            ).alias("_rv"),
-        )
-    )
-    cbs = pq_codebooks(resid, m, k, dim, id_col, "_rv", pq_salt)
-
-    # probe -> nprobe nearest cells, routed by a probe-count-row Spark job
-    spark = df.sparkSession
-    pdf = spark.createDataFrame(
-        [(pid, [float(x) for x in pv]) for pid, pv in probes],
-        f"{id_col} long, _pv array<double>",
-    )
-    ranked_cells = F.slice(
-        F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        F.round(_d2(F.col("_pv"), c), 6).alias("d"),
-                        F.lit(ci).alias("ci"),
-                    )
-                    for ci, c in ccents
-                ]
-            )
-        ),
-        1,
-        nprobe,
-    )
-    probe_cells = {
-        r[id_col]: list(r["cells"])
-        for r in pdf.select(
-            F.col(id_col),
-            F.transform(ranked_cells, lambda s: s["ci"]).alias("cells"),
-        ).collect()
-    }
-
-    def adc_table(pr: list[float], s: int) -> list[float]:
-        by_code = dict(cbs[s])
-        ps = pr[s * subdim : (s + 1) * subdim]
-        out = []
-        for ci in range(max(c for c, _ in cbs[s]) + 1):
-            if ci in by_code:
-                d = 0.0
-                for a, b in zip(ps, by_code[ci]):
-                    d = d + (a - b) * (a - b)
-                out.append(d)
-            else:
-                out.append(float("inf"))  # placeholder, never addressed
-        return out
-
     coded = resid.select(
         F.col(id_col),
         F.col("_cell"),
@@ -441,39 +559,8 @@ def ivfpq_ann_topk(
             for s in range(m)
         ],
     )
-    per_probe = []
-    for pid, pv in probes:
-        branch: Column | None = None
-        for cell in probe_cells[pid]:
-            pr = [a - b for a, b in zip(pv, by_ci[cell])]
-            d: Column | None = None
-            for s in range(m):
-                tbl = F.array(*[F.lit(x) for x in adc_table(pr, s)])
-                ds = F.element_at(tbl, F.col(f"_c{s}") + 1)
-                d = ds if d is None else d + ds
-            cond = F.col("_cell") == cell
-            branch = F.when(cond, d) if branch is None else branch.when(cond, d)
-        per_probe.append(
-            F.struct(
-                F.lit(pid).alias("probe_id"), F.round(branch, 6).alias("approx_d")
-            )
-        )
-    scored = (
-        coded.select(F.col(id_col), F.explode(F.array(*per_probe)).alias("_p"))
-        .select(
-            F.col("_p.probe_id").alias("probe_id"),
-            F.col(id_col),
-            F.col("_p.approx_d").alias("approx_d"),
-        )
-        .filter(F.col("approx_d").isNotNull())
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("probe_id").orderBy("approx_d", id_col)
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("int"))
-        .filter(F.col("rn") <= n)
-        .orderBy("probe_id", "rn")
+    return score_adc_literal(
+        coded, probes, probe_cells, ccents, cbs, n, id_col, "_cell"
     )
 
 

@@ -41,13 +41,14 @@ class CubeLattice:
         for v in values:
             if isinstance(cubedef.get_value(v).acc, SketchDistinct):
                 # a lattice of finished HLL ESTIMATES would be unmergeable
-                # and unservable; materializing register frames per grain
-                # is a different structure (future work) — refuse loudly
-                # rather than failing inside grouping-set codegen
+                # and unservable; the register-level structure exists as
+                # SketchLattice — refuse loudly rather than failing
+                # inside grouping-set codegen
                 raise ValueError(
                     f"SketchDistinct measure {v!r} cannot be materialized "
-                    "in a lattice; query it directly (the engine plans it "
-                    "as a register aggregation per slice)"
+                    "in a CubeLattice (finished estimates don't merge); "
+                    "use SketchLattice, which materializes the REGISTER "
+                    "frame and serves every grain exactly"
                 )
         self.cubedef = cubedef
         self.axes = tuple(axes)
@@ -132,6 +133,198 @@ class CubeLattice:
 
     def unpersist(self) -> None:
         self.lattice.unpersist()
+
+
+class SketchLattice:
+    """Register-level materialization for SketchDistinct measures — the
+    structure that makes approximate distinct a full rollup citizen.
+
+    A CubeLattice of finished HLL ESTIMATES would be a dead end:
+    estimates don't merge, so no coarser grain could ever be served from
+    a finer one. HLL REGISTERS do merge — exactly, by max per bucket
+    (max is associative/commutative/idempotent; operators/sketch.py
+    hll_merge) — so materializing ONE register frame at the finest grain
+    (at most |finest groups|·2^p tiny rows) serves EVERY coarser axis
+    subset, every filter drill, and the grand total by re-maxing
+    registers and estimating, with results BIT-identical to computing
+    the sketch directly over the (filtered) base table. The base is
+    never rescanned; every served plan aggregates result-sized register
+    rows.
+
+    Registered on a CuttingBoard like a CubeLattice; the planner routes
+    covered SketchDistinct queries through :meth:`serve_query`
+    (register-level filter → re-max → estimate), which also makes
+    arbitrary non-eq filter drills sound — the finished-value lattice
+    path has to gate those on ``reaggregatable``. Incremental
+    maintenance is exact for the same reason: a delta's registers fold
+    in by max (:meth:`refresh`), the IVM property finished estimates
+    lack."""
+
+    def __init__(
+        self,
+        cubedef: CubeDef,
+        df: DataFrame,
+        axes: tuple[str, ...],
+        values: tuple[str, ...],
+        persist: bool = True,
+    ):
+        from ..accumulators import SketchDistinct
+
+        for v in values:
+            if not isinstance(cubedef.get_value(v).acc, SketchDistinct):
+                raise ValueError(
+                    f"SketchLattice holds SketchDistinct measures only; "
+                    f"{v!r} is {type(cubedef.get_value(v).acc).__name__} "
+                    "(materialize ordinary measures in a CubeLattice)"
+                )
+        self.cubedef = cubedef
+        self.axes = tuple(axes)
+        self.values = tuple(values)
+        self._persist = persist
+        axis_cols = [cubedef.get_label(a).column().alias(a) for a in self.axes]
+        # distinct finest-grain axis combinations: groups whose sketch
+        # input is all-NULL still exist (estimate 0.0), matching the
+        # engine's direct-compute semantics
+        self._groups = df.select(*axis_cols).distinct()
+        self._regs: dict[str, DataFrame] = {
+            v: self._build_regs(df, v) for v in self.values
+        }
+        if persist:
+            self._groups = self._groups.persist()
+            self._regs = {v: r.persist() for v, r in self._regs.items()}
+
+    def _build_regs(self, df: DataFrame, v: str) -> DataFrame:
+        from ..operators.sketch import hll_registers
+
+        meas = self.cubedef.get_value(v)
+        axis_cols = [
+            self.cubedef.get_label(a).column().alias(a) for a in self.axes
+        ]
+        base = df.select(*axis_cols, meas.column().alias("__sketch_in__"))
+        return hll_registers(base, "__sketch_in__", list(self.axes), p=meas.acc.p)
+
+    @property
+    def reaggregatable(self) -> bool:
+        # registers merge exactly; the lattice survives board.refresh
+        return True
+
+    def serve_query(
+        self,
+        out_axes: tuple[str, ...],
+        out_values: tuple[str, ...],
+        filters=(),
+        filter_ops=None,
+    ) -> DataFrame:
+        """(axes..., values...) at any grain ⊆ the lattice axes, after
+        applying *filters* ((name, op, value) over axis label values,
+        semantics from *filter_ops*) AT THE REGISTER LEVEL — filter
+        rows of the register frame, re-max down to *out_axes*, estimate.
+        Exact vs direct computation for every filter shape, eq or not,
+        because registers (unlike estimates) merge losslessly."""
+        import functools
+
+        from pyspark.sql import Column
+
+        from ..operators.sketch import hll_estimate
+
+        if filter_ops is None:
+            from ..filters import FILTER_OPS as filter_ops
+        missing = (set(out_axes) | {n for n, _, _ in filters}) - set(self.axes)
+        if missing:
+            raise QueryError(f"axes not in sketch lattice: {sorted(missing)}")
+
+        def filtered(frame: DataFrame) -> DataFrame:
+            for n, op, val in filters:
+                frame = frame.filter(filter_ops[op](F.col(n), val))
+            return frame
+
+        if not out_axes:  # dim-0: grand total per value, one row
+            out = None
+            for v in out_values:
+                p = self.cubedef.get_value(v).acc.p
+                reg = (
+                    filtered(self._regs[v])
+                    .groupBy("bucket")
+                    .agg(F.max("reg").alias("reg"))
+                )
+                est = hll_estimate(reg, (), p=p).select(
+                    F.coalesce(F.col("hll_estimate"), F.lit(0.0)).alias(v)
+                )
+                out = est if out is None else out.crossJoin(est)
+            return out
+
+        out = filtered(self._groups).select(*out_axes).distinct()
+        for v in out_values:
+            p = self.cubedef.get_value(v).acc.p
+            reg = (
+                filtered(self._regs[v])
+                .groupBy(*[F.col(a) for a in out_axes], F.col("bucket"))
+                .agg(F.max("reg").alias("reg"))
+            )
+            est = hll_estimate(reg, list(out_axes), p=p).select(
+                *[F.col(a).alias(f"__est_{a}__") for a in out_axes],
+                F.col("hll_estimate").alias(v),
+            )
+            # NULL axis values are real groups: null-safe attach + 0.0
+            # for groups whose sketch input was all-NULL (engine parity)
+            cond = functools.reduce(
+                Column.__and__,
+                [F.col(a).eqNullSafe(F.col(f"__est_{a}__")) for a in out_axes],
+            )
+            out = (
+                out.join(est, cond, "left")
+                .drop(*[f"__est_{a}__" for a in out_axes])
+                .withColumn(v, F.coalesce(F.col(v), F.lit(0.0)))
+            )
+        return out.select(*out_axes, *out_values)
+
+    def slice_df(self, wanted_axes: tuple[str, ...]) -> DataFrame:
+        return self.serve_query(tuple(wanted_axes), self.values)
+
+    def grand_total(self) -> DataFrame:
+        return self.serve_query((), self.values)
+
+    def refresh(self, delta_df: DataFrame) -> None:
+        """Fold a delta in EXACTLY: the delta's register frame merges by
+        max per (axes, bucket) — the resulting lattice is bit-identical
+        to a rebuild over base ∪ delta (no decay, no approximation on
+        top of the sketch's own). One pass over the delta + a shuffle of
+        register-frame-sized rows; localCheckpoint pins the merge so
+        repeated refreshes don't grow the plan."""
+        new_groups = (
+            self._groups.unionByName(
+                delta_df.select(
+                    *[
+                        self.cubedef.get_label(a).column().alias(a)
+                        for a in self.axes
+                    ]
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_regs = {}
+        for v in self.values:
+            merged = (
+                self._regs[v]
+                .unionByName(self._build_regs(delta_df, v))
+                .groupBy(*[F.col(a) for a in self.axes], F.col("bucket"))
+                .agg(F.max("reg").alias("reg"))
+                .localCheckpoint(eager=True)
+            )
+            new_regs[v] = merged
+        old_groups, old_regs = self._groups, self._regs
+        self._groups, self._regs = new_groups, new_regs
+        if self._persist:
+            old_groups.unpersist()
+            for r in old_regs.values():
+                r.unpersist()
+
+    def unpersist(self) -> None:
+        if self._persist:
+            self._groups.unpersist()
+            for r in self._regs.values():
+                r.unpersist()
 
 
 def grouping_sets_df(

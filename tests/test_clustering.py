@@ -124,3 +124,47 @@ def test_semantic_dedup_oracle_matches_at_other_params(spark):
     )
     want = con.execute(semantic_dedup_stats_sql(k=5, dim=64, threshold=0.15)).fetchall()
     assert got == [tuple(r) for r in want]
+
+
+# --- broadcast-vs-literal assignment (r6: the k-ceiling fix) -------------
+
+
+def test_assign_column_broadcast_equivalence_k64(spark):
+    """Above the literal threshold, assignment switches to a single-row
+    broadcast centroid frame — results must be BIT-identical to the
+    literal-codegen path (same fold, same round, same tie-break) at
+    k=64, and the plan must show the broadcast (not folded literals)."""
+    from bacon_spark.llm.clustering import assign_column, kmeans_centroids
+
+    emb = _emb(spark)
+    cents = kmeans_centroids(emb, k=64, iters=1)
+    vec = F.col("embedding").cast("array<double>")
+    base = emb.select("vec_id", vec.alias("_v"))
+    lit = assign_column(base, cents, F.col("_v"), "c", threshold=10**9)
+    bc = assign_column(base, cents, F.col("_v"), "c", threshold=0)
+    got_l = sorted((r["vec_id"], r["c"]) for r in lit.collect())
+    got_b = sorted((r["vec_id"], r["c"]) for r in bc.collect())
+    assert got_l == got_b and len(got_l) > 0
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+
+
+def test_kmeans_assign_threshold_end_to_end(spark):
+    # the full kmeans_assign pipeline (centroid update included) must be
+    # path-invariant: broadcast assignment inside the Lloyd loop and the
+    # final labeling give the same clusters as the literal build
+    emb = _emb(spark)
+    a_lit = kmeans_assign(emb, k=8, iters=1, assign_threshold=10**9)
+    a_bc = kmeans_assign(emb, k=8, iters=1, assign_threshold=0)
+    assert sorted(map(tuple, a_lit.collect())) == sorted(map(tuple, a_bc.collect()))
+
+
+def test_ivf_cell_assign_broadcast_equivalence(spark):
+    from bacon_spark.llm.ivf import cell_assign
+
+    emb = _emb(spark)
+    cents = [[float(i == j) for i in range(64)] for j in range(16)]
+    lit = cell_assign(emb, cents, threshold=10**9).select("vec_id", "cell")
+    bc = cell_assign(emb, cents, threshold=0).select("vec_id", "cell")
+    assert sorted(map(tuple, lit.collect())) == sorted(map(tuple, bc.collect()))
+    assert "Broadcast" in bc._jdf.queryExecution().executedPlan().toString()

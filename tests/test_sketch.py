@@ -279,3 +279,186 @@ def test_kmv_null_values_excluded(spark):
     con.execute("CREATE TABLE t AS SELECT * FROM (VALUES ('x'),('y'),('z'),(NULL),(NULL)) v(v)")
     sql = sk.kmv_estimate_sql(f"({sk.kmv_synopsis_sql('t', 'v', k=256)})", k=256)
     assert con.execute(sql).fetchone()[0] == 3.0
+
+
+# --- SketchLattice: register-level rollup (operators/lattice.SketchLattice) ---
+
+
+def _two_axis_board(spark):
+    from bacon_spark import (
+        CubeDef,
+        CubeQuery,
+        CuttingBoard,
+        SketchDistinct,
+    )
+    from bacon_spark.cubedef import Label, Measure
+
+    rows = []
+    for i in range(3_000):
+        rows.append((f"s{i % 3}", f"c{i % 5}", i % 400))
+    rows += [(None, "c9", 1), (None, "c9", 2), ("s0", None, None)]
+    df = spark.createDataFrame(rows, "state string, city string, v long")
+    cd = CubeDef("t")
+    cd.add_label(Label("state"))
+    cd.add_label(Label("city"))
+    cd.add_measure(Measure("approx_v", "v", acc=SketchDistinct()))
+    return CubeQuery, CuttingBoard(cd, df, cache_results=False), df
+
+
+def _sketch_lattice(board, df):
+    from bacon_spark.operators.lattice import SketchLattice
+
+    return SketchLattice(
+        board.cubedef, df, axes=("state", "city"), values=("approx_v",)
+    )
+
+
+def test_sketch_lattice_serves_all_grains_bit_identical(spark):
+    # registers merge exactly by max, so every coarser grain served from
+    # the finest-grain register frame must equal direct computation over
+    # the base BIT-for-bit (same p, same registers -> same estimate)
+    CubeQuery, board, df = _two_axis_board(spark)
+    lat = _sketch_lattice(board, df)
+    try:
+        for wanted in [("state", "city"), ("state",), ("city",), ()]:
+            got = {
+                tuple(r[a] for a in wanted): r["approx_v"]
+                for r in lat.slice_df(wanted).collect()
+            }
+            q = CubeQuery().add_value("approx_v")
+            for a in wanted:
+                q = q.add_axis(a)
+            want = {
+                tuple(r[a] for a in wanted): r["approx_v"]
+                for r in board.slice(q).to_df().collect()
+            }
+            assert got == want, wanted  # exact equality, not tolerance
+    finally:
+        lat.unpersist()
+
+
+def test_sketch_lattice_planner_routing_and_filter_drills(spark):
+    # a board with a registered SketchLattice must answer covered queries
+    # from it — including non-eq filters on a DROPPED axis, the shape the
+    # finished-value lattice path cannot serve — bit-identical to a
+    # lattice-free board
+    CubeQuery, board, df = _two_axis_board(spark)
+    plain_board = type(board)(board.cubedef, df, cache_results=False)
+    lat = _sketch_lattice(board, df)
+    board.register_lattice(lat)
+    try:
+        queries = [
+            CubeQuery().add_axis("state").add_value("approx_v"),
+            CubeQuery()
+            .add_axis("state")
+            .add_value("approx_v")
+            .add_filter("city", "eq", "c1"),
+            CubeQuery()
+            .add_axis("state")
+            .add_value("approx_v")
+            .add_filter("city", "in", ("c1", "c2")),
+            CubeQuery()
+            .add_axis("state")
+            .add_value("approx_v")
+            .add_filter("city", "ge", "c2"),
+            CubeQuery().add_value("approx_v").add_filter("state", "ne", "s1"),
+        ]
+        for q in queries:
+            axes = tuple(q.axes)
+            got = {
+                tuple(r[a] for a in axes): r["approx_v"]
+                for r in board.slice(q).to_df().collect()
+            }
+            want = {
+                tuple(r[a] for a in axes): r["approx_v"]
+                for r in plain_board.slice(q).to_df().collect()
+            }
+            assert got == want, q
+    finally:
+        lat.unpersist()
+
+
+def test_sketch_lattice_null_axis_groups(spark):
+    # NULL axis values are real groups (null-safe register attach); the
+    # all-NULL-input group estimates 0.0, matching engine semantics
+    CubeQuery, board, df = _two_axis_board(spark)
+    lat = _sketch_lattice(board, df)
+    try:
+        got = {
+            (r["state"], r["city"]): r["approx_v"]
+            for r in lat.slice_df(("state", "city")).collect()
+        }
+        assert abs(got[(None, "c9")] - 2) < 0.5
+        assert got[("s0", None)] == 0.0
+    finally:
+        lat.unpersist()
+
+
+def test_sketch_lattice_refresh_matches_rebuild(spark):
+    # fold a delta in by register max == rebuild over base ∪ delta,
+    # bit-identical (the IVM property finished estimates lack)
+    from bacon_spark.operators.lattice import SketchLattice
+
+    CubeQuery, board, df = _two_axis_board(spark)
+    delta = spark.createDataFrame(
+        [("s0", "c1", 10_000 + i) for i in range(500)] + [("s9", "c0", 1)],
+        "state string, city string, v long",
+    )
+    lat = _sketch_lattice(board, df)
+    rebuilt = SketchLattice(
+        board.cubedef,
+        df.unionByName(delta),
+        axes=("state", "city"),
+        values=("approx_v",),
+    )
+    try:
+        lat.refresh(delta)
+        for wanted in [("state", "city"), ("state",), ()]:
+            got = {
+                tuple(r[a] for a in wanted): r["approx_v"]
+                for r in lat.slice_df(wanted).collect()
+            }
+            want = {
+                tuple(r[a] for a in wanted): r["approx_v"]
+                for r in rebuilt.slice_df(wanted).collect()
+            }
+            assert got == want, wanted
+    finally:
+        lat.unpersist()
+        rebuilt.unpersist()
+
+
+def test_sketch_lattice_board_refresh_keeps_it_registered(spark):
+    # board.refresh must fold the delta into a registered SketchLattice
+    # (reaggregatable=True) and keep consulting it — and the answers
+    # must track the grown base
+    CubeQuery, board, df = _two_axis_board(spark)
+    lat = _sketch_lattice(board, df)
+    board.register_lattice(lat)
+    delta = spark.createDataFrame(
+        [("s0", "c0", 50_000 + i) for i in range(1_000)],
+        "state string, city string, v long",
+    )
+    try:
+        board.refresh(delta)
+        assert lat in board._lattices  # still registered (mergeable)
+        q = CubeQuery().add_axis("state").add_value("approx_v")
+        got = {r["state"]: r["approx_v"] for r in board.slice(q).to_df().collect()}
+        plain = type(board)(board.cubedef, df.unionByName(delta), cache_results=False)
+        want = {r["state"]: r["approx_v"] for r in plain.slice(q).to_df().collect()}
+        assert got == want
+    finally:
+        lat.unpersist()
+
+
+def test_sketch_lattice_rejects_ordinary_measures(spark):
+    import pytest as _pytest
+
+    from bacon_spark import Count
+    from bacon_spark.cubedef import Measure
+    from bacon_spark.operators.lattice import SketchLattice
+
+    CubeQuery, board, df = _two_axis_board(spark)
+    board.cubedef.add_measure(Measure("n", "v", acc=Count()))
+    with _pytest.raises(ValueError, match="SketchDistinct measures only"):
+        SketchLattice(board.cubedef, df, ("state",), ("n",))
