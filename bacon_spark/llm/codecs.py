@@ -1,11 +1,13 @@
 """Pure-Python (stdlib-only) decoders for UNCOMPRESSED image formats.
 
-VERDICT r4 task #6: the container has no PIL/ffmpeg, so the multimodal
-kernels were fully stubbed. This module vendors real decoders for the
-two formats that need no codec — binary PPM/PGM (netpbm P6/P5) and
-uncompressed 24-bit BMP (BI_RGB) — so ``decode_stub=False`` works
-end-to-end on real pixels for those kinds, and NotImplementedError only
-remains for genuinely codec-bound formats (JPEG/PNG/video).
+VERDICT r4 task #6 / r5 task #5: the container has no PIL/ffmpeg, so the
+multimodal kernels were fully stubbed. This module vendors real decoders
+for the formats stdlib can handle — binary PPM/PGM (netpbm P6/P5),
+uncompressed 24-bit BMP (BI_RGB), and non-interlaced 8-bit PNG (gray,
+RGB, palette, gray+alpha, RGBA; ``zlib`` inflate + the five scanline
+filters) — so ``decode_stub=False`` works end-to-end on real pixels for
+those kinds, and NotImplementedError only remains for genuinely
+codec-bound formats (JPEG/video, which need an entropy/DCT codec).
 
 Everything here is deterministic integer arithmetic (luma and resize use
 integer division), so asset hashes are bit-stable across platforms — a
@@ -18,6 +20,7 @@ without any library.
 from __future__ import annotations
 
 import struct
+import zlib
 
 # ---------------------------------------------------------------------------
 # netpbm: P6 (binary RGB) / P5 (binary grayscale)
@@ -140,6 +143,183 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
 
 
 # ---------------------------------------------------------------------------
+# PNG: non-interlaced 8-bit, stdlib zlib only
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (8-bit depth)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    body = typ + data
+    return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    color_type: int = 2,
+    filters=None,
+) -> bytes:
+    """Minimal PNG encoder (8-bit, non-interlaced; color_type 0=gray,
+    2=RGB, 6=RGBA). *filters* optionally gives a per-row filter type
+    (0-4) so tests can exercise every decode filter path; default is
+    filter 0 (None) on every row."""
+    bpp = _PNG_CHANNELS[color_type]
+    if color_type == 3:
+        raise NotImplementedError("palette encoding not supported (decode only)")
+    assert len(pixels) == width * height * bpp
+    stride = width * bpp
+    rows = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        raw = pixels[y * stride : (y + 1) * stride]
+        f = filters[y] if filters else 0
+        rows.append(f)
+        rows += _png_filter_row(raw, prev, bpp, f)
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_filter_row(raw: bytes, prev: bytes, bpp: int, f: int) -> bytes:
+    """Apply PNG filter *f* to one raw scanline (encoder side)."""
+    out = bytearray(len(raw))
+    for i in range(len(raw)):
+        a = raw[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if f == 0:
+            out[i] = raw[i]
+        elif f == 1:
+            out[i] = (raw[i] - a) & 0xFF
+        elif f == 2:
+            out[i] = (raw[i] - b) & 0xFF
+        elif f == 3:
+            out[i] = (raw[i] - (a + b) // 2) & 0xFF
+        elif f == 4:
+            out[i] = (raw[i] - _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f}")
+    return bytes(out)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a non-interlaced 8-bit PNG (color types 0 gray, 2 RGB,
+    3 palette, 4 gray+alpha, 6 RGBA) to (width, height, grayscale),
+    stdlib ``zlib`` only — no codec library. Alpha is ignored (the
+    perceptual hash compares luminance); color reduces with the same
+    integer ITU-R 601 luma as the other decoders, so identical pixels
+    hash identically regardless of container format.
+
+    Interlaced (Adam7) and 16-bit images raise NotImplementedError —
+    rare in practice and out of scope for a vendored decoder."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = color_type = None
+    palette = b""
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
+            if interlace:
+                raise NotImplementedError("interlaced (Adam7) PNG not supported")
+            if comp or filt:
+                raise ValueError("invalid PNG compression/filter method")
+            if color_type not in _PNG_CHANNELS:
+                raise NotImplementedError(f"PNG color type {color_type}")
+        elif typ == b"PLTE":
+            palette = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    bpp = _PNG_CHANNELS[color_type]
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("truncated PNG raster")
+    # unfilter scanlines in place
+    recon = bytearray(stride * h)
+    prev = bytes(stride)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if f == 1:
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"PNG filter type {f}")
+        recon[y * stride : (y + 1) * stride] = line
+        prev = bytes(line)
+    # reduce to grayscale
+    if color_type == 0:
+        return w, h, bytes(recon)
+    if color_type == 4:  # gray + alpha: take gray sample
+        return w, h, bytes(recon[0::2])
+    if color_type == 3:  # palette index -> RGB -> luma
+        if not palette:
+            raise ValueError("palette PNG missing PLTE")
+        gray = bytes(
+            (
+                299 * palette[3 * i]
+                + 587 * palette[3 * i + 1]
+                + 114 * palette[3 * i + 2]
+                + 500
+            )
+            // 1000
+            for i in recon
+        )
+        return w, h, gray
+    # RGB (2) / RGBA (6): integer luma, alpha ignored
+    gray = bytes(
+        (299 * recon[i] + 587 * recon[i + 1] + 114 * recon[i + 2] + 500) // 1000
+        for i in range(0, len(recon), bpp)
+    )
+    return w, h, gray
+
+
+# ---------------------------------------------------------------------------
 # dispatch + deterministic resize
 # ---------------------------------------------------------------------------
 
@@ -147,7 +327,7 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """Sniff the payload's magic bytes and decode to (w, h, grayscale).
 
-    Raises NotImplementedError for codec-bound formats (JPEG/PNG/...) —
+    Raises NotImplementedError for codec-bound formats (JPEG/video) —
     the documented remaining stub surface."""
     if payload[:2] in (b"P5", b"P6"):
         return decode_ppm(payload)
@@ -155,8 +335,8 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
         return decode_bmp(payload)
     if payload[:3] == b"\xff\xd8\xff":
         raise NotImplementedError("JPEG decode requires a codec library (PIL)")
-    if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        raise NotImplementedError("PNG decode requires a codec library (PIL)")
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(f"unrecognized image format (magic {payload[:4]!r})")
 
 

@@ -9,9 +9,10 @@ the kernels are stubbed two ways:
   "features" from the binary payload's bytes — real enough to test schema,
   batching, partitioning and ordering end-to-end;
 * ``decode_stub=False``: decodes REAL pixels for the formats the vendored
-  stdlib-only codecs support (binary PPM/PGM, uncompressed 24-bit BMP —
-  see :mod:`.codecs`); raises NotImplementedError only for codec-bound
-  formats (JPEG/PNG/video), clearly marking where PIL/ffmpeg goes.
+  stdlib-only codecs support (binary PPM/PGM, uncompressed 24-bit BMP,
+  non-interlaced 8-bit PNG — see :mod:`.codecs`); raises
+  NotImplementedError only for codec-bound formats (JPEG/video), clearly
+  marking where PIL/ffmpeg goes.
 
 The SPARK side is fully real: ``mapInPandas`` with an explicit output
 schema streams Arrow record batches through the Python worker — the correct
@@ -89,7 +90,7 @@ def extract_image_features(
 ) -> DataFrame:
     """Decode + feature-extract over binary payloads via mapInPandas.
 
-    decode_stub=False decodes real pixels (PPM/PGM/BMP via :mod:`.codecs`;
+    decode_stub=False decodes real pixels (PPM/PGM/BMP/PNG via :mod:`.codecs`;
     feature = dim-bucket GRAY-LEVEL histogram, mean_byte = mean gray);
     NotImplementedError remains only for codec-bound formats.
     """

@@ -1,17 +1,21 @@
-"""Real-pixel decode path for the multimodal kernels (VERDICT r4 task #6):
-the vendored stdlib-only PPM/PGM/BMP codecs, the integer box resize, and
-the end-to-end aHash/near-dup pipeline on REAL images (decode_stub=False).
-NotImplementedError must remain only for codec-bound formats (JPEG/PNG)."""
+"""Real-pixel decode path for the multimodal kernels (VERDICT r4 task #6
++ r5 task #5): the vendored stdlib-only PPM/PGM/BMP/PNG codecs, the
+integer box resize, and the end-to-end aHash/near-dup pipeline on REAL
+images (decode_stub=False). NotImplementedError must remain only for
+codec-bound formats (JPEG/video)."""
 
 import pytest
 
 from bacon_spark.llm.codecs import (
+    _png_chunk,
     ahash_pixels,
     decode_bmp,
     decode_image,
+    decode_png,
     decode_ppm,
     encode_bmp,
     encode_pgm,
+    encode_png,
     encode_ppm,
     resize_gray,
 )
@@ -78,10 +82,67 @@ def test_decode_image_dispatch_and_codec_stubs():
     rgb = _gradient_rgb(4, 4)
     assert decode_image(encode_ppm(4, 4, rgb)) == decode_ppm(encode_ppm(4, 4, rgb))
     assert decode_image(encode_bmp(4, 4, rgb)) == decode_bmp(encode_bmp(4, 4, rgb))
+    assert decode_image(encode_png(4, 4, rgb)) == decode_png(encode_png(4, 4, rgb))
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+
+
+def test_png_every_filter_type_matches_ppm():
+    w, h = 9, 6
+    rgb = _gradient_rgb(w, h, noise_at={(2, 1), (5, 4)})
+    want = decode_ppm(encode_ppm(w, h, rgb))
+    for filters in (None, [1] * h, [2] * h, [3] * h, [4] * h, [0, 1, 2, 3, 4, 4]):
+        assert decode_png(encode_png(w, h, rgb, filters=filters)) == want, filters
+
+
+def test_png_gray_and_alpha_color_types():
+    w, h = 6, 4
+    gray = bytes((x * 31 + y * 17) % 256 for y in range(h) for x in range(w))
+    # type 0 (gray) round-trips bit-exactly through Paeth
+    assert decode_png(encode_png(w, h, gray, color_type=0, filters=[4] * h)) == (w, h, gray)
+    # type 4 (gray+alpha) ignores alpha
+    ga = b"".join(bytes((g, 200)) for g in gray)
+    assert decode_png(encode_png(w, h, ga, color_type=4)) == (w, h, gray)
+    # type 6 (RGBA) ignores alpha, reduces via the shared luma
+    rgb = _gradient_rgb(w, h)
+    rgba = b"".join(rgb[i * 3 : i * 3 + 3] + b"\x7f" for i in range(w * h))
+    assert decode_png(encode_png(w, h, rgba, color_type=6, filters=[3] * h)) == decode_ppm(
+        encode_ppm(w, h, rgb)
+    )
+
+
+def test_png_palette_decode():
+    import struct as _struct
+
+    # hand-built 2x2 palette PNG: indices 0..2 -> red, green, blue
+    ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255))
+    import zlib as _zlib
+
+    idat = _zlib.compress(b"\x00\x00\x01\x00\x02\x00")  # rows: [0,1],[2,0]
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png(payload) == (2, 2, bytes((76, 150, 29, 76)))  # luma weights
+
+
+def test_png_unsupported_variants_raise():
+    import struct as _struct
+
+    def mk(depth, interlace):
+        ihdr = _struct.pack(">IIBBBBB", 1, 1, depth, 0, 0, 0, interlace)
+        return b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n fake png")
+        decode_png(mk(16, 0))  # 16-bit
+    with pytest.raises(NotImplementedError):
+        decode_png(mk(8, 1))  # Adam7 interlaced
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n")  # missing IHDR
 
 
 def test_resize_gray_box_average():
@@ -124,6 +185,7 @@ def _asset_rows():
          "image/x-portable-pixmap", 32, 24, 0),
         (4, "image", encode_pgm(16, 16, bytes([128] * 256)), "image/x-portable-graymap", 16, 16, 0),
         (5, "image", encode_ppm(64, 48, _gradient_rgb(64, 48)), "image/x-portable-pixmap", 64, 48, 0),
+        (6, "image", encode_png(32, 24, g, filters=[4] * 24), "image/png", 32, 24, 0),
     ]
 
 
@@ -134,7 +196,7 @@ def test_real_pixel_ahash_end_to_end(spark):
     # the Spark kernel must equal the local pure-Python hash, per asset
     for rid, _, payload, *_ in rows:
         assert got[rid] == ahash_pixels(payload, PHASH_BITS, (10, 6)), rid
-    assert got[0] == got[1]  # exact dup across formats
+    assert got[0] == got[1] == got[6]  # exact dup across formats (PPM/BMP/PNG)
 
 
 def test_real_pixel_near_dup_matches_brute_force(spark):
@@ -153,6 +215,7 @@ def test_real_pixel_near_dup_matches_brute_force(spark):
     }
     assert pairs == brute  # banded join is pigeonhole-COMPLETE on real pixels
     assert (0, 1) in pairs and pairs[(0, 1)] == 0  # cross-format exact dup found
+    assert (0, 6) in pairs and pairs[(0, 6)] == 0  # PNG joins the dup cluster
 
 
 def test_real_pixel_features(spark):
