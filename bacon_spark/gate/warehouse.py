@@ -1057,7 +1057,12 @@ def q168_auto_salted_join(spark, sf_dir):
     the decision must never change results, only the shuffle shape.
 
     Scale note: the sketch pass is scan-bound with constant state; at
-    real scale make the decision once per ingest, not per query."""
+    real scale the decision is table metadata — pass ``big_path`` and
+    ``operators/scale.key_skew_stats`` serves the (n, F2) moments from a
+    manifest-stamped sidecar, rescanned only when the table's files
+    change (tested in tests/test_sketch.py). The gate keeps the inline
+    form because the fact side here is a derived view of a read-only
+    table."""
     from ..operators.scale import auto_salt_join
 
     ev = _read(spark, sf_dir, "events").select(

@@ -9,6 +9,9 @@ tests, the same way a human would review `.explain()`.
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
 import shutil
 from urllib.parse import urlparse
 
@@ -172,12 +175,96 @@ def salted_join(
     return b.join(s, [key, "_salt"]).drop("_salt")
 
 
+def _table_signature(path: str) -> str:
+    """Cheap staleness token for the table at *path*: the latest manifest
+    version when the table keeps a manifest log (operators/maintenance —
+    a refresh always commits a new version), else an md5 over the sorted
+    (file, bytes) listing of its parquet data files. Sidecar/_manifest
+    files are excluded by ``table_files``, so writing stats never
+    invalidates the stats."""
+    from .maintenance import manifest_versions, table_files
+
+    vs = manifest_versions(path)
+    if vs:
+        return f"manifest:v{vs[-1]}"
+    digest = hashlib.md5(repr(table_files(path)).encode()).hexdigest()
+    return f"files:{digest}"
+
+
+def key_skew_stats(
+    spark,
+    path: str,
+    key: str,
+    d: int = 64,
+    refresh: bool = False,
+    df: DataFrame | None = None,
+) -> dict:
+    """The per-(table, key) skew statistics behind :func:`auto_salt_join`,
+    computed ONCE PER INGEST and cached in a stats sidecar
+    ``<path>/_stats/key_skew_<key>.json`` next to the manifest log —
+    the "cache the decision alongside the table statistics" contract.
+
+    The record stores the raw moments (row count n, AMS F2 estimate)
+    plus the collision factor F2/n, NOT the salted/plain verdict, so
+    callers can vary ``skew_threshold`` without a rescan. Staleness is
+    structural: the sidecar carries :func:`_table_signature` (manifest
+    version, else data-file listing digest), and any refresh that
+    changes the table's files invalidates it — the next call rescans
+    and rewrites. ``refresh=True`` forces a rescan.
+
+    *df* optionally supplies the already-loaded DataFrame for the scan
+    (e.g. a view of the table with computed columns); the cache key is
+    still (path, key, d). A read-only table location (no sidecar
+    writable) degrades gracefully: stats are computed and returned,
+    just not cached. Writes are atomic (temp file + ``os.replace``) so
+    concurrent readers never see a torn record."""
+    stats_file = os.path.join(path, "_stats", f"key_skew_{key}.json")
+    sig = _table_signature(path)
+    if not refresh and os.path.isfile(stats_file):
+        with open(stats_file) as fh:
+            rec = json.load(fh)
+        if rec.get("signature") == sig and rec.get("d") == d:
+            rec["cached"] = True
+            return rec
+    from .sketch import ams_f2
+
+    if df is None:
+        df = spark.read.parquet(path)
+    row = (
+        df.where(F.col(key).isNotNull())
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(ams_f2(df, key, d=d))
+        .collect()[0]
+    )
+    n = int(row["n"] or 0)
+    f2 = float(row["f2_estimate"] or 0.0)
+    rec = {
+        "key": key,
+        "n": n,
+        "f2_estimate": f2,
+        "collision_factor": (f2 / n) if n else 0.0,
+        "d": d,
+        "signature": sig,
+        "cached": False,
+    }
+    try:
+        os.makedirs(os.path.dirname(stats_file), exist_ok=True)
+        tmp = f"{stats_file}.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, stats_file)
+    except OSError:
+        pass  # read-only table location: serve uncached stats
+    return rec
+
+
 def auto_salt_join(
     big: DataFrame,
     small: DataFrame,
     key: str,
     salt_buckets: int = 16,
     skew_threshold: float = 8.0,
+    big_path: str | None = None,
 ) -> DataFrame:
     """:func:`salted_join` with the salting DECISION made by a sketch:
     one map-side AMS pass (operators/sketch.ams_f2 — 64 counters, no
@@ -196,18 +283,26 @@ def auto_salt_join(
     inputs, streaming foreachBatch joins).
 
     Cost: one extra scan of the big side's key column (a scan-bound
-    64-long aggregate). At 100 TB, run it once per ingest and cache the
-    decision alongside the table statistics rather than per query."""
-    from .sketch import ams_f2
+    64-long aggregate) — unless *big_path* names the big side's table
+    location, in which case the moments come from the per-ingest
+    :func:`key_skew_stats` sidecar (computed on first use, reused until
+    the table's manifest/files change) and repeated joins pay ZERO extra
+    scans. That is the production form: the decision is table metadata,
+    refreshed with the table, not a per-query job."""
+    if big_path is not None:
+        rec = key_skew_stats(big.sparkSession, big_path, key, df=big)
+        n, f2 = rec["n"], rec["f2_estimate"]
+    else:
+        from .sketch import ams_f2
 
-    stats = (
-        big.where(F.col(key).isNotNull())
-        .agg(F.count(F.lit(1)).alias("n"))
-        .crossJoin(ams_f2(big, key))
-        .collect()[0]
-    )
-    n = stats["n"] or 0
-    hot = n > 0 and (stats["f2_estimate"] / n) > skew_threshold
+        stats = (
+            big.where(F.col(key).isNotNull())
+            .agg(F.count(F.lit(1)).alias("n"))
+            .crossJoin(ams_f2(big, key))
+            .collect()[0]
+        )
+        n, f2 = stats["n"] or 0, stats["f2_estimate"]
+    hot = n > 0 and (f2 / n) > skew_threshold
     if hot:
         return salted_join(big, small, key, salt_buckets)
     return big.join(small, key)

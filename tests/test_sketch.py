@@ -462,3 +462,84 @@ def test_sketch_lattice_rejects_ordinary_measures(spark):
     board.cubedef.add_measure(Measure("n", "v", acc=Count()))
     with _pytest.raises(ValueError, match="SketchDistinct measures only"):
         SketchLattice(board.cubedef, df, ("state",), ("n",))
+
+
+def test_key_skew_stats_sidecar_cached_and_staleness(spark, tmp_path):
+    # VERDICT r5 task #6: the auto-salt decision is table metadata —
+    # computed once per ingest, reused across calls, recomputed only
+    # after a refresh that changes the table's files.
+    from bacon_spark.operators.scale import auto_salt_join, key_skew_stats
+
+    path = str(tmp_path / "facts")
+    skew = spark.range(2_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("x"),
+    )
+    skew.write.parquet(path)
+
+    first = key_skew_stats(spark, path, "k")
+    assert first["cached"] is False and first["collision_factor"] > 8.0
+    second = key_skew_stats(spark, path, "k")
+    assert second["cached"] is True  # served from the sidecar, no scan
+    assert {k: second[k] for k in ("n", "f2_estimate", "signature")} == {
+        k: first[k] for k in ("n", "f2_estimate", "signature")
+    }
+
+    # the stats-fed join is plan-identical to the inline-scan decision
+    # and row-identical to the plain join
+    dim = spark.range(2_000).select(F.col("id").alias("k"), (F.col("id") % 3).alias("c"))
+    big = spark.read.parquet(path)
+    j = auto_salt_join(big, dim, "k", big_path=path)
+    assert "xxhash64" in j._jdf.queryExecution().toString()  # salted
+    assert sorted(map(tuple, j.collect())) == sorted(
+        map(tuple, big.join(dim, "k").collect())
+    )
+
+    # refresh the table with uniform keys: the file listing changes, the
+    # sidecar goes stale, and the recomputed decision flips to plain
+    uni = spark.range(2_000).select(F.col("id").alias("k"), F.col("id").alias("x"))
+    uni.write.mode("overwrite").parquet(path)
+    third = key_skew_stats(spark, path, "k")
+    assert third["cached"] is False and third["signature"] != first["signature"]
+    assert third["collision_factor"] < 8.0
+    j2 = auto_salt_join(spark.read.parquet(path), dim, "k", big_path=path)
+    assert "xxhash64" not in j2._jdf.queryExecution().toString()  # plain
+
+
+def test_key_skew_stats_manifest_version_signature(spark, tmp_path):
+    # with a manifest log the signature is the committed version — a new
+    # commit (even re-listing the same files) invalidates the sidecar
+    from bacon_spark.operators import maintenance as M
+    from bacon_spark.operators.scale import key_skew_stats
+
+    path = str(tmp_path / "man")
+    spark.range(100).select(F.col("id").alias("k")).write.parquet(path)
+    files = M.table_files(path)
+    M.commit_manifest(path, files, base_version=0)
+
+    a = key_skew_stats(spark, path, "k")
+    assert a["signature"] == "manifest:v1" and a["cached"] is False
+    assert key_skew_stats(spark, path, "k")["cached"] is True
+    M.commit_manifest(path, files, base_version=1)
+    b = key_skew_stats(spark, path, "k")
+    assert b["signature"] == "manifest:v2" and b["cached"] is False
+
+
+def test_key_skew_stats_unwritable_location_degrades(spark, tmp_path):
+    # a table location where the sidecar can't be created (read-only
+    # mounts like /root/testdata; here: "_stats" name already taken by a
+    # non-directory) still gets stats, just uncached — never a crash
+    import os as _os
+
+    from bacon_spark.operators.scale import key_skew_stats
+
+    path = str(tmp_path / "ro")
+    spark.range(50).select(F.col("id").alias("k")).write.parquet(path)
+    blocker = _os.path.join(path, "_stats")
+    with open(blocker, "w") as fh:
+        fh.write("not a directory")
+    rec = key_skew_stats(spark, path, "k")
+    assert rec["n"] == 50 and rec["cached"] is False
+    assert _os.path.isfile(blocker)  # untouched, nothing cached
+    # and the next call recomputes rather than trusting anything stale
+    assert key_skew_stats(spark, path, "k")["cached"] is False
