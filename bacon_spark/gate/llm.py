@@ -1558,6 +1558,46 @@ def q163_hll_vocabulary(spark, sf_dir):
 
 
 @query(
+    "q171_hll_vocabulary_sketch_only",
+    f"""
+    WITH grams AS MATERIALIZED ({_Q163_GRAMS}),
+    reg AS MATERIALIZED ({_sk.hll_registers_sql('grams', 'gram', 'source, ')}),
+    per_src AS ({_sk.hll_estimate_sql('reg', 'source, ')}),
+    merged_reg AS (SELECT bucket, max(reg) AS reg FROM reg GROUP BY 1),
+    merged AS ({_sk.hll_estimate_sql('merged_reg')})
+    SELECT source, buckets_used, hll_estimate FROM per_src
+    UNION ALL
+    SELECT '__all__' AS source, buckets_used, hll_estimate FROM merged
+    """,
+)
+def q171_hll_vocabulary_sketch_only(spark, sf_dir):
+    """q163's PRODUCTION path in isolation (VERDICT r5 task #7): the HLL
+    register frame + per-source and merged estimates, with NO exact
+    count(distinct) twin on either engine. q163 keeps the exact side as
+    the gate's accuracy verification; this entry is what actually runs
+    at corpus scale, so the scale sweep measures the sketch path's
+    linearity automatically instead of the verification side's
+    vocabulary-growth wall. Still hash-checked end to end: the oracle
+    replays the same registers (shared 60-bit md5 hash, exact BIGINT
+    register math), so both engines must agree bit-for-bit on every
+    estimate."""
+    from ..utils.caching import managed_persist
+
+    docs = _read_docs(spark, sf_dir)
+    grams = docs.select(
+        "source", F.explode(_dd.shingles(F.col("text"), 3)).alias("gram")
+    )
+    reg = managed_persist(_sk.hll_registers(grams, "gram", ["source"]))
+    per_src = _sk.hll_estimate(reg, ["source"]).select(
+        "source", "buckets_used", "hll_estimate"
+    )
+    merged = _sk.hll_merge(reg).select(
+        F.lit("__all__").alias("source"), "buckets_used", "hll_estimate"
+    )
+    return per_src.unionByName(merged)
+
+
+@query(
     "q164_kmv_corpus_overlap",
     f"""
     WITH grams AS MATERIALIZED (
