@@ -121,9 +121,21 @@ def scratch_dir(prefix: str) -> str:
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, mode: str = "complete",
     checkpoint: str | None = None,
+    state_provider: str | None = None,
+    expected_state_rows: int | None = None,
 ):
     """Drive a streaming frame to a memory sink with availableNow (process
-    everything queued, then stop) — the test/verification harness path."""
+    everything queued, then stop) — the test/verification harness path.
+
+    *state_provider* picks the state-store backend for THIS query
+    (``"hdfs"``, ``"rocksdb"``, a provider class, or ``"auto"`` to decide
+    from *expected_state_rows* against the measured RocksDB crossover —
+    see streaming/state.py and SCALE.md's state-bound table). ``None``
+    (default) leaves the session conf untouched. The conf is pinned into
+    the query at ``start()``, so concurrent queries on one session can
+    use different providers."""
+    from .state import state_store_conf
+
     w = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -133,7 +145,10 @@ def run_stream_to_memory(
     own_ckpt = checkpoint is None
     if own_ckpt:
         checkpoint = scratch_dir(f"ckpt_{name}_")
-    q = w.option("checkpointLocation", checkpoint).start()
+    with state_store_conf(
+        stream_df.sparkSession, state_provider, expected_state_rows
+    ):
+        q = w.option("checkpointLocation", checkpoint).start()
     try:
         q.awaitTermination()
     finally:

@@ -1,0 +1,171 @@
+"""State-store provider policy + per-operator state-size bounds
+(VERDICT r5 task #8): the provider knob encodes STREAM_BENCH_R5's
+measured RocksDB crossover (~1e5 state rows) as configuration, and a
+3-batch run asserts each operator's live state stays inside SCALE.md's
+state-bound table — numRowsTotal equals the predicted (key x open
+window) count, watermark eviction actually shrinks it, and on-heap
+bytes-per-state-row stays under a red-on-regression ceiling."""
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from bacon_spark.streaming import windows as W
+from bacon_spark.streaming.state import (
+    HDFS_PROVIDER,
+    ROCKSDB_CROSSOVER_STATE_ROWS,
+    ROCKSDB_PROVIDER,
+    choose_state_store_provider,
+    state_operator_metrics,
+    state_store_conf,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="bacon_stream_state_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_provider_policy_encodes_measured_crossover():
+    # the bench's operating points: 3.6k state rows -> on-heap wins,
+    # 260k -> RocksDB wins (565k vs 336k rows/s in STREAM_BENCH_R5)
+    assert choose_state_store_provider("auto", 3_600) == HDFS_PROVIDER
+    assert choose_state_store_provider("auto", 260_000) == ROCKSDB_PROVIDER
+    assert (
+        choose_state_store_provider("auto", ROCKSDB_CROSSOVER_STATE_ROWS)
+        == ROCKSDB_PROVIDER
+    )
+    # unknown cardinality defaults to on-heap (bounded-state operators)
+    assert choose_state_store_provider("auto", None) == HDFS_PROVIDER
+    # explicit choice always wins, aliases resolve, class names pass through
+    assert choose_state_store_provider("rocksdb", 10) == ROCKSDB_PROVIDER
+    assert choose_state_store_provider("hdfs", 10**9) == HDFS_PROVIDER
+    assert choose_state_store_provider("com.example.MyProvider") == (
+        "com.example.MyProvider"
+    )
+
+
+def test_state_store_conf_sets_and_restores(spark):
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(conf)
+    with state_store_conf(spark, "auto", expected_state_rows=10**6) as resolved:
+        assert resolved == ROCKSDB_PROVIDER
+        assert spark.conf.get(conf) == ROCKSDB_PROVIDER
+    assert spark.conf.get(conf) == before
+    with state_store_conf(spark, None) as resolved:  # None = untouched
+        assert resolved is None
+        assert spark.conf.get(conf) == before
+
+
+def _staged_stream(spark, tmpdir, n_users=25):
+    """Batch 0: n_users users x 2 hour-windows; batch 1: one event far in
+    the future (advances the watermark past every batch-0 window); batch
+    2: one event further still (the watermark computed at batch 1's END
+    applies in batch 2, which is when batch-0 state actually evicts)."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    b0 = [
+        (h * n_users + u, t0 + dt.timedelta(hours=h, minutes=u % 50), u, "c", 1.0)
+        for h in range(2)
+        for u in range(n_users)
+    ]
+    b1 = [(10_000, t0 + dt.timedelta(hours=48), 1, "c", 1.0)]
+    b2 = [(10_001, t0 + dt.timedelta(hours=96), 2, "c", 1.0)]
+    mk = lambda rows: spark.createDataFrame(rows, SCHEMA)
+    W.stage_ordered_files(
+        [(tmpdir, mk(b0), "overwrite"), (tmpdir, mk(b1), "append"), (tmpdir, mk(b2), "append")]
+    )
+    return spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(
+        tmpdir
+    )
+
+
+# SCALE.md state-bound table, made executable. Ceiling is per STATE ROW
+# on the on-heap store (key struct + window struct + partial aggregate +
+# store overhead); measured ~0.4-0.6 KB/row at these shapes — 4 KB is a
+# regression alarm, not a target.
+ON_HEAP_BYTES_PER_ROW_CEILING = 4096
+FIXED_OVERHEAD_BYTES = 4 << 20  # empty-partition store objects, 32 shuffle parts
+
+
+def test_window_agg_state_rows_bounded_and_evicted(spark, tmpdir):
+    n_users = 25
+    stream = _staged_stream(spark, tmpdir, n_users)
+    agg = W.tumbling_window_agg(
+        stream,
+        {"n": F.count(F.lit(1))},
+        window="1 hour",
+        keys=("user_id",),
+        watermark="1 hour",
+    )
+    q = W.run_stream_to_memory(
+        agg, "t_state_bound", mode="append", state_provider="auto",
+        expected_state_rows=2 * n_users,
+    )
+    ms = state_operator_metrics(q)
+    assert ms, "no state operators reported"
+    by_batch = {}
+    for m in ms:
+        by_batch.setdefault(m["batchId"], []).append(m)
+    last = max(by_batch)
+    assert len(by_batch) >= 3, "expected a 3-batch run"
+    # bound: one state row per (live key, open window) — batch 0 holds
+    # 2 windows x n_users, batches 1/2 add one (key, window) each;
+    # never more (eviction lags the watermark by one batch)
+    peak = max(m["numRowsTotal"] for m in ms)
+    assert 0 < peak <= 2 * n_users + 2
+    # eviction: the watermark computed at batch 1's end (hour 48 - 1h)
+    # closes every batch-0 window during batch 2 — only the last two
+    # singleton windows may remain live
+    final_rows = max(m["numRowsTotal"] for m in by_batch[last])
+    assert final_rows <= 2
+    assert final_rows < peak  # state actually shrank
+    # red-on-regression memory bound (on-heap store reports memoryUsedBytes)
+    for m in ms:
+        used = m.get("memoryUsedBytes") or 0
+        budget = FIXED_OVERHEAD_BYTES + m["numRowsTotal"] * ON_HEAP_BYTES_PER_ROW_CEILING
+        assert used <= budget, (m["batchId"], used, budget)
+
+
+def test_dedup_state_one_marker_per_key(spark, tmpdir):
+    n_users = 25
+    stream = _staged_stream(spark, tmpdir, n_users)
+    # duplicate user_id+hour keys collapse to one seen-marker each
+    dedup = W.dedup_within_watermark(
+        stream, keys=("user_id", "event_type"), ts_col="ts", delay="1 hour"
+    )
+    q = W.run_stream_to_memory(dedup, "t_state_dedup", mode="append",
+                               state_provider="hdfs")
+    ms = state_operator_metrics(q)
+    peak = max(m["numRowsTotal"] for m in ms)
+    # one marker per distinct (user_id, event_type) live inside the
+    # watermark horizon — n_users distinct keys (plus the two horizon
+    # restarts), never event count (52)
+    assert 0 < peak <= n_users + 2
+    for m in ms:
+        used = m.get("memoryUsedBytes") or 0
+        budget = FIXED_OVERHEAD_BYTES + m["numRowsTotal"] * ON_HEAP_BYTES_PER_ROW_CEILING
+        assert used <= budget
+
+
+def test_rocksdb_provider_actually_engaged(spark, tmpdir):
+    stream = _staged_stream(spark, tmpdir, 10)
+    agg = W.tumbling_window_agg(
+        stream, {"n": F.count(F.lit(1))}, window="1 hour",
+        keys=("user_id",), watermark="1 hour",
+    )
+    q = W.run_stream_to_memory(
+        agg, "t_state_rocks", mode="append", state_provider="rocksdb"
+    )
+    ms = state_operator_metrics(q)
+    assert ms
+    # RocksDB reports its own custom metrics; their presence proves the
+    # per-query conf was pinned at start (session default is on-heap)
+    customs = [m.get("customMetrics") or {} for m in ms]
+    assert any(any("rocksdb" in k.lower() for k in c) for c in customs), customs

@@ -68,9 +68,10 @@ def main():
         .config("spark.ui.enabled", "false")
     )
     if args.rocksdb:
+        from bacon_spark.streaming.state import ROCKSDB_PROVIDER
+
         builder = builder.config(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
         )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
