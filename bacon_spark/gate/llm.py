@@ -1597,6 +1597,114 @@ def q171_hll_vocabulary_sketch_only(spark, sf_dir):
     return per_src.unionByName(merged)
 
 
+_Q172_TC = (
+    f"SELECT source, cast({_tx.whitespace_token_count_sql('text')} as bigint) AS v "
+    "FROM documents"
+)
+
+
+@query(
+    "q172_hist_sketch_quantiles",
+    f"""
+    WITH tc AS MATERIALIZED ({_Q172_TC}),
+    labeled AS (SELECT * FROM tc UNION ALL SELECT '__all__' AS source, v FROM tc),
+    h AS MATERIALIZED ({_sk.hist_sketch_sql('tc', 'v', 'source, ')}),
+    hall AS (SELECT bucket, cast(sum(cnt) as bigint) AS cnt FROM h GROUP BY 1),
+    est AS (
+      {_sk.hist_quantiles_sql('h', (50, 90, 99), 'source, ')}
+      UNION ALL
+      SELECT '__all__' AS source, pct, q_est
+      FROM ({_sk.hist_quantiles_sql('hall', (50, 90, 99))}) AS _m
+    ),
+    ranked AS (
+      SELECT source, v,
+             row_number() OVER (PARTITION BY source ORDER BY v) AS _rn,
+             count(*) OVER (PARTITION BY source) AS _n
+      FROM labeled
+    ),
+    exact AS (
+      SELECT source, cast(50 as int) AS pct, v AS q_exact FROM ranked
+      WHERE _rn = (50 * _n + 99) // 100
+      UNION ALL
+      SELECT source, cast(90 as int) AS pct, v AS q_exact FROM ranked
+      WHERE _rn = (90 * _n + 99) // 100
+      UNION ALL
+      SELECT source, cast(99 as int) AS pct, v AS q_exact FROM ranked
+      WHERE _rn = (99 * _n + 99) // 100
+    )
+    SELECT e.source AS source, e.pct AS pct, e.q_est AS q_est,
+           x.q_exact AS q_exact,
+           round((e.q_est - x.q_exact) / x.q_exact * 100, 4) AS rel_err_pct
+    FROM est e JOIN exact x ON e.source = x.source AND e.pct = x.pct
+    """,
+)
+def q172_hist_sketch_quantiles(spark, sf_dir):
+    """Mergeable log-bucketed histogram sketch (operators/sketch.py, HDR
+    shape: unit buckets below 16, eight sub-buckets per octave above —
+    worst-case 12.5% relative width): p50/p90/p99 of per-document
+    whitespace token counts per source, plus a '__all__' row whose
+    histogram is the per-source sketches MERGED BY ADDING COUNTS — the
+    corpus is never rescanned for the global row. Bucketing, cumulative
+    ranks and bucket lower bounds are pure integer arithmetic (bit
+    length via length(bin(v)) + shifts, rank = (p*n+99) div 100), so
+    every estimate hash-matches DuckDB's replay exactly.
+
+    The exact type-1 quantiles (rank ceil(p*n/100) via row_number) are
+    the gate's VERIFICATION side: at 100 TB only the sketch runs — a
+    full percentile needs a total sort per group, while the sketch is a
+    <= 488-bucket partial aggregate (constant state, like q163's HLL
+    registers), the only plan shape that survives the scale-up. Use it
+    to pick corpus filter thresholds (length/quality cutoffs) without
+    paying a sort."""
+    from pyspark.sql.window import Window
+
+    from ..utils.caching import managed_persist
+
+    docs = _read_docs(spark, sf_dir)
+    tc = managed_persist(
+        docs.select(
+            "source",
+            _tx.whitespace_token_count(F.col("text")).cast("long").alias("v"),
+        )
+    )
+    hist = managed_persist(_sk.hist_sketch(tc, "v", ["source"]))
+    per_src = _sk.hist_quantiles(hist, (50, 90, 99), ["source"])
+    merged_hist = hist.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    merged = _sk.hist_quantiles(merged_hist, (50, 90, 99)).select(
+        F.lit("__all__").alias("source"), "pct", "q_est"
+    )
+    est = per_src.unionByName(merged)
+
+    labeled = tc.unionByName(tc.withColumn("source", F.lit("__all__")))
+    ranked = labeled.select(
+        "source",
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("v"))
+        .alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("_n"),
+    )
+    exact = None
+    for p in (50, 90, 99):
+        sel = ranked.where(
+            F.col("_rn") == F.expr(f"({p} * _n + 99) div 100")
+        ).select(
+            "source",
+            F.lit(p).cast("int").alias("pct"),
+            F.col("v").alias("q_exact"),
+        )
+        exact = sel if exact is None else exact.unionByName(sel)
+    return est.join(exact, ["source", "pct"]).select(
+        "source",
+        "pct",
+        "q_est",
+        "q_exact",
+        F.round((F.col("q_est") - F.col("q_exact")) / F.col("q_exact") * 100, 4).alias(
+            "rel_err_pct"
+        ),
+    )
+
+
 @query(
     "q164_kmv_corpus_overlap",
     f"""

@@ -288,3 +288,150 @@ def kmv_estimate_sql(syn_cte: str, k: int = 256) -> str:
                    4) AS kmv_estimate
       FROM {syn_cte}
     """
+
+
+# ---------------------------------------------------------------------------
+# Log-bucketed histogram sketch (HDR-histogram-shaped, integer-exact)
+# ---------------------------------------------------------------------------
+
+#: sub-buckets per power-of-two octave: 8 -> worst-case relative bucket
+#: width 12.5%, <= 16 + 8*59 = 488 buckets over the full bigint range
+HIST_SUB = 8
+
+
+def hist_bucket(v):
+    """Bucket id for a non-negative integer metric, HDR-histogram style:
+    values < 16 get exact unit buckets; above that, 8 sub-buckets per
+    power-of-two octave (worst-case 12.5% relative width). Pure integer
+    arithmetic — bit length via ``length(bin(v))`` and a right shift,
+    both of which evaluate identically on Spark and DuckDB (the same
+    trick HLL's rho uses above), so bucket ids are cross-engine exact."""
+    b = F.length(F.bin(v))  # bit length of v (v >= 1)
+    # call_function: the SQL shiftright accepts a COLUMN shift amount,
+    # which the typed F.shiftright wrapper (int-literal only) does not
+    shifted = F.call_function("shiftright", v, (b - 4).cast("int"))
+    return F.when(v < 16, v.cast("long")).otherwise(
+        (16 + (b - 5) * 8 + (shifted - 8)).cast("long")
+    )
+
+
+def hist_bucket_sql(expr: str) -> str:
+    """DuckDB twin of :func:`hist_bucket` (same shifts, same bin trick)."""
+    b = f"length(bin({expr}))"
+    return (
+        f"CASE WHEN ({expr}) < 16 THEN cast(({expr}) as bigint) "
+        f"ELSE cast(16 + ({b} - 5) * 8 + ((({expr}) >> ({b} - 4)) - 8) as bigint) END"
+    )
+
+
+def hist_lower(bucket):
+    """Lower bound (the deterministic representative value) of a bucket:
+    exact for unit buckets, ``(8 + sub) << (octave + 1)`` above. Every
+    value in the bucket is >= this and < 112.5% of it."""
+    o = F.floor((bucket - 16) / 8).cast("int")
+    m = (bucket - 16) % 8
+    return F.when(bucket < 16, bucket.cast("long")).otherwise(
+        F.call_function("shiftleft", (8 + m).cast("long"), o + 1)
+    )
+
+
+def hist_lower_sql(expr: str) -> str:
+    """DuckDB twin of :func:`hist_lower`."""
+    return (
+        f"CASE WHEN ({expr}) < 16 THEN cast(({expr}) as bigint) "
+        f"ELSE cast((8 + (({expr}) - 16) % 8) as bigint) << ((({expr}) - 16) // 8 + 1) END"
+    )
+
+
+def hist_sketch(df: DataFrame, value: str, groups: Sequence[str] = ()) -> DataFrame:
+    """Mergeable quantile/distribution sketch: per-(groups, bucket) row
+    counts over :func:`hist_bucket`. State is <= |groups| * 488 rows no
+    matter the input size — the constant-size partial aggregate that
+    replaces a full sort/percentile shuffle at 100 TB — and sketches
+    MERGE BY ADDITION (sum counts per bucket), so per-source histograms
+    roll up to a global one without rescanning the data. Nulls and
+    negatives are excluded (the metrics this serves — token counts,
+    byte sizes, latencies — are non-negative by construction)."""
+    v = F.col(value)
+    return (
+        df.where(v.isNotNull() & (v >= 0))
+        .select(*groups, hist_bucket(v).alias("bucket"))
+        .groupBy(*groups, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_sketch_sql(table_expr: str, value_expr: str, groups: str = "") -> str:
+    """DuckDB twin of :func:`hist_sketch`; *groups* is a 'col, ' prefix."""
+    return f"""
+      SELECT {groups}{hist_bucket_sql(value_expr)} AS bucket,
+             count(*)::BIGINT AS cnt
+      FROM {table_expr}
+      WHERE ({value_expr}) IS NOT NULL AND ({value_expr}) >= 0
+      GROUP BY ALL
+    """
+
+
+def hist_quantiles(
+    hist: DataFrame, pcts: Sequence[int] = (50, 90, 99), groups: Sequence[str] = ()
+) -> DataFrame:
+    """Type-1 (lower) quantile estimates from a histogram sketch: for
+    each integer percentile p, the :func:`hist_lower` bound of the first
+    bucket whose cumulative count reaches rank ceil(p*n/100). All
+    integer arithmetic (the rank is ``(p*n + 99) div 100``), so the
+    estimates hash-match DuckDB's replay exactly. Estimate error is the
+    bucket width: q_est <= true quantile < 1.125 * q_est above 16."""
+    from pyspark.sql.window import Window
+
+    w_cum = (
+        Window.partitionBy(*groups)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*groups)
+    cum = hist.select(
+        *groups,
+        "bucket",
+        F.sum("cnt").over(w_cum).alias("_cum"),
+        F.sum("cnt").over(w_all).alias("_n"),
+    )
+    out = None
+    for p in pcts:
+        rank = F.expr(f"({int(p)} * _n + 99) div 100")
+        sel = (
+            cum.where(F.col("_cum") >= rank)
+            .groupBy(*groups)
+            .agg(F.min("bucket").alias("_b"))
+            .select(
+                *groups,
+                F.lit(int(p)).cast("int").alias("pct"),
+                hist_lower(F.col("_b")).alias("q_est"),
+            )
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out
+
+
+def hist_quantiles_sql(
+    hist_cte: str, pcts: Sequence[int] = (50, 90, 99), groups: str = ""
+) -> str:
+    """DuckDB twin of :func:`hist_quantiles`; *groups* is a 'col, ' prefix."""
+    gcols = [g.strip() for g in groups.split(",") if g.strip()]
+    part = f"PARTITION BY {', '.join(gcols)} " if gcols else ""
+    gsel = "".join(f"{g}, " for g in gcols)
+    cum = f"""
+        SELECT {gsel}bucket,
+               sum(cnt) OVER ({part}ORDER BY bucket) AS _cum,
+               sum(cnt) OVER ({part.rstrip()}) AS _n
+        FROM {hist_cte}
+    """
+    return " UNION ALL ".join(
+        f"""
+        SELECT {gsel}cast({int(p)} as int) AS pct,
+               {hist_lower_sql("min(bucket)")} AS q_est
+        FROM ({cum}) AS _c{int(p)}
+        WHERE _cum >= ({int(p)} * _n + 99) // 100
+        {"GROUP BY " + ", ".join(gcols) if gcols else ""}
+        """
+        for p in pcts
+    )

@@ -543,3 +543,51 @@ def test_key_skew_stats_unwritable_location_degrades(spark, tmp_path):
     assert _os.path.isfile(blocker)  # untouched, nothing cached
     # and the next call recomputes rather than trusting anything stale
     assert key_skew_stats(spark, path, "k")["cached"] is False
+
+
+def test_hist_bucket_boundaries_and_lower_bound(spark):
+    from bacon_spark.operators import sketch as sk
+
+    vals = [0, 1, 15, 16, 17, 18, 31, 32, 63, 64, 100, 1000, 123456, (1 << 40) + 5]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = df.select(
+        "v",
+        sk.hist_bucket(F.col("v")).alias("b"),
+    ).withColumn("lo", sk.hist_lower(F.col("b"))).collect()
+    for r in rows:
+        # exact below 16; above, lower bound sandwiches within 12.5%
+        if r["v"] < 16:
+            assert r["b"] == r["v"] and r["lo"] == r["v"]
+        else:
+            assert r["lo"] <= r["v"] < r["lo"] * 1.125, (r["v"], r["b"], r["lo"])
+    # buckets are monotone in v
+    bs = [r["b"] for r in sorted(rows, key=lambda r: r["v"])]
+    assert bs == sorted(bs)
+
+
+def test_hist_sketch_merge_and_state_bound(spark):
+    from bacon_spark.operators import sketch as sk
+
+    rows = [("a" if i % 2 else "b", (i * 37) % 5000) for i in range(4000)]
+    rows += [("a", None), ("b", -5)]  # excluded
+    df = spark.createDataFrame(rows, "g string, v long")
+    hist = sk.hist_sketch(df, "v", ["g"])
+    # constant state: <= 488 buckets per group regardless of input size
+    assert hist.count() <= 2 * 488
+    assert hist.agg(F.sum("cnt")).collect()[0][0] == 4000  # null/neg dropped
+    # merge by addition == direct global sketch
+    merged = hist.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    direct = sk.hist_sketch(df, "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_hist_quantiles_sandwich_exact(spark):
+    from bacon_spark.operators import sketch as sk
+
+    vals = [(i * 7919) % 100000 for i in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r["pct"]: r["q_est"] for r in sk.hist_quantiles(sk.hist_sketch(df, "v")).collect()}
+    sv = sorted(vals)
+    for p in (50, 90, 99):
+        exact = sv[(p * len(sv) + 99) // 100 - 1]
+        assert got[p] <= exact < max(got[p] * 1.125, got[p] + 1), (p, got[p], exact)
