@@ -1463,6 +1463,78 @@ def q169_ivfpq_index_search(spark, sf_dir):
     )
 
 
+_Q173_TRAIN_PRED = "vec_id % 4 != 0"
+
+
+def _ivfpq_append_prebuilt(spark, sf_dir):
+    """Build-if-absent the q173 index: TRAIN on 3/4 of the corpus
+    (vec_id % 4 != 0), then APPEND the remaining quarter coded with the
+    frozen model — two manifest versions, the incremental-ingest shape.
+    Idempotent by manifest version: v1 = built, v2 = appended."""
+    from ..llm import pq_index as _pqi
+    from ..operators.maintenance import read_manifest
+    from ..utils.caching import release_caches
+
+    path = _ivfpq_index_path(sf_dir) + "-append"
+    man = read_manifest(path)
+    version = man["version"] if man else 0
+    if version >= 2:
+        return path
+    emb = _read(spark, sf_dir, "embeddings")
+    if version < 1:
+        _pqi.ivfpq_index_build(
+            emb.filter(F.expr(_Q173_TRAIN_PRED)), path, coarse_k=8, m=8, k=8, dim=64
+        )
+        release_caches()
+    _pqi.ivfpq_index_append(emb.filter(~F.expr(_Q173_TRAIN_PRED)), path)
+    return path
+
+
+@query(
+    "q173_ivfpq_index_append",
+    _pq.ivfpq_ann_topk_sql(
+        coarse_k=8, m=8, k=8, dim=64, nprobe=3, n=8,
+        probe_pred="vec_id >= 10 AND vec_id < 15",
+        train_pred=_Q173_TRAIN_PRED,
+    ),
+    prepare=_ivfpq_append_prebuilt,
+)
+def q173_ivfpq_index_append(spark, sf_dir):
+    """Incremental ANN index maintenance (llm/pq_index.ivfpq_index_
+    append): the index is TRAINED on 3/4 of the corpus, the remaining
+    quarter arrives later and is coded with the FROZEN quantizers —
+    no retrain, no rewrite of existing codes — as a fresh immutable
+    cell-partitioned delta directory plus one manifest commit. The
+    search here runs at the appended version and must see both the
+    original and the appended vectors; the oracle replays training on
+    the subset (train_pred) but encodes and searches everything, so the
+    hash check pins that frozen-model append coding is bit-identical to
+    what a from-scratch encode of the full corpus under the same model
+    would produce.
+
+    Scale shape: appending a day's ingest to a 100 TB index costs one
+    encode pass over the DELTA only (map-side literal/broadcast
+    assignment + m code columns), a delta-sized partitioned write, and
+    one atomic manifest link; readers pinned to the prior version are
+    untouched (snapshot isolation, pinned in tests/test_pq_index.py).
+    Search cost is unchanged: directory pruning applies per delta
+    directory."""
+    from ..llm import pq_index as _pqi
+
+    path = _ivfpq_append_prebuilt(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    probes = [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return _pqi.ivfpq_index_search(
+        spark, path, probes, nprobe=3, n=8, literal_threshold=0
+    )
+
+
 @query("q162_within_doc_dedup", _dd.within_doc_segment_dedup_sql("documents", "text", "doc_id", 2))
 def q162_within_doc_dedup(spark, sf_dir):
     """Within-document repeated-segment removal (llm/dedup.within_doc_

@@ -363,8 +363,27 @@ def ivfpq_model(
     from ..utils.caching import managed_persist
     from .clustering import kmeans_centroids
 
-    vec = F.col(vec_col).cast("array<double>")
     ccents = kmeans_centroids(df, coarse_k, 1, id_col, vec_col, coarse_salt)
+    resid = managed_persist(residual_frame(df, ccents, dim, id_col, vec_col))
+    cbs = pq_codebooks(resid, m, k, dim, id_col, "_rv", pq_salt)
+    return ccents, cbs, resid
+
+
+def residual_frame(
+    df: DataFrame,
+    ccents: list[tuple[int, list[float]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, _cell, _rv): each vector assigned to its nearest coarse
+    centroid among the FROZEN *ccents* with its residual vector — the
+    frame both codebook learning and encoding read. Factored out of
+    :func:`ivfpq_model` so an index APPEND (llm/pq_index.py) can code
+    new vectors against an existing model without retraining, the
+    standard IVF ingest path (Jégou et al. 2011 §V: the quantizers are
+    trained once on a sample; subsequent data is only encoded)."""
+    vec = F.col(vec_col).cast("array<double>")
     max_ci = max(ci for ci, _ in ccents) + 1
     by_ci = dict(ccents)
     cent_lit = F.array(
@@ -373,23 +392,19 @@ def ivfpq_model(
             for ci in range(max_ci)
         ]
     )
-    resid = managed_persist(
-        df.select(
-            F.col(id_col),
-            _assign(vec, ccents).alias("_cell"),
-            vec.alias("_v"),
-        ).select(
-            id_col,
-            "_cell",
-            F.zip_with(
-                F.col("_v"),
-                F.element_at(cent_lit, F.col("_cell") + 1),
-                lambda x, y: x - y,
-            ).alias("_rv"),
-        )
+    return df.select(
+        F.col(id_col),
+        _assign(vec, ccents).alias("_cell"),
+        vec.alias("_v"),
+    ).select(
+        id_col,
+        "_cell",
+        F.zip_with(
+            F.col("_v"),
+            F.element_at(cent_lit, F.col("_cell") + 1),
+            lambda x, y: x - y,
+        ).alias("_rv"),
     )
-    cbs = pq_codebooks(resid, m, k, dim, id_col, "_rv", pq_salt)
-    return ccents, cbs, resid
 
 
 def ivfpq_encode(
@@ -577,15 +592,22 @@ def ivfpq_ann_topk_sql(
     table: str = "embeddings",
     coarse_salt: str = "ivfc",
     pq_salt: str = "pq",
+    train_pred: str = "TRUE",
 ) -> str:
     """DuckDB replay of the whole IVF-PQ build and search: coarse
     seeding + Lloyd update, residual frame, per-subspace residual
     codebooks, encoding, nprobe cell routing, ADC scoring — identical
-    rounding, folds, and tie-breaks throughout."""
+    rounding, folds, and tie-breaks throughout.
+
+    *train_pred* restricts which rows TRAIN the model (coarse seeds +
+    Lloyd update, residual codebook seeds + update); every row is still
+    ENCODED and searchable — the replay of an index built on a subset
+    and then APPENDED to with frozen quantizers (gate q173). The
+    default TRUE trains on everything (q161/q169)."""
     subdim = dim // m
     d2 = _D2_SQL
     subspaces = ",\n    ".join(
-        _subspace_cte_sql(s, k, subdim, "id", "rv", "resid", seeds_cte="pseeds")
+        _subspace_cte_sql(s, k, subdim, "id", "rv", "tresid", seeds_cte="pseeds")
         for s in range(m)
     )
     code_cols = ", ".join(
@@ -610,6 +632,7 @@ def ivfpq_ann_topk_sql(
       SELECT row_number() OVER (ORDER BY {draw_sql(id_col, coarse_salt)}, {id_col}) - 1 AS ci,
              {vec_col} AS c
       FROM {table}
+      WHERE {train_pred}
       ORDER BY {draw_sql(id_col, coarse_salt)}, {id_col}
       LIMIT {coarse_k}
     ),
@@ -619,6 +642,7 @@ def ivfpq_ann_topk_sql(
               ORDER BY round({d2.format(v=f'e.{vec_col}', c='s.c')}, 6), s.ci
               LIMIT 1) AS ci
       FROM {table} e
+      WHERE {train_pred.replace(id_col, 'e.' + id_col)}
     ),
     cupd AS (
       SELECT ci, j,
@@ -642,10 +666,13 @@ def ivfpq_ann_topk_sql(
                q -> q[1]::DOUBLE - q[2]::DOUBLE) AS rv
       FROM {table} e
     ),
+    tresid AS MATERIALIZED (
+      SELECT * FROM resid WHERE {train_pred.replace(id_col, 'id')}
+    ),
     pseeds AS (
       SELECT row_number() OVER (ORDER BY {draw_sql('id', pq_salt)}, id) - 1 AS ci,
              rv AS c
-      FROM resid
+      FROM tresid
       ORDER BY {draw_sql('id', pq_salt)}, id
       LIMIT {k}
     ),

@@ -69,6 +69,7 @@ from .pq import (
     adc_lookup_table,
     ivfpq_encode,
     ivfpq_model,
+    residual_frame,
     route_probes,
     score_adc_literal,
 )
@@ -137,6 +138,70 @@ def ivfpq_index_build(
         "n_cells": int(stats["cells"]),
         "data_dir": data_dir,
     }
+
+
+def ivfpq_index_append(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> dict:
+    """Append new vectors to the prebuilt index at *path* WITHOUT
+    retraining — the standard IVF ingest path (Jégou et al. 2011 §V:
+    quantizers are trained once on a sample; later data is only
+    encoded). New vectors are assigned to their nearest FROZEN coarse
+    cell, residual-encoded against the FROZEN codebooks, and written as
+    a fresh immutable ``codes-<rand>/cell=<i>/`` directory; the commit
+    is one manifest version listing prior + delta files with the model
+    unchanged and the delta directory added to ``data_dirs``.
+
+    Snapshot semantics come from the manifest protocol for free: a
+    reader pinned to the prior version never sees the delta (pinned in
+    tests), concurrent appends race on the put-if-absent manifest link
+    (one wins, the loser retries from the new tip), and the append
+    touches only the delta's rows — no rewrite, no re-shuffle of the
+    existing 100 TB of codes. Searches at the new version scan old and
+    new directories through the same ``cell IN (...)`` directory
+    pruning (each directory is hive-partitioned by cell)."""
+    man = read_manifest(path)
+    if man is None or "index" not in man:
+        raise FileNotFoundError(f"no IVF-PQ index manifest under {path}")
+    idx = load_index(path)
+    resid = residual_frame(
+        df, idx["coarse_centroids"], idx["dim"], idx["id_col"], vec_col
+    )
+    coded = ivfpq_encode(resid, idx["codebooks"], idx["id_col"])
+    delta_dir = f"codes-{uuid.uuid4().hex[:8]}"
+    write_hive_partitioned(coded, os.path.join(path, delta_dir), ["cell"])
+    delta_files = [
+        (os.path.relpath(f, path), b)
+        for f, b in table_files(os.path.join(path, delta_dir))
+    ]
+    stats = coded.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("cell").alias("cells")
+    ).collect()[0]
+    prior_files = [(e["path"], e["bytes"]) for e in man["files"]]
+    entry = dict(man["index"])  # raw (JSON) model shapes, unchanged
+    entry["data_dirs"] = _data_dirs(entry) + [delta_dir]
+    version = commit_manifest(
+        path,
+        prior_files + delta_files,
+        base_version=man["version"],
+        op="ivfpq-append",
+        extra={"index": entry},
+    )
+    return {
+        "path": path,
+        "version": version,
+        "n_appended": int(stats["n"]),
+        "n_cells_touched": int(stats["cells"]),
+        "data_dir": delta_dir,
+    }
+
+
+def _data_dirs(idx: dict) -> list[str]:
+    """All codes directories of an index entry (builds before the append
+    feature carry only the scalar ``data_dir``)."""
+    return list(idx.get("data_dirs") or [idx["data_dir"]])
 
 
 def load_index(path: str, version: int | None = None) -> dict:
@@ -226,9 +291,19 @@ def ivfpq_index_search(
     ccents, cbs = idx["coarse_centroids"], idx["codebooks"]
     probe_cells = route_probes(spark, probes, ccents, nprobe, id_col)
     cells = sorted({c for cl in probe_cells.values() for c in cl})
-    codes = spark.read.parquet(os.path.join(path, idx["data_dir"])).filter(
-        F.col("cell").isin(cells)
-    )
+    # one read per codes directory, unioned: each directory is its own
+    # hive-partitioned root (cell=<i>/), so partition discovery — and
+    # the cell IN (...) directory pruning — applies per leg; a single
+    # multi-path read would refuse the conflicting partition roots
+    legs = [
+        spark.read.parquet(os.path.join(path, d)).filter(
+            F.col("cell").isin(cells)
+        )
+        for d in _data_dirs(idx)
+    ]
+    codes = legs[0]
+    for leg in legs[1:]:
+        codes = codes.unionByName(leg)
     if len(probes) * nprobe * m * k <= literal_threshold:
         coded = codes.select(
             F.col(id_col),

@@ -116,3 +116,79 @@ def test_rebuild_versions_via_manifest(spark, index_dir, built):
     assert _pqi.load_index(index_dir)["coarse_k"] == 2
     probes = _probes(emb, 2)
     assert _pqi.ivfpq_index_search(spark, index_dir, probes, n=3).count() == 6
+
+
+# --- incremental append (frozen-model ingest) ---
+
+
+@pytest.fixture(scope="module")
+def appended(spark, tmp_path_factory):
+    """Index trained on vec_id % 4 != 0, remaining quarter appended."""
+    from bacon_spark.utils.caching import release_caches
+
+    path = str(tmp_path_factory.mktemp("ivfpq_append"))
+    emb = _emb(spark)
+    _pqi.ivfpq_index_build(
+        emb.filter("vec_id % 4 != 0"), path, coarse_k=4, m=8, k=8, dim=64
+    )
+    release_caches()
+    info = _pqi.ivfpq_index_append(emb.filter("vec_id % 4 = 0"), path)
+    return path, info
+
+
+def test_append_commits_new_version_with_prior_files(appended):
+    from bacon_spark.operators.maintenance import read_manifest
+
+    path, info = appended
+    assert info["version"] == 2 and info["n_appended"] == 125
+    man = read_manifest(path)
+    assert man["op"] == "ivfpq-append"
+    dirs = {f["path"].split("/")[0] for f in man["files"]}
+    assert len(dirs) == 2 and info["data_dir"] in dirs  # old + delta files
+    # the model is untouched by the append
+    v1, v2 = _pqi.load_index(path, 1), _pqi.load_index(path, 2)
+    assert v1["coarse_centroids"] == v2["coarse_centroids"]
+    assert v1["codebooks"] == v2["codebooks"]
+    assert v2["data_dirs"] == [v1["data_dir"], info["data_dir"]]
+
+
+def test_append_snapshot_isolation(spark, appended):
+    path, _ = appended
+    emb = _emb(spark)
+    probes = _probes(emb)
+    old = _pqi.ivfpq_index_search(spark, path, probes, nprobe=4, n=500, version=1)
+    new = _pqi.ivfpq_index_search(spark, path, probes, nprobe=4, n=500, version=2)
+    old_ids = {r["vec_id"] for r in old.collect()}
+    new_ids = {r["vec_id"] for r in new.collect()}
+    # a reader pinned to v1 never sees appended vectors
+    assert not any(v % 4 == 0 for v in old_ids)
+    # the appended quarter is searchable at v2
+    assert any(v % 4 == 0 for v in new_ids)
+    assert old_ids <= new_ids
+
+
+def test_append_coding_matches_from_scratch_encode(spark, appended):
+    """Frozen-model append coding == encoding the full corpus from
+    scratch under the same (subset-trained) model."""
+    from bacon_spark.utils.caching import release_caches
+
+    path, _ = appended
+    emb = _emb(spark)
+    idx = _pqi.load_index(path)
+    resid = _pq.residual_frame(emb, idx["coarse_centroids"], 64)
+    want = sorted(
+        map(tuple, _pq.ivfpq_encode(resid, idx["codebooks"], "vec_id").collect())
+    )
+    import os
+
+    legs = [
+        spark.read.parquet(os.path.join(path, d)) for d in idx["data_dirs"]
+    ]
+    got_df = legs[0]
+    for leg in legs[1:]:
+        got_df = got_df.unionByName(leg)
+    # column order: match the encode frame's order explicitly
+    cols = _pq.ivfpq_encode(resid, idx["codebooks"], "vec_id").columns
+    got = sorted(map(tuple, got_df.select(*cols).collect()))
+    release_caches()
+    assert got == want
