@@ -1535,6 +1535,127 @@ def q173_ivfpq_index_append(spark, sf_dir):
     )
 
 
+@query(
+    "q174_jl_projection_recall",
+    f"""
+    WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings),
+    proj AS MATERIALIZED (
+      SELECT vec_id, {_sim.jl_project_sql('embedding', 64, 16)} AS pv
+      FROM embeddings
+    ),
+    pp AS (SELECT vec_id AS probe_id, pv FROM proj WHERE vec_id < 5),
+    pe AS (SELECT vec_id AS probe_id, v FROM emb WHERE vec_id < 5),
+    ps AS (
+      SELECT pp.probe_id, p.vec_id,
+             round({_sim.cosine_sql('pp.pv', 'p.pv')}, 6) AS cos_proj
+      FROM pp, proj p WHERE p.vec_id != pp.probe_id
+    ),
+    pr AS (
+      SELECT probe_id, vec_id, cos_proj,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos_proj DESC, vec_id) AS rn
+      FROM ps
+    ),
+    es AS (
+      SELECT pe.probe_id, e.vec_id,
+             round({_sim.cosine_sql('pe.v', 'e.v')}, 6) AS cos_e
+      FROM pe, emb e WHERE e.vec_id != pe.probe_id
+    ),
+    er AS (
+      SELECT probe_id, vec_id,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos_e DESC, vec_id) AS rn
+      FROM es
+    )
+    SELECT pr.probe_id AS probe_id, pr.vec_id AS vec_id,
+           cast(pr.rn as int) AS rn, pr.cos_proj AS cos_proj,
+           CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END AS in_exact
+    FROM pr LEFT JOIN (SELECT * FROM er WHERE rn <= 10) ex
+      ON pr.probe_id = ex.probe_id AND pr.vec_id = ex.vec_id
+    WHERE pr.rn <= 10
+    """,
+)
+def q174_jl_projection_recall(spark, sf_dir):
+    """Johnson-Lindenstrauss signed random projection (llm/similarity.
+    jl_project, Achlioptas'03 ±1 construction): compress 64-dim
+    embeddings to 16 dims map-side, take cosine top-10 per probe in the
+    PROJECTED space, and mark which of those neighbors the exact 64-dim
+    top-10 also contains (in_exact — summing it per probe gives
+    recall@10, left as rows so the gate hash-checks every neighbor, not
+    just the aggregate).
+
+    Scale shape: the projection is literal ±1 dot products — one
+    map-side pass, no shuffle, whole-stage codegen — and everything
+    downstream (ANN index, distances) runs at 1/4 the width. The exact
+    64-dim side here is gate verification; at corpus scale only the
+    projected path runs, feeding q47/q169's index machinery."""
+    from ..utils.caching import managed_persist
+
+    emb = managed_persist(
+        _read(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
+    proj = managed_persist(
+        emb.select("vec_id", _sim.jl_project(F.col("v"), 64, 16).alias("pv"))
+    )
+    probes_p = {
+        r["vec_id"]: list(r["pv"])
+        for r in proj.filter(F.col("vec_id") < 5).collect()
+    }
+    probes_e = {
+        r["vec_id"]: list(r["v"])
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    }
+
+    def topk(frame, col, probes):
+        from pyspark.sql.window import Window
+
+        per = [
+            F.struct(
+                F.lit(pid).alias("probe_id"),
+                F.round(
+                    _sim.cosine(
+                        F.col(col), F.array(*[F.lit(float(x)) for x in pv])
+                    ),
+                    6,
+                ).alias("cos"),
+            )
+            for pid, pv in sorted(probes.items())
+        ]
+        scored = (
+            frame.select("vec_id", F.explode(F.array(*per)).alias("_p"))
+            .select(
+                F.col("_p.probe_id").alias("probe_id"),
+                "vec_id",
+                F.col("_p.cos").alias("cos"),
+            )
+            .where(F.col("vec_id") != F.col("probe_id"))
+        )
+        w = Window.partitionBy("probe_id").orderBy(
+            F.col("cos").desc(), F.col("vec_id")
+        )
+        return scored.select(
+            "probe_id", "vec_id", "cos", F.row_number().over(w).alias("rn")
+        ).where(F.col("rn") <= 10)
+
+    ptop = topk(proj, "pv", probes_p)
+    etop = topk(emb, "v", probes_e).select(
+        "probe_id", "vec_id", F.lit(1).alias("_hit")
+    )
+    return (
+        ptop.join(etop, ["probe_id", "vec_id"], "left")
+        .select(
+            "probe_id",
+            "vec_id",
+            F.col("rn").cast("int").alias("rn"),
+            F.col("cos").alias("cos_proj"),
+            F.coalesce(F.col("_hit"), F.lit(0)).cast("int").alias("in_exact"),
+        )
+        .orderBy("probe_id", "rn")
+    )
+
+
 @query("q162_within_doc_dedup", _dd.within_doc_segment_dedup_sql("documents", "text", "doc_id", 2))
 def q162_within_doc_dedup(spark, sf_dir):
     """Within-document repeated-segment removal (llm/dedup.within_doc_

@@ -103,6 +103,52 @@ def plane_constants(dim: int, seeds=HYPERPLANE_SEEDS) -> list[list[float]]:
     return planes
 
 
+def jl_signs(dim: int, out_dim: int = 16, salt: str = "jl") -> list[list[float]]:
+    """±1 sign matrix for a Johnson-Lindenstrauss random projection —
+    Achlioptas (2003)'s database-friendly construction, where each
+    entry is an independent ±1 draw (here: md5 parity of
+    f"{salt}{j}:{i}", the same deterministic pseudo-randomness as
+    plane_constants) and the JL distance-preservation guarantee holds
+    with the same constants as Gaussian entries. out_dim rows of dim
+    signs, computed once driver-side."""
+    import hashlib
+
+    rows = []
+    for j in range(out_dim):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"{salt}{j}:{i}".encode()).hexdigest()[:15], 16)
+            row.append(float(h % 2 * 2 - 1))
+        rows.append(row)
+    return rows
+
+
+def jl_project(vec: Column, dim: int, out_dim: int = 16, salt: str = "jl") -> Column:
+    """Project *vec* (length dim) to out_dim components: each output is
+    the signed sum dot(vec, ±1 row), rounded to 6 dp. Map-side literal
+    arithmetic — no shuffle, no join, whole-stage codegen — and scale
+    factors are dropped because cosine is scale-invariant. At 100 TB
+    this is the compression pass in front of similarity search: 64→16
+    dims cuts both the ANN index and every downstream distance to 1/4
+    while JL keeps relative distances within the usual ε band (recall
+    measured by the gate query rather than assumed)."""
+    comps = [
+        F.round(dot(vec, F.array(*[F.lit(s) for s in row])), 6)
+        for row in jl_signs(dim, out_dim, salt)
+    ]
+    return F.array(*comps)
+
+
+def jl_project_sql(vec_expr: str, dim: int, out_dim: int = 16, salt: str = "jl") -> str:
+    """DuckDB twin of :func:`jl_project`: the same ±1 literals, the same
+    list_zip/list_sum fold, the same per-component round."""
+    comps = ", ".join(
+        f"round({dot_sql(vec_expr, '[' + ', '.join(str(s) for s in row) + ']')}, 6)"
+        for row in jl_signs(dim, out_dim, salt)
+    )
+    return f"[{comps}]"
+
+
 def hyperplane_bits(vec: Column, dim: int, seeds=HYPERPLANE_SEEDS) -> Column:
     """Sign-bit bucket id from deterministic pseudo-hyperplanes:
     bit_s = [v · h_s > 0].

@@ -680,3 +680,51 @@ def test_within_doc_segment_dedup_keeps_first_occurrence(spark):
     assert out[0] == {"doc_id": 0, "n_segments": 3, "n_dropped": 1, "new_text": "a b c d"}
     assert out[1] == {"doc_id": 1, "n_segments": 2, "n_dropped": 0, "new_text": "x y z w"}
     assert out[2] == {"doc_id": 2, "n_segments": 0, "n_dropped": 0, "new_text": ""}
+
+
+def test_jl_projection_deterministic_and_distance_preserving(spark):
+    """JL signed projection (llm/similarity.jl_project): deterministic
+    across runs/partitionings, and cosine in the projected space tracks
+    the original within a loose JL band on real-ish vectors."""
+    import duckdb
+
+    from bacon_spark.llm import similarity as sim
+
+    # deterministic sign matrix, ±1 entries
+    m1, m2 = sim.jl_signs(64, 16), sim.jl_signs(64, 16)
+    assert m1 == m2 and all(s in (1.0, -1.0) for row in m1 for s in row)
+    assert sim.jl_signs(64, 16, salt="other") != m1
+
+    import math
+    import random
+
+    random.seed(3)
+    rows = [(i, [random.gauss(0, 1) for _ in range(64)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    proj = df.select("vec_id", sim.jl_project(F.col("v"), 64, 16).alias("pv"))
+    got = {r["vec_id"]: list(r["pv"]) for r in proj.collect()}
+    got_re = {
+        r["vec_id"]: list(r["pv"])
+        for r in df.repartition(13)
+        .select("vec_id", sim.jl_project(F.col("v"), 64, 16).alias("pv"))
+        .collect()
+    }
+    assert got == got_re  # partitioning-invariant (map-side literals)
+
+    # SQL twin replays bit-identically
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["vec_id", "v"]))
+    want = {
+        vid: list(pv)
+        for vid, pv in con.execute(
+            f"SELECT vec_id, {sim.jl_project_sql('v', 64, 16)} FROM t"
+        ).fetchall()
+    }
+    assert got == want
+
+    # norms concentrate: E[|Px|^2] = out_dim * |x|^2 for ±1 projections
+    for vid, v in rows[:10]:
+        r = sum(x * x for x in got[vid]) / (16 * sum(x * x for x in v))
+        assert 0.3 < r < 2.5, (vid, r)
