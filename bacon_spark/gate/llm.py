@@ -1656,6 +1656,31 @@ def q174_jl_projection_recall(spark, sf_dir):
     )
 
 
+@query(
+    "q175_containment_dedup",
+    _dd.containment_pairs_sql("documents", "text", "doc_id", k=32, w=4, df_cap=64),
+)
+def q175_containment_dedup(spark, sf_dir):
+    """Asymmetric containment detection (llm/dedup.containment_pairs,
+    Broder '97's containment vs resemblance): documents whose kept grams
+    are >= 50% contained in another document — the quoted-article /
+    boilerplate-wrapper case symmetric Jaccard dedup (q27/q28) misses
+    because the UNION in its denominator dilutes a small-doc-inside-
+    big-doc pair to a low score. Bottom-k signature probe for
+    candidates (an unbiased containment estimate), exact verification
+    on the candidates only; both the estimate and the exact compare use
+    integer threshold arithmetic so the engines can't disagree at the
+    boundary.
+
+    Scale shape: the inverted frame is (doc_id, hash60) ints — bodies
+    never join; grams in more than df_cap docs are dropped from both
+    sides before the probe join (boilerplate can't fan out), the probe
+    side is |docs|*k rows, and exact verification touches candidates
+    only. 50 pairs bind at sf0.01, so the surface is non-vacuous."""
+    docs = _read_docs(spark, sf_dir)
+    return _dd.containment_pairs(docs, "text", "doc_id", k=32, w=4, df_cap=64)
+
+
 @query("q162_within_doc_dedup", _dd.within_doc_segment_dedup_sql("documents", "text", "doc_id", 2))
 def q162_within_doc_dedup(spark, sf_dir):
     """Within-document repeated-segment removal (llm/dedup.within_doc_

@@ -1204,3 +1204,146 @@ def within_doc_segment_dedup_sql(
            coalesce(r.agg_text, '') AS new_text
     FROM {table} d LEFT JOIN rewritten r USING ({id_col})
     """
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment dedup (bottom-k signatures)
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    w: int = 4,
+    df_cap: int = 64,
+    threshold: tuple[int, int] = (1, 2),
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: containment(A in B) =
+    |grams(A) ∩ grams(B)| / |grams(A)| — the quantity Jaccard misses
+    when a small document is quoted/wrapped inside a big one (resemblance
+    is tiny, containment is ~1; Broder '97 distinguishes the two). The
+    web-corpus case is boilerplate pages embedding a syndicated article.
+
+    Estimator: a bottom-k signature of A's gram hashes probed against
+    the corpus's (doc, hash) inverted frame — matches / min(k, |A|) is
+    an unbiased containment estimate because the k smallest of a
+    min-wise independent hash are a uniform sample of A's grams.
+    Candidates at estimate >= *threshold* (a (num, den) integer
+    fraction, compared as matches*den >= num*denom — no float
+    boundary) are then verified EXACTLY, and only exact containment >=
+    threshold survives.
+
+    Scale shape: the inverted frame is (doc, hash60) ints — bodies
+    never join; grams hotter than *df_cap* docs are dropped from BOTH
+    the signature and the inverted side before the self-join (the
+    winnowing df-cap trade: boilerplate grams can't fan out the probe
+    join, at the documented cost of ignoring them in the containment
+    arithmetic — consistently on both the estimate and exact sides).
+    The probe side is |docs|·k rows; exact verification touches only
+    the candidates. At 100 TB partition both sides by hash.
+
+    Returns (a, b, n_a, matches, est_containment, containment): A's
+    kept-gram count, signature matches, the estimate, and the exact
+    containment of A's kept grams in B's."""
+    from pyspark.sql.window import Window
+
+    from ..utils.caching import managed_persist
+
+    num, den = threshold
+    hashed = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), w)).alias("_g")
+    ).select(F.col(id_col), hash60(F.col("_g")).alias("h")).distinct()
+    dfok = hashed.groupBy("h").count().where(F.col("count") <= df_cap).select("h")
+    kept = managed_persist(hashed.join(dfok, "h"))
+    na = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    sig = (
+        kept.withColumn(
+            "_rn", F.row_number().over(Window.partitionBy(id_col).orderBy("h"))
+        )
+        .where(F.col("_rn") <= k)
+        .select(F.col(id_col).alias("a"), "h")
+    )
+    cand = (
+        sig.join(kept.select(F.col(id_col).alias("b"), "h"), "h")
+        .where(F.col("b") != F.col("a"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+    est = managed_persist(
+        cand.join(na.select(F.col(id_col).alias("a"), "_n"), "a")
+        .withColumn("denom", F.least(F.lit(k), F.col("_n")))
+        .where(F.col("matches") * den >= num * F.col("denom"))
+    )
+    inter = (
+        est.select("a", "b")
+        .join(kept.select(F.col(id_col).alias("a"), "h"), "a")
+        .join(kept.select(F.col(id_col).alias("b"), "h"), ["b", "h"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    return (
+        est.join(inter, ["a", "b"])
+        .where(F.col("_inter") * den >= num * F.col("_n"))
+        .select(
+            "a",
+            "b",
+            F.col("_n").alias("n_a"),
+            "matches",
+            F.round(F.col("matches") / F.col("denom"), 6).alias("est_containment"),
+            F.round(F.col("_inter") / F.col("_n"), 6).alias("containment"),
+        )
+    )
+
+
+def containment_pairs_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    w: int = 4,
+    df_cap: int = 64,
+    threshold: tuple[int, int] = (1, 2),
+) -> str:
+    """DuckDB twin of :func:`containment_pairs` (same hash, same integer
+    threshold compares, same rounds)."""
+    num, den = threshold
+    return f"""
+    WITH grams AS (SELECT {id_col}, unnest({shingles_sql(text_col, w)}) AS g FROM {table}),
+    hashed AS MATERIALIZED (SELECT DISTINCT {id_col}, {hash60_sql('g')} AS h FROM grams),
+    dfok AS (SELECT h FROM hashed GROUP BY h HAVING count(*) <= {df_cap}),
+    kept AS MATERIALIZED (SELECT hashed.* FROM hashed JOIN dfok USING (h)),
+    na AS (SELECT {id_col}, count(*) AS _n FROM kept GROUP BY 1),
+    sig AS (
+      SELECT {id_col} AS a, h
+      FROM (SELECT {id_col}, h,
+                   row_number() OVER (PARTITION BY {id_col} ORDER BY h) AS rn
+            FROM kept) t
+      WHERE rn <= {k}
+    ),
+    cand AS (
+      SELECT s.a, t.{id_col} AS b, count(*) AS matches
+      FROM sig s JOIN kept t USING (h)
+      WHERE t.{id_col} != s.a
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT c.a, c.b, c.matches, na._n, least({k}, na._n) AS denom
+      FROM cand c JOIN na ON na.{id_col} = c.a
+      WHERE c.matches * {den} >= {num} * least({k}, na._n)
+    ),
+    inter AS (
+      SELECT e.a, e.b, count(*) AS _inter
+      FROM est e
+      JOIN kept x ON x.{id_col} = e.a
+      JOIN kept y ON y.{id_col} = e.b AND y.h = x.h
+      GROUP BY 1, 2
+    )
+    SELECT e.a AS a, e.b AS b, cast(e._n as bigint) AS n_a,
+           cast(e.matches as bigint) AS matches,
+           round(e.matches / e.denom, 6) AS est_containment,
+           round(i._inter / e._n, 6) AS containment
+    FROM est e JOIN inter i ON i.a = e.a AND i.b = e.b
+    WHERE i._inter * {den} >= {num} * e._n
+    """

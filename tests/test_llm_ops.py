@@ -728,3 +728,46 @@ def test_jl_projection_deterministic_and_distance_preserving(spark):
     for vid, v in rows[:10]:
         r = sum(x * x for x in got[vid]) / (16 * sum(x * x for x in v))
         assert 0.3 < r < 2.5, (vid, r)
+
+
+def test_containment_pairs_finds_quoted_document(spark):
+    """A small document quoted inside a much larger one: Jaccard is low
+    (union-diluted) but containment(A in B) = 1.0 — the asymmetric case
+    containment_pairs exists for."""
+    from bacon_spark.llm.dedup import containment_pairs, jaccard, shingles
+
+    def wd(prefix, i):  # alphabetic suffix: the tokenizer strips digits
+        return f"{prefix}{chr(97 + i % 26)}{chr(97 + (i // 26) % 26)}"
+
+    quote = " ".join(f"quoted {wd('q', i)} token" for i in range(20))
+    wrapper = (
+        " ".join(f"boiler {wd('head', i)} junk" for i in range(100))
+        + " " + quote + " "
+        + " ".join(f"boiler {wd('tail', i)} junk" for i in range(100))
+    )
+    others = [
+        (10 + i, " ".join(f"{wd('doc', 10 + i)} {wd('word', j)} filler" for j in range(30)))
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        [(1, quote), (2, wrapper)] + others, "doc_id long, text string"
+    )
+    got = {
+        (r["a"], r["b"]): (r["est_containment"], r["containment"])
+        for r in containment_pairs(df, k=32, w=4, df_cap=64).collect()
+    }
+    assert (1, 2) in got
+    est, exact = got[(1, 2)]
+    assert exact == 1.0 and est >= 0.5
+    # the wrapper is NOT contained in the quote (asymmetry)
+    assert (2, 1) not in got
+    # and symmetric Jaccard on the same pair is union-diluted
+    j = (
+        df.filter("doc_id = 1")
+        .crossJoin(df.filter("doc_id = 2").selectExpr("text AS t2"))
+        .select(
+            F.round(jaccard(shingles(F.col("text"), 4), shingles(F.col("t2"), 4)), 4).alias("j")
+        )
+        .collect()[0]["j"]
+    )
+    assert j < 0.15
