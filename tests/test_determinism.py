@@ -53,6 +53,16 @@ SENSITIVE = [
     "q165_sketch_distinct_measure",
     "q166_ams_selfjoin_size",
     "q168_auto_salted_join",
+    # r6 additions: prebuilt/appended ANN search (routing + ADC must not
+    # depend on partitioning), histogram-sketch quantiles (integer
+    # buckets/ranks), JL projection (literal folds), containment
+    # signatures (k-minima are a set property)
+    "q169_ivfpq_index_search",
+    "q171_hll_vocabulary_sketch_only",
+    "q172_hist_sketch_quantiles",
+    "q173_ivfpq_index_append",
+    "q174_jl_projection_recall",
+    "q175_containment_dedup",
 ]
 
 
