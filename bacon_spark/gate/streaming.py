@@ -1097,3 +1097,124 @@ def q167_streaming_distinct_sketch(spark, sf_dir):
         F.countDistinct("user_id").alias("n_exact")
     )
     return est.join(exact, "window_start")
+
+
+_Q176_EV = """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             cast(round(value * 100) as bigint) AS v
+      FROM events WHERE event_id < 5000
+"""
+
+
+@query(
+    "q176_streaming_quantile_sketch",
+    f"""
+    WITH ev AS MATERIALIZED ({_Q176_EV}),
+    h AS MATERIALIZED ({_sk.hist_sketch_sql('ev', 'v', 'window_start, ')}),
+    est AS ({_sk.hist_quantiles_sql('h', (50, 95, 99), 'window_start, ')}),
+    ranked AS (
+      SELECT window_start, v,
+             row_number() OVER (PARTITION BY window_start ORDER BY v) AS _rn,
+             count(*) OVER (PARTITION BY window_start) AS _n
+      FROM ev WHERE v IS NOT NULL AND v >= 0
+    ),
+    exact AS (
+      SELECT window_start, cast(50 as int) AS pct, v AS q_exact FROM ranked
+      WHERE _rn = (50 * _n + 99) // 100
+      UNION ALL
+      SELECT window_start, cast(95 as int) AS pct, v AS q_exact FROM ranked
+      WHERE _rn = (95 * _n + 99) // 100
+      UNION ALL
+      SELECT window_start, cast(99 as int) AS pct, v AS q_exact FROM ranked
+      WHERE _rn = (99 * _n + 99) // 100
+    )
+    SELECT e.window_start AS window_start, e.pct AS pct, e.q_est AS q_est,
+           x.q_exact AS q_exact
+    FROM est e JOIN exact x ON e.window_start = x.window_start AND e.pct = x.pct
+    """,
+)
+def q176_streaming_quantile_sketch(spark, sf_dir):
+    """Windowed p50/p95/p99 as a TRUE Structured Streaming job via the
+    log-bucketed histogram sketch (operators/sketch.hist_*): the stream
+    aggregates bucket COUNTS per (hour window, bucket) — sums are
+    order-free and mergeable, so the cross-batch state merge is EXACTLY
+    the batch histogram and the quantile estimates hash-match DuckDB's
+    one-shot replay. The production "p99 latency per window" question
+    answered with ≤ 488 longs of state per window instead of every
+    value retained for a sort (the streaming-percentile killer: exact
+    windowed percentiles need the window's full value multiset in
+    state).
+
+    Harness (q167 pattern): two ordered staged files, one per trigger,
+    complete-mode memory sink holds the merged counts; quantile
+    selection is a finishing projection over that state. In production
+    the same plan runs append-mode with a watermark on the window
+    column (count, like max, is insensitive to the late/early split
+    within the horizon). Exact rank quantiles are computed batch-side
+    as the gate's verification columns."""
+    import shutil
+
+    from ..streaming.windows import (
+        run_stream_to_memory,
+        scratch_dir,
+        stage_ordered_files,
+    )
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 5000)
+        .select(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            F.expr("cast(round(value * 100) as bigint)").alias("v"),
+            "event_id",
+        )
+    )
+    d = scratch_dir("bacon_q176_")
+    stage_ordered_files([
+        (d, ev.filter(F.col("event_id") < 2500), "overwrite"),
+        (d, ev.filter(F.col("event_id") >= 2500), "append"),
+    ])
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    hist_stream = _sk.hist_sketch(
+        stream.select("window_start", "v"), "v", ["window_start"]
+    )
+    prev_nd = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        run_stream_to_memory(hist_stream, "q176_stream", mode="complete")
+    finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nd)
+        shutil.rmtree(d, ignore_errors=True)
+    hist = spark.table("q176_stream")
+    est = _sk.hist_quantiles(hist, (50, 95, 99), ["window_start"])
+
+    from pyspark.sql.window import Window
+
+    vals = ev.where(F.col("v").isNotNull() & (F.col("v") >= 0))
+    ranked = vals.select(
+        "window_start",
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("window_start").orderBy("v"))
+        .alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("window_start")).alias("_n"),
+    )
+    exact = None
+    for p in (50, 95, 99):
+        sel = ranked.where(
+            F.col("_rn") == F.expr(f"({p} * _n + 99) div 100")
+        ).select(
+            "window_start",
+            F.lit(p).cast("int").alias("pct"),
+            F.col("v").alias("q_exact"),
+        )
+        exact = sel if exact is None else exact.unionByName(sel)
+    return est.join(exact, ["window_start", "pct"]).select(
+        "window_start", "pct", "q_est", "q_exact"
+    )
