@@ -21,6 +21,7 @@ from .accumulators import (
     Min,
     RatioSum,
     SketchDistinct,
+    SketchPercentile,
     StdDev,
     Sum,
     Union,

@@ -294,6 +294,48 @@ class SketchDistinct(Accumulator):
         return f"count(DISTINCT {expr})"
 
 
+class SketchPercentile(Accumulator):
+    """Engine extension: DETERMINISTIC approximate percentile via the
+    log-bucketed histogram sketch (operators/sketch.hist_*), the
+    quantile analogue of ``SketchDistinct``: per group the engine plans
+    a (axes, bucket) COUNT aggregation (<= 488 tiny rows per group —
+    constant state at any input size) instead of the total sort an
+    exact percentile needs, and the type-1 lower-bound estimate
+    (q_est <= true < 1.125*q_est above 16) is pure integer arithmetic —
+    bit-identical across engines/partitionings and oracle-checkable.
+
+    The input must be a non-negative integer metric (token counts,
+    cents, bytes, ms — negatives/nulls are excluded, same contract as
+    the standalone sketch). Like SketchDistinct the measure is planned
+    by the engine (engine._aggregate_with_sketches), not compiled to a
+    single Column; unlike HLL's max-merged registers, histogram counts
+    merge by ADDITION, so coarser grains could be served from finer
+    materializations the same way SketchLattice serves HLL (gate q176
+    exploits exactly that mergeability in streaming)."""
+
+    reaggregatable = False
+
+    def __init__(self, pct: int = 50):
+        if not 1 <= int(pct) <= 100:
+            raise ValueError("percentile must be an integer in [1, 100]")
+        self.pct = int(pct)
+
+    def agg(self, c):
+        raise NotImplementedError(
+            "SketchPercentile is planned by the engine as a histogram "
+            "bucket-count aggregation (engine._aggregate_with_sketches)"
+        )
+
+    def sql(self, expr):
+        # pushdown path: an exact discrete percentile satisfies the
+        # approximate contract (sources that can't build histograms
+        # still answer correctly, just without the sketch's economy)
+        return (
+            f"percentile_disc({self.pct / 100.0}) "
+            f"WITHIN GROUP (ORDER BY {expr})"
+        )
+
+
 class Percentile(Accumulator):
     """Engine extension: exact continuous percentile (linear interpolation
     between closest ranks — same definition as SQL ``percentile_cont`` /

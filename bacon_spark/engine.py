@@ -397,12 +397,14 @@ class CuttingBoard:
 
         axis_cols = [self.cubedef.get_label(a).column().alias(a) for a in query.axes]
 
-        from .accumulators import SketchDistinct
+        from .accumulators import SketchDistinct, SketchPercentile
 
         sketch_vals = [
             v
             for v in query.values
-            if isinstance(self.cubedef.get_value(v).acc, SketchDistinct)
+            if isinstance(
+                self.cubedef.get_value(v).acc, (SketchDistinct, SketchPercentile)
+            )
         ]
         if sketch_vals:
             return self._aggregate_with_sketches(query, df, axis_cols, sketch_vals)
@@ -437,7 +439,13 @@ class CuttingBoard:
         input upstream when that matters (the slice cache already does).
         A group whose sketch input is all-null estimates 0.0, matching
         count_distinct."""
-        from .operators.sketch import hll_estimate, hll_registers
+        from .accumulators import SketchPercentile
+        from .operators.sketch import (
+            hist_quantiles,
+            hist_sketch,
+            hll_estimate,
+            hll_registers,
+        )
 
         axes = list(query.axes)
         in_sketch = set(sketch_vals)
@@ -453,11 +461,24 @@ class CuttingBoard:
             out = df.agg(*agg_cols) if agg_cols else None
         for v in sketch_vals:
             meas = self.cubedef.get_value(v)
-            p = meas.acc.p
             base = df.select(*axis_cols, meas.column().alias("__sketch_in__"))
-            est = hll_estimate(
-                hll_registers(base, "__sketch_in__", axes, p=p), axes, p=p
-            ).select(*axes, F.coalesce(F.col("hll_estimate"), F.lit(0.0)).alias(v))
+            if isinstance(meas.acc, SketchPercentile):
+                # histogram bucket counts per (axes, bucket) — same
+                # result-sized-shuffle economics as the HLL registers;
+                # the type-1 estimate is integer, cast to double so the
+                # all-null-group coalesce below stays type-stable
+                est = hist_quantiles(
+                    hist_sketch(base, "__sketch_in__", axes),
+                    (meas.acc.pct,),
+                    axes,
+                ).select(*axes, F.col("q_est").cast("double").alias(v))
+            else:
+                p = meas.acc.p
+                est = hll_estimate(
+                    hll_registers(base, "__sketch_in__", axes, p=p), axes, p=p
+                ).select(
+                    *axes, F.coalesce(F.col("hll_estimate"), F.lit(0.0)).alias(v)
+                )
             if out is None:
                 out = est
             elif axes:

@@ -30,6 +30,7 @@ from ..accumulators import (
     Min,
     RatioSum,
     SketchDistinct,
+    SketchPercentile,
     StdDev,
     Sum,
     Union,
@@ -225,6 +226,7 @@ __all__ = [
     "RatioSum",
     "SetLabel",
     "SketchDistinct",
+    "SketchPercentile",
     "SparkSession",
     "StdDev",
     "Sum",

@@ -1626,3 +1626,93 @@ def q170_sketch_lattice_rollup(spark, sf_dir):
         F.lit("__all__").alias("returnflag"), "approx_suppliers"
     )
     return per.unionByName(total).orderBy("returnflag")
+
+
+@query(
+    "q177_sketch_percentile_measure",
+    f"""
+    WITH li AS MATERIALIZED (
+      SELECT l_returnflag AS returnflag,
+             cast(round(l_extendedprice * 100) as bigint) AS cents
+      FROM lineitem
+    ),
+    h AS MATERIALIZED ({_sk.hist_sketch_sql('li', 'cents', 'returnflag, ')}),
+    est AS ({_sk.hist_quantiles_sql('h', (50, 95), 'returnflag, ')}),
+    piv AS (
+      SELECT returnflag,
+             cast(max(CASE WHEN pct = 50 THEN q_est END) as double) AS p50_cents,
+             cast(max(CASE WHEN pct = 95 THEN q_est END) as double) AS p95_cents
+      FROM est GROUP BY 1
+    ),
+    ranked AS (
+      SELECT returnflag, cents,
+             row_number() OVER (PARTITION BY returnflag ORDER BY cents) AS _rn,
+             count(*) OVER (PARTITION BY returnflag) AS _n
+      FROM li
+    ),
+    ex AS (
+      SELECT returnflag,
+             max(CASE WHEN _rn = (50 * _n + 99) // 100 THEN cents END) AS exact_p50_cents,
+             max(CASE WHEN _rn = (95 * _n + 99) // 100 THEN cents END) AS exact_p95_cents,
+             count(*)::BIGINT AS n_rows
+      FROM ranked GROUP BY 1
+    )
+    SELECT p.returnflag AS returnflag, ex.n_rows AS n_rows,
+           p.p50_cents AS p50_cents, p.p95_cents AS p95_cents,
+           ex.exact_p50_cents AS exact_p50_cents,
+           ex.exact_p95_cents AS exact_p95_cents
+    FROM piv p JOIN ex USING (returnflag)
+    """,
+)
+def q177_sketch_percentile_measure(spark, sf_dir):
+    """SketchPercentile as a first-class CUBE MEASURE: the log-bucketed
+    histogram quantile (q172's sketch) declared like any accumulator —
+    Measure(..., acc=SketchPercentile(95)) — and planned by the engine
+    (engine._aggregate_with_sketches) as a per-(axis, bucket) COUNT
+    aggregation joined to the ordinary-measure frame, exactly how
+    SketchDistinct plugs in. Percentile economics inside the OLAP
+    surface: the exact accumulator (Percentile) needs every group value
+    sorted; this one shuffles <= 488 count rows per group at any input
+    size, and the estimate is integer-deterministic, so the oracle
+    replays it bit-for-bit. The exact_p* columns (rank quantiles) are
+    the gate's verification side."""
+    from pyspark.sql.window import Window
+
+    cents = F.expr("cast(round(l_extendedprice * 100) as bigint)")
+    cd = CubeDef("li")
+    cd.add_label(Label("returnflag", "l_returnflag"))
+    cd.add_measure(Measure("n_rows", "l_quantity", acc=Count()))
+    cd.add_measure(Measure("p50_cents", cents, acc=SketchPercentile(50)))
+    cd.add_measure(Measure("p95_cents", cents, acc=SketchPercentile(95)))
+    q = (
+        CubeQuery()
+        .add_axis("returnflag")
+        .add_value("n_rows")
+        .add_value("p50_cents")
+        .add_value("p95_cents")
+    )
+    sliced = board(cd, _read(spark, sf_dir, "lineitem")).slice(q).to_df()
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("returnflag"), cents.alias("cents")
+    )
+    ranked = li.select(
+        "returnflag",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("returnflag").orderBy("cents"))
+        .alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("returnflag")).alias("_n"),
+    )
+    ex = ranked.groupBy("returnflag").agg(
+        F.max(
+            F.when(F.col("_rn") == F.expr("(50 * _n + 99) div 100"), F.col("cents"))
+        ).alias("exact_p50_cents"),
+        F.max(
+            F.when(F.col("_rn") == F.expr("(95 * _n + 99) div 100"), F.col("cents"))
+        ).alias("exact_p95_cents"),
+    )
+    return sliced.join(ex, "returnflag").select(
+        "returnflag", "n_rows", "p50_cents", "p95_cents",
+        "exact_p50_cents", "exact_p95_cents",
+    )

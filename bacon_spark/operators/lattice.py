@@ -36,19 +36,21 @@ class CubeLattice:
         # grain is exact with no read-time re-aggregation — any
         # accumulator is admissible at build time; only refresh() needs
         # the reaggregatable contract.
-        from ..accumulators import SketchDistinct
+        from ..accumulators import SketchDistinct, SketchPercentile
 
         for v in values:
-            if isinstance(cubedef.get_value(v).acc, SketchDistinct):
-                # a lattice of finished HLL ESTIMATES would be unmergeable
-                # and unservable; the register-level structure exists as
-                # SketchLattice — refuse loudly rather than failing
-                # inside grouping-set codegen
+            if isinstance(cubedef.get_value(v).acc, (SketchDistinct, SketchPercentile)):
+                # a lattice of finished sketch ESTIMATES would be
+                # unmergeable and unservable; the mergeable structures are
+                # the sketch STATES (HLL registers: SketchLattice;
+                # histogram bucket counts merge by addition the same way)
+                # — refuse loudly rather than failing inside
+                # grouping-set codegen
                 raise ValueError(
-                    f"SketchDistinct measure {v!r} cannot be materialized "
-                    "in a CubeLattice (finished estimates don't merge); "
-                    "use SketchLattice, which materializes the REGISTER "
-                    "frame and serves every grain exactly"
+                    f"{type(cubedef.get_value(v).acc).__name__} measure {v!r} "
+                    "cannot be materialized in a CubeLattice (finished "
+                    "estimates don't merge); materialize the sketch STATE "
+                    "instead (SketchLattice for HLL registers)"
                 )
         self.cubedef = cubedef
         self.axes = tuple(axes)

@@ -63,6 +63,7 @@ SENSITIVE = [
     "q173_ivfpq_index_append",
     "q174_jl_projection_recall",
     "q175_containment_dedup",
+    "q177_sketch_percentile_measure",
 ]
 
 

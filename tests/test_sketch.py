@@ -591,3 +591,61 @@ def test_hist_quantiles_sandwich_exact(spark):
     for p in (50, 90, 99):
         exact = sv[(p * len(sv) + 99) // 100 - 1]
         assert got[p] <= exact < max(got[p] * 1.125, got[p] + 1), (p, got[p], exact)
+
+
+# --- SketchPercentile as a cube measure ---
+
+
+def _pct_board(spark, rows):
+    from bacon_spark import Count, CubeDef, CubeQuery, CuttingBoard, SketchPercentile
+    from bacon_spark.cubedef import Label, Measure
+
+    df = spark.createDataFrame(rows, "g string, v long")
+    cd = CubeDef("t")
+    cd.add_label(Label("g", "g"))
+    cd.add_measure(Measure("n", "v", acc=Count()))
+    cd.add_measure(Measure("p50", "v", acc=SketchPercentile(50)))
+    cd.add_measure(Measure("p95", "v", acc=SketchPercentile(95)))
+    return CubeQuery, CuttingBoard(cd, df, cache_results=False)
+
+
+def test_sketch_percentile_measure_sandwich_and_nulls(spark):
+    rows = [("a", (i * 37) % 5000) for i in range(2000)]
+    rows += [("a", None), ("a", -9)]  # excluded from the histogram
+    rows += [("b", i) for i in range(100)]
+    CubeQuery, board = _pct_board(spark, rows)
+    q = CubeQuery().add_axis("g").add_value("n").add_value("p50").add_value("p95")
+    out = {r["g"]: r for r in board.slice(q).to_df().collect()}
+    va = sorted(v for g, v in rows if g == "a" and v is not None and v >= 0)
+    for pct, col in ((50, "p50"), (95, "p95")):
+        exact = va[(pct * len(va) + 99) // 100 - 1]
+        est = out["a"][col]
+        assert est <= exact < max(est * 1.125, est + 1), (pct, est, exact)
+    # second group gets its own independent sandwich
+    vb = sorted(v for g, v in rows if g == "b")
+    eb = vb[(50 * 100 + 99) // 100 - 1]
+    assert out["b"]["p50"] <= eb < max(out["b"]["p50"] * 1.125, out["b"]["p50"] + 1)
+    assert out["a"]["n"] == 2002  # Count counts rows incl. null/neg
+
+
+def test_sketch_percentile_grand_total_and_plan(spark):
+    CubeQuery, board = _pct_board(spark, [("a", i % 700) for i in range(3000)])
+    q0 = CubeQuery().add_value("p95")
+    r0 = board.slice(q0).to_df().collect()[0]
+    vs = sorted(i % 700 for i in range(3000))
+    exact = vs[(95 * len(vs) + 99) // 100 - 1]
+    assert r0["p95"] <= exact < max(r0["p95"] * 1.125, r0["p95"] + 1)
+    # bucket counts partial-aggregate map-side: only counts cross the wire
+    q = CubeQuery().add_axis("g").add_value("p50")
+    plan = board.slice(q).to_df()._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan
+
+
+def test_sketch_percentile_refused_by_lattice(spark):
+    import pytest as _pytest
+
+    from bacon_spark.operators.lattice import CubeLattice
+
+    CubeQuery, board = _pct_board(spark, [("a", 1), ("b", 2)])
+    with _pytest.raises(ValueError):
+        CubeLattice(board.cubedef, board.df, ("g",), ("p50",))
