@@ -138,8 +138,9 @@ class CubeLattice:
 
 
 class SketchLattice:
-    """Register-level materialization for SketchDistinct measures — the
-    structure that makes approximate distinct a full rollup citizen.
+    """Sketch-STATE materialization for SketchDistinct and
+    SketchPercentile measures — the structure that makes approximate
+    distinct (and approximate percentiles) full rollup citizens.
 
     A CubeLattice of finished HLL ESTIMATES would be a dead end:
     estimates don't merge, so no coarser grain could ever be served from
@@ -170,13 +171,16 @@ class SketchLattice:
         values: tuple[str, ...],
         persist: bool = True,
     ):
-        from ..accumulators import SketchDistinct
+        from ..accumulators import SketchDistinct, SketchPercentile
 
         for v in values:
-            if not isinstance(cubedef.get_value(v).acc, SketchDistinct):
+            if not isinstance(
+                cubedef.get_value(v).acc, (SketchDistinct, SketchPercentile)
+            ):
                 raise ValueError(
-                    f"SketchLattice holds SketchDistinct measures only; "
-                    f"{v!r} is {type(cubedef.get_value(v).acc).__name__} "
+                    f"SketchLattice holds SketchDistinct/SketchPercentile "
+                    f"measures only; {v!r} is "
+                    f"{type(cubedef.get_value(v).acc).__name__} "
                     "(materialize ordinary measures in a CubeLattice)"
                 )
         self.cubedef = cubedef
@@ -196,14 +200,48 @@ class SketchLattice:
             self._regs = {v: r.persist() for v, r in self._regs.items()}
 
     def _build_regs(self, df: DataFrame, v: str) -> DataFrame:
-        from ..operators.sketch import hll_registers
+        from ..operators.sketch import hist_sketch, hll_registers
 
         meas = self.cubedef.get_value(v)
         axis_cols = [
             self.cubedef.get_label(a).column().alias(a) for a in self.axes
         ]
         base = df.select(*axis_cols, meas.column().alias("__sketch_in__"))
+        if self._is_hist(v):
+            return hist_sketch(base, "__sketch_in__", list(self.axes))
         return hll_registers(base, "__sketch_in__", list(self.axes), p=meas.acc.p)
+
+    def _is_hist(self, v: str) -> bool:
+        from ..accumulators import SketchPercentile
+
+        return isinstance(self.cubedef.get_value(v).acc, SketchPercentile)
+
+    def _merge_state(self, frame: DataFrame, v: str, keys: list) -> DataFrame:
+        """Merge sketch STATE down to *keys* grain: HLL registers by MAX,
+        histogram bucket counts by SUM — both lossless, which is the
+        whole reason the lattice stores state instead of estimates."""
+        if self._is_hist(v):
+            return frame.groupBy(*keys, F.col("bucket")).agg(
+                F.sum("cnt").alias("cnt")
+            )
+        return frame.groupBy(*keys, F.col("bucket")).agg(
+            F.max("reg").alias("reg")
+        )
+
+    def _estimate(self, state: DataFrame, v: str, axes: list) -> DataFrame:
+        """Finish a merged state frame to (axes..., v). The histogram
+        estimate is cast to double to match the engine's direct-compute
+        output type (and the 0.0 all-null-group coalesce)."""
+        from ..operators.sketch import hist_quantiles, hll_estimate
+
+        acc = self.cubedef.get_value(v).acc
+        if self._is_hist(v):
+            return hist_quantiles(state, (acc.pct,), axes).select(
+                *axes, F.col("q_est").cast("double").alias(v)
+            )
+        return hll_estimate(state, axes, p=acc.p).select(
+            *axes, F.coalesce(F.col("hll_estimate"), F.lit(0.0)).alias(v)
+        )
 
     @property
     def reaggregatable(self) -> bool:
@@ -227,8 +265,6 @@ class SketchLattice:
 
         from pyspark.sql import Column
 
-        from ..operators.sketch import hll_estimate
-
         if filter_ops is None:
             from ..filters import FILTER_OPS as filter_ops
         missing = (set(out_axes) | {n for n, _, _ in filters}) - set(self.axes)
@@ -243,29 +279,19 @@ class SketchLattice:
         if not out_axes:  # dim-0: grand total per value, one row
             out = None
             for v in out_values:
-                p = self.cubedef.get_value(v).acc.p
-                reg = (
-                    filtered(self._regs[v])
-                    .groupBy("bucket")
-                    .agg(F.max("reg").alias("reg"))
-                )
-                est = hll_estimate(reg, (), p=p).select(
-                    F.coalesce(F.col("hll_estimate"), F.lit(0.0)).alias(v)
-                )
+                reg = self._merge_state(filtered(self._regs[v]), v, [])
+                est = self._estimate(reg, v, [])
                 out = est if out is None else out.crossJoin(est)
             return out
 
         out = filtered(self._groups).select(*out_axes).distinct()
         for v in out_values:
-            p = self.cubedef.get_value(v).acc.p
-            reg = (
-                filtered(self._regs[v])
-                .groupBy(*[F.col(a) for a in out_axes], F.col("bucket"))
-                .agg(F.max("reg").alias("reg"))
+            reg = self._merge_state(
+                filtered(self._regs[v]), v, [F.col(a) for a in out_axes]
             )
-            est = hll_estimate(reg, list(out_axes), p=p).select(
+            est = self._estimate(reg, v, list(out_axes)).select(
                 *[F.col(a).alias(f"__est_{a}__") for a in out_axes],
-                F.col("hll_estimate").alias(v),
+                F.col(v).alias(v),
             )
             # NULL axis values are real groups: null-safe attach + 0.0
             # for groups whose sketch input was all-NULL (engine parity)
@@ -307,13 +333,11 @@ class SketchLattice:
         )
         new_regs = {}
         for v in self.values:
-            merged = (
-                self._regs[v]
-                .unionByName(self._build_regs(delta_df, v))
-                .groupBy(*[F.col(a) for a in self.axes], F.col("bucket"))
-                .agg(F.max("reg").alias("reg"))
-                .localCheckpoint(eager=True)
-            )
+            merged = self._merge_state(
+                self._regs[v].unionByName(self._build_regs(delta_df, v)),
+                v,
+                [F.col(a) for a in self.axes],
+            ).localCheckpoint(eager=True)
             new_regs[v] = merged
         old_groups, old_regs = self._groups, self._regs
         self._groups, self._regs = new_groups, new_regs

@@ -460,7 +460,7 @@ def test_sketch_lattice_rejects_ordinary_measures(spark):
 
     CubeQuery, board, df = _two_axis_board(spark)
     board.cubedef.add_measure(Measure("n", "v", acc=Count()))
-    with _pytest.raises(ValueError, match="SketchDistinct measures only"):
+    with _pytest.raises(ValueError, match="measures only"):
         SketchLattice(board.cubedef, df, ("state",), ("n",))
 
 
@@ -649,3 +649,80 @@ def test_sketch_percentile_refused_by_lattice(spark):
     CubeQuery, board = _pct_board(spark, [("a", 1), ("b", 2)])
     with _pytest.raises(ValueError):
         CubeLattice(board.cubedef, board.df, ("g",), ("p50",))
+
+
+def test_hist_lattice_serves_percentiles_exactly(spark):
+    """SketchLattice generalized to histogram state: bucket counts merge
+    by ADDITION, so every coarser grain / filter drill / grand total /
+    refresh is served bit-identically to direct computation."""
+    from bacon_spark import Count, CubeDef, CubeQuery, CuttingBoard, SketchPercentile
+    from bacon_spark.cubedef import Label, Measure
+    from bacon_spark.operators.lattice import SketchLattice
+
+    rows = [
+        ((("a", "x") if i % 2 else ("b", "y"))[0], ("x" if i % 3 else "y"), (i * 37) % 5000)
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "g string, h string, v long")
+    cd = CubeDef("t")
+    cd.add_label(Label("g", "g"))
+    cd.add_label(Label("h", "h"))
+    cd.add_measure(Measure("p90", "v", acc=SketchPercentile(90)))
+    board = CuttingBoard(cd, df, cache_results=False)
+    lat = SketchLattice(cd, df, ("g", "h"), ("p90",), persist=False)
+
+    def direct(axes, flt=None):
+        b = df if flt is None else df.filter(flt)
+        brd = CuttingBoard(cd, b, cache_results=False)
+        from bacon_spark import CubeQuery as Q
+
+        q = Q()
+        for a in axes:
+            q = q.add_axis(a)
+        q = q.add_value("p90")
+        return sorted(map(tuple, brd.slice(q).to_df().collect()))
+
+    # coarser grain
+    assert sorted(map(tuple, lat.serve_query(("g",), ("p90",)).collect())) == direct(("g",))
+    # grand total
+    assert sorted(map(tuple, lat.serve_query((), ("p90",)).collect())) == direct(())
+    # non-eq filter drill on a DROPPED axis
+    got = sorted(map(tuple, lat.serve_query(("g",), ("p90",), (("h", "ne", "y"),)).collect()))
+    assert got == direct(("g",), F.col("h") != "y")
+    # refresh folds a delta exactly (counts add)
+    delta = spark.createDataFrame([("a", "x", 4999)] * 50, "g string, h string, v long")
+    lat.refresh(delta)
+    brd2 = CuttingBoard(cd, df.unionByName(delta), cache_results=False)
+    from bacon_spark import CubeQuery as Q
+
+    q = Q().add_axis("g").add_value("p90")
+    want = sorted(map(tuple, brd2.slice(q).to_df().collect()))
+    assert sorted(map(tuple, lat.serve_query(("g",), ("p90",)).collect())) == want
+
+
+def test_hist_lattice_engine_routing_no_rescan(spark):
+    """The engine routes a covered SketchPercentile query through the
+    registered lattice — the served plan never rescans the base table."""
+    from bacon_spark import CubeDef, CubeQuery, CuttingBoard, SketchPercentile
+    from bacon_spark.cubedef import Label, Measure
+    from bacon_spark.operators.lattice import SketchLattice
+
+    rows = [("a" if i % 2 else "b", i % 3000) for i in range(4000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    cd = CubeDef("t")
+    cd.add_label(Label("g", "g"))
+    cd.add_measure(Measure("p95", "v", acc=SketchPercentile(95)))
+    board = CuttingBoard(cd, df, cache_results=False)
+    lat = SketchLattice(cd, df, ("g",), ("p95",))
+    try:
+        board.register_lattice(lat)
+        q = CubeQuery().add_axis("g").add_value("p95")
+        served = board.slice(q).to_df()
+        direct = CuttingBoard(cd, df, cache_results=False).slice(q).to_df()
+        assert sorted(map(tuple, served.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+        plan = served._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan  # served from the persisted state
+    finally:
+        lat.unpersist()
