@@ -1084,3 +1084,46 @@ def q168_auto_salted_join(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
         .orderBy("cohort")
     )
+
+
+_funnel = __import__("bacon_spark.operators.funnel", fromlist=["x"])
+
+
+@query("q178_event_funnel", _funnel.funnel_sql("events", ("view", "click", "purchase")))
+def q178_event_funnel(spark, sf_dir):
+    """Ordered event funnel (operators/funnel.funnel): users completing
+    view -> click -> purchase IN ORDER, each step within 7 days of the
+    previous — a conditional-min chain (step i = earliest qualifying
+    event after the user's step i-1 timestamp), the deterministic
+    first-touch funnel the cube surface can't express (it needs
+    per-user ORDERED logic, not per-row labels).
+
+    Scale shape: events repartition by user ONCE and every step
+    aggregation groups on that key, so the chain costs one full shuffle
+    of (user, type, ts) triples regardless of step count; the per-step
+    joins are against one-row-per-user frames, and per-user state is one
+    timestamp per step — no event arrays, no collect."""
+    from ..operators.funnel import funnel
+
+    ev = _read(spark, sf_dir, "events")
+    return funnel(ev, ("view", "click", "purchase"), horizon="7 days")
+
+
+@query("q179_cohort_retention", _funnel.cohort_retention_sql("events"))
+def q179_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle (operators/funnel.cohort_retention):
+    users bucketed by FIRST-SEEN ISO week, distinct-user activity per
+    (cohort week, week offset), retained_pct against the cohort's
+    offset-0 size — the standard product-analytics retention matrix,
+    as two user-keyed aggregations (first-seen, then distinct activity
+    periods). All arithmetic is integer (datediff div 7) until the one
+    rounded percentage division, so both engines agree exactly.
+
+    Scale shape: per-user state is one timestamp; the activity frame is
+    (user, period) distinct pairs — bounded by users x live periods, not
+    event count; the cohort-size join is against an offset-0 frame of at
+    most |cohorts| rows (broadcast at any scale)."""
+    from ..operators.funnel import cohort_retention
+
+    ev = _read(spark, sf_dir, "events")
+    return cohort_retention(ev)

@@ -64,6 +64,8 @@ SENSITIVE = [
     "q174_jl_projection_recall",
     "q175_containment_dedup",
     "q177_sketch_percentile_measure",
+    "q178_event_funnel",
+    "q179_cohort_retention",
 ]
 
 
