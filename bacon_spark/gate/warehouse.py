@@ -1127,3 +1127,97 @@ def q179_cohort_retention(spark, sf_dir):
 
     ev = _read(spark, sf_dir, "events")
     return cohort_retention(ev)
+
+
+def _stats_layout_path(sf_dir):
+    """Per-dataset clustered-events layout for q180, anchored on the
+    package root (cwd varies) and keyed by dataset path."""
+    import hashlib
+    import os
+
+    import bacon_spark
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(bacon_spark.__file__)))
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(root, ".stats_demo", f"events-{key}")
+
+
+def _stats_layout_prebuilt(spark, sf_dir):
+    """Build-if-absent the q180 layout: events rewritten range-clustered
+    on ts into ~8 files (disjoint time ranges), then footer min/max
+    stats for ts committed to the manifest (operators/maintenance.
+    attach_file_stats) — the once-per-ingest half of file skipping."""
+    import os
+
+    from ..operators.maintenance import attach_file_stats, read_manifest
+
+    path = _stats_layout_path(sf_dir)
+    man = read_manifest(path)
+    if man is not None and "file_stats" in man:
+        return path
+    if man is None:
+        os.makedirs(path, exist_ok=True)
+        ev = _read(spark, sf_dir, "events")
+        # Spark's default parquet timestamp encoding is legacy INT96,
+        # which carries NO footer min/max — write TIMESTAMP_MICROS so
+        # the stats the skip relies on actually exist
+        conf = "spark.sql.parquet.outputTimestampType"
+        prev = spark.conf.get(conf)
+        spark.conf.set(conf, "TIMESTAMP_MICROS")
+        try:
+            ev.repartitionByRange(8, F.col("ts")).sortWithinPartitions(
+                "ts"
+            ).write.mode("overwrite").parquet(path)
+        finally:
+            spark.conf.set(conf, prev)
+    attach_file_stats(path, ["ts"])
+    return path
+
+
+@query(
+    "q180_stats_pruned_scan",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           count(*) AS n,
+           cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_cents
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
+    GROUP BY 1
+    """,
+    prepare=_stats_layout_prebuilt,
+)
+def q180_stats_pruned_scan(spark, sf_dir):
+    """Manifest-driven FILE skipping (operators/maintenance.
+    attach_file_stats + stats_pruned_read): footer min/max statistics
+    per file, committed into the manifest once per ingest, prune a
+    time-range scan to only the files whose [min, max] ts overlaps the
+    queried day — Delta-style data skipping without a metastore, the
+    file-level complement to hive partition pruning (directories) and
+    parquet row-group skipping (pages). Paired with the range-clustered
+    layout (compact(cluster_by=ts)'s disjoint file ranges), one queried
+    day of a 30-day table touches 1-2 of 8 files; the skip rate is
+    asserted in tests/test_maintenance.py.
+
+    Pruning is a superset guarantee — the residual day filter still
+    applies — so results are identical to the full scan, which is what
+    the oracle (a plain filter over the original events) checks."""
+    import datetime as dt
+
+    from ..operators.maintenance import stats_pruned_read
+
+    path = _stats_layout_prebuilt(spark, sf_dir)
+    df, _info = stats_pruned_read(
+        spark, path, "ts", lo=dt.datetime(2024, 1, 15), hi=dt.datetime(2024, 1, 16)
+    )
+    return (
+        df.where(F.date_format("ts", "yyyy-MM-dd") == "2024-01-15")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("sum_cents"),
+        )
+    )

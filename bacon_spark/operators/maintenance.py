@@ -372,3 +372,123 @@ def write_hive_partitioned(
     reading only matching partitions.  Combine with z-ordered clustering
     WITHIN partitions (zorder_key) for the second-order skip."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# File-level column statistics: manifest-driven data skipping
+# ---------------------------------------------------------------------------
+
+
+def _stat_value(v):
+    """JSON-encode a parquet-footer stat value, keeping order semantics:
+    numbers/strings pass through, datetimes become ISO strings (ISO
+    order == time order)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return ("ts", v.isoformat())
+    if isinstance(v, _dt.date):
+        return ("ts", v.isoformat())
+    if isinstance(v, bytes):
+        return ("str", v.decode("utf-8", "replace"))
+    if isinstance(v, bool) or v is None:
+        return ("num", None if v is None else int(v))
+    if isinstance(v, (int, float)):
+        return ("num", v)
+    return ("str", str(v))
+
+
+def file_column_stats(path: str, cols: Sequence[str]) -> dict:
+    """Per-column (min, max, null_count) for ONE parquet file, read from
+    the FOOTER row-group metadata via pyarrow — a pure metadata read, no
+    data scan (the same numbers Delta writes into its log)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out = {}
+    for c in cols:
+        if c not in idx:
+            continue
+        mins, maxs, nulls = [], [], 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or not st.has_min_max:
+                mins = []  # any opaque row group poisons the file's stats
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+            nulls += st.null_count or 0
+        if mins:
+            out[c] = {
+                "min": _stat_value(min(mins)),
+                "max": _stat_value(max(maxs)),
+                "nulls": nulls,
+            }
+    return out
+
+
+def attach_file_stats(path: str, cols: Sequence[str]) -> int:
+    """Commit a new manifest version whose ``file_stats`` entry carries
+    per-file min/max footer statistics for *cols* — Delta-style data
+    skipping without a metastore. Stats collection is once-per-ingest
+    metadata work (footers only); the committed version is what
+    :func:`stats_pruned_read` prunes against. A plain directory is
+    bootstrapped to a manifest first."""
+    man = read_manifest(path) or _bootstrap_manifest(path)
+    files = [(e["path"], e["bytes"]) for e in man["files"]]
+    stats = {
+        rel: file_column_stats(os.path.join(path, rel), cols) for rel, _ in files
+    }
+    return commit_manifest(
+        path,
+        files,
+        base_version=man["version"],
+        op="attach-stats",
+        extra={"file_stats": stats, "stats_cols": list(cols)},
+    )
+
+
+def stats_pruned_read(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+):
+    """Read ONLY the files whose footer [min, max] range for *col*
+    overlaps [*lo*, *hi*] (None = unbounded), per the manifest's
+    ``file_stats`` — the manifest-driven half of scan pruning (partition
+    pruning skips directories; this skips FILES inside them, which is
+    what a range predicate on a range-clustered layout needs — pair with
+    ``compact(cluster_by=...)``, whose disjoint file ranges make the
+    skip rate ~(1 - selectivity)).
+
+    Pruning is a SUPERSET guarantee (a kept file may still hold
+    non-matching rows; parquet row-group skipping and the residual
+    filter handle those) — the caller applies its own predicate.
+    Returns ``(df, {"files_total": N, "files_read": M})``."""
+    man = read_manifest(path, version)
+    if man is None or "file_stats" not in man:
+        raise FileNotFoundError(f"no stats manifest under {path}")
+    lo_t, lo_v = _stat_value(lo) if lo is not None else (None, None)
+    hi_t, hi_v = _stat_value(hi) if hi is not None else (None, None)
+    keep = []
+    for e in man["files"]:
+        st = man["file_stats"].get(e["path"], {}).get(col)
+        if st is None:
+            keep.append(e["path"])  # no stats: must read (superset rule)
+            continue
+        fmin, fmax = st["min"][1], st["max"][1]
+        if lo is not None and fmax < lo_v:
+            continue
+        if hi is not None and fmin > hi_v:
+            continue
+        keep.append(e["path"])
+    info = {"files_total": len(man["files"]), "files_read": len(keep)}
+    if not keep:
+        # empty selection: preserve schema from the full (pinned) set
+        full = spark.read.parquet(*[os.path.join(path, e["path"]) for e in man["files"]])
+        return full.limit(0), info
+    return spark.read.parquet(*[os.path.join(path, p) for p in keep]), info

@@ -66,6 +66,7 @@ SENSITIVE = [
     "q177_sketch_percentile_measure",
     "q178_event_funnel",
     "q179_cohort_retention",
+    "q180_stats_pruned_scan",
 ]
 
 

@@ -251,3 +251,60 @@ def test_hive_partition_pruning(spark, tmp_path):
     unpruned = spark.read.parquet(path).filter(F.col("user") == 1)
     assert scanned_files(unpruned) == total
     assert unpruned.count() == 3
+
+
+def test_stats_pruned_read_skips_files(spark, tmp_path):
+    """attach_file_stats + stats_pruned_read: a range predicate on a
+    range-clustered layout reads a strict subset of files, and results
+    equal the full-scan filter exactly (superset rule + residual)."""
+    import datetime as dt
+
+    from bacon_spark.operators import maintenance as M
+    from bacon_spark.sources.star import read_table
+
+    path = str(tmp_path / "ev_clustered")
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    # legacy INT96 timestamps carry no footer stats; write MICROS
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        ev.repartitionByRange(8, F.col("ts")).sortWithinPartitions("ts").write.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    v = M.attach_file_stats(path, ["ts"])
+    man = M.read_manifest(path)
+    assert man["version"] == v and set(man["stats_cols"]) == {"ts"}
+    assert all(st.get("ts") for st in man["file_stats"].values())
+
+    lo, hi = dt.datetime(2024, 1, 15), dt.datetime(2024, 1, 16)
+    df, info = M.stats_pruned_read(spark, path, "ts", lo, hi)
+    assert info["files_total"] == 8
+    assert 1 <= info["files_read"] <= 2  # disjoint ranges: 1 day ~ 1/30
+    want = sorted(
+        r["event_id"]
+        for r in ev.where((F.col("ts") >= lo) & (F.col("ts") < hi)).collect()
+    )
+    got = sorted(
+        r["event_id"]
+        for r in df.where((F.col("ts") >= lo) & (F.col("ts") < hi)).collect()
+    )
+    assert got == want and got  # identical and non-vacuous
+
+    # out-of-domain range: zero files read, schema preserved
+    empty, info0 = M.stats_pruned_read(
+        spark, path, "ts", dt.datetime(2030, 1, 1), dt.datetime(2030, 1, 2)
+    )
+    assert info0["files_read"] == 0 and empty.count() == 0
+    assert empty.columns == df.columns
+
+    # unbounded read covers everything
+    full, infof = M.stats_pruned_read(spark, path, "ts")
+    assert infof["files_read"] == 8 and full.count() == ev.count()
+
+    # a table without a stats manifest refuses loudly
+    import pytest as _pytest
+
+    bare = str(tmp_path / "bare")
+    ev.limit(10).write.parquet(bare)
+    with _pytest.raises(FileNotFoundError):
+        M.stats_pruned_read(spark, bare, "ts")
