@@ -169,3 +169,52 @@ def test_rocksdb_provider_actually_engaged(spark, tmpdir):
     # per-query conf was pinned at start (session default is on-heap)
     customs = [m.get("customMetrics") or {} for m in ms]
     assert any(any("rocksdb" in k.lower() for k in c) for c in customs), customs
+
+
+def test_streaming_hist_append_mode_with_watermark(spark, tmpdir):
+    """q176's production claim made executable: the histogram bucket
+    counts run APPEND-mode with a watermark — finalized (window, bucket)
+    rows are emitted once their window passes the watermark and they
+    equal the batch histogram of those windows exactly; the still-open
+    window is withheld."""
+    from bacon_spark.operators.sketch import hist_bucket
+
+    n_users = 10
+    stream = _staged_stream(spark, tmpdir, n_users)
+
+    def hist_windows(df):
+        return (
+            df.withWatermark("ts", "1 hour")
+            .groupBy(
+                F.window("ts", "1 hour").alias("w"),
+                hist_bucket(F.col("user_id")).alias("bucket"),
+            )
+            .count()
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "bucket",
+                F.col("count").alias("cnt"),
+            )
+        )
+
+    q = W.run_stream_to_memory(
+        hist_windows(stream), "t_hist_append", mode="append", state_provider="hdfs"
+    )
+    got = {
+        (r["window_start"], r["bucket"]): r["cnt"]
+        for r in spark.table("t_hist_append").collect()
+    }
+    # batches 0+1's windows finalize (batch 2's watermark passes them);
+    # batch 2's own hour-96 window is still open and must be withheld
+    batch = spark.read.schema(SCHEMA).parquet(tmpdir)
+    closed = batch.where(F.col("ts") < dt.datetime(2024, 1, 1) + dt.timedelta(hours=90))
+    want = {
+        (r["window_start"], r["bucket"]): r["cnt"]
+        for r in hist_windows(closed).collect()
+    }
+    assert got == want and got
+    open_key = "2024-01-05 00:00:00"  # hour 96
+    assert not any(k[0] == open_key for k in got)
+    # state stayed bounded: <= 488 buckets x live windows
+    ms = state_operator_metrics(q)
+    assert max(m["numRowsTotal"] for m in ms) <= 488 * 4
