@@ -1923,6 +1923,42 @@ def q172_hist_sketch_quantiles(spark, sf_dir):
     )
 
 
+_Q181_WEIGHTS = {"src0": 2.0, "src1": 1.0, "src2": 1.0, "src3": 1.0}
+_Q181_BUDGET = 2000
+_Q181_TOKENS_SQL = _tx.whitespace_token_count_sql("text")
+
+
+@query(
+    "q181_token_budget_mixture",
+    __import__("bacon_spark.operators.sampling", fromlist=["x"]).mix_to_token_budget_sql(
+        "documents", _Q181_WEIGHTS, _Q181_BUDGET, _Q181_TOKENS_SQL
+    ),
+)
+def q181_token_budget_mixture(spark, sf_dir):
+    """Domain-mixture curation to a TOKEN budget (operators/sampling.
+    mix_to_token_budget): 2000 tokens at src0:src1:src2:src3 = 2:1:1:1
+    — per-source integer quotas, documents md5-shuffle-ordered within
+    each source and kept while the cumulative tokens before them stay
+    under the quota, so every source lands within one document of its
+    quota. The stronger form of q56's rate mixing (rates hit the
+    mixture only in expectation; curation briefs specify exact token
+    counts). The full kept selection is the gate output, so the hash
+    check pins every chosen document, not just the totals.
+
+    Scale shape: one source-keyed shuffle of (id, token_count) int
+    pairs — bodies never move — then a map-side quota cutoff;
+    deterministic across runs, partitionings, and engines."""
+    from ..operators.sampling import mix_to_token_budget
+
+    docs = _read_docs(spark, sf_dir)
+    return mix_to_token_budget(
+        docs,
+        _Q181_WEIGHTS,
+        _Q181_BUDGET,
+        _tx.whitespace_token_count(F.col("text")),
+    )
+
+
 @query(
     "q164_kmv_corpus_overlap",
     f"""

@@ -236,3 +236,88 @@ def temperature_rates_sql(counts_cte: str, group: str = "source") -> str:
                       * 1000000) as bigint) AS rate_ppm
     FROM _c CROSS JOIN _m
     """
+
+
+def mix_to_token_budget(
+    docs: DataFrame,
+    weights: Mapping[str, float],
+    token_budget: int,
+    tokens: Column,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "mixtok",
+) -> DataFrame:
+    """Domain-mixture downsampling to a TOKEN budget with exact quotas —
+    the stronger form of :func:`mix_sources`: rate sampling hits its
+    mixture only in expectation, while training-data curation specifies
+    "N tokens at these proportions". Each source's quota is
+    ``token_budget * weight / Σweights``; within a source, documents are
+    ordered by the deterministic md5 draw (an unbiased shuffle) and kept
+    while the cumulative tokens BEFORE them stay under the quota, so
+    tokens_kept lands within one document of the quota (or is the whole
+    source when it's smaller). Sources not in *weights* are excluded.
+
+    Returns the kept (id, source, token_count) selection — join back on
+    the id to materialize bodies. Scale shape: one window cumsum per
+    source partition (a single source-keyed shuffle of (id, tokens)
+    pairs — bodies never move), deterministic across runs/partitionings/
+    engines; per-source skew is bounded because only int pairs shuffle
+    and the quota cutoff is applied map-side after the cumsum."""
+    wsum = float(sum(weights.values()))
+    quota = F.create_map(
+        *[
+            x
+            for name, wt in sorted(weights.items())
+            for x in (F.lit(name), F.lit(int(token_budget * wt / wsum)))
+        ]
+    )
+    tc = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        tokens.cast("long").alias("token_count"),
+    ).where(F.col(source_col).isin(*weights))
+    w = Window.partitionBy(source_col).orderBy(
+        _draw(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        tc.withColumn("_cb", F.sum("token_count").over(w) - F.col("token_count"))
+        .where(F.col("_cb") < F.element_at(quota, F.col(source_col)))
+        .select(id_col, source_col, "token_count")
+    )
+
+
+def mix_to_token_budget_sql(
+    table: str,
+    weights: Mapping[str, float],
+    token_budget: int,
+    tokens_expr: str,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "mixtok",
+) -> str:
+    """DuckDB twin of :func:`mix_to_token_budget` (same draw, same
+    integer quotas, same cumsum-before cutoff)."""
+    wsum = float(sum(weights.values()))
+    quota = " ".join(
+        f"WHEN '{name}' THEN {int(token_budget * wt / wsum)}"
+        for name, wt in sorted(weights.items())
+    )
+    srcs = ", ".join(f"'{n}'" for n in weights)
+    return f"""
+    WITH tc AS (
+      SELECT {id_col}, {source_col},
+             cast({tokens_expr} as bigint) AS token_count
+      FROM {table} WHERE {source_col} IN ({srcs})
+    ),
+    ord AS (
+      SELECT *,
+             sum(token_count) OVER (
+               PARTITION BY {source_col}
+               ORDER BY {draw_sql(id_col, salt)}, {id_col}
+             ) - token_count AS _cb
+      FROM tc
+    )
+    SELECT {id_col}, {source_col}, token_count
+    FROM ord
+    WHERE _cb < (CASE {source_col} {quota} END)
+    """

@@ -67,6 +67,7 @@ SENSITIVE = [
     "q178_event_funnel",
     "q179_cohort_retention",
     "q180_stats_pruned_scan",
+    "q181_token_budget_mixture",
 ]
 
 

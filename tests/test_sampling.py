@@ -162,3 +162,34 @@ def test_lsh_sql_twin_honors_custom_seeds(spark, sf_dir):
         ).fetchall()
     )
     assert duck_buckets == spark_buckets
+
+
+def test_mix_to_token_budget_quota_semantics(spark):
+    from bacon_spark.operators.sampling import mix_to_token_budget
+
+    rows = [
+        (i, f"s{i % 3}", " ".join(["w"] * (10 + i % 7)))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    toks = F.size(F.split(F.col("text"), " "))
+    weights = {"s0": 3.0, "s1": 1.0}  # s2 excluded entirely
+    budget = 400  # quotas: s0=300, s1=100 — both bind (each source ~500 tokens)
+    kept = mix_to_token_budget(df, weights, budget, toks)
+    per = {
+        r["source"]: (r["n"], r["tok"])
+        for r in kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("token_count").alias("tok"))
+        .collect()
+    }
+    assert set(per) == {"s0", "s1"}  # s2 never sampled
+    max_doc = 16
+    assert 300 <= per["s0"][1] < 300 + max_doc  # within one doc of quota
+    assert 100 <= per["s1"][1] < 100 + max_doc
+    # a source smaller than its quota is kept whole
+    whole = mix_to_token_budget(df, {"s2": 1.0}, 10**6, toks)
+    assert whole.count() == 40
+    # deterministic across partitionings
+    a = sorted(map(tuple, kept.collect()))
+    b = sorted(map(tuple, mix_to_token_budget(df.repartition(13), weights, budget, toks).collect()))
+    assert a == b
