@@ -23,6 +23,16 @@ import duckdb
 
 sys.path.insert(0, "/root/reference")
 
+
+def _pq(sf_dir: str, name: str) -> str:
+    """Parquet path for DuckDB: the driver fixtures are single files,
+    the .scale replicas are Spark-written directories — glob those."""
+    import os
+
+    p = f"{sf_dir}/{name}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
+
+from bacon import accumulators as accs  # noqa: E402
 from bacon import cubedef as cd_mod  # noqa: E402
 from bacon.cubedef import (  # noqa: E402
     AttributeLabel,
@@ -41,7 +51,7 @@ def load_lineitem(sf_dir: str):
         f"""
         SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice,
                l_discount, l_tax, cast(l_shipdate as date) AS l_shipdate
-        FROM '{sf_dir}/lineitem.parquet'
+        FROM '{_pq(sf_dir, 'lineitem')}'
         """
     ).fetchall()
     Item = namedtuple(
@@ -69,6 +79,24 @@ def build_cubedef() -> CubeDef:
         )
     )
     return cd
+
+
+def load_customer(sf_dir: str):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT c_nationkey, c_acctbal FROM '{_pq(sf_dir, 'customer')}'"
+    ).fetchall()
+    Cust = namedtuple("Cust", "c_nationkey c_acctbal")
+    return [Cust(*r) for r in rows]
+
+
+def load_part(sf_dir: str):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT p_partkey, p_brand, p_size, p_retailprice FROM '{_pq(sf_dir, 'part')}'"
+    ).fetchall()
+    Part = namedtuple("Part", "p_partkey p_brand p_size p_retailprice")
+    return [Part(*r) for r in rows]
 
 
 def main():
@@ -116,6 +144,45 @@ def main():
     t0 = time.perf_counter()
     board.slice(q3)
     timings["q09_filter_scalar"] = round(time.perf_counter() - t0, 3)
+
+    # q07-shaped: Min/Max/StdDev accumulators over customer balances
+    cust = load_customer(sf_dir)
+    cd7 = CubeDef()
+    cd7.add_label(AttributeLabel("c_nationkey"))
+    cd7.add_measure(Measure("min_bal", extract=lambda r: r.c_acctbal, acc=accs.Min))
+    cd7.add_measure(Measure("max_bal", extract=lambda r: r.c_acctbal, acc=accs.Max))
+    cd7.add_measure(Measure("std_bal", extract=lambda r: r.c_acctbal, acc=accs.StdDev))
+    b7 = CuttingBoard(cd7, cust)
+    q7 = (
+        CubeQuery()
+        .add_axis("c_nationkey")
+        .add_value("min_bal")
+        .add_value("max_bal")
+        .add_value("std_bal")
+    )
+    t0 = time.perf_counter()
+    b7.slice(q7)
+    timings["q07_minmax_stddev"] = round(time.perf_counter() - t0, 3)
+
+    # q10-shaped: in/ni membership filters over part
+    part = load_part(sf_dir)
+    cd10 = CubeDef()
+    cd10.add_label(AttributeLabel("p_brand"))
+    cd10.add_label(AttributeLabel("p_size"))
+    cd10.add_measure(Measure("n", extract=lambda r: 1, acc=accs.Count))
+    cd10.add_measure(Measure("sum_price", extract=lambda r: r.p_retailprice))
+    b10 = CuttingBoard(cd10, part)
+    q10 = (
+        CubeQuery()
+        .add_axis("p_brand")
+        .add_value("n")
+        .add_value("sum_price")
+        .add_filter("p_brand", frozenset({"Brand#1", "Brand#2", "Brand#3"}), operator="in")
+        .add_filter("p_size", frozenset({1, 2, 3}), operator="ni")
+    )
+    t0 = time.perf_counter()
+    b10.slice(q10)
+    timings["q10_filter_in_ni"] = round(time.perf_counter() - t0, 3)
 
     print(
         json.dumps(
