@@ -327,12 +327,28 @@ class SketchPercentile(Accumulator):
         )
 
     def sql(self, expr):
-        # pushdown path: an exact discrete percentile satisfies the
-        # approximate contract (sources that can't build histograms
-        # still answer correctly, just without the sketch's economy)
+        # Pushdown path computes the SAME histogram-bucket lower-bound
+        # estimate as the engine plan (engine-equivalence invariant: a
+        # federated source must not silently return different numbers).
+        # The engine's estimate is hist_lower(first bucket whose
+        # cumulative count reaches rank ceil(pct*n/100)) over
+        # non-negative non-null values; because hist_lower(hist_bucket(v))
+        # is monotone non-decreasing in v, that equals the transformed
+        # value at exactly that integer rank — one aggregate expression:
+        # sort the transformed values and index at (pct*n + 99) div 100.
+        # O(n) group memory (no sketch economy), but bit-identical.
+        from .operators.sketch import hist_lower_of_value_spark_sql
+
+        keep = f"(({expr}) IS NOT NULL AND ({expr}) >= 0)"
+        low = hist_lower_of_value_spark_sql(expr)
+        n = f"count({expr}) FILTER (WHERE {keep})"
+        # all-excluded group -> 0.0 double, the engine's documented
+        # convention (engine._aggregate_with_sketches coalesce)
         return (
-            f"percentile_disc({self.pct / 100.0}) "
-            f"WITHIN GROUP (ORDER BY {expr})"
+            f"coalesce(cast(CASE WHEN {n} = 0 THEN NULL ELSE element_at("
+            f"sort_array(array_agg({low}) FILTER (WHERE {keep})), "
+            f"cast(({self.pct} * {n} + 99) div 100 as int)) END as double), "
+            f"cast(0.0 as double))"
         )
 
 

@@ -29,6 +29,8 @@ never collected and never shuffled.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -302,7 +304,7 @@ def pq_ann_topk_sql(
       SELECT pr.{id_col} AS probe_id, codes.id AS {id_col},
              round({adc_terms}, 6) AS approx_d
       FROM {table} pr CROSS JOIN codes
-      WHERE {probe_pred.replace(id_col, 'pr.' + id_col)}
+      WHERE {_qualify_pred(probe_pred, id_col, 'pr.' + id_col)}
     ),
     ranked AS (
       SELECT probe_id, {id_col}, approx_d,
@@ -579,6 +581,16 @@ def ivfpq_ann_topk(
     )
 
 
+def _qualify_pred(pred: str, id_col: str, repl: str) -> str:
+    """Rewrite bare *id_col* references in a predicate to *repl*,
+    token-boundary aware: ``doc_id`` is NOT a reference to ``id``, and
+    text inside single-quoted string literals is copied verbatim —
+    a naive str.replace corrupts both (ADVICE r6)."""
+    parts = re.split(r"('(?:[^']|'')*')", pred)
+    pat = re.compile(rf"\b{re.escape(id_col)}\b")
+    return "".join(p if i % 2 else pat.sub(repl, p) for i, p in enumerate(parts))
+
+
 def ivfpq_ann_topk_sql(
     coarse_k: int = 8,
     m: int = 8,
@@ -642,7 +654,7 @@ def ivfpq_ann_topk_sql(
               ORDER BY round({d2.format(v=f'e.{vec_col}', c='s.c')}, 6), s.ci
               LIMIT 1) AS ci
       FROM {table} e
-      WHERE {train_pred.replace(id_col, 'e.' + id_col)}
+      WHERE {_qualify_pred(train_pred, id_col, 'e.' + id_col)}
     ),
     cupd AS (
       SELECT ci, j,
@@ -667,7 +679,7 @@ def ivfpq_ann_topk_sql(
       FROM {table} e
     ),
     tresid AS MATERIALIZED (
-      SELECT * FROM resid WHERE {train_pred.replace(id_col, 'id')}
+      SELECT * FROM resid WHERE {_qualify_pred(train_pred, id_col, 'id')}
     ),
     pseeds AS (
       SELECT row_number() OVER (ORDER BY {draw_sql('id', pq_salt)}, id) - 1 AS ci,
@@ -688,7 +700,7 @@ def ivfpq_ann_topk_sql(
            LATERAL (SELECT ci, c FROM cc1
                     ORDER BY round({d2.format(v=f'pr.{vec_col}', c='cc1.c')}, 6), ci
                     LIMIT {nprobe}) t
-      WHERE {probe_pred.replace(id_col, 'pr.' + id_col)}
+      WHERE {_qualify_pred(probe_pred, id_col, 'pr.' + id_col)}
     ),
     scored AS (
       SELECT pc.probe_id, codes.id AS {id_col},

@@ -125,6 +125,43 @@ def funnel_sql(
     """
 
 
+_PERIODS = ("day", "week", "month", "quarter", "year")
+
+
+def _offset_expr(period: str) -> "F.Column":
+    """Period offset between the truncated ``_period`` and ``_cohort``
+    columns, in units of *period*. Both inputs are already
+    ``date_trunc(period, ...)`` boundaries, so month-based arithmetic is
+    exact (``months_between`` of two month starts is an integer)."""
+    if period == "day":
+        return F.datediff(F.col("_period"), F.col("_cohort"))
+    if period == "week":
+        return (F.datediff(F.col("_period"), F.col("_cohort")) / 7).cast("int")
+    months = F.months_between(F.col("_period"), F.col("_cohort"))
+    if period == "month":
+        return months.cast("int")
+    if period == "quarter":
+        return (months / 3).cast("int")
+    if period == "year":
+        return (months / 12).cast("int")
+    raise ValueError(f"period must be one of {_PERIODS}, got {period!r}")
+
+
+def _offset_sql(period: str) -> str:
+    """DuckDB twin of :func:`_offset_expr` (same unit arithmetic)."""
+    if period == "day":
+        return "datediff('day', f._cohort, a._period)"
+    if period == "week":
+        return "datediff('day', f._cohort, a._period) / 7"
+    if period == "month":
+        return "datediff('month', f._cohort, a._period)"
+    if period == "quarter":
+        return "datediff('month', f._cohort, a._period) / 3"
+    if period == "year":
+        return "datediff('month', f._cohort, a._period) / 12"
+    raise ValueError(f"period must be one of {_PERIODS}, got {period!r}")
+
+
 def cohort_retention(
     events: DataFrame,
     ts_col: str = "ts",
@@ -147,9 +184,7 @@ def cohort_retention(
         .select(
             user_col,
             F.date_format("_cohort", "yyyy-MM-dd").alias("cohort_period"),
-            (F.datediff(F.col("_period"), F.col("_cohort")) / 7)
-            .cast("int")
-            .alias("period_offset"),
+            _offset_expr(period).cast("int").alias("period_offset"),
         )
         .distinct()
     )
@@ -187,7 +222,7 @@ def cohort_retention_sql(
     activity AS (
       SELECT DISTINCT a.{user_col},
              strftime(f._cohort, '%Y-%m-%d') AS cohort_period,
-             cast(datediff('day', f._cohort, a._period) / 7 as int) AS period_offset
+             cast({_offset_sql(period)} as int) AS period_offset
       FROM (SELECT DISTINCT {user_col}, date_trunc('{period}', {ts_col}) AS _period
             FROM {table}) a
       JOIN firsts f USING ({user_col})

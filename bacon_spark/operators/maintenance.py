@@ -474,16 +474,24 @@ def stats_pruned_read(
         raise FileNotFoundError(f"no stats manifest under {path}")
     lo_t, lo_v = _stat_value(lo) if lo is not None else (None, None)
     hi_t, hi_v = _stat_value(hi) if hi is not None else (None, None)
+    if lo is not None and hi is not None and lo_t != hi_t:
+        raise ValueError(
+            f"lo/hi bound types disagree for {col!r}: {lo_t} vs {hi_t}"
+        )
     keep = []
     for e in man["files"]:
         st = man["file_stats"].get(e["path"], {}).get(col)
         if st is None:
             keep.append(e["path"])  # no stats: must read (superset rule)
             continue
-        fmin, fmax = st["min"][1], st["max"][1]
-        if lo is not None and fmax < lo_v:
+        (min_t, fmin), (max_t, fmax) = st["min"], st["max"]
+        # a bound whose type tag disagrees with the stored stat (numeric
+        # bound vs string/timestamp stats, or vice versa) can't order
+        # against it — comparing would raise TypeError or, worse,
+        # mis-prune; keep the file (superset rule) instead
+        if lo is not None and lo_t == max_t and fmax < lo_v:
             continue
-        if hi is not None and fmin > hi_v:
+        if hi is not None and hi_t == min_t and fmin > hi_v:
             continue
         keep.append(e["path"])
     info = {"files_total": len(man["files"]), "files_read": len(keep)}

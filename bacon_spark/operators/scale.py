@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import re
 import os
 import shutil
 from urllib.parse import urlparse
@@ -198,6 +199,7 @@ def key_skew_stats(
     d: int = 64,
     refresh: bool = False,
     df: DataFrame | None = None,
+    view_tag: str | None = None,
 ) -> dict:
     """The per-(table, key) skew statistics behind :func:`auto_salt_join`,
     computed ONCE PER INGEST and cached in a stats sidecar
@@ -212,21 +214,36 @@ def key_skew_stats(
     changes the table's files invalidates it — the next call rescans
     and rewrites. ``refresh=True`` forces a rescan.
 
-    *df* optionally supplies the already-loaded DataFrame for the scan
-    (e.g. a view of the table with computed columns); the cache key is
-    still (path, key, d). A read-only table location (no sidecar
-    writable) degrades gracefully: stats are computed and returned,
-    just not cached. Writes are atomic (temp file + ``os.replace``) so
-    concurrent readers never see a torn record."""
-    stats_file = os.path.join(path, "_stats", f"key_skew_{key}.json")
+    *df* optionally supplies an already-loaded DataFrame for the scan
+    (e.g. a view of the table with computed columns). A caller-supplied
+    frame may be filtered/derived, so its moments are NOT the table's:
+    without *view_tag* they are served UNCACHED (no sidecar read or
+    write — a filtered view's skew must never drive another query's
+    salting decision, ADVICE r6); with *view_tag* (a caller-chosen
+    ``[A-Za-z0-9_-]`` token naming the view) the stats cache under
+    ``key_skew_<key>__<view_tag>.json`` and only serve calls with the
+    same tag. A read-only table location (no sidecar writable) degrades
+    gracefully: stats are computed and returned, just not cached.
+    Writes are atomic (temp file + ``os.replace``) so concurrent
+    readers never see a torn record."""
+    from .sketch import ams_f2
+
+    if view_tag is not None and not re.fullmatch(r"[A-Za-z0-9_-]+", view_tag):
+        raise ValueError(f"view_tag must match [A-Za-z0-9_-]+: {view_tag!r}")
+    uncached = df is not None and view_tag is None
+    suffix = f"__{view_tag}" if view_tag else ""
+    stats_file = os.path.join(path, "_stats", f"key_skew_{key}{suffix}.json")
     sig = _table_signature(path)
-    if not refresh and os.path.isfile(stats_file):
+    if not refresh and not uncached and os.path.isfile(stats_file):
         with open(stats_file) as fh:
             rec = json.load(fh)
-        if rec.get("signature") == sig and rec.get("d") == d:
+        if (
+            rec.get("signature") == sig
+            and rec.get("d") == d
+            and rec.get("view_tag") == view_tag
+        ):
             rec["cached"] = True
             return rec
-    from .sketch import ams_f2
 
     if df is None:
         df = spark.read.parquet(path)
@@ -245,8 +262,11 @@ def key_skew_stats(
         "collision_factor": (f2 / n) if n else 0.0,
         "d": d,
         "signature": sig,
+        "view_tag": view_tag,
         "cached": False,
     }
+    if uncached:
+        return rec  # arbitrary caller frame: never poisons the sidecar
     try:
         os.makedirs(os.path.dirname(stats_file), exist_ok=True)
         tmp = f"{stats_file}.{os.getpid()}.tmp"
@@ -290,9 +310,16 @@ def auto_salt_join(
     scans. That is the production form: the decision is table metadata,
     refreshed with the table, not a per-query job."""
     if big_path is not None:
-        rec = key_skew_stats(big.sparkSession, big_path, key, df=big)
-        n, f2 = rec["n"], rec["f2_estimate"]
-    else:
+        # moments come from the CANONICAL table read, never from *big*
+        # (which may be a filtered view — its skew is not table metadata);
+        # a computed key column absent from the raw table falls back to
+        # the inline big-side scan below, uncached
+        try:
+            rec = key_skew_stats(big.sparkSession, big_path, key)
+            n, f2 = rec["n"], rec["f2_estimate"]
+        except Exception:
+            big_path = None
+    if big_path is None:
         from .sketch import ams_f2
 
         stats = (

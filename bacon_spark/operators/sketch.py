@@ -343,6 +343,35 @@ def hist_lower_sql(expr: str) -> str:
     )
 
 
+def hist_bucket_spark_sql(expr: str) -> str:
+    """Spark-SQL dialect twin of :func:`hist_bucket_sql` (named
+    shiftright — Spark's SQL function accepts a column shift amount;
+    DuckDB's ``>>`` / ``//`` spellings don't parse in Spark)."""
+    b = f"length(bin({expr}))"
+    return (
+        f"CASE WHEN ({expr}) < 16 THEN cast(({expr}) as bigint) "
+        f"ELSE cast(16 + ({b} - 5) * 8 + "
+        f"(shiftright({expr}, cast({b} - 4 as int)) - 8) as bigint) END"
+    )
+
+
+def hist_lower_spark_sql(expr: str) -> str:
+    """Spark-SQL dialect twin of :func:`hist_lower_sql`."""
+    return (
+        f"CASE WHEN ({expr}) < 16 THEN cast(({expr}) as bigint) "
+        f"ELSE shiftleft(cast(8 + (({expr}) - 16) % 8 as bigint), "
+        f"cast((({expr}) - 16) div 8 + 1 as int)) END"
+    )
+
+
+def hist_lower_of_value_spark_sql(expr: str) -> str:
+    """``hist_lower(hist_bucket(v))`` as one Spark-SQL expression — the
+    deterministic bucket representative of a raw value (monotone
+    non-decreasing in v, which is what lets SketchPercentile's pushdown
+    SQL reproduce the engine estimate via an exact-rank selection)."""
+    return hist_lower_spark_sql(hist_bucket_spark_sql(expr))
+
+
 def hist_sketch(df: DataFrame, value: str, groups: Sequence[str] = ()) -> DataFrame:
     """Mergeable quantile/distribution sketch: per-(groups, bucket) row
     counts over :func:`hist_bucket`. State is <= |groups| * 488 rows no

@@ -4,9 +4,10 @@ offset arithmetic."""
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
-from bacon_spark.operators.funnel import cohort_retention, funnel
+from bacon_spark.operators.funnel import cohort_retention, cohort_retention_sql, funnel
 
 SCHEMA = "user_id long, event_type string, ts timestamp"
 T0 = dt.datetime(2024, 1, 1)
@@ -74,3 +75,58 @@ def test_cohort_retention_offsets(spark):
     assert got[("2024-01-08", 0)] == (1, 1.0)
     assert got[("2024-01-08", 1)] == (1, 1.0)
     assert ("2024-01-01", 1) not in got  # nobody from cohort 1 active week 1
+
+
+def test_cohort_retention_period_units(spark):
+    """ADVICE r6: offsets must be computed in the PERIOD's unit — a
+    monthly cohort active the next calendar month is offset 1 whatever
+    the month's day count (the old datediff/7 gave Jan->Feb offset 4)."""
+    rows = [
+        (1, "view", dt.datetime(2024, 1, 5)),
+        (1, "view", dt.datetime(2024, 2, 20)),   # next month -> offset 1
+        (1, "view", dt.datetime(2024, 12, 1)),   # offset 11
+        (2, "view", dt.datetime(2024, 3, 31)),
+        (2, "view", dt.datetime(2024, 4, 1)),    # next month despite 1 day apart
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        (r["cohort_period"], r["period_offset"]): r["active_users"]
+        for r in cohort_retention(df, period="month").collect()
+    }
+    assert got[("2024-01-01", 0)] == 1
+    assert got[("2024-01-01", 1)] == 1
+    assert got[("2024-01-01", 11)] == 1
+    assert got[("2024-03-01", 0)] == 1
+    assert got[("2024-03-01", 1)] == 1
+    # daily: consecutive days are offsets 0 and 1
+    drows = [(7, "view", dt.datetime(2024, 1, 1, 23)), (7, "view", dt.datetime(2024, 1, 2, 1))]
+    dgot = {
+        r["period_offset"] for r in cohort_retention(
+            spark.createDataFrame(drows, SCHEMA), period="day"
+        ).collect()
+    }
+    assert dgot == {0, 1}
+    with pytest.raises(ValueError, match="period"):
+        cohort_retention(df, period="fortnight").collect()
+    with pytest.raises(ValueError, match="period"):
+        cohort_retention_sql(period="fortnight")
+
+
+def test_cohort_retention_month_matches_oracle(spark):
+    """The Spark plan and the DuckDB twin agree per period unit."""
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        (u, "view", dt.datetime(2024, 1 + (u + i) % 11, 1 + (u * 7 + i * 3) % 27))
+        for u in range(30)
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    for period in ("day", "week", "month", "quarter", "year"):
+        got = sorted(map(tuple, cohort_retention(df, period=period).collect()))
+        con = duckdb.connect()
+        con.register("events", pd.DataFrame(rows, columns=["user_id", "event_type", "ts"]))
+        want = sorted(map(tuple, con.execute(cohort_retention_sql(period=period)).fetchall()))
+        con.close()
+        assert got == want, period

@@ -125,3 +125,63 @@ def test_ivfpq_cache_hygiene(spark):
     assert not spark._jsparkSession.sharedState().cacheManager().isEmpty()
     release_caches()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_qualify_pred_token_boundaries_and_literals():
+    """ADVICE r6: predicate qualification must be token-boundary aware
+    (doc_id is not id) and must not rewrite inside string literals."""
+    from bacon_spark.llm.pq import _qualify_pred
+
+    assert _qualify_pred("vec_id < 5", "vec_id", "e.vec_id") == "e.vec_id < 5"
+    # substring identifiers are untouched
+    assert _qualify_pred("doc_id < 5 AND id = 3", "id", "e.id") == (
+        "doc_id < 5 AND e.id = 3"
+    )
+    # string literals are copied verbatim (including doubled quotes)
+    assert _qualify_pred("tag = 'id' AND id > 1", "id", "pr.id") == (
+        "tag = 'id' AND pr.id > 1"
+    )
+    assert _qualify_pred("tag = 'it''s id' AND id > 1", "id", "pr.id") == (
+        "tag = 'it''s id' AND pr.id > 1"
+    )
+    # multiple bare references all qualify
+    assert _qualify_pred("id > 1 OR id < -5", "id", "t.id") == (
+        "t.id > 1 OR t.id < -5"
+    )
+
+
+def test_ivfpq_sql_pred_qualification_end_to_end(spark):
+    """The DuckDB replay with an id column that is a SUBSTRING of
+    another column name still parses and matches the Spark plan."""
+    import duckdb
+    import pandas as pd
+
+    from bacon_spark.llm import pq
+    from bacon_spark.utils.caching import release_caches
+
+    rows = [
+        (i, i * 10, [float(i % 4), float((i * 7) % 5), float(i % 3), 1.0])
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "id long, doc_id long, embedding array<double>")
+    probes = [(int(r["id"]), list(r["embedding"])) for r in
+              df.where("id < 3").collect()]
+    got = sorted(
+        (r["probe_id"], r["id"], r["rn"])
+        for r in pq.ivfpq_ann_topk(
+            df, probes, coarse_k=2, m=2, k=2, dim=4, nprobe=2, n=5, id_col="id"
+        ).collect()
+    )
+    release_caches()
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(rows, columns=["id", "doc_id", "embedding"]),
+    )
+    sql = pq.ivfpq_ann_topk_sql(
+        coarse_k=2, m=2, k=2, dim=4, nprobe=2, n=5,
+        probe_pred="id < 3 AND doc_id >= 0", id_col="id",
+    )
+    want = sorted((r[0], r[1], r[3]) for r in con.execute(sql).fetchall())
+    con.close()
+    assert got == want

@@ -308,3 +308,31 @@ def test_stats_pruned_read_skips_files(spark, tmp_path):
     ev.limit(10).write.parquet(bare)
     with _pytest.raises(FileNotFoundError):
         M.stats_pruned_read(spark, bare, "ts")
+
+
+def test_stats_pruned_read_type_mismatch_is_superset_not_typeerror(spark, tmp_path):
+    """ADVICE r6: a bound whose type tag disagrees with the stored stat
+    must keep the file (superset rule), never raise TypeError or
+    mis-prune; self-inconsistent lo/hi types fail loudly."""
+    import pytest as _pytest
+
+    from bacon_spark.operators import maintenance as M
+
+    path = str(tmp_path / "typed")
+    spark.range(100).selectExpr("id", "cast(id as string) AS s").write.parquet(path)
+    M.attach_file_stats(path, ["id", "s"])
+    total = M.read_manifest(path)["files"]
+
+    # numeric bounds against the STRING column's stats: every file kept
+    df, info = M.stats_pruned_read(spark, path, "s", 10, 20)
+    assert info["files_read"] == len(total)
+    assert df.count() == 100
+    # string bounds against the NUMERIC column's stats: every file kept
+    _, info2 = M.stats_pruned_read(spark, path, "id", "10", "20")
+    assert info2["files_read"] == len(total)
+    # matching tags still prune out-of-domain ranges to zero
+    _, info3 = M.stats_pruned_read(spark, path, "id", 1000, 2000)
+    assert info3["files_read"] == 0
+    # lo/hi that disagree with EACH OTHER are a caller bug: loud error
+    with _pytest.raises(ValueError, match="bound types disagree"):
+        M.stats_pruned_read(spark, path, "id", 10, "zzz")

@@ -506,6 +506,75 @@ def test_key_skew_stats_sidecar_cached_and_staleness(spark, tmp_path):
     assert "xxhash64" not in j2._jdf.queryExecution().toString()  # plain
 
 
+def test_key_skew_stats_caller_df_never_poisons_sidecar(spark, tmp_path):
+    """ADVICE r6: moments of a caller-supplied (possibly filtered) frame
+    are served UNCACHED — they must never be written as, or read from,
+    the table's stats; a view_tag opts into a separately-keyed cache."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from bacon_spark.operators.scale import auto_salt_join, key_skew_stats
+
+    path = str(tmp_path / "facts")
+    # table is skewed; the filtered view below removes the hot key
+    skew = spark.range(2_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("x"),
+    )
+    skew.write.parquet(path)
+    view = spark.read.parquet(path).where(F.col("k") != 7)
+
+    v = key_skew_stats(spark, path, "k", df=view)
+    assert v["cached"] is False and v["collision_factor"] < 8.0
+    assert not _os.path.isdir(_os.path.join(path, "_stats"))  # nothing written
+    # the canonical record is computed from the TABLE, not the view
+    t = key_skew_stats(spark, path, "k")
+    assert t["cached"] is False and t["collision_factor"] > 8.0
+    # and a later view call does not serve the table's cached moments
+    v2 = key_skew_stats(spark, path, "k", df=view)
+    assert v2["cached"] is False and v2["collision_factor"] < 8.0
+
+    # view_tag: separately-keyed cache, never crosses with the canonical
+    w = key_skew_stats(spark, path, "k", df=view, view_tag="no-hot")
+    assert w["cached"] is False
+    assert key_skew_stats(spark, path, "k", df=view, view_tag="no-hot")["cached"] is True
+    assert key_skew_stats(spark, path, "k")["cached"] is True  # canonical intact
+    assert key_skew_stats(spark, path, "k")["collision_factor"] > 8.0
+    with _pytest.raises(ValueError, match="view_tag"):
+        key_skew_stats(spark, path, "k", df=view, view_tag="../evil")
+
+    # auto_salt_join(big_path=...) decides from TABLE metadata even when
+    # handed a filtered frame — and still salts (the table is hot)
+    dim = spark.range(2_000).select(F.col("id").alias("k"), (F.col("id") % 3).alias("c"))
+    j = auto_salt_join(view, dim, "k", big_path=path)
+    assert "xxhash64" in j._jdf.queryExecution().toString()
+    assert sorted(map(tuple, j.collect())) == sorted(
+        map(tuple, view.join(dim, "k").collect())
+    )
+
+
+def test_auto_salt_join_computed_key_falls_back_inline(spark, tmp_path):
+    """A computed join key absent from the raw table can't use the
+    sidecar: auto_salt_join degrades to the inline scan, uncached."""
+    import os as _os
+
+    from bacon_spark.operators.scale import auto_salt_join
+
+    path = str(tmp_path / "raw")
+    spark.range(1_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("base"),
+    ).write.parquet(path)
+    big = spark.read.parquet(path).select((F.col("base") * 2).alias("k"))
+    dim = spark.range(3_000).select(F.col("id").alias("k"), F.lit("d").alias("c"))
+    j = auto_salt_join(big, dim, "k", big_path=path)
+    assert "xxhash64" in j._jdf.queryExecution().toString()  # skew detected inline
+    assert not _os.path.isdir(_os.path.join(path, "_stats"))
+    assert sorted(map(tuple, j.collect())) == sorted(
+        map(tuple, big.join(dim, "k").collect())
+    )
+
+
 def test_key_skew_stats_manifest_version_signature(spark, tmp_path):
     # with a manifest log the signature is the committed version — a new
     # commit (even re-listing the same files) invalidates the sidecar
@@ -639,6 +708,28 @@ def test_sketch_percentile_grand_total_and_plan(spark):
     q = CubeQuery().add_axis("g").add_value("p50")
     plan = board.slice(q).to_df()._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan
+
+
+def test_sketch_percentile_sql_pushdown_matches_engine(spark):
+    """Engine-equivalence invariant: a SQL-pushed SketchPercentile must
+    return the SAME histogram lower-bound estimate as the engine plan —
+    including null/negative exclusion and an all-excluded group (NULL)."""
+    from bacon_spark.sql import SqlCuttingBoard
+
+    rows = [("a", (i * 37) % 5000) for i in range(2000)]
+    rows += [("a", None), ("a", -9)]
+    rows += [("b", i) for i in range(100)]
+    rows += [("c", -1), ("c", -2), ("c", None)]  # nothing survives the filter
+    CubeQuery, board = _pct_board(spark, rows)
+    board.df.createOrReplaceTempView("t_pct_push")
+    q = CubeQuery().add_axis("g").add_value("p50").add_value("p95")
+    engine = {r["g"]: (r["p50"], r["p95"]) for r in board.slice(q).to_df().collect()}
+    pushed = {
+        r["g"]: (r["p50"], r["p95"])
+        for r in SqlCuttingBoard(board.cubedef, spark, "t_pct_push").df(q).collect()
+    }
+    assert pushed == engine
+    assert pushed["c"] == (0.0, 0.0)  # all-excluded group: engine convention
 
 
 def test_sketch_percentile_refused_by_lattice(spark):
