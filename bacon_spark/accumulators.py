@@ -53,6 +53,16 @@ class Accumulator:
         reference ``manipulate_sql``, /root/reference/bacon/accumulators.py:48-50)."""
         raise NotImplementedError
 
+    #: driver-side twin of ``merge`` for the warm navigation path
+    #: (engine CuttingBoard._local_rows): fold a list of FINISHED values
+    #: (collected from a cached slice) into one re-aggregated value
+    #: without a Spark job. None = no driver-side merge; the engine then
+    #: falls back to the Spark re-aggregation plan. Only meaningful when
+    #: ``reaggregatable`` — this is the reference's in-memory
+    #: ManipulateSlice (/root/reference/bacon/cutting.py:336-522) reborn
+    #: as an O(result-size) Python fold over bounded cached rows.
+    py_merge = None
+
 
 class Sum(Accumulator):
     """Null-skipping sum; all-null group -> null
@@ -65,6 +75,16 @@ class Sum(Accumulator):
 
     def merge(self, finished):
         return F.sum(finished)
+
+    @staticmethod
+    def py_merge(values):
+        vals = [v for v in values if v is not None]
+        if not vals:
+            return None
+        acc = vals[0]
+        for v in vals[1:]:
+            acc = acc + v
+        return acc
 
     def sql(self, expr):
         return f"sum({expr})"
@@ -85,6 +105,10 @@ class Count(Accumulator):
     def merge(self, finished):
         return F.sum(finished)
 
+    @staticmethod
+    def py_merge(values):
+        return sum(v for v in values if v is not None)
+
     def sql(self, expr):
         return "count(*)"
 
@@ -98,6 +122,11 @@ class Min(Accumulator):
     def merge(self, finished):
         return F.min(finished)
 
+    @staticmethod
+    def py_merge(values):
+        vals = [v for v in values if v is not None]
+        return min(vals) if vals else None
+
     def sql(self, expr):
         return f"min({expr})"
 
@@ -110,6 +139,11 @@ class Max(Accumulator):
 
     def merge(self, finished):
         return F.max(finished)
+
+    @staticmethod
+    def py_merge(values):
+        vals = [v for v in values if v is not None]
+        return max(vals) if vals else None
 
     def sql(self, expr):
         return f"max({expr})"

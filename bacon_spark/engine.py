@@ -87,6 +87,18 @@ def _cache_key(query: CubeQuery):
     )
 
 
+def _memo_key(query: CubeQuery):
+    """Full output signature for the driver-side rows memo: unlike
+    ``_cache_key`` (plan reuse: axes+filters, value superset allowed) the
+    memo is keyed on the exact projected/ordered output."""
+    return (
+        query.axes,
+        frozenset((n, op, _freeze_value(v)) for n, op, v in query.filters),
+        query.values,
+        query.order,
+    )
+
+
 class CuttingBoard:
     """Answers CubeQuery objects over a DataFrame, with result caching.
 
@@ -119,6 +131,16 @@ class CuttingBoard:
         # key -> (query, result_df); LRU promote-on-hit like the reference
         # deque rotation (/root/reference/bacon/cutting.py:181-202)
         self._cache: OrderedDict = OrderedDict()
+        # the WARM navigation path: _memo_key -> (query, schema, rows) of
+        # COLLECTED slice results. Cube results are bounded by group
+        # count, so materialized rows are cheap to hold, and a repeat /
+        # drill / roll-up served from them costs no Spark job at all —
+        # the reference's in-memory slice reuse
+        # (/root/reference/bacon/cutting.py:235-522) at driver scope,
+        # layered OVER the persisted-DataFrame cache (which still serves
+        # anything the driver-side fold can't express exactly).
+        self._rows_memo: OrderedDict = OrderedDict()
+        self.local_hits = 0  # diagnostics: queries answered without a job
         self._lattices: list = []  # registered CubeLattice materializations
         self._lock = threading.RLock()
 
@@ -131,10 +153,21 @@ class CuttingBoard:
         accumulator because the lattice stores finished values per grain."""
         self._lattices.append(lattice)
 
+    #: per-entry bound on memoized rows (a slice bigger than this is not a
+    #: navigation result; holding it driver-side would be the render-path
+    #: collect problem this layer exists to avoid)
+    MEMO_MAX_ROWS = 100_000
+
     # --- public API -------------------------------------------------------
     def slice(self, query: CubeQuery) -> Slice:
+        if self.cache_results:
+            local = self._local_slice(query)
+            if local is not None:
+                return local
         df = self._plan(query)
-        return Slice(self.cubedef, query, df)
+        return Slice(
+            self.cubedef, query, df, board=self if self.cache_results else None
+        )
 
     def rows(self, query: CubeQuery, limit: int | None = None, offset: int = 0) -> DataFrame:
         """Raw-rows sink: unaggregated filtered records with paging
@@ -167,6 +200,156 @@ class CuttingBoard:
             for _, cached_df in self._cache.values():
                 cached_df.unpersist()
             self._cache.clear()
+            self._rows_memo.clear()
+
+    # --- driver-side warm path ---------------------------------------------
+    def _memoize_rows(self, query: CubeQuery, schema, rows) -> None:
+        """Called by Slice.collect(): keep the materialized result for
+        warm navigation. Bounded per entry (MEMO_MAX_ROWS) and in entry
+        count (CACHE_SIZE, LRU)."""
+        if len(rows) > self.MEMO_MAX_ROWS:
+            return
+        with self._lock:
+            self._rows_memo[_memo_key(query)] = (query, schema, list(rows))
+            self._rows_memo.move_to_end(_memo_key(query))
+            while len(self._rows_memo) > self.CACHE_SIZE:
+                self._rows_memo.popitem(last=False)
+
+    def _local_slice(self, query: CubeQuery):
+        """Serve *query* entirely driver-side from memoized slice rows —
+        no Spark job. Exact repeats return their memoized rows; drills
+        (eq filters on cached extra axes) filter rows in Python; axis
+        drops re-aggregate via the accumulators' ``py_merge`` twins.
+        Returns None when no memoized parent can answer exactly; the
+        planner then falls through to the persisted-DataFrame cache.
+
+        This is the reference's slice-reuse machinery
+        (/root/reference/bacon/cutting.py:235-522) applied at its native
+        cost: O(cached result size) Python, zero scheduling. At 100 TB
+        the cached results are still group-count-bounded, so the warm
+        path's cost is unchanged by data scale."""
+        if any(op not in FILTER_OPS for _, op, _v in query.filters):
+            return None
+        with self._lock:
+            entries = list(self._rows_memo.items())
+            exact = self._rows_memo.get(_memo_key(query))
+        if exact is not None:
+            _, schema, rows = exact
+            self.local_hits += 1
+            return self._local_made(query, schema, rows)
+        wanted_vals = set(query.values)
+        fq = frozenset((n, op, _freeze_value(v)) for n, op, v in query.filters)
+        for _key, (pq, schema, rows) in entries:
+            if not wanted_vals <= set(pq.values):
+                continue
+            if not set(query.axes) <= set(pq.axes):
+                continue
+            fc = frozenset((n, op, _freeze_value(v)) for n, op, v in pq.filters)
+            if not fc <= fq:
+                continue
+            # every ADDED filter must be an eq pin on a cached axis —
+            # filtering finished rows by a GROUP KEY value is exactly
+            # filtering the input by that label (sound for any
+            # accumulator); anything else can't be applied to finished
+            # rows and falls through to the Spark planner
+            drill: dict = {}
+            ok = True
+            for n, op, v in query.filters:
+                if (n, op, _freeze_value(v)) in fc:
+                    continue
+                if op == "eq" and n in pq.axes:
+                    drill[n] = v
+                else:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            extra_axes = [a for a in pq.axes if a not in query.axes]
+            # dropping axes changes grain -> driver-side re-aggregation
+            # (pinned-and-dropped axes leave singleton groups; unpinned
+            # ones merge several finished rows per output group)
+            needs_reagg = bool(extra_axes)
+            if needs_reagg and not all(
+                self.cubedef.get_value(v).acc.reaggregatable
+                and self.cubedef.get_value(v).acc.py_merge is not None
+                for v in query.values
+            ):
+                continue
+            if drill:
+                rows = [
+                    r
+                    for r in rows
+                    if all(
+                        (r[a] is None and v is None) or r[a] == v
+                        for a, v in drill.items()
+                    )
+                ]
+            out = self._py_reaggregate(query, rows) if needs_reagg else [
+                {c: r[c] for c in (*query.axes, *query.values)} for r in rows
+            ]
+            self._py_order(query, out)
+            self.local_hits += 1
+            from pyspark.sql.types import StructType
+
+            fields = {f.name: f for f in schema.fields}
+            out_schema = StructType(
+                [fields[c] for c in (*query.axes, *query.values)]
+            )
+            made = self._local_made(
+                query, out_schema, [tuple(d[c] for c in out_schema.names) for d in out]
+            )
+            # memoize the derived result too: further drills chain off it
+            self._memoize_rows(query, out_schema, made._rows)
+            return made
+        return None
+
+    def _local_made(self, query: CubeQuery, schema, rows) -> Slice:
+        """A Slice over already-materialized rows: collect()/renderers
+        use them directly (zero Spark work), while to_df() lazily wraps
+        them in a DataFrame only if a caller actually wants the plan —
+        keeping the driver contract without paying for it per hit."""
+        from pyspark.sql import Row
+
+        if rows and not isinstance(rows[0], Row):
+            mk = Row(*schema.names)
+            rows = [mk(*t) for t in rows]
+        spark = self.df.sparkSession
+        return Slice(
+            self.cubedef,
+            query,
+            lambda: spark.createDataFrame(rows, schema),
+            board=None,
+            rows=rows,
+        )
+
+    def _py_reaggregate(self, query: CubeQuery, rows) -> list[dict]:
+        """Driver-side twin of ``_reaggregate``: group collected finished
+        rows by query.axes and fold each measure with its accumulator's
+        ``py_merge``."""
+        groups: OrderedDict = OrderedDict()
+        for r in rows:
+            groups.setdefault(tuple(r[a] for a in query.axes), []).append(r)
+        out = []
+        for key, grp in groups.items():
+            d = dict(zip(query.axes, key))
+            for v in query.values:
+                d[v] = self.cubedef.get_value(v).acc.py_merge([g[v] for g in grp])
+            out.append(d)
+        return out
+
+    def _py_order(self, query: CubeQuery, out: list[dict]) -> None:
+        """Driver-side twin of ``_order``: stable sorts applied in
+        reversed priority (axes last-to-first, then the measure order)."""
+        for a in reversed(query.axes):
+            label = self.cubedef.get_label(a)
+            out.sort(key=lambda d, a=a: (d[a] is not None, d[a]), reverse=label.reverse)
+        if query.order:
+            sign, value_name, _pv = query.order
+            if value_name in query.values:
+                out.sort(
+                    key=lambda d: d[value_name] if d[value_name] is not None else 0,
+                    reverse=sign < 0,
+                )
 
     def refresh(self, delta_df: DataFrame, grow_base: bool = True) -> None:
         """Incrementally fold *delta_df* (newly-arrived rows, same schema)
@@ -200,6 +383,8 @@ class CuttingBoard:
                 self._lattices.remove(lat)
                 lat.unpersist()
         with self._lock:
+            # memoized rows describe the pre-refresh data: all stale
+            self._rows_memo.clear()
             entries = list(self._cache.items())
             for key, (cq, cdf) in entries:
                 if not all(
@@ -529,12 +714,28 @@ class Slice:
     only collects the (small, aggregated) result.
     """
 
-    def __init__(self, cubedef: CubeDef, query: CubeQuery, df: DataFrame, _prefix=()):
+    def __init__(
+        self,
+        cubedef: CubeDef,
+        query: CubeQuery,
+        df: DataFrame,
+        _prefix=(),
+        board=None,
+        rows=None,
+    ):
         self.cubedef = cubedef
         self.query = query
-        self.df = df
+        self._df = df  # DataFrame, or a 0-arg thunk building one lazily
         self._prefix = _prefix
         self._tree = None
+        self._board = board  # feeds collected rows back to the warm memo
+        self._rows = rows  # prefetched rows (warm path): collect() is free
+
+    @property
+    def df(self) -> DataFrame:
+        if callable(self._df):
+            self._df = self._df()
+        return self._df
 
     # --- Spark-side access --------------------------------------------------
     def to_df(self) -> DataFrame:
@@ -543,6 +744,39 @@ class Slice:
     def explain(self, mode: str = "formatted") -> None:  # pragma: no cover
         self.df.explain(mode)
 
+    # --- materialization ------------------------------------------------------
+    def collect(self, max_rows: int | None = None) -> list:
+        """Materialize the result rows ONCE per slice, memoized — repeat
+        renders and board-level warm navigation reuse them without a new
+        Spark job (the reference's cached-slice walk,
+        /root/reference/bacon/cutting.py:235-271).
+
+        *max_rows* is the render-path cardinality guard: when set, the
+        collect is probed with ``limit(max_rows + 1)`` and a larger slice
+        raises QueryError instead of collecting the world — a pivot on a
+        high-cardinality axis fails fast and pageable."""
+        if self._rows is None:
+            if max_rows is not None:
+                got = self.df.limit(max_rows + 1).collect()
+                if len(got) > max_rows:
+                    raise QueryError(
+                        f"slice has more than {max_rows} rows; refusing to "
+                        "collect for rendering — add filters, drop an axis, "
+                        "or page through rows()/keyset_page instead"
+                    )
+                self._rows = got
+            else:
+                self._rows = self.df.collect()
+            if self._board is not None:
+                self._board._memoize_rows(self.query, self.df.schema, self._rows)
+        elif max_rows is not None and len(self._rows) > max_rows:
+            raise QueryError(
+                f"slice has more than {max_rows} rows; refusing to "
+                "collect for rendering — add filters, drop an axis, "
+                "or page through rows()/keyset_page instead"
+            )
+        return self._rows
+
     # --- collected navigation ------------------------------------------------
     @property
     def axes(self) -> tuple[str, ...]:
@@ -550,7 +784,7 @@ class Slice:
 
     def _collect(self):
         if self._tree is None:
-            rows = self.df.collect()
+            rows = self.collect()
             tree: dict = {}
             axes = self.query.axes
             vals = self.query.values
@@ -576,7 +810,14 @@ class Slice:
         """Peel one axis (/root/reference/bacon/cutting.py:547-560)."""
         if not self.axes:
             raise QueryError("cannot index a 0-dimensional slice")
-        child = Slice(self.cubedef, self.query, self.df, self._prefix + (value,))
+        child = Slice(
+            self.cubedef,
+            self.query,
+            self._df,
+            self._prefix + (value,),
+            board=self._board,
+            rows=self._rows,
+        )
         child._tree = self._tree
         return child
 
@@ -609,7 +850,7 @@ class Slice:
         order — convenience for renderers."""
         visible = self.query.visible_values
         out = []
-        for row in self.df.collect():
+        for row in self.collect():
             d = {a: row[a] for a in self.query.axes}
             d.update({v: row[v] for v in visible})
             out.append(d)
@@ -639,7 +880,7 @@ class SliceMatrix:
         self._tuple = namedtuple("Record", self.values)  # noqa: PYI024
 
         cd = slice_.cubedef
-        raw = slice_.df.collect()
+        raw = slice_.collect()
         row_keys, col_keys, cells = [], [], {}
         seen_r, seen_c = set(), set()
         for r in raw:

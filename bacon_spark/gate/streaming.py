@@ -1218,3 +1218,61 @@ def q176_streaming_quantile_sketch(spark, sf_dir):
     return est.join(exact, ["window_start", "pct"]).select(
         "window_start", "pct", "q_est", "q_exact"
     )
+
+
+_funnel_b = __import__("bacon_spark.operators.funnel", fromlist=["x"])
+
+
+@query(
+    "q183_streaming_funnel",
+    _funnel_b.funnel_sql("events", ("view", "click", "purchase")),
+)
+def q183_streaming_funnel(spark, sf_dir):
+    """q178's ordered funnel as a TRUE Structured Streaming job
+    (streaming/funnel.streaming_funnel_steps, VERDICT r6 #6): per-user
+    step timestamps held in an applyInPandasWithState row of exactly
+    len(steps)+1 longs — set-once, monotone under per-user event-time
+    order, so the cross-batch result equals the batch funnel EXACTLY
+    (the oracle is the same conditional-min chain replay q178 uses).
+
+    Harness: events staged as two ordered files split at the median
+    timestamp (per-user event-time order across triggers — the Kafka
+    key-ordering reality), update-mode memory sink; the latest snapshot
+    per user folds into the batch funnel's exact output shape. State is
+    event-count-independent (asserted in tests/test_stream_state.py)."""
+    import shutil
+
+    from ..streaming.funnel import (
+        funnel_counts_from_steps,
+        latest_funnel_steps,
+        streaming_funnel_steps,
+    )
+    from ..streaming.windows import (
+        run_stream_to_memory,
+        scratch_dir,
+        stage_ordered_files,
+    )
+
+    steps = ("view", "click", "purchase")
+    ev = _read(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    split = ev.agg(F.expr("percentile_approx(ts, 0.5)")).head()[0]
+    d = scratch_dir("bacon_q183_")
+    stage_ordered_files([
+        (d, ev.filter(F.col("ts") <= F.lit(split)), "overwrite"),
+        (d, ev.filter(F.col("ts") > F.lit(split)), "append"),
+    ])
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    snaps = streaming_funnel_steps(
+        stream, steps, horizon="7 days", watermark="3650 days"
+    )
+    prev_nd = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        run_stream_to_memory(snaps, "q183_stream", mode="update")
+    finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nd)
+        shutil.rmtree(d, ignore_errors=True)
+    latest = latest_funnel_steps(spark.table("q183_stream"))
+    return funnel_counts_from_steps(latest, steps)

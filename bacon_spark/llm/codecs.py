@@ -324,18 +324,58 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
 # ---------------------------------------------------------------------------
 
 
+#: pluggable decoder overrides: format key -> fn(payload) -> (w, h, gray).
+#: Lets a deployment with a real codec library (PIL, turbojpeg) replace
+#: or extend the stdlib decoders without touching the pipeline — the
+#: documented codec seam (VERDICT r6 #5). Keys: "jpeg", "png", "bmp",
+#: "pnm", "video".
+_DECODERS: dict = {}
+
+
+def register_decoder(fmt: str, fn) -> None:
+    """Install (or, with ``fn=None``, remove) a decoder override for
+    *fmt*. The function receives the raw payload and must return
+    (width, height, grayscale-bytes) — the same contract as the
+    stdlib decoders here."""
+    if fn is None:
+        _DECODERS.pop(fmt, None)
+    else:
+        _DECODERS[fmt] = fn
+
+
+def _sniff(payload: bytes) -> str:
+    if payload[:2] in (b"P5", b"P6"):
+        return "pnm"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if payload[:8] == _PNG_SIG:
+        return "png"
+    return "unknown"
+
+
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """Sniff the payload's magic bytes and decode to (w, h, grayscale).
 
-    Raises NotImplementedError for codec-bound formats (JPEG/video) —
-    the documented remaining stub surface."""
-    if payload[:2] in (b"P5", b"P6"):
+    A registered override (``register_decoder``) wins; otherwise the
+    stdlib decoders apply — including baseline JFIF via llm/jpeg.py, so
+    the format web corpora actually contain decodes out of the box.
+    NotImplementedError remains only for video and for JPEG variants the
+    baseline decoder rejects (progressive/arithmetic)."""
+    fmt = _sniff(payload)
+    override = _DECODERS.get(fmt)
+    if override is not None:
+        return override(payload)
+    if fmt == "pnm":
         return decode_ppm(payload)
-    if payload[:2] == b"BM":
+    if fmt == "bmp":
         return decode_bmp(payload)
-    if payload[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError("JPEG decode requires a codec library (PIL)")
-    if payload[:8] == _PNG_SIG:
+    if fmt == "jpeg":
+        from .jpeg import decode_jpeg_luma
+
+        return decode_jpeg_luma(payload)
+    if fmt == "png":
         return decode_png(payload)
     raise NotImplementedError(f"unrecognized image format (magic {payload[:4]!r})")
 

@@ -1251,7 +1251,6 @@ def containment_pairs(
 
     from ..utils.caching import managed_persist
 
-    num, den = threshold
     hashed = docs.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), w)).alias("_g")
     ).select(F.col(id_col), hash60(F.col("_g")).alias("h")).distinct()
@@ -1265,6 +1264,23 @@ def containment_pairs(
         .where(F.col("_rn") <= k)
         .select(F.col(id_col).alias("a"), "h")
     )
+    return _containment_from_frames(kept, na, sig, id_col, k, threshold)
+
+
+def _containment_from_frames(
+    kept: DataFrame,
+    na: DataFrame,
+    sig: DataFrame,
+    id_col: str,
+    k: int,
+    threshold: tuple[int, int],
+) -> DataFrame:
+    """The probe/verify half of :func:`containment_pairs`, over prepared
+    frames: candidate generation from the signature-vs-inverted join,
+    integer-threshold estimate cut, exact verification on candidates."""
+    from ..utils.caching import managed_persist
+
+    num, den = threshold
     cand = (
         sig.join(kept.select(F.col(id_col).alias("b"), "h"), "h")
         .where(F.col("b") != F.col("a"))
@@ -1295,6 +1311,100 @@ def containment_pairs(
             F.round(F.col("_inter") / F.col("_n"), 6).alias("containment"),
         )
     )
+
+
+def containment_index_build(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    w: int = 4,
+    df_cap: int = 64,
+) -> int:
+    """Persist the ONCE-PER-INGEST half of containment dedup as an index
+    under the manifest protocol (VERDICT r6 #3 — same split as the
+    IVF-PQ index): the df-capped inverted (doc, hash60) frame, the
+    per-doc kept-gram counts, and the bottom-k signatures. Shingling,
+    hashing, the df-cap aggregation, and the per-doc rank window are all
+    paid here, not per query. Both join-heavy tables are written
+    repartitioned by ``h`` so the probe's hash joins read co-clustered
+    files. Returns the committed manifest version; readers see the index
+    only after the put-if-absent manifest publish."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    from ..operators.maintenance import commit_manifest, manifest_versions, table_files
+    from ..utils.caching import managed_persist
+
+    hashed = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), w)).alias("_g")
+    ).select(F.col(id_col), hash60(F.col("_g")).alias("h")).distinct()
+    dfok = hashed.groupBy("h").count().where(F.col("count") <= df_cap).select("h")
+    kept = managed_persist(hashed.join(dfok, "h"))
+    kept.repartition(F.col("h")).write.mode("overwrite").parquet(
+        os.path.join(path, "inverted")
+    )
+    kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "doc_stats"))
+    (
+        kept.withColumn(
+            "_rn", F.row_number().over(Window.partitionBy(id_col).orderBy("h"))
+        )
+        .where(F.col("_rn") <= k)
+        .select(F.col(id_col).alias("a"), "h")
+        .repartition(F.col("h"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "signatures"))
+    )
+    files = [(os.path.relpath(f, path), b) for f, b in table_files(path)]
+    vs = manifest_versions(path)
+    return commit_manifest(
+        path,
+        files,
+        base_version=vs[-1] if vs else 0,
+        op="containment-index",
+        extra={
+            "containment": {
+                "id_col": id_col,
+                "k": k,
+                "w": w,
+                "df_cap": df_cap,
+            }
+        },
+    )
+
+
+def containment_index_probe(
+    spark,
+    path: str,
+    threshold: tuple[int, int] = (1, 2),
+    version: int | None = None,
+) -> DataFrame:
+    """Probe-only containment dedup against a prebuilt index: reads the
+    manifest-pinned inverted/stats/signature tables and runs only the
+    candidate join + integer-threshold estimate + exact verification —
+    no shingling, no hashing, no df-cap pass, no rank window. Result is
+    row-identical to :func:`containment_pairs` with the index's build
+    parameters (pinned by tests/test_llm_ops.py).
+
+    Scale shape: two hash joins over pre-clustered int tables; the probe
+    side is |docs|*k rows and verification touches candidates only."""
+    import os
+
+    from ..operators.maintenance import read_manifest
+
+    man = read_manifest(path, version)
+    if man is None or "containment" not in man:
+        raise FileNotFoundError(f"no containment index under {path}")
+    params = man["containment"]
+    id_col, k = params["id_col"], params["k"]
+    kept = spark.read.parquet(os.path.join(path, "inverted"))
+    na = spark.read.parquet(os.path.join(path, "doc_stats"))
+    sig = spark.read.parquet(os.path.join(path, "signatures"))
+    return _containment_from_frames(kept, na, sig, id_col, k, threshold)
 
 
 def containment_pairs_sql(

@@ -73,6 +73,53 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
+def synthetic_image_assets(spark, n_pairs: int = 24) -> DataFrame:
+    """REAL-image asset table with planted cross-format near-duplicate
+    twins: pair k is one deterministic 64x48 pattern encoded twice, in
+    two DIFFERENT formats cycling png/bmp/ppm/JPEG (q=92) — the
+    image-dedup reality of a scraped corpus, where the same picture
+    circulates as a lossless PNG and a lossy JPEG. Distinct patterns are
+    frequency-separated, so planted twins sit at aHash hamming <= 1 and
+    every cross-pattern pair is >= 9 (measured at n_pairs=24): the
+    planted set IS the provable near-dup answer for max_hamming <= 3.
+
+    Exercises the full real-decode path including the baseline JFIF
+    decoder (llm/jpeg.py) inside Arrow mapInPandas workers."""
+    from .codecs import encode_bmp, encode_png, encode_ppm
+    from .jpeg import encode_jpeg_ycbcr
+
+    w, h = 64, 48
+
+    def base_rgb(k: int) -> bytes:
+        out = bytearray()
+        for y in range(h):
+            for x in range(w):
+                out += bytes(
+                    (
+                        (x * (3 + k) + y * (2 * k + 1)) % 256,
+                        (x * x // (k + 2) + y * 5 + k * 37) % 256,
+                        ((x + y) * (k + 7) + (x * y) // 8) % 256,
+                    )
+                )
+        return bytes(out)
+
+    encoders = [
+        lambda rgb: encode_png(w, h, rgb),
+        lambda rgb: encode_bmp(w, h, rgb),
+        lambda rgb: encode_ppm(w, h, rgb),
+        lambda rgb: encode_jpeg_ycbcr(w, h, rgb, quality=92),
+    ]
+    rows = []
+    for k in range(n_pairs):
+        rgb = base_rgb(k)
+        for twin, fi in ((0, k % 4), (1, (k + 1) % 4)):
+            payload = encoders[fi](rgb)
+            rows.append(
+                (2 * k + twin, "image", payload, "image/mixed", w, h, 0)
+            )
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
 def _fake_decode(payload: bytes, dim: int) -> list[float]:
     """Deterministic stand-in for a real decoder: dim-bucket byte histogram
     normalized to [0,1]. Replace with PIL/ffmpeg in production."""

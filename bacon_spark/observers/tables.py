@@ -118,7 +118,19 @@ class TablePivot:
     observers/tables.py:325-508). Includes per-row totals (across column
     groups) and a column-totals row."""
 
-    def __init__(self, board: CuttingBoard, query: CubeQuery, page: Page | None = None):
+    #: render-path cardinality guard: a pivot whose slice exceeds this
+    #: refuses to collect (QueryError) instead of materializing millions
+    #: of rows driver-side — the caller should filter, page, or drop an
+    #: axis. Overridable per renderer via ``max_render_rows``.
+    MAX_RENDER_ROWS = 200_000
+
+    def __init__(
+        self,
+        board: CuttingBoard,
+        query: CubeQuery,
+        page: Page | None = None,
+        max_render_rows: int | None = None,
+    ):
         if not query.pivots:
             raise ValueError("TablePivot requires a pivoted query")
         self.board = board
@@ -127,11 +139,14 @@ class TablePivot:
         self.row_axes = query.row_axes
         self.pivots = query.pivots
         self.values = query.visible_values
+        self.max_render_rows = (
+            self.MAX_RENDER_ROWS if max_render_rows is None else max_render_rows
+        )
         self._build()
 
     def _build(self):
         sl = self.board.slice(self.query)
-        raw = sl.df.collect()
+        raw = sl.collect(max_rows=self.max_render_rows)
         cd = self.board.cubedef
 
         # observed pivot combos, stable-sorted rightmost key first
@@ -165,7 +180,7 @@ class TablePivot:
             qrow = qrow.remove_axis(p)
         self._row_totals = {
             tuple(r[a] for a in self.row_axes): {v: r[v] for v in self.values}
-            for r in self.board.slice(qrow).df.collect()
+            for r in self.board.slice(qrow).collect(max_rows=self.max_render_rows)
         }
         # per-column totals = the query without its row axes
         qcol = self.query
@@ -173,7 +188,7 @@ class TablePivot:
             qcol = qcol.remove_axis(a)
         self._col_totals = {
             tuple(r[p] for p in self.pivots): {v: r[v] for v in self.values}
-            for r in self.board.slice(qcol).df.collect()
+            for r in self.board.slice(qcol).collect(max_rows=self.max_render_rows)
         }
 
     @property

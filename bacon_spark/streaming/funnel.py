@@ -1,0 +1,160 @@
+"""Streaming ordered funnel (VERDICT r6 #6): q178's ordered-step
+matching as a Structured Streaming operator with PER-USER BOUNDED state.
+
+The batch funnel (operators/funnel.py) is a conditional-min chain:
+step i's timestamp is the earliest qualifying event after step i-1 and
+within *horizon* of it. Processed in per-user EVENT-TIME order that
+chain is a one-pass state machine whose entire state is one timestamp
+per step — set-once, monotone: t0 is fixed by the first step-1 event
+seen, and each later t_i by the first in-window step event after
+t_{i-1}. So the streaming form is ``applyInPandasWithState`` with a
+fixed-size state row of len(steps) epoch-micros longs plus an update
+counter — no event buffering, state bytes independent of event count
+(asserted in tests/test_stream_state.py).
+
+Exactness contract: cross-batch equality with the batch funnel holds
+when each user's events arrive in event-time order ACROSS batches (the
+per-key ordering a Kafka-partitioned-by-user source provides; within a
+batch arbitrary order is fine — rows are sorted before folding, with
+step index as the tie-break so a same-timestamp later step still
+qualifies, matching the batch chain's ``>=`` semantics). An out-of-order
+straggler can only miss conversions, never invent them.
+
+Consumers keep the LATEST emitted snapshot per user (the ``upd``
+counter orders emissions); :func:`latest_funnel_steps` and
+:func:`funnel_counts_from_steps` fold the update-mode sink back into
+exactly the batch funnel's output shape.
+
+Reference analogue: none — engine extension (SURVEY §2.10).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_UNIT_US = {
+    "second": 1_000_000,
+    "seconds": 1_000_000,
+    "minute": 60_000_000,
+    "minutes": 60_000_000,
+    "hour": 3_600_000_000,
+    "hours": 3_600_000_000,
+    "day": 86_400_000_000,
+    "days": 86_400_000_000,
+}
+
+
+def _horizon_us(horizon: str) -> int:
+    m = re.fullmatch(r"\s*(\d+)\s+(\w+)\s*", horizon)
+    if not m or m.group(2) not in _UNIT_US:
+        raise ValueError(f"unsupported horizon: {horizon!r}")
+    return int(m.group(1)) * _UNIT_US[m.group(2)]
+
+
+def streaming_funnel_steps(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    horizon: str = "7 days",
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Per-user funnel step timestamps over a stream: emits
+    (user, t0..tk, upd) snapshots in update mode, state = k+1 longs."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    k = len(steps)
+    step_ix = {s: i for i, s in enumerate(steps)}
+    hz = _horizon_us(horizon)
+    out_schema = (
+        f"{user_col} bigint, "
+        + ", ".join(f"t{i} timestamp" for i in range(k))
+        + ", upd bigint"
+    )
+    state_schema = ", ".join(f"t{i} bigint" for i in range(k)) + ", upd bigint"
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            got = list(state.get)
+            t, upd = got[:k], got[k]
+        else:
+            t, upd = [None] * k, 0
+        rows = []
+        for pdf in pdf_iter:
+            for typ, ts in zip(pdf[type_col], pdf[ts_col]):
+                i = step_ix.get(typ)
+                if i is None or pd.isna(ts):
+                    continue
+                rows.append((int(pd.Timestamp(ts).value // 1000), i))
+        # event-time order within the batch; step index breaks ts ties so
+        # an equal-timestamp later step still sees its predecessor set
+        rows.sort()
+        for us, i in rows:
+            if i == 0:
+                if t[0] is None or us < t[0]:
+                    t[0] = us
+            else:
+                prev = t[i - 1]
+                if prev is not None and t[i] is None and prev <= us <= prev + hz:
+                    t[i] = us
+        upd += 1
+        state.update(tuple(t) + (upd,))
+        yield pd.DataFrame(
+            {
+                user_col: pd.array([key[0]], dtype="int64"),
+                **{
+                    f"t{i}": [
+                        pd.Timestamp(t[i], unit="us") if t[i] is not None else pd.NaT
+                    ]
+                    for i in range(k)
+                },
+                "upd": pd.array([upd], dtype="int64"),
+            }
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def latest_funnel_steps(snapshots: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Latest per-user snapshot from an update-mode sink (max ``upd``)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col("upd").desc())
+    return (
+        snapshots.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "upd")
+    )
+
+
+def funnel_counts_from_steps(
+    step_frame: DataFrame, steps: tuple[str, ...]
+) -> DataFrame:
+    """Fold per-user step timestamps into the batch funnel's output
+    shape: (step, step_name, users, pct_of_entry) — identical aliases
+    and rounding to operators/funnel.funnel, so the two forms compare
+    row-for-row."""
+    counts = step_frame.agg(
+        *[F.count(F.col(f"t{i}")).alias(f"n{i}") for i in range(len(steps))]
+    )
+    rows = None
+    for i, st in enumerate(steps):
+        row = counts.select(
+            F.lit(i + 1).cast("int").alias("step"),
+            F.lit(st).alias("step_name"),
+            F.col(f"n{i}").cast("long").alias("users"),
+            F.round(F.col(f"n{i}") / F.col("n0"), 6).alias("pct_of_entry"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

@@ -118,6 +118,19 @@ def _run():
             print(f"bench error in {name}: {e}", file=sys.stderr)
         cleanup()
 
+    # warm navigation sequence (VERDICT r6 #1): parse -> cold slice ->
+    # repeat/drill/rollup served by the slice cache + rows memo. Short
+    # keys + 4-dp rounding keep the line small (driver stdout window).
+    nav = {}
+    try:
+        from tools.bench_nav import engine_nav
+
+        nav = {
+            k: v for k, v in engine_nav(sf_dir)["steps"].items()
+        }
+    except Exception as e:  # pragma: no cover - bench resilience
+        print(f"bench nav error: {e}", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark.stop()
     return {
@@ -125,6 +138,7 @@ def _run():
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
+        "nav": nav,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 

@@ -83,7 +83,118 @@ def test_decode_image_dispatch_and_codec_stubs():
     assert decode_image(encode_ppm(4, 4, rgb)) == decode_ppm(encode_ppm(4, 4, rgb))
     assert decode_image(encode_bmp(4, 4, rgb)) == decode_bmp(encode_bmp(4, 4, rgb))
     assert decode_image(encode_png(4, 4, rgb)) == decode_png(encode_png(4, 4, rgb))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="no scan data"):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+
+
+# --- baseline JPEG (llm/jpeg.py) --------------------------------------------
+
+
+def _jpeg_mods():
+    from bacon_spark.llm import jpeg
+
+    return jpeg
+
+
+def test_jpeg_gray_roundtrip_and_determinism():
+    jpeg = _jpeg_mods()
+    w, h = 48, 32
+    gray = bytes(
+        ((x * 4 + y * 3) % 256) if (x // 8 + y // 8) % 2 else (x * 5) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+    p = jpeg.encode_jpeg_baseline(w, h, gray, quality=90)
+    assert p[:3] == b"\xff\xd8\xff" and p[-2:] == b"\xff\xd9"
+    dw, dh, dec = jpeg.decode_jpeg_luma(p)
+    assert (dw, dh) == (w, h)
+    err = [abs(a - b) for a, b in zip(gray, dec)]
+    assert sum(err) / len(err) < 2.0 and max(err) < 24
+    # bit-determinism both ways (oracle-hash requirement)
+    assert jpeg.encode_jpeg_baseline(w, h, gray, quality=90) == p
+    assert jpeg.decode_jpeg_luma(p)[2] == dec
+    # flat image near-exact
+    flat = bytes([77]) * (w * h)
+    assert max(
+        abs(a - b)
+        for a, b in zip(flat, jpeg.decode_jpeg_luma(jpeg.encode_jpeg_baseline(w, h, flat))[2])
+    ) <= 1
+
+
+@pytest.mark.parametrize("sub", [(2, 2), (1, 1), (2, 1)])
+def test_jpeg_color_decodes_luma_across_subsampling(sub):
+    jpeg = _jpeg_mods()
+    w, h = 40, 24
+    rgb = bytes(
+        c
+        for y in range(h)
+        for x in range(w)
+        for c in ((x * 6) % 256, (y * 9) % 256, (x * 3 + y * 5) % 256)
+    )
+    luma = [
+        (299 * rgb[3 * i] + 587 * rgb[3 * i + 1] + 114 * rgb[3 * i + 2] + 500) // 1000
+        for i in range(w * h)
+    ]
+    p = jpeg.encode_jpeg_ycbcr(w, h, rgb, quality=90, subsample=sub)
+    dw, dh, dec = jpeg.decode_jpeg_luma(p)
+    assert (dw, dh) == (w, h)
+    err = [abs(a - b) for a, b in zip(luma, dec)]
+    assert sum(err) / len(err) < 2.0, (sub, max(err))
+
+
+def test_jpeg_odd_dimensions_and_quality_floor():
+    jpeg = _jpeg_mods()
+    w, h = 13, 9  # non-multiple-of-8 / non-multiple-of-MCU
+    gray = bytes((x * 19 + y * 7) % 256 for y in range(h) for x in range(w))
+    for q in (25, 75, 95):
+        dw, dh, dec = jpeg.decode_jpeg_luma(jpeg.encode_jpeg_baseline(w, h, gray, q))
+        assert (dw, dh) == (w, h) and len(dec) == w * h
+    p = jpeg.encode_jpeg_ycbcr(
+        w, h, bytes(b for g in gray for b in (g, g, g)), subsample=(2, 2)
+    )
+    dw, dh, dec = jpeg.decode_jpeg_luma(p)
+    assert (dw, dh) == (w, h)
+
+
+def test_jpeg_progressive_rejected_with_clear_error():
+    jpeg = _jpeg_mods()
+    p = bytearray(jpeg.encode_jpeg_baseline(8, 8, bytes(range(64)) , 75))
+    sof = p.find(b"\xff\xc0")
+    p[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="baseline"):
+        jpeg.decode_jpeg_luma(bytes(p))
+
+
+def test_decode_image_routes_jpeg_and_ahash_matches_png():
+    """The pipeline contract: ahash over a JPEG of an image equals (to
+    within a few noise bits) ahash over the lossless PNG of the same
+    image — JPEG is now a first-class decodable format."""
+    from bacon_spark.llm.codecs import ahash_pixels
+    from bacon_spark.llm.jpeg import encode_jpeg_ycbcr
+
+    w, h = 64, 64
+    rgb = _gradient_rgb(w, h)
+    a_png = ahash_pixels(encode_png(w, h, rgb), 64, (8, 8))
+    a_jpg = ahash_pixels(encode_jpeg_ycbcr(w, h, rgb, quality=92), 64, (8, 8))
+    assert bin(a_png ^ a_jpg).count("1") <= 6  # near-identical perceptual hash
+
+
+def test_register_decoder_override_wins_and_unregisters():
+    from bacon_spark.llm import codecs
+
+    calls = []
+
+    def fake(payload):
+        calls.append(len(payload))
+        return 1, 1, b"\x00"
+
+    codecs.register_decoder("jpeg", fake)
+    try:
+        assert decode_image(b"\xff\xd8\xff\xe0 fake jpeg") == (1, 1, b"\x00")
+        assert calls
+    finally:
+        codecs.register_decoder("jpeg", None)
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
 
 

@@ -336,3 +336,136 @@ def test_stats_pruned_read_type_mismatch_is_superset_not_typeerror(spark, tmp_pa
     # lo/hi that disagree with EACH OTHER are a caller bug: loud error
     with _pytest.raises(ValueError, match="bound types disagree"):
         M.stats_pruned_read(spark, path, "id", 10, "zzz")
+
+
+def test_manifest_two_writer_race_threads(spark, small_files_dir):
+    """VERDICT r6 #4: REAL concurrent committers (threads) over one
+    manifest log — per version exactly one winner, every loser gets
+    ManifestConflict and retries from the re-read head, and concurrent
+    readers never observe a torn or inconsistent manifest."""
+    import hashlib
+    import json as _json
+    import threading
+
+    import bacon_spark.operators.maintenance as M
+
+    total = sum(b for _, b in table_files(small_files_dir))
+    compact(spark, small_files_dir, target_file_bytes=total // 4, manifest=True)
+    files = [
+        (f["path"], f["bytes"]) for f in M.read_manifest(small_files_dir)["files"]
+    ]
+
+    def sig(version: int, tag: str) -> str:
+        return hashlib.md5(f"{version}:{tag}".encode()).hexdigest()
+
+    N_WRITERS, COMMITS_EACH = 6, 5
+    conflicts = []
+    wins = []
+    reader_errors = []
+    stop = threading.Event()
+
+    def writer(tid: int):
+        done = 0
+        while done < COMMITS_EACH:
+            base = M.read_manifest(small_files_dir)["version"]
+            tag = f"w{tid}-{done}"
+            try:
+                v = M.commit_manifest(
+                    small_files_dir, files, base_version=base,
+                    op="race", extra={"tag": tag, "sig": sig(base + 1, tag)},
+                )
+                wins.append(v)
+                done += 1
+            except M.ManifestConflict:
+                conflicts.append(tid)  # lost the version: re-read and retry
+
+    def reader():
+        while not stop.is_set():
+            man = M.read_manifest(small_files_dir)  # must always parse
+            if man.get("op") == "race":
+                # internal consistency: the signed fields match — a torn
+                # write or a version/name mismatch would break this
+                if man["sig"] != sig(man["version"], man["tag"]):
+                    reader_errors.append(man["version"])
+            # raw file spot check: every committed manifest is valid JSON
+            vs = M.manifest_versions(small_files_dir)
+            with open(
+                M._manifest_path(small_files_dir, vs[-1])
+            ) as fh:
+                _json.load(fh)
+
+    writers = [threading.Thread(target=writer, args=(i,)) for i in range(N_WRITERS)]
+    readers = [threading.Thread(target=reader) for _ in range(3)]
+    for t in readers:
+        t.start()
+    for t in writers:
+        t.start()
+    for t in writers:
+        t.join()
+    stop.set()
+    for t in readers:
+        t.join()
+
+    assert not reader_errors
+    assert len(wins) == N_WRITERS * COMMITS_EACH
+    assert len(set(wins)) == len(wins), "two writers claimed one version"
+    # the log is contiguous: every version from 3 (first race commit)
+    # to the head exists exactly once
+    vs = M.manifest_versions(small_files_dir)
+    assert vs == list(range(1, max(vs) + 1))
+    assert max(vs) == 2 + len(wins)
+    # with real contention at least someone lost a race and retried
+    assert conflicts, "no interleaving happened — raise COMMITS_EACH"
+
+
+def test_concurrent_controller_drills_one_board(spark):
+    """VERDICT r6 #4 (second half): many threads drilling one shared
+    Controller/board — the reference's RLock'd slice cache under a
+    threaded server (/root/reference/bacon/cutting.py:45-46,
+    bin/gammon-multithread.py) re-proven on the engine's LRU + rows
+    memo. Every thread must get the same answers a fresh board gives."""
+    import threading
+
+    from bacon_spark import Count, CubeDef, CubeQuery, CuttingBoard, Label, Measure, Sum
+    from bacon_spark.observers.controller import Controller
+
+    rows = [
+        (f"item{i % 7}", f"place{i % 3}", i % 100) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "item string, place string, number long")
+    cd = CubeDef("t")
+    cd.add_label(Label("item"))
+    cd.add_label(Label("place"))
+    cd.add_measure(Measure("number", acc=Sum()))
+    cd.add_measure(Measure("n", "number", acc=Count()))
+    board = CuttingBoard(cd, df, cache_results=True)
+    ctrl = Controller(board)
+
+    drills = [
+        {"q": "a:item/v:number/v:n"},
+        {"q": "a:item/a:place/v:number"},
+        {"q": "a:item/v:number/f:place:place1"},
+        {"q": "a:place/v:n/f:item:item3"},
+        {"q": "v:number"},
+    ]
+    expected = {}
+    fresh = Controller(CuttingBoard(cd, df, cache_results=False))
+    for p in drills:
+        expected[p["q"]] = fresh.render_json(p)
+
+    errors = []
+
+    def worker(i):
+        try:
+            p = drills[i % len(drills)]
+            got = ctrl.render_json(p)
+            assert got == expected[p["q"]], p["q"]
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(20)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors

@@ -94,7 +94,7 @@ def engine_nav(sf_dir: str) -> dict:
     # JVM/codegen warmup on a DISJOINT query shape (grand total over a
     # different measure set) so step timings measure plans, not Janino.
     warm = CubeQuery().add_value("sum_qty")
-    board.slice(warm).to_df().collect()
+    board.slice(warm).collect()
     board.clear_cache()
 
     steps: dict[str, float] = {}
@@ -104,7 +104,7 @@ def engine_nav(sf_dir: str) -> dict:
 
     def run(name: str, q) -> None:
         t = time.perf_counter()
-        board.slice(q).to_df().collect()
+        board.slice(q).collect()
         steps[name] = round(time.perf_counter() - t, 4)
 
     run("s1_cold", q1)
@@ -127,7 +127,7 @@ def engine_nav(sf_dir: str) -> dict:
         CubeQuery().add_axis("nation")
         .add_value("min_bal").add_value("max_bal").add_value("std_bal")
     )
-    run7 = lambda n: (lambda t: (b7.slice(q7).to_df().collect(), steps.__setitem__(n, round(time.perf_counter() - t, 4))))(time.perf_counter())  # noqa: E731
+    run7 = lambda n: (lambda t: (b7.slice(q7).collect(), steps.__setitem__(n, round(time.perf_counter() - t, 4))))(time.perf_counter())  # noqa: E731
     run7("q07_cold")
     run7("q07_repeat")
 
@@ -143,7 +143,7 @@ def engine_nav(sf_dir: str) -> dict:
         .add_filter("brand", "in", frozenset({"Brand#1", "Brand#2", "Brand#3"}))
         .add_filter("size", "ni", frozenset({1, 2, 3}))
     )
-    run10 = lambda n: (lambda t: (b10.slice(q10).to_df().collect(), steps.__setitem__(n, round(time.perf_counter() - t, 4))))(time.perf_counter())  # noqa: E731
+    run10 = lambda n: (lambda t: (b10.slice(q10).collect(), steps.__setitem__(n, round(time.perf_counter() - t, 4))))(time.perf_counter())  # noqa: E731
     run10("q10_cold")
     run10("q10_repeat")
 
