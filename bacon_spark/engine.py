@@ -345,7 +345,8 @@ class CuttingBoard:
             out.sort(key=lambda d, a=a: (d[a] is not None, d[a]), reverse=label.reverse)
         if query.order:
             sign, value_name, _pv = query.order
-            if value_name in query.values:
+            # mirror _order exactly: any OUTPUT column qualifies (axes too)
+            if value_name in query.values or value_name in query.axes:
                 out.sort(
                     key=lambda d: d[value_name] if d[value_name] is not None else 0,
                     reverse=sign < 0,
