@@ -2142,3 +2142,50 @@ def q184_containment_probe(spark, sf_dir):
 
     path = _containment_prebuilt(spark, sf_dir)
     return containment_index_probe(spark, path, threshold=(1, 2))
+
+
+@query(
+    "q185_audio_features",
+    """
+    WITH a AS (SELECT unnest(range(0, 48)) AS asset_id),
+    s AS (
+      SELECT a.asset_id, t.i,
+             ((t.i * 37 + a.asset_id * 11) % 2048) - 1024 AS v
+      FROM a, LATERAL (
+        SELECT unnest(range(0, 800 + (a.asset_id % 5) * 160)) AS i
+      ) t
+    ),
+    w AS (
+      SELECT asset_id, i, v,
+             lag(v) OVER (PARTITION BY asset_id ORDER BY i) AS pv
+      FROM s
+    )
+    SELECT asset_id,
+           8000::BIGINT AS sample_rate,
+           count(*)::BIGINT AS n_samples,
+           (count(*) * 1000 // 8000)::BIGINT AS duration_ms,
+           sum(v * v)::BIGINT AS sumsq,
+           round(sqrt(sum(v * v)::DOUBLE / count(*)), 6) AS rms,
+           sum(CASE WHEN pv IS NOT NULL AND (pv < 0) != (v < 0)
+                    THEN 1 ELSE 0 END)::BIGINT AS zero_crossings,
+           max(abs(v))::BIGINT AS peak
+    FROM w GROUP BY asset_id ORDER BY asset_id
+    """,
+)
+def q185_audio_features(spark, sf_dir):
+    """REAL audio decode in the multimodal path (llm/codecs.decode_wav +
+    llm/multimodal.extract_audio_features): RIFF/PCM16 payloads decoded
+    inside Arrow mapInPandas workers into rate, exact integer energy,
+    rms, strict sign-crossing count, and peak amplitude. The fixture's
+    waveform is a pure integer formula, so the DuckDB oracle re-derives
+    every feature from the FORMULA without parsing a byte — any decode
+    drift (header walk, endianness, word alignment, int16 sign) breaks
+    the hash. Audio thereby joins image as a fully decoded modality;
+    NotImplementedError remains only for compressed audio and video.
+
+    Scale shape: map-side only — Arrow-batched payload bytes through the
+    Python worker, no shuffle; linear in corpus size."""
+    from ..llm.multimodal import extract_audio_features, synthetic_audio_assets
+
+    assets = synthetic_audio_assets(spark, 48)
+    return extract_audio_features(assets).orderBy("asset_id")

@@ -408,3 +408,54 @@ def ahash_pixels(payload: bytes, bits: int, grid: tuple[int, int]) -> int:
     cells = resize_gray(gray, w, h, tw, th)
     mean = sum(cells) / float(bits)
     return sum(1 << j for j in range(bits) if cells[j] > mean)
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM16 mono): the stdlib-decodable audio format
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(rate: int, samples: list[int]) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header + little-endian PCM16 mono
+    samples — real, player-readable audio for fixtures (the audio
+    analogue of the image encoders above)."""
+    import struct as _struct
+
+    n = len(samples)
+    data = b"".join(_struct.pack("<h", s) for s in samples)
+    hdr = b"RIFF" + _struct.pack("<I", 36 + 2 * n) + b"WAVE"
+    hdr += b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    hdr += b"data" + _struct.pack("<I", 2 * n)
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, list[int]]:
+    """(sample_rate, PCM16 samples) from a RIFF/WAVE payload. Walks the
+    chunk list (fmt may be padded / followed by LIST chunks), supports
+    PCM16 mono only — NotImplementedError for compressed/multi-channel
+    forms (the documented seam for a library codec)."""
+    import struct as _struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = None
+    samples = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = _struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, ch, rate, _br, _ba, bits = _struct.unpack("<HHIIHH", body[:16])
+            if fmt != 1 or ch != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"WAV format {fmt}/{ch}ch/{bits}bit (PCM16 mono only)"
+                )
+        elif cid == b"data":
+            samples = list(
+                _struct.unpack(f"<{size // 2}h", body[: (size // 2) * 2])
+            )
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV payload missing fmt/data chunk")
+    return rate, samples

@@ -279,3 +279,79 @@ def phash_near_dup(df: DataFrame, max_hamming: int = 3, decode_stub: bool = True
         .distinct()
     )
     return pairs
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("sumsq", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("zero_crossings", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def synthetic_audio_assets(spark, n: int = 48) -> DataFrame:
+    """REAL RIFF/PCM16 audio asset table: asset a holds
+    800 + (a % 5) * 160 samples of the integer waveform
+    ``((i*37 + a*11) % 2048) - 1024`` at 8 kHz — pure integer
+    construction, so an oracle can re-derive every feature from the
+    formula without parsing bytes, proving the engine's decode exact."""
+    from .codecs import encode_wav
+
+    rows = []
+    for a in range(n):
+        ns = 800 + (a % 5) * 160
+        samples = [((i * 37 + a * 11) % 2048) - 1024 for i in range(ns)]
+        payload = encode_wav(8000, samples)
+        rows.append((a, "audio", payload, "audio/wav", 0, 0, ns * 1000 // 8000))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def extract_audio_features(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """Decode + feature-extract PCM16 audio via mapInPandas (Arrow
+    batches, the audio twin of extract_image_features): per asset the
+    sample rate, count, integer duration, EXACT integer energy (sum of
+    squares — folded in int, so no float accumulation order exists),
+    rms = sqrt(sumsq/n) (one IEEE double op on exact ints:
+    cross-engine bit-identical), strict sign-crossing count (a zero
+    sample breaks a run; the s<0 vs s>=0 convention is mirrored in the
+    oracle), and peak |amplitude|."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import decode_wav
+
+        def feats(p: bytes):
+            rate, s = decode_wav(bytes(p))
+            n = len(s)
+            sumsq = 0
+            zc = 0
+            for i, v in enumerate(s):
+                sumsq += v * v
+                if i and (s[i - 1] < 0) != (v < 0):
+                    zc += 1
+            rms = round(math.sqrt(sumsq / n), 6) if n else 0.0
+            peak = max((abs(v) for v in s), default=0)
+            return rate, n, n * 1000 // rate, sumsq, rms, zc, peak
+
+        for pdf in batches:
+            cols = list(zip(*pdf["payload"].map(feats)))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "sample_rate": cols[0],
+                    "n_samples": cols[1],
+                    "duration_ms": cols[2],
+                    "sumsq": cols[3],
+                    "rms": cols[4],
+                    "zero_crossings": cols[5],
+                    "peak": cols[6],
+                }
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(run, AUDIO_FEATURES_SCHEMA)

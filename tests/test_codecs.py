@@ -339,3 +339,53 @@ def test_real_pixel_features(spark):
     assert flat["feature"][4] == pytest.approx(1.0)
     assert sum(feats[0]["feature"]) == pytest.approx(1.0)
     assert feats[0]["n_bytes"] == len(rows[0][2])
+
+def test_wav_roundtrip_chunk_walk_and_limits():
+    from bacon_spark.llm.codecs import decode_wav, encode_wav
+
+    samples = [((i * 37) % 2048) - 1024 for i in range(500)] + [-32768, 32767, 0]
+    p = encode_wav(8000, samples)
+    assert p[:4] == b"RIFF" and p[8:12] == b"WAVE"
+    rate, got = decode_wav(p)
+    assert rate == 8000 and got == samples
+    # chunk walking: a LIST chunk between fmt and data is skipped
+    import struct
+
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size, padded
+    p2 = p[:fmt_end] + extra + p[fmt_end:]
+    assert decode_wav(p2) == (8000, samples)
+    # stereo refused loudly
+    stereo = bytearray(p)
+    struct.pack_into("<H", stereo, 12 + 8 + 2, 2)
+    with pytest.raises(NotImplementedError, match="PCM16 mono"):
+        decode_wav(bytes(stereo))
+    with pytest.raises(ValueError):
+        decode_wav(b"nope")
+
+
+def test_audio_features_match_direct_computation(spark):
+    import math
+
+    from bacon_spark.llm.codecs import decode_wav
+    from bacon_spark.llm.multimodal import (
+        extract_audio_features,
+        synthetic_audio_assets,
+    )
+
+    assets = synthetic_audio_assets(spark, 6)
+    got = {r["asset_id"]: r for r in extract_audio_features(assets).collect()}
+    for a, row in (
+        (r["asset_id"], r) for r in assets.select("asset_id", "payload").collect()
+    ):
+        rate, s = decode_wav(bytes(row["payload"]))
+        n = len(s)
+        sumsq = sum(v * v for v in s)
+        zc = sum(1 for i in range(1, n) if (s[i - 1] < 0) != (s[i] < 0))
+        g = got[a]
+        assert (g["sample_rate"], g["n_samples"]) == (rate, n)
+        assert g["duration_ms"] == n * 1000 // rate
+        assert g["sumsq"] == sumsq
+        assert g["rms"] == round(math.sqrt(sumsq / n), 6)
+        assert g["zero_crossings"] == zc
+        assert g["peak"] == max(abs(v) for v in s)
