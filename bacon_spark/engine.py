@@ -251,14 +251,17 @@ class CuttingBoard:
             # filtering finished rows by a GROUP KEY value is exactly
             # filtering the input by that label (sound for any
             # accumulator); anything else can't be applied to finished
-            # rows and falls through to the Spark planner
-            drill: dict = {}
+            # rows and falls through to the Spark planner. Kept as a
+            # LIST: two eq filters on ONE axis are contradictory and
+            # must BOTH apply (a dict would silently drop one — caught
+            # by the randomized navigation fuzz test)
+            drill: list = []
             ok = True
             for n, op, v in query.filters:
                 if (n, op, _freeze_value(v)) in fc:
                     continue
                 if op == "eq" and n in pq.axes:
-                    drill[n] = v
+                    drill.append((n, v))
                 else:
                     ok = False
                     break
@@ -280,8 +283,9 @@ class CuttingBoard:
                     r
                     for r in rows
                     if all(
-                        (r[a] is None and v is None) or r[a] == v
-                        for a, v in drill.items()
+                        (r[a] is None and v is None)
+                        or (r[a] is not None and v is not None and r[a] == v)
+                        for a, v in drill
                     )
                 ]
             out = self._py_reaggregate(query, rows) if needs_reagg else [
@@ -846,12 +850,13 @@ class Slice:
     def value(self, measure: str):
         return self.record[measure]
 
-    def rows(self) -> list[dict]:
+    def rows(self, max_rows: int | None = None) -> list[dict]:
         """Flat row dicts (axis cols + visible measure cols), in result
-        order — convenience for renderers."""
+        order — convenience for renderers. *max_rows* applies the same
+        render-path cardinality guard as :meth:`collect`."""
         visible = self.query.visible_values
         out = []
-        for row in self.collect():
+        for row in self.collect(max_rows=max_rows):
             d = {a: row[a] for a in self.query.axes}
             d.update({v: row[v] for v in visible})
             out.append(d)

@@ -72,14 +72,27 @@ class Table1D:
     """Flat table: one row per leading-axis value
     (/root/reference/bacon/observers/tables.py:246-315)."""
 
-    def __init__(self, board: CuttingBoard, query: CubeQuery, page: Page | None = None):
+    #: render-path cardinality guard (see TablePivot.MAX_RENDER_ROWS):
+    #: pagination happens AFTER the driver-side collect, so the collect
+    #: itself must be bounded
+    MAX_RENDER_ROWS = 200_000
+
+    def __init__(
+        self,
+        board: CuttingBoard,
+        query: CubeQuery,
+        page: Page | None = None,
+        max_render_rows: int | None = None,
+    ):
         self.board = board
         self.query = query
         self.page = page or Page()
         self.axes = query.row_axes
         self.values = query.visible_values
         sl = board.slice(query)
-        self._rows = sl.rows()
+        self._rows = sl.rows(
+            max_rows=self.MAX_RENDER_ROWS if max_render_rows is None else max_render_rows
+        )
 
     @property
     def nrows(self) -> int:

@@ -343,3 +343,65 @@ def test_pivot_render_cardinality_guard(cubedef, sells):
     # generous cap renders normally
     t = TablePivot(b, q, max_render_rows=1000)
     assert t.nrows > 0
+
+
+def test_warm_path_randomized_navigation_equivalence(cubedef, spark):
+    """Randomized navigation fuzz: a cached board driven through many
+    repeat/drill/rollup/reorder sequences must answer every step
+    identically to a fresh no-cache board (integer measures -> exact
+    equality). Seeded, so failures replay."""
+    import random
+
+    from bacon_spark import Count, CuttingBoard, Max, Min, Sum
+    from bacon_spark.cubedef import Label, Measure
+
+    rows = []
+    for i in range(300):
+        g = None if i % 11 == 0 else f"g{i % 5}"
+        h = f"h{i % 3}"
+        rows.append((g, h, i % 7, i % 100))
+    df = spark.createDataFrame(rows, "g string, h string, d long, number long")
+    cd = CubeDef("t")
+    for name in ("g", "h", "d"):
+        cd.add_label(Label(name))
+    cd.add_measure(Measure("number", acc=Sum()))
+    cd.add_measure(Measure("n", "number", acc=Count()))
+    cd.add_measure(Measure("mn", "number", acc=Min()))
+    cd.add_measure(Measure("mx", "number", acc=Max()))
+    axes_pool = ["g", "h", "d"]
+    vals_pool = ["number", "n", "mn", "mx"]
+    value_of = {"g": [None, "g0", "g1", "g2"], "h": ["h0", "h1"], "d": [0, 1, 2, 3]}
+
+    warm = CuttingBoard(cd, df, cache_results=True)
+
+    def cold(q):
+        b = CuttingBoard(cd, df, cache_results=False)
+        return [tuple(r) for r in b.slice(q).collect()]
+
+    total_local = 0
+    for seed in range(12):
+        rng = random.Random(seed)
+        axes = rng.sample(axes_pool, rng.randint(1, 3))
+        vals = rng.sample(vals_pool, rng.randint(1, 4))
+        q = CubeQuery()
+        for a in axes:
+            q = q.add_axis(a)
+        for v in vals:
+            q = q.add_value(v)
+        for _step in range(5):
+            got = [tuple(r) for r in warm.slice(q).collect()]
+            assert got == cold(q), (seed, _step, q.axes, q.values, q.filters)
+            move = rng.choice(["repeat", "drill", "drop", "rollup", "reorder"])
+            if move == "drill" and q.axes:
+                a = rng.choice(q.axes)
+                q2 = q.add_filter(a, "eq", rng.choice(value_of[a]))
+                if rng.random() < 0.5 and len(q.axes) > 1:
+                    q2 = q2.remove_axis(a)
+                q = q2
+            elif move in ("drop", "rollup") and len(q.axes) > 1:
+                q = q.remove_axis(rng.choice(q.axes))
+            elif move == "reorder":
+                q = q.set_order(rng.choice(q.values), -1 if rng.random() < 0.5 else 1)
+        total_local += warm.local_hits
+    assert warm.local_hits > 20, warm.local_hits  # the warm path actually served
+    warm.clear_cache()
