@@ -41,7 +41,7 @@ from pyspark.storagelevel import StorageLevel
 from .cubedef import CubeDef
 from .cubequery import CubeQuery
 from .errors import QueryError
-from .filters import FILTER_OPS, build_predicate, combine_filters
+from .filters import FILTER_OPS, PY_FILTER_OPS, build_predicate, combine_filters
 
 __all__ = ["CuttingBoard", "Slice", "keyset_page"]
 
@@ -247,21 +247,23 @@ class CuttingBoard:
             fc = frozenset((n, op, _freeze_value(v)) for n, op, v in pq.filters)
             if not fc <= fq:
                 continue
-            # every ADDED filter must be an eq pin on a cached axis —
-            # filtering finished rows by a GROUP KEY value is exactly
-            # filtering the input by that label (sound for any
-            # accumulator); anything else can't be applied to finished
-            # rows and falls through to the Spark planner. Kept as a
-            # LIST: two eq filters on ONE axis are contradictory and
-            # must BOTH apply (a dict would silently drop one — caught
-            # by the randomized navigation fuzz test)
+            # every ADDED filter must be a scalar/membership op on a
+            # cached axis — filtering finished rows by a GROUP KEY value
+            # is exactly filtering the input by that label (the same
+            # soundness argument as the lattice's filter drills), for
+    \
+            # ANY accumulator when the axis is kept. Ops without a
+            # Python twin (regex, set algebra) fall through to the
+            # Spark planner. Kept as a LIST: two filters on ONE axis
+            # must BOTH apply (a dict silently dropped one — caught by
+            # the randomized navigation fuzz test)
             drill: list = []
             ok = True
             for n, op, v in query.filters:
                 if (n, op, _freeze_value(v)) in fc:
                     continue
-                if op == "eq" and n in pq.axes:
-                    drill.append((n, v))
+                if op in PY_FILTER_OPS and n in pq.axes:
+                    drill.append((n, op, v))
                 else:
                     ok = False
                     break
@@ -269,8 +271,9 @@ class CuttingBoard:
                 continue
             extra_axes = [a for a in pq.axes if a not in query.axes]
             # dropping axes changes grain -> driver-side re-aggregation
-            # (pinned-and-dropped axes leave singleton groups; unpinned
-            # ones merge several finished rows per output group)
+            # (eq-pinned dropped axes leave singleton groups; range/ne
+            # filtered or unpinned ones merge several finished rows per
+            # output group)
             needs_reagg = bool(extra_axes)
             if needs_reagg and not all(
                 self.cubedef.get_value(v).acc.reaggregatable
@@ -282,11 +285,7 @@ class CuttingBoard:
                 rows = [
                     r
                     for r in rows
-                    if all(
-                        (r[a] is None and v is None)
-                        or (r[a] is not None and v is not None and r[a] == v)
-                        for a, v in drill
-                    )
+                    if all(PY_FILTER_OPS[op](r[a], v) for a, op, v in drill)
                 ]
             out = self._py_reaggregate(query, rows) if needs_reagg else [
                 {c: r[c] for c in (*query.axes, *query.values)} for r in rows

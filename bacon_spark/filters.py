@@ -152,6 +152,50 @@ FILTER_OPS = {
 }
 
 
+# --- driver-side twins (the warm navigation path) ---------------------------
+# Python evaluations of the SCALAR/MEMBERSHIP ops above, over a single
+# already-materialized axis VALUE — used by engine._local_slice to drill
+# cached slice rows without a Spark job. Each twin reproduces its Column
+# form's null semantics exactly (SQL three-valued logic: a null compare
+# filters the row out unless the op's reference semantics say otherwise).
+# match/nmatch are deliberately ABSENT: rlike is Java-regex and a Python
+# re twin could diverge on dialect corners, so those fall through to the
+# Spark planner; set-algebra ops likewise (set-valued axes are rare and
+# the clean-set conflation is easiest to keep single-sourced).
+
+
+def _py_vals(v):
+    return v if isinstance(v, (set, frozenset, list, tuple)) else {v}
+
+
+def _py_in(r, v):
+    vals = _py_vals(v)
+    rest = [x for x in vals if x is not None]
+    has_null = len(rest) != len(list(vals))
+    return (r is None and has_null) or (r is not None and r in rest)
+
+
+def _py_ni(r, v):
+    vals = _py_vals(v)
+    rest = [x for x in vals if x is not None]
+    has_null = len(rest) != len(list(vals))
+    if has_null:
+        return r is not None and r not in rest
+    return r is None or r not in rest
+
+
+PY_FILTER_OPS = {
+    "eq": lambda r, v: (r is None) if v is None else (r is not None and r == v),
+    "ne": lambda r, v: (r is not None) if v is None else (r is None or r != v),
+    "gt": lambda r, v: r is not None and v is not None and r > v,
+    "ge": lambda r, v: r is not None and v is not None and r >= v,
+    "lt": lambda r, v: r is not None and v is not None and r < v,
+    "le": lambda r, v: r is not None and v is not None and r <= v,
+    "in": _py_in,
+    "ni": _py_ni,
+}
+
+
 def build_predicate(col: Column, op: str, value) -> Column:
     try:
         fn = FILTER_OPS[op]

@@ -394,7 +394,15 @@ def test_warm_path_randomized_navigation_equivalence(cubedef, spark):
             move = rng.choice(["repeat", "drill", "drop", "rollup", "reorder"])
             if move == "drill" and q.axes:
                 a = rng.choice(q.axes)
-                q2 = q.add_filter(a, "eq", rng.choice(value_of[a]))
+                op = rng.choice(["eq", "ne", "gt", "le", "in", "ni"])
+                v = rng.choice(value_of[a])
+                if op in ("gt", "le") and v is None:
+                    v = value_of[a][-1]
+                if op in ("in", "ni"):
+                    v = frozenset(
+                        rng.sample(value_of[a], rng.randint(1, len(value_of[a])))
+                    )
+                q2 = q.add_filter(a, op, v)
                 if rng.random() < 0.5 and len(q.axes) > 1:
                     q2 = q2.remove_axis(a)
                 q = q2
