@@ -22,6 +22,16 @@ engine-level LRU of persisted result DataFrames with three strategies:
   /root/reference/bacon/cutting.py:336-522) — sound exactly because every
   accumulator keeps the partial/final contract.
 
+Layered OVER the persisted-DataFrame cache is the WARM navigation path
+(round 7): collected slice rows are memoized driver-side, and exact
+repeats, scalar/membership-op drills on cached axes (PY_FILTER_OPS
+twins, reference null semantics), and rollups through the accumulators'
+``py_merge`` twins are answered with ZERO Spark jobs — the reference's
+in-memory slice walk at its native cost, which is what closes the
+small-table interactive gap against a preloaded Python loop
+(BENCH_reference_r07.json nav section; fuzz-verified against cold
+recomputes in tests/test_engine.py).
+
 Scale note (100 TB): cube *results* are small (bounded by group count) even
 when inputs are huge, so persisting results is cheap; the wins come from
 never re-scanning the fact table for drill/roll-up navigation sequences,

@@ -62,11 +62,19 @@ MODULES = [
     ("bacon_spark.llm.bpe", "BPE pair counting"),
     ("bacon_spark.llm.ranking", "BM25 / tf-idf / inverted index"),
     ("bacon_spark.llm.multimodal", "Multimodal binary columns"),
+    ("bacon_spark.llm.codecs", "Stdlib image/audio codecs"),
+    ("bacon_spark.llm.jpeg", "Baseline JFIF codec"),
+    ("bacon_spark.llm.pq", "Product quantization (PQ / IVF-PQ)"),
+    ("bacon_spark.llm.pq_index", "Prebuilt IVF-PQ index"),
+    ("bacon_spark.llm.clustering", "Deterministic k-means / SemDeDup"),
     ("bacon_spark.streaming.windows", "Streaming windows"),
     ("bacon_spark.streaming.asof", "Streaming as-of join"),
     ("bacon_spark.streaming.overlap", "Streaming overlap join"),
     ("bacon_spark.streaming.incremental", "Streaming dedup / IVM"),
     ("bacon_spark.streaming.sink", "Exactly-once manifest sink"),
+    ("bacon_spark.streaming.funnel", "Streaming ordered funnel"),
+    ("bacon_spark.streaming.state", "State-store provider policy"),
+    ("bacon_spark.operators.funnel", "Funnel / cohort retention"),
     ("bacon_spark.functions.udaf", "Pandas UDAFs"),
     ("bacon_spark.functions.udtf", "UDTFs"),
     ("bacon_spark.demo", "Runnable demo server"),
