@@ -519,9 +519,13 @@ class CuttingBoard:
         fq = frozenset((n, op, _freeze_value(v)) for n, op, v in query.filters)
         fc = frozenset((n, op, _freeze_value(v)) for n, op, v in cached_q.filters)
 
-        # exact: same axes + same filters (+ value superset) -> share
+        # exact: same axes + same filters (+ value superset) -> share.
+        # Project to the QUERY's columns: the cached frame may carry a
+        # value superset / different value order, and serving it raw
+        # violates the output contract (found by the navigation fuzz —
+        # a subset query got the parent's extra measure columns).
         if query.axes == cached_q.axes and fq == fc:
-            return 1, lambda: cached_df
+            return 1, lambda: cached_df.select(*query.axes, *query.values)
 
         # drill: cached axes = query axes + extra axes, and the query adds
         # eq filters on exactly those extra axes -> filter cached RESULT

@@ -391,8 +391,22 @@ def test_warm_path_randomized_navigation_equivalence(cubedef, spark):
         for _step in range(5):
             got = [tuple(r) for r in warm.slice(q).collect()]
             assert got == cold(q), (seed, _step, q.axes, q.values, q.filters)
-            move = rng.choice(["repeat", "drill", "drop", "rollup", "reorder"])
-            if move == "drill" and q.axes:
+            move = rng.choice(
+                ["repeat", "drill", "drop", "rollup", "reorder", "reproject"]
+            )
+            if move == "reproject":
+                # value subset / reorder against the SAME cached slices —
+                # regression for the cost-1 projection bug the deep fuzz
+                # found (a subset query served the parent's extra columns)
+                q2 = CubeQuery()
+                for a in q.axes:
+                    q2 = q2.add_axis(a)
+                for v in rng.sample(vals_pool, rng.randint(1, 4)):
+                    q2 = q2.add_value(v)
+                for n, op, v in q.filters:
+                    q2 = q2.add_filter(n, op, v)
+                q = q2
+            elif move == "drill" and q.axes:
                 a = rng.choice(q.axes)
                 op = rng.choice(["eq", "ne", "gt", "le", "in", "ni"])
                 v = rng.choice(value_of[a])
@@ -413,3 +427,32 @@ def test_warm_path_randomized_navigation_equivalence(cubedef, spark):
         total_local += warm.local_hits
     assert warm.local_hits > 20, warm.local_hits  # the warm path actually served
     warm.clear_cache()
+
+
+def test_cached_value_superset_projects_to_query_columns(cubedef, sells):
+    """Regression (deep navigation fuzz): a cached slice holding a value
+    SUPERSET must serve a subset/reordered query with EXACTLY the
+    query's columns in the query's order — never the parent's extras."""
+    b = CuttingBoard(cubedef, sells, cache_results=True)
+    q_all = (
+        CubeQuery().add_axis("month").add_axis("item")
+        .add_value("number").add_value("n").add_value("twice")
+    )
+    b.slice(q_all).collect()
+    q_sub = CubeQuery().add_axis("month").add_axis("item").add_value("n")
+    s = b.slice(q_sub)
+    assert s.to_df().columns == ["month", "item", "n"]
+    got = {(r["month"], r["item"]): r["n"] for r in s.collect()}
+    want = {
+        (r["month"], r["item"]): r["n"]
+        for r in CuttingBoard(cubedef, sells, cache_results=False).slice(q_sub).collect()
+    }
+    assert got == want
+    # reordered values: same set, different declared order
+    q_re = (
+        CubeQuery().add_axis("month").add_axis("item")
+        .add_value("twice").add_value("number").add_value("n")
+    )
+    s2 = b.slice(q_re)
+    assert s2.to_df().columns == ["month", "item", "twice", "number", "n"]
+    b.clear_cache()
