@@ -2189,3 +2189,58 @@ def q185_audio_features(spark, sf_dir):
 
     assets = synthetic_audio_assets(spark, 48)
     return extract_audio_features(assets).orderBy("asset_id")
+
+
+_Q186_CORPUS_PRED = "doc_id % 4 != 0"
+
+
+def _containment_delta_prebuilt(spark, sf_dir):
+    """Build-if-absent the q186 index over the CORPUS SLICE ONLY
+    (doc_id % 4 != 0) — the pre-ingest state a nightly delta probes."""
+    from ..llm.dedup import containment_index_build
+    from ..operators.maintenance import read_manifest
+    from ..utils.caching import release_caches
+
+    import hashlib
+    import os
+
+    import bacon_spark
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(bacon_spark.__file__)))
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(root, ".ann_index", f"containment-corpus-{key}")
+    if read_manifest(path) is None:
+        corpus = _read_docs(spark, sf_dir).where(_Q186_CORPUS_PRED)
+        containment_index_build(corpus, path, "text", "doc_id", k=32, w=4, df_cap=64)
+        release_caches()
+    return path
+
+
+@query(
+    "q186_containment_delta_probe",
+    _dd.containment_delta_sql(
+        "documents",
+        corpus_pred=_Q186_CORPUS_PRED,
+        delta_pred="doc_id % 4 = 0",
+        k=32, w=4, df_cap=64,
+    ),
+    prepare=_containment_delta_prebuilt,
+)
+def q186_containment_delta_probe(spark, sf_dir):
+    """Incremental-ingest containment (llm/dedup.containment_delta_probe):
+    NEW documents (doc_id % 4 = 0) probed against the PREBUILT index of
+    the existing corpus (the other 3/4) — "is tonight's crawl already
+    contained in the corpus?" without a rebuild or corpus rescan. The
+    corpus's df statistics are FROZEN at build (q173's frozen-quantizer
+    contract applied to dedup): the delta's grams are filtered by the
+    index's persisted hot-gram list so the containment denominator
+    counts exactly the universe the inverted frame covers. The oracle
+    replays the whole build+delta-probe from the same predicates.
+
+    Scale shape: delta-sized signature build + hash joins against the
+    pre-clustered inverted table; the corpus never rescans."""
+    from ..llm.dedup import containment_delta_probe
+
+    path = _containment_delta_prebuilt(spark, sf_dir)
+    delta = _read_docs(spark, sf_dir).where("doc_id % 4 = 0")
+    return containment_delta_probe(spark, path, delta, "text", "doc_id", (1, 2))

@@ -1341,7 +1341,15 @@ def containment_index_build(
     hashed = docs.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), w)).alias("_g")
     ).select(F.col(id_col), hash60(F.col("_g")).alias("h")).distinct()
-    dfok = hashed.groupBy("h").count().where(F.col("count") <= df_cap).select("h")
+    counts = managed_persist(hashed.groupBy("h").count())
+    dfok = counts.where(F.col("count") <= df_cap).select("h")
+    # the dropped HOT grams are index metadata too: a DELTA probe must
+    # exclude them from ITS grams so its containment denominator counts
+    # the same universe the inverted frame covers (bounded: one row per
+    # gram hotter than df_cap, i.e. <= |corpus grams| / df_cap rows)
+    counts.where(F.col("count") > df_cap).select("h").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "hot"))
     kept = managed_persist(hashed.join(dfok, "h"))
     kept.repartition(F.col("h")).write.mode("overwrite").parquet(
         os.path.join(path, "inverted")
@@ -1405,6 +1413,162 @@ def containment_index_probe(
     na = spark.read.parquet(os.path.join(path, "doc_stats"))
     sig = spark.read.parquet(os.path.join(path, "signatures"))
     return _containment_from_frames(kept, na, sig, id_col, k, threshold)
+
+
+def containment_delta_probe(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: tuple[int, int] = (1, 2),
+    version: int | None = None,
+) -> DataFrame:
+    """CROSS-CORPUS containment for incremental ingest: is each NEW
+    document contained in the EXISTING corpus? New docs are shingled and
+    hashed with the index's build parameters, their grams filtered by
+    the index's frozen hot-gram list (so the denominator counts exactly
+    the universe the inverted frame covers — the df statistics are
+    frozen at build, q173's frozen-quantizer contract applied to
+    dedup), bottom-k signatures probe the prebuilt inverted frame, and
+    candidates verify exactly. Output shape matches
+    :func:`containment_pairs` (a = new doc, b = corpus doc).
+
+    Scale shape: the delta side is |new docs| x k signature rows plus
+    their kept grams; the corpus is touched only through the
+    pre-clustered inverted table's hash joins — no corpus rescan, no
+    rebuild, the production nightly-ingest cost model."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    from ..operators.maintenance import read_manifest
+    from ..utils.caching import managed_persist
+
+    man = read_manifest(path, version)
+    if man is None or "containment" not in man:
+        raise FileNotFoundError(f"no containment index under {path}")
+    params = man["containment"]
+    corpus_id, k, w = params["id_col"], params["k"], params["w"]
+    inverted = spark.read.parquet(os.path.join(path, "inverted"))
+    hot = spark.read.parquet(os.path.join(path, "hot"))
+    hashed = new_docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), w)).alias("_g")
+    ).select(F.col(id_col), hash60(F.col("_g")).alias("h")).distinct()
+    kept_a = managed_persist(hashed.join(hot, "h", "left_anti"))
+    na = kept_a.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    sig = (
+        kept_a.withColumn(
+            "_rn", F.row_number().over(Window.partitionBy(id_col).orderBy("h"))
+        )
+        .where(F.col("_rn") <= k)
+        .select(F.col(id_col).alias("a"), "h")
+    )
+    num, den = threshold
+    cand = (
+        sig.join(inverted.select(F.col(corpus_id).alias("b"), "h"), "h")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+    est = managed_persist(
+        cand.join(na.select(F.col(id_col).alias("a"), "_n"), "a")
+        .withColumn("denom", F.least(F.lit(k), F.col("_n")))
+        .where(F.col("matches") * den >= num * F.col("denom"))
+    )
+    inter = (
+        est.select("a", "b")
+        .join(kept_a.select(F.col(id_col).alias("a"), "h"), "a")
+        .join(inverted.select(F.col(corpus_id).alias("b"), "h"), ["b", "h"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    return (
+        est.join(inter, ["a", "b"])
+        .where(F.col("_inter") * den >= num * F.col("_n"))
+        .select(
+            "a",
+            "b",
+            F.col("_n").alias("n_a"),
+            "matches",
+            F.round(F.col("matches") / F.col("denom"), 6).alias("est_containment"),
+            F.round(F.col("_inter") / F.col("_n"), 6).alias("containment"),
+        )
+    )
+
+
+def containment_delta_sql(
+    table: str = "documents",
+    corpus_pred: str = "TRUE",
+    delta_pred: str = "TRUE",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    w: int = 4,
+    df_cap: int = 64,
+    threshold: tuple[int, int] = (1, 2),
+) -> str:
+    """DuckDB twin of build(corpus_pred rows) + delta_probe(delta_pred
+    rows): df statistics come from the CORPUS side only (frozen at
+    build), the delta's grams are filtered by the corpus's hot list,
+    and the candidate/verify joins run against the corpus inverted
+    frame — same hash, same integer threshold compares."""
+    num, den = threshold
+    return f"""
+    WITH cgrams AS (
+      SELECT {id_col}, unnest({shingles_sql(text_col, w)}) AS g
+      FROM {table} WHERE {corpus_pred}
+    ),
+    chashed AS MATERIALIZED (
+      SELECT DISTINCT {id_col}, {hash60_sql('g')} AS h FROM cgrams
+    ),
+    counts AS (SELECT h, count(*) AS c FROM chashed GROUP BY h),
+    inverted AS MATERIALIZED (
+      SELECT chashed.* FROM chashed JOIN counts USING (h) WHERE c <= {df_cap}
+    ),
+    hot AS (SELECT h FROM counts WHERE c > {df_cap}),
+    dgrams AS (
+      SELECT {id_col}, unnest({shingles_sql(text_col, w)}) AS g
+      FROM {table} WHERE {delta_pred}
+    ),
+    dhashed AS (SELECT DISTINCT {id_col}, {hash60_sql('g')} AS h FROM dgrams),
+    kept_a AS MATERIALIZED (
+      SELECT d.* FROM dhashed d ANTI JOIN hot USING (h)
+    ),
+    na AS (SELECT {id_col}, count(*) AS _n FROM kept_a GROUP BY 1),
+    sig AS (
+      SELECT {id_col} AS a, h
+      FROM (SELECT {id_col}, h,
+                   row_number() OVER (PARTITION BY {id_col} ORDER BY h) AS rn
+            FROM kept_a) t
+      WHERE rn <= {k}
+    ),
+    cand AS (
+      SELECT s.a, t.{id_col} AS b, count(*) AS matches
+      FROM sig s JOIN inverted t USING (h)
+      GROUP BY 1, 2
+    ),
+    est AS MATERIALIZED (
+      SELECT c.a, c.b, c.matches, na._n,
+             least({k}, na._n) AS denom
+      FROM cand c JOIN na ON na.{id_col} = c.a
+      WHERE c.matches * {den} >= {num} * least({k}, na._n)
+    ),
+    inter AS (
+      SELECT e.a, e.b, count(*) AS _inter
+      FROM est e
+      JOIN kept_a ka ON ka.{id_col} = e.a
+      JOIN inverted iv ON iv.{id_col} = e.b AND iv.h = ka.h
+      GROUP BY 1, 2
+    )
+    SELECT e.a AS a, e.b AS b,
+           cast(e._n as bigint) AS n_a,
+           cast(e.matches as bigint) AS matches,
+           round(e.matches / e.denom, 6) AS est_containment,
+           round(i._inter / e._n, 6) AS containment
+    FROM est e JOIN inter i ON i.a = e.a AND i.b = e.b
+    WHERE i._inter * {den} >= {num} * e._n
+    ORDER BY a, b
+    """
 
 
 def containment_pairs_sql(

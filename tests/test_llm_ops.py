@@ -821,3 +821,41 @@ def test_containment_index_split_matches_end_to_end(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="containment index"):
         dd.containment_index_probe(spark, str(tmp_path / "nope"))
+
+
+def test_containment_delta_probe_semantics(spark, tmp_path):
+    """Cross-corpus delta probe: exact-copy deltas are found at
+    containment 1.0, novel deltas produce no pairs, an all-hot-gram
+    delta degrades to no pairs (frozen-df contract) — all without
+    touching the corpus beyond the prebuilt index."""
+    from bacon_spark.llm import dedup as dd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    corpus_rows = [
+        (i, base + " ".join(w + chr(96 + i) * 3 for w in ("tag", "mid", "tail", "end")))
+        for i in range(1, 21)
+    ]
+    # one very hot phrase shared by EVERY corpus doc (df = 20 > cap 8)
+    hotline = "common shared boilerplate line repeated everywhere always "
+    corpus_rows = [(i, hotline + t) for i, t in corpus_rows]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    path = str(tmp_path / "cidx")
+    dd.containment_index_build(corpus, path, "text", "doc_id", k=16, w=3, df_cap=8)
+
+    deltas = spark.createDataFrame(
+        [
+            (101, hotline + base + "tageee mideee taileee endeee"),  # copy of doc 5
+            (102, "totally novel content nothing shared here at all x y z w"),
+            (103, hotline),                               # only hot grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["a"], r["b"]): r["containment"]
+        for r in dd.containment_delta_probe(spark, path, deltas, "text", "doc_id", (1, 2)).collect()
+    }
+    assert got.get((101, 5)) == 1.0
+    assert all(a != 102 and a != 103 for a, _ in got)
+    # the copy also partially matches siblings only below threshold or not
+    # at all; nothing from the novel/hot-only docs appears
+    assert all(a == 101 for a, _ in got)
