@@ -63,6 +63,25 @@ class Accumulator:
     #: as an O(result-size) Python fold over bounded cached rows.
     py_merge = None
 
+    #: driver-side twin of ``agg`` for the COLD small-table path (engine
+    #: CuttingBoard eager snapshot): fold a list of RAW extracted input
+    #: values into the finished value, with the same null semantics as the
+    #: Spark aggregate. This is the reference's per-record ``add`` loop
+    #: (/root/reference/bacon/accumulators.py:20-50) at its native cost —
+    #: a Python fold over a preloaded small table, no Spark job. None =
+    #: no driver-side fold; the engine plans the query normally. Floats
+    #: may differ from the distributed sum in the last ulp (summation
+    #: order); exactness-critical paths (the oracle gate) never take
+    #: this route.
+    py_agg = None
+
+    def py_input_cols(self, measure_col: Column) -> tuple[Column, ...]:
+        """The input Columns the driver-side fold needs extracted into the
+        eager snapshot. Default: the measure's own input expression.
+        Multi-input accumulators (RatioSum num/den, LabeledAcc guard
+        label) override; their ``py_agg`` then receives tuples."""
+        return (measure_col,)
+
 
 class Sum(Accumulator):
     """Null-skipping sum; all-null group -> null
@@ -85,6 +104,9 @@ class Sum(Accumulator):
         for v in vals[1:]:
             acc = acc + v
         return acc
+
+    # raw fold == finished-value fold for a sum
+    py_agg = py_merge
 
     def sql(self, expr):
         return f"sum({expr})"
@@ -109,6 +131,9 @@ class Count(Accumulator):
     def py_merge(values):
         return sum(v for v in values if v is not None)
 
+    # raw fold: every row counts, nulls included (reference Count.add)
+    py_agg = staticmethod(len)
+
     def sql(self, expr):
         return "count(*)"
 
@@ -126,6 +151,8 @@ class Min(Accumulator):
     def py_merge(values):
         vals = [v for v in values if v is not None]
         return min(vals) if vals else None
+
+    py_agg = py_merge
 
     def sql(self, expr):
         return f"min({expr})"
@@ -145,6 +172,8 @@ class Max(Accumulator):
         vals = [v for v in values if v is not None]
         return max(vals) if vals else None
 
+    py_agg = py_merge
+
     def sql(self, expr):
         return f"max({expr})"
 
@@ -159,6 +188,16 @@ class Average(Accumulator):
         # results are bit-identical across engines (oracle-hash safe)
         return F.sum(c).cast("double") / F.count(F.lit(1))
 
+    @staticmethod
+    def py_agg(values):
+        vals = [v for v in values if v is not None]
+        if not vals:
+            return None  # null sum / n -> null
+        acc = vals[0]
+        for v in vals[1:]:
+            acc = acc + v
+        return float(acc) / len(values)
+
     def sql(self, expr):
         return f"cast(sum({expr}) as double) / count(*)"
 
@@ -169,6 +208,18 @@ class StdDev(Accumulator):
 
     def agg(self, c):
         return F.stddev_samp(c)
+
+    @staticmethod
+    def py_agg(values):
+        vals = [float(v) for v in values if v is not None]
+        n = len(vals)
+        if n == 0:
+            return None
+        if n == 1:
+            return None  # stddev_samp of a single value is null in Spark
+        mean = sum(vals) / n
+        m2 = sum((v - mean) ** 2 for v in vals)
+        return (m2 / (n - 1)) ** 0.5
 
     def sql(self, expr):
         return f"stddev_samp({expr})"
@@ -198,6 +249,13 @@ class Group(Accumulator):
         n_distinct = F.count_distinct(c) + F.max(c.isNull().cast("int"))
         return F.when(n_distinct == 1, F.min(c))
 
+    @staticmethod
+    def py_agg(values):
+        distinct = set(values)  # None counts as a distinct value
+        if len(distinct) == 1:
+            return next(iter(distinct))
+        return None
+
     def sql(self, expr):
         return (
             f"CASE WHEN count(DISTINCT {expr}) + max(CASE WHEN {expr} IS NULL THEN 1 ELSE 0 END) = 1 "
@@ -214,6 +272,22 @@ class LabeledAcc(Accumulator):
     def __init__(self, label_expr: str | Column, inner: Accumulator):
         self.label_expr = label_expr
         self.inner = inner
+        # driver-side fold twin, only when the inner accumulator has one:
+        # first snapshot column is the guard label, the rest the inner's
+        # inputs (instance attribute so `py_agg is None` stays the
+        # availability check the engine uses)
+        if inner.py_agg is not None:
+
+            def _py_agg(tuples):
+                if len({t[0] for t in tuples}) > 1:
+                    return None  # Inconsistent -> null
+                inner_vals = [t[1] if len(t) == 2 else t[1:] for t in tuples]
+                return inner.py_agg(inner_vals)
+
+            self.py_agg = _py_agg
+
+    def py_input_cols(self, measure_col):
+        return (self._label_col(), *self.inner.py_input_cols(measure_col))
 
     def _label_col(self) -> Column:
         le = self.label_expr
@@ -252,6 +326,18 @@ class RatioSum(Accumulator):
         # double division (see Average.agg for the determinism rationale)
         return F.when(s_den != 0, s_num.cast("double") / s_den.cast("double"))
 
+    def py_input_cols(self, measure_col):
+        return (self._col(self.num), self._col(self.den))
+
+    @staticmethod
+    def py_agg(pairs):
+        """*pairs* are (num, den) tuples (see ``py_input_cols``)."""
+        s_num = Sum.py_agg([p[0] for p in pairs])
+        s_den = Sum.py_agg([p[1] for p in pairs])
+        if s_den is None or s_den == 0 or s_num is None:
+            return None
+        return float(s_num) / float(s_den)
+
     def sql(self, expr):
         num = self.num if isinstance(self.num, str) else None
         den = self.den if isinstance(self.den, str) else None
@@ -264,6 +350,10 @@ class CountDistinct(Accumulator):
 
     def agg(self, c):
         return F.count_distinct(c)
+
+    @staticmethod
+    def py_agg(values):
+        return len({v for v in values if v is not None})
 
     def sql(self, expr):
         return f"count(DISTINCT {expr})"

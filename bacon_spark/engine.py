@@ -51,7 +51,13 @@ from pyspark.storagelevel import StorageLevel
 from .cubedef import CubeDef
 from .cubequery import CubeQuery
 from .errors import QueryError
-from .filters import FILTER_OPS, PY_FILTER_OPS, build_predicate, combine_filters
+from .filters import (
+    FILTER_OPS,
+    PY_FILTER_OPS,
+    build_predicate,
+    combine_filters,
+    compile_py_filter,
+)
 
 __all__ = ["CuttingBoard", "Slice", "keyset_page"]
 
@@ -125,6 +131,7 @@ class CuttingBoard:
         df: DataFrame,
         cache_results: bool = True,
         snapshot_cache: bool = False,
+        eager_snapshot_rows: int | None = None,
     ):
         self.cubedef = cubedef
         self.df = df
@@ -153,6 +160,20 @@ class CuttingBoard:
         self.local_hits = 0  # diagnostics: queries answered without a job
         self._lattices: list = []  # registered CubeLattice materializations
         self._lock = threading.RLock()
+        # COLD small-table path: when eager_snapshot_rows is set and the
+        # table fits under it, label values and measure inputs are
+        # extracted Spark-side ONCE (construction-time, like the
+        # reference's preloaded dataset, /root/reference/bacon/
+        # cutting.py:122-135) and FIRST-hit aggregations fold them
+        # driver-side via the accumulators' ``py_agg`` twins — closing
+        # Spark's ~0.3 s job-launch floor on point queries over small
+        # dimension tables. Bounded by construction: a table over the cap
+        # disables the path (one capped probe, never an unbounded
+        # collect), so at 100 TB only genuinely small cubes qualify.
+        self._snap_rows: list | None = None
+        self._snap_cap = eager_snapshot_rows
+        if eager_snapshot_rows:
+            self._build_snapshot(eager_snapshot_rows)
 
     def register_lattice(self, lattice) -> None:
         """Register a precomputed CubeLattice (operators/lattice.py) as a
@@ -224,6 +245,133 @@ class CuttingBoard:
             self._rows_memo.move_to_end(_memo_key(query))
             while len(self._rows_memo) > self.CACHE_SIZE:
                 self._rows_memo.popitem(last=False)
+
+    def _build_snapshot(self, cap: int) -> None:
+        """Extract every label value and (py-foldable) measure input from
+        the base frame into driver memory, capped at *cap* rows.
+
+        One Spark job, at board construction — the analogue of the
+        reference's ``_get_dataset`` preload (/root/reference/bacon/
+        cutting.py:122-135), billed as load time, not query time. The
+        extraction happens SPARK-side (label Columns, measure input
+        expressions), so the driver fold needs no Python twins of label
+        logic — only of the accumulators' folds (``py_agg``). A table
+        bigger than the cap disables the path (probed via limit(cap+1))."""
+        if self.df.isStreaming:
+            return
+        cols: list[Column] = []
+        names: list[str] = []
+        for lab in self.cubedef.labels:
+            cols.append(lab.column().alias(lab.name))
+            names.append(lab.name)
+        minputs: dict[str, list[str]] = {}
+        probes: list[Column] = []
+        for m in self.cubedef.measures:
+            if m.acc.py_agg is None:
+                continue
+            keys = []
+            for i, c in enumerate(m.acc.py_input_cols(m.column())):
+                n = f"__m_{m.name}_{i}"
+                cols.append(c.alias(n))
+                names.append(n)
+                keys.append(n)
+            minputs[m.name] = keys
+            probes.append(m.agg_column().alias(m.name))
+        snap_df = self.df.select(*cols)
+        rows = snap_df.limit(cap + 1).collect()
+        if len(rows) > cap:
+            return  # too big for a driver-side fold: stay on the Spark path
+        # finished-value types, resolved ONCE by catalyst analysis (no job)
+        # so cold queries never pay per-hit schema analysis
+        ftypes = {}
+        if probes:
+            probe_schema = self.df.groupBy(F.lit(1)).agg(*probes).schema
+            ftypes = {f.name: f for f in probe_schema.fields[1:]}
+        with self._lock:
+            self._snap_idx = {n: i for i, n in enumerate(names)}
+            self._snap_fields = {f.name: f for f in snap_df.schema.fields}
+            self._snap_minputs = minputs
+            self._snap_ftypes = ftypes
+            self._snap_rows = [tuple(r) for r in rows]
+
+    def _local_cold(self, query: CubeQuery):
+        """FIRST-hit driver-side aggregation over the eager snapshot: filter
+        with the PY_FILTER_OPS twins, group by axis values, fold each
+        measure's extracted inputs with its accumulator's ``py_agg``.
+        Returns None whenever any piece lacks an exact Python twin — the
+        query then takes the normal Spark plan."""
+        snap = self._snap_rows
+        if snap is None:
+            return None
+        idx = self._snap_idx
+        try:
+            fspec = [
+                (idx[n], compile_py_filter(op, v)) for n, op, v in query.filters
+            ]
+            axi = [idx[a] for a in query.axes]
+        except KeyError:
+            return None
+        from pyspark.sql.types import StructField, StructType
+
+        folds = []  # (value name, fold fn, snapshot col indices)
+        fields = []
+        for v in query.values:
+            meas = self.cubedef.get_value(v)
+            fn = meas.acc.py_agg
+            if fn is None:
+                return None
+            keys = self._snap_minputs.get(v)
+            if keys is None:
+                # a plain label used as a value (Group accumulator): its
+                # input IS the extracted label column
+                if v in self._snap_fields and v not in self._snap_minputs:
+                    keys = [v]
+                else:
+                    return None
+                f = self._snap_fields[v]
+                fields.append(StructField(v, f.dataType, True))
+            else:
+                fields.append(self._snap_ftypes[v])
+            folds.append((v, fn, [idx[k] for k in keys]))
+        try:
+            rows = snap
+            for i, f in fspec:
+                rows = [r for r in rows if f(r[i])]
+            if query.axes:
+                groups: dict = {}
+                for r in rows:
+                    k = tuple(r[i] for i in axi)
+                    g = groups.get(k)
+                    if g is None:
+                        groups[k] = g = []
+                    g.append(r)
+                items = list(groups.items())
+            else:
+                # dim=0: one grand-total row even over an empty input,
+                # matching df.agg() (/root/reference/bacon/cutting.py:111-112)
+                items = [((), rows)]
+            out = []
+            for key, grp in items:
+                d = dict(zip(query.axes, key))
+                for v, fn, ii in folds:
+                    if len(ii) == 1:
+                        i0 = ii[0]
+                        d[v] = fn([g[i0] for g in grp])
+                    else:
+                        d[v] = fn([tuple(g[i] for i in ii) for g in grp])
+                out.append(d)
+        except TypeError:
+            return None  # unhashable label value etc: take the Spark plan
+        self._py_order(query, out)
+        out_schema = StructType(
+            [self._snap_fields[a] for a in query.axes] + fields
+        )
+        made = self._local_made(
+            query, out_schema, [tuple(d[c] for c in out_schema.names) for d in out]
+        )
+        self._memoize_rows(query, out_schema, made._rows)
+        self.local_hits += 1
+        return made
 
     def _local_slice(self, query: CubeQuery):
         """Serve *query* entirely driver-side from memoized slice rows —
@@ -314,7 +462,7 @@ class CuttingBoard:
             # memoize the derived result too: further drills chain off it
             self._memoize_rows(query, out_schema, made._rows)
             return made
-        return None
+        return self._local_cold(query)
 
     def _local_made(self, query: CubeQuery, schema, rows) -> Slice:
         """A Slice over already-materialized rows: collect()/renderers
@@ -396,6 +544,11 @@ class CuttingBoard:
             else:
                 self._lattices.remove(lat)
                 lat.unpersist()
+        # the eager snapshot describes the pre-refresh base: rebuild it
+        # over the grown frame (one bounded job, same cap discipline)
+        if self._snap_rows is not None:
+            self._snap_rows = None
+            self._build_snapshot(self._snap_cap)
         with self._lock:
             # memoized rows describe the pre-refresh data: all stale
             self._rows_memo.clear()

@@ -189,11 +189,39 @@ PY_FILTER_OPS = {
     "ne": lambda r, v: (r is not None) if v is None else (r is None or r != v),
     "gt": lambda r, v: r is not None and v is not None and r > v,
     "ge": lambda r, v: r is not None and v is not None and r >= v,
-    "lt": lambda r, v: r is not None and v is not None and r < v,
+    "lt": lambda r, v: r is not None and v is not None and r <= v,
     "le": lambda r, v: r is not None and v is not None and r <= v,
     "in": _py_in,
     "ni": _py_ni,
 }
+
+
+def compile_py_filter(op: str, v):
+    """Pre-bound single-argument form of ``PY_FILTER_OPS[op](·, v)``.
+
+    The engine's cold snapshot fold (engine.CuttingBoard._local_cold)
+    evaluates a filter once per preloaded row; the generic twins normalize
+    the membership set PER CALL, which is O(|set|) per row. Binding here
+    hoists that to once per query. Raises KeyError for ops without a
+    Python twin (regex, set algebra) — callers fall through to Spark."""
+    if op == "in":
+        vals = _py_vals(v)
+        rest = frozenset(x for x in vals if x is not None)
+        if any(x is None for x in vals):  # null in the filter set matches null
+            return lambda r: r is None or r in rest
+        return lambda r: r is not None and r in rest
+    if op == "ni":
+        vals = _py_vals(v)
+        rest = frozenset(x for x in vals if x is not None)
+        if any(x is None for x in vals):
+            return lambda r: r is not None and r not in rest
+        return lambda r: r is None or r not in rest
+    if op == "eq":
+        if v is None:
+            return lambda r: r is None
+        return lambda r: r is not None and r == v
+    fn = PY_FILTER_OPS[op]  # KeyError -> no Python twin
+    return lambda r: fn(r, v)
 
 
 def build_predicate(col: Column, op: str, value) -> Column:

@@ -1,0 +1,202 @@
+"""The COLD small-table driver path (round 8): an eager construction-time
+snapshot of label values + measure inputs, folded driver-side on the FIRST
+hit via the accumulators' ``py_agg`` twins — the engine's answer to the
+reference's preloaded in-memory dataset (/root/reference/bacon/
+cutting.py:122-135), where a point query over a 20k-row dimension table
+costs a Python loop, not a Spark job.
+
+Every test compares the snapshot board against a fresh ``cache_results=
+False`` board (pure Spark path) — the same ground-truth pattern as the
+warm-navigation fuzz in test_engine.py.
+"""
+
+import math
+import random
+
+import pytest
+
+from bacon_spark import (
+    Average,
+    Count,
+    CubeDef,
+    CubeQuery,
+    CuttingBoard,
+    Group,
+    Label,
+    Measure,
+    StdDev,
+    Sum,
+)
+from bacon_spark.accumulators import (
+    CountDistinct,
+    LabeledAcc,
+    Max,
+    Min,
+    RatioSum,
+)
+from bacon_spark.cubedef import RatioMeasure
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = []
+    for i in range(400):
+        g = None if i % 11 == 0 else f"g{i % 5}"
+        h = f"h{i % 3}"
+        num = None if i % 13 == 0 else float(i % 100) + 0.25
+        den = float(i % 7)  # zeros included: RatioSum null-on-zero path
+        cur = "EUR" if i % 50 < 45 else "USD"  # LabeledAcc guard
+        rows.append((g, h, i % 7, num, den, cur))
+    return spark.createDataFrame(
+        rows, "g string, h string, d long, num double, den double, cur string"
+    )
+
+
+@pytest.fixture(scope="module")
+def cd():
+    cd = CubeDef("t")
+    for name in ("g", "h", "d", "cur"):
+        cd.add_label(Label(name))
+    cd.add_measure(Measure("s", "num", acc=Sum()))
+    cd.add_measure(Measure("n", "num", acc=Count()))
+    cd.add_measure(Measure("mn", "num", acc=Min()))
+    cd.add_measure(Measure("mx", "num", acc=Max()))
+    cd.add_measure(Measure("avg", "num", acc=Average()))
+    cd.add_measure(Measure("sd", "num", acc=StdDev()))
+    cd.add_measure(Measure("one_h", "h", acc=Group()))
+    cd.add_measure(Measure("nd", "h", acc=CountDistinct()))
+    cd.add_measure(RatioMeasure("ratio", "num", "den"))
+    cd.add_measure(Measure("eur_sum", "num", acc=LabeledAcc("cur", Sum())))
+    return cd
+
+
+def _match(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+    return a == b
+
+
+def _assert_same(got_rows, want_rows, ctx):
+    got = [tuple(r) for r in got_rows]
+    want = [tuple(r) for r in want_rows]
+    assert len(got) == len(want), (ctx, len(got), len(want))
+    for gr, wr in zip(got, want):
+        assert len(gr) == len(wr) and all(
+            _match(a, b) for a, b in zip(gr, wr)
+        ), (ctx, gr, wr)
+
+
+def test_cold_fold_serves_first_hit_without_spark(cd, frame):
+    b = CuttingBoard(cd, frame, eager_snapshot_rows=10_000)
+    assert b._snap_rows is not None
+    ref = CuttingBoard(cd, frame, cache_results=False)
+    q = (
+        CubeQuery().add_axis("g").add_value("s").add_value("n")
+        .add_value("mn").add_value("avg").add_value("sd")
+    )
+    sl = b.slice(q)
+    assert sl._rows is not None  # prefetched: no job ran for this slice
+    assert b.local_hits == 1
+    _assert_same(sl.collect(), ref.slice(q).collect(), "first hit")
+    # the result also lands in the rows memo: repeat and drill stay local
+    b.slice(q)
+    assert b.local_hits == 2
+
+
+def test_cold_fold_randomized_equivalence(cd, frame):
+    """Cold fuzz twin of the warm navigation fuzz: every query runs against
+    a cache-cleared snapshot board (so _local_cold, not the memo, answers)
+    and a no-cache Spark board."""
+    axes_pool = ["g", "h", "d"]
+    vals_pool = ["s", "n", "mn", "mx", "avg", "sd", "one_h", "nd", "ratio", "eur_sum"]
+    value_of = {
+        "g": [None, "g0", "g1", "g2"],
+        "h": ["h0", "h1"],
+        "d": [0, 1, 2, 3],
+        "cur": ["EUR", "USD"],
+    }
+    b = CuttingBoard(cd, frame, eager_snapshot_rows=10_000)
+    ref = CuttingBoard(cd, frame, cache_results=False)
+    served = 0
+    for seed in range(25):
+        rng = random.Random(seed)
+        q = CubeQuery()
+        for a in rng.sample(axes_pool, rng.randint(0, 3)):
+            q = q.add_axis(a)
+        for v in rng.sample(vals_pool, rng.randint(1, 4)):
+            q = q.add_value(v)
+        for _ in range(rng.randint(0, 2)):
+            a = rng.choice(list(value_of))
+            op = rng.choice(["eq", "ne", "gt", "le", "in", "ni"])
+            v = rng.choice(value_of[a])
+            if op in ("gt", "le") and v is None:
+                v = value_of[a][-1]
+            if op in ("in", "ni"):
+                v = frozenset(
+                    rng.sample(value_of[a], rng.randint(1, len(value_of[a])))
+                )
+            q = q.add_filter(a, op, v)
+        # order only by numeric measures: the None-sorts-as-0 coalesce
+        # (engine._order, reference tables.py:258-275) is numeric by contract
+        orderable = [v for v in q.values if v != "one_h"]
+        if rng.random() < 0.4 and orderable:
+            q = q.set_order(rng.choice(orderable), -1 if rng.random() < 0.5 else 1)
+        b.clear_cache()  # memo gone: the snapshot fold must answer alone
+        before = b.local_hits
+        _assert_same(
+            b.slice(q).collect(),
+            ref.slice(q).collect(),
+            (seed, q.axes, q.values, q.filters),
+        )
+        served += b.local_hits - before
+    assert served >= 20, served  # the cold path actually answered
+
+
+def test_cold_fold_dim0_over_empty_selection(cd, frame):
+    """A grand total whose filters match nothing is still ONE row (count 0,
+    null sums) — matching df.agg() over empty input."""
+    b = CuttingBoard(cd, frame, eager_snapshot_rows=10_000)
+    ref = CuttingBoard(cd, frame, cache_results=False)
+    q = (
+        CubeQuery().add_value("s").add_value("n")
+        .add_filter("g", "eq", "no-such-group")
+    )
+    got, want = b.slice(q).collect(), ref.slice(q).collect()
+    assert b.local_hits == 1
+    _assert_same(got, want, "empty dim0")
+    assert got[0]["n"] == 0 and got[0]["s"] is None
+
+
+def test_cap_exceeded_disables_and_falls_back(cd, frame):
+    b = CuttingBoard(cd, frame, eager_snapshot_rows=10)
+    assert b._snap_rows is None  # 400 rows > 10: snapshot refused
+    ref = CuttingBoard(cd, frame, cache_results=False)
+    q = CubeQuery().add_axis("h").add_value("s")
+    _assert_same(b.slice(q).collect(), ref.slice(q).collect(), "fallback")
+    assert b.local_hits == 0
+
+
+def test_ops_without_python_twin_fall_through(cd, frame):
+    b = CuttingBoard(cd, frame, eager_snapshot_rows=10_000)
+    ref = CuttingBoard(cd, frame, cache_results=False)
+    q = (
+        CubeQuery().add_axis("h").add_value("s")
+        .add_filter("g", "match", "g[01]")
+    )
+    before = b.local_hits
+    _assert_same(b.slice(q).collect(), ref.slice(q).collect(), "regex")
+    assert b.local_hits == before  # regex has no twin: Spark planned it
+
+
+def test_refresh_rebuilds_snapshot(cd, frame, spark):
+    b = CuttingBoard(cd, frame, eager_snapshot_rows=10_000)
+    n0 = len(b._snap_rows)
+    delta = spark.createDataFrame(
+        [("g9", "h9", 9, 5.0, 1.0, "EUR")],
+        "g string, h string, d long, num double, den double, cur string",
+    )
+    b.refresh(delta)
+    assert len(b._snap_rows) == n0 + 1
+    q = CubeQuery().add_axis("g").add_value("s").add_filter("g", "eq", "g9")
+    rows = b.slice(q).collect()
+    assert len(rows) == 1 and rows[0]["s"] == 5.0
