@@ -158,8 +158,34 @@ def pq_ann_topk(
     surviving centroids)."""
     m = len(codebooks)
     subdim = len(codebooks[0][0][1])
-    k = max(ci for cb in codebooks for ci, _ in cb) + 1
     vec = F.col(vec_col).cast("array<double>")
+    coded = df.select(
+        F.col(id_col),
+        *[
+            _assign(F.slice(vec, s * subdim + 1, subdim), codebooks[s]).alias(f"_c{s}")
+            for s in range(m)
+        ],
+    )
+    return pq_score_topk(coded, codebooks, probes, n, id_col)
+
+
+def pq_score_topk(
+    coded: DataFrame,
+    codebooks: Codebooks,
+    probes: list[tuple[int, list[float]]],
+    n: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The ADC scoring + rank-window half of :func:`pq_ann_topk`, over an
+    ALREADY-CODED frame (columns ``_c0.._c{m-1}``) — shared by the
+    end-to-end composition above and the persisted plain-PQ index's
+    search path (pq_index.pq_index_search), which reads codes written
+    once at ingest instead of re-encoding the corpus per query. Same
+    literal lookup tables, same python float fold, bit-identical
+    output."""
+    m = len(codebooks)
+    subdim = len(codebooks[0][0][1])
+    k = max(ci for cb in codebooks for ci, _ in cb) + 1
 
     def adc_table(pv: list[float], s: int) -> list[float]:
         by_ci = dict(codebooks[s])
@@ -175,13 +201,6 @@ def pq_ann_topk(
                 out.append(float("inf"))  # placeholder, never addressed
         return out
 
-    coded = df.select(
-        F.col(id_col),
-        *[
-            _assign(F.slice(vec, s * subdim + 1, subdim), codebooks[s]).alias(f"_c{s}")
-            for s in range(m)
-        ],
-    )
     per_probe = []
     for pid, pv in probes:
         d: Column | None = None

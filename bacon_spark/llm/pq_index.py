@@ -140,6 +140,91 @@ def ivfpq_index_build(
     }
 
 
+def pq_index_build(
+    df: DataFrame,
+    path: str,
+    m: int = 8,
+    k: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "pq",
+) -> dict:
+    """Train and persist a PLAIN product-quantization index (no coarse
+    quantizer): per-subspace codebooks in the manifest, the coded corpus
+    (id + m small-int codes) as an immutable parquet directory. The
+    flat-PQ counterpart of :func:`ivfpq_index_build` — same once-per-
+    ingest cost model, same put-if-absent manifest publish, so a search
+    never bills codebook training or corpus encoding (the two jobs that
+    dominate the end-to-end ``pq.pq_ann_topk`` composition)."""
+    from .pq import pq_codebooks, pq_codes
+
+    cbs = pq_codebooks(df, m, k, dim, id_col, vec_col, salt)
+    coded = pq_codes(df, cbs, id_col, vec_col).select(
+        F.col(id_col), *[F.col(f"c{s}") for s in range(m)]
+    )
+    data_dir = f"codes-{uuid.uuid4().hex[:8]}"
+    coded.write.parquet(os.path.join(path, data_dir))
+    files = [
+        (os.path.relpath(f, path), b)
+        for f, b in table_files(os.path.join(path, data_dir))
+    ]
+    n = coded.count()
+    version = commit_manifest(
+        path,
+        files,
+        op="pq-build",
+        extra={
+            "index": {
+                "kind": "pq",
+                "m": m,
+                "k": k,
+                "dim": dim,
+                "id_col": id_col,
+                "data_dir": data_dir,
+                "codebooks": [[[ci, c] for ci, c in cb] for cb in cbs],
+                "salts": {"pq": salt},
+            }
+        },
+    )
+    return {"path": path, "version": version, "n_vectors": int(n), "data_dir": data_dir}
+
+
+def pq_index_search(
+    spark: SparkSession,
+    path: str,
+    probes: list[tuple[int, list[float]]],
+    n: int = 10,
+    version: int | None = None,
+) -> DataFrame:
+    """Top-n per probe against the prebuilt plain-PQ index at *path*:
+    read the persisted codes, score with the literal ADC tables, rank.
+    Bit-identical to ``pq.pq_ann_topk`` on the same corpus/params (the
+    scoring half is the SAME function, pq.pq_score_topk; the codes read
+    back are the same deterministic ints the inline encode produces)."""
+    from .pq import pq_score_topk
+
+    man = read_manifest(path, version)
+    if man is None or "index" not in man or man["index"].get("kind") != "pq":
+        raise FileNotFoundError(f"no plain-PQ index manifest under {path}")
+    idx = dict(man["index"])
+    cbs: Codebooks = [
+        [(int(ci), [float(x) for x in c]) for ci, c in cb]
+        for cb in idx["codebooks"]
+    ]
+    m, id_col = idx["m"], idx["id_col"]
+    legs = [
+        spark.read.parquet(os.path.join(path, d)) for d in _data_dirs(idx)
+    ]
+    codes = legs[0]
+    for leg in legs[1:]:
+        codes = codes.unionByName(leg)
+    coded = codes.select(
+        F.col(id_col), *[F.col(f"c{s}").alias(f"_c{s}") for s in range(m)]
+    )
+    return pq_score_topk(coded, cbs, probes, n, id_col)
+
+
 def ivfpq_index_append(
     df: DataFrame,
     path: str,

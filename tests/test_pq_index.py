@@ -192,3 +192,57 @@ def test_append_coding_matches_from_scratch_encode(spark, appended):
     got = sorted(map(tuple, got_df.select(*cols).collect()))
     release_caches()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# plain-PQ index (round 8): q160's once-per-ingest artifact
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pq_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("pq"))
+
+
+@pytest.fixture(scope="module")
+def pq_built(spark, pq_dir):
+    from bacon_spark.utils.caching import release_caches
+
+    info = _pqi.pq_index_build(_emb(spark), pq_dir, m=8, k=8, dim=64)
+    release_caches()
+    return info
+
+
+def test_pq_build_writes_codes_and_manifest(pq_built, pq_dir):
+    import os
+
+    assert pq_built["n_vectors"] == 500 and pq_built["version"] == 1
+    man = __import__(
+        "bacon_spark.operators.maintenance", fromlist=["read_manifest"]
+    ).read_manifest(pq_dir)
+    assert man["index"]["kind"] == "pq" and len(man["index"]["codebooks"]) == 8
+    assert os.path.isdir(os.path.join(pq_dir, pq_built["data_dir"]))
+
+
+def test_pq_prebuilt_search_matches_end_to_end(spark, pq_built, pq_dir):
+    """The persisted-codes search must be BIT-identical to the inline
+    train+encode+score composition (same scoring function, deterministic
+    codes) — the guarantee that lets gate q160 keep its full-replay
+    oracle while paying search-only cost."""
+    from bacon_spark.utils.caching import release_caches
+
+    emb = _emb(spark)
+    probes = _probes(emb)
+    cbs = _pq.pq_codebooks(emb, m=8, k=8, dim=64)
+    want = [tuple(r) for r in _pq.pq_ann_topk(emb, cbs, probes, n=10).collect()]
+    release_caches()
+    got = [
+        tuple(r)
+        for r in _pqi.pq_index_search(spark, pq_dir, probes, n=10).collect()
+    ]
+    assert got == want and len(got) == 50
+
+
+def test_pq_search_rejects_ivfpq_manifest(spark, built, index_dir):
+    with pytest.raises(FileNotFoundError):
+        _pqi.pq_index_search(spark, index_dir, [(0, [0.0] * 64)])
