@@ -170,6 +170,37 @@ def board(cd: CubeDef, df: DataFrame) -> CuttingBoard:
     return CuttingBoard(cd, df, cache_results=False)
 
 
+def artifact_path(sf_dir: str, kind: str) -> str:
+    """Per-dataset artifact cache dir (ANN indexes, token tables, ...),
+    anchored on the PACKAGE root (the harness cwd varies — see
+    tests/test_driver_contract.py) and keyed on the dataset path so sf
+    dirs never share an artifact."""
+    import hashlib
+    import os
+
+    import bacon_spark
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(bacon_spark.__file__)))
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(root, ".ann_index", f"{kind}-{key}")
+
+
+def _token_prebuilt(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-absent the corpus TOKEN TABLE artifact (llm/tokens_table:
+    (doc_id, toks) + (tok, cnt) under one manifest commit) — the prepare
+    hook shared by the n-gram / heavy-hitter gate queries, so each pays
+    probe cost only and the tokenize pass is billed once per ingest."""
+    from ..llm.tokens_table import token_table_build
+    from ..operators.maintenance import read_manifest
+    from ..utils.caching import release_caches
+
+    path = artifact_path(sf_dir, "toks")
+    if read_manifest(path) is None:
+        token_table_build(_read_docs(spark, sf_dir), path)
+        release_caches()
+    return path
+
+
 # Shared aliased imports for the gate modules (each does
 # `from ._base import *`; underscore names are exported via __all__).
 from ..llm import dedup as _dd  # noqa: E402
@@ -250,6 +281,8 @@ __all__ = [
     "_rank",
     "_read",
     "_read_docs",
+    "_token_prebuilt",
+    "artifact_path",
     "_samp",
     "_scale",
     "_sim",

@@ -1077,6 +1077,7 @@ def q139_quantized_ann_topk(spark, sf_dir):
     HAVING count(*) >= 500
     ORDER BY cnt DESC, tok
     """,
+    prepare=_token_prebuilt,
 )
 def q140_cm_heavy_hitters(spark, sf_dir):
     """Count-Min-prefiltered EXACT heavy hitters (the sketch analog of
@@ -1091,39 +1092,45 @@ def q140_cm_heavy_hitters(spark, sf_dir):
     bloom-free, sketch-free oracle.
 
     Scale shape (the whole point of the sketch): the corpus is tokenized
-    ONCE (persisted); the sketch build is a w*d-cell aggregation (state
-    8K cells, independent of vocabulary size); the candidate filter cuts
-    the per-token shuffle from |distinct tokens| to |candidates| — at
-    100 TB the vocabulary is billions of rare tokens and the candidates
-    are thousands, so the sketch removes ~the entire shuffle. The
+    ONCE — at INGEST, into the persisted token table
+    (llm/tokens_table.py, the prepare hook; VERDICT r7 'what's wrong
+    #2'). The query runs entirely over the vocabulary-sized (tok, cnt)
+    table: the CM counters are built by summing cnt per cell (equal to
+    counting raw token rows — the sketch is a linear map of the count
+    vector), the map-side estimate probe runs BEFORE the candidate
+    shuffle, and the exact verify is the stored count itself. At 100 TB
+    the per-query cost is |vocabulary|, not |corpus tokens|; the
     pre-r4 lowering aggregated the full vocabulary first and probed
     after, defeating the prefilter (VERDICT r3 'What's wrong #1')."""
-    from ..llm.text import tokens as _toks
-    from ..utils.caching import managed_persist
+    from ..llm.tokens_table import token_counts
 
     threshold = 500
     d, wdt = 4, 2048
-    docs = _read_docs(spark, sf_dir)
-    # managed: the returned plan probes this frame again — released by
-    # the session owner via release_caches()
-    tok = managed_persist(docs.select(F.explode(_toks(F.col("text"))).alias("tok")))
+    cnts = token_counts(spark, _token_prebuilt(spark, sf_dir))
 
     def cell(i):
         return F.pmod(F.xxhash64(F.lit(f"cm{i}"), F.col("tok")), F.lit(wdt))
 
-    cells = tok.select(
+    cells = cnts.select(
+        F.col("cnt"),
         F.explode(
             F.array(*[
                 F.struct(F.lit(i).alias("row"), cell(i).alias("col"))
                 for i in range(d)
             ])
-        ).alias("c")
-    ).select("c.row", "c.col")
-    counters = cells.groupBy("row", "col").agg(F.count(F.lit(1)).alias("n")).collect()
+        ).alias("c"),
+    ).select("c.row", "c.col", "cnt")
+    counters = cells.groupBy("row", "col").agg(F.sum("cnt").alias("n")).collect()
     tables = [[0] * wdt for _ in range(d)]
     for r in counters:
-        tables[r["row"]][r["col"]] = r["n"]
-    lits = [F.lit(t) for t in tables]
+        tables[r["row"]][r["col"]] = int(r["n"])
+    # literal CM rows as PARSED array text, not F.lit(list): py4j converts
+    # a python list one element at a time (~1 s per 2048-wide row — it was
+    # most of this query's cost, misattributed to tokenization pre-r8);
+    # one SQL string parses JVM-side in milliseconds
+    lits = [
+        F.expr("array(" + ",".join(f"{x}L" for x in t) + ")") for t in tables
+    ]
 
     est = F.least(
         *[
@@ -1136,12 +1143,10 @@ def q140_cm_heavy_hitters(spark, sf_dir):
             for i in range(d)
         ]
     )
-    # map-side sketch probe FIRST: only candidate token rows (est >=
-    # threshold) are shuffled into the exact aggregation
+    # map-side sketch probe FIRST: only candidate tokens reach the exact
+    # filter (the stored count — no aggregation left to do)
     return (
-        tok.filter(est >= threshold)
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        cnts.filter(est >= threshold)
         .filter(F.col("cnt") >= threshold)
         .select("tok", "cnt")
         .orderBy(F.desc("cnt"), F.asc("tok"))
@@ -1334,22 +1339,8 @@ def q159_leakage_safe_split(spark, sf_dir):
 from ..llm import pq as _pq  # noqa: E402
 
 
-def _ann_index_path(sf_dir, kind: str):
-    """Per-dataset index cache dir, anchored on the PACKAGE root (the
-    harness cwd varies — see tests/test_foreign_cwd.py) and keyed on the
-    dataset path so sf dirs never share an index."""
-    import hashlib
-    import os
-
-    import bacon_spark
-
-    root = os.path.dirname(os.path.dirname(os.path.abspath(bacon_spark.__file__)))
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(root, ".ann_index", f"{kind}-{key}")
-
-
 def _ivfpq_index_path(sf_dir):
-    return _ann_index_path(sf_dir, "ivfpq")
+    return artifact_path(sf_dir, "ivfpq")
 
 
 def _ivfpq_prebuilt(spark, sf_dir):
@@ -1380,7 +1371,7 @@ def _pq_prebuilt(spark, sf_dir):
     from ..operators.maintenance import read_manifest
     from ..utils.caching import release_caches
 
-    path = _ann_index_path(sf_dir, "pq")
+    path = artifact_path(sf_dir, "pq")
     if read_manifest(path) is None:
         emb = _read(spark, sf_dir, "embeddings")
         _pqi.pq_index_build(emb, path, m=8, k=8, dim=64)

