@@ -1221,3 +1221,94 @@ def q180_stats_pruned_scan(spark, sf_dir):
             F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("sum_cents"),
         )
     )
+
+
+def _orders_month_layout_prebuilt(spark, sf_dir):
+    """Build-if-absent the MONTH-PARTITIONED orders layout (q187): orders
+    rewritten ``months-*/o_month=YYYY-MM/`` via operators/maintenance.
+    write_hive_partitioned, published under a manifest commit (data in a
+    subdirectory so partition discovery never sees the manifest files).
+    The once-per-ingest half of directory pruning — the physical layout
+    the reference's sargable date-label rewrite
+    (/root/reference/bacon/cubedef.py:728-741) wants underneath it: the
+    reference adds an index-friendly raw-column bound for Postgres;
+    at lake scale the same bound must select DIRECTORIES."""
+    import os
+    import uuid
+
+    from ..operators.maintenance import (
+        commit_manifest,
+        read_manifest,
+        table_files,
+        write_hive_partitioned,
+    )
+
+    path = artifact_path(sf_dir, "omonth")
+    man = read_manifest(path)
+    if man is not None and "layout" in man:
+        return path
+    orders = _read(spark, sf_dir, "orders")
+    data_dir = f"months-{uuid.uuid4().hex[:8]}"
+    write_hive_partitioned(
+        orders.withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM")),
+        os.path.join(path, data_dir),
+        ["o_month"],
+    )
+    files = [
+        (os.path.relpath(f, path), b)
+        for f, b in table_files(os.path.join(path, data_dir))
+    ]
+    commit_manifest(
+        path,
+        files,
+        op="omonth-build",
+        extra={"layout": {"data_dir": data_dir, "partition_col": "o_month"}},
+    )
+    return path
+
+
+@query(
+    "q187_partition_pruned_month_drill",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+           count(*) AS n_orders,
+           round(cast(sum(cast(o_totalprice as decimal(38,4))) as double), 2) AS total
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m') >= '1997-01'
+      AND strftime(o_orderdate, '%Y-%m') <= '1997-03'
+    GROUP BY 1
+    ORDER BY o_month
+    """,
+    prepare=_orders_month_layout_prebuilt,
+)
+def q187_partition_pruned_month_drill(spark, sf_dir):
+    """A quarter drill over the month-PARTITIONED orders layout: the
+    partition-key range predicate becomes DIRECTORY pruning at plan time
+    (``PartitionFilters`` in the scan; only the three matching
+    ``o_month=`` directories are listed — plan- and file-asserted in
+    tests/test_maintenance.py). This is the hive-layout realization of
+    the cube's sargable date drill (SURVEY §4): the reference rewrites a
+    truncating date-label filter into a raw-column bound for a Postgres
+    index; here the same drill selects 3 of ~80 directories, which at
+    100 TB is the first-order scan lever (file skipping, q180, is the
+    second). Results are identical to the full scan by the pruning
+    superset guarantee — what the oracle (a plain filter over raw
+    orders) checks."""
+    import os
+
+    from ..operators.maintenance import read_manifest
+
+    path = _orders_month_layout_prebuilt(spark, sf_dir)
+    dd = read_manifest(path)["layout"]["data_dir"]
+    df = spark.read.parquet(os.path.join(path, dd))
+    return (
+        df.filter((F.col("o_month") >= "1997-01") & (F.col("o_month") <= "1997-03"))
+        .groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.expr(dec("o_totalprice"))).cast("double"), 2
+            ).alias("total"),
+        )
+        .orderBy("o_month")
+    )

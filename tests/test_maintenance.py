@@ -469,3 +469,40 @@ def test_concurrent_controller_drills_one_board(spark):
     for t in threads:
         t.join()
     assert not errors
+
+
+def test_orders_month_layout_partition_prunes(spark):
+    """q187's layout: the quarter drill's partition-key range must show
+    PartitionFilters in the scan and list ONLY the three matching
+    o_month= directories."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bacon_spark.gate.warehouse import _orders_month_layout_prebuilt
+    from bacon_spark.operators.maintenance import read_manifest
+
+    path = _orders_month_layout_prebuilt(spark, "/root/testdata/sf0.001")
+    dd = read_manifest(path)["layout"]["data_dir"]
+    df = spark.read.parquet(os.path.join(path, dd)).filter(
+        (F.col("o_month") >= "1997-01") & (F.col("o_month") <= "1997-03")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_month" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+    # the SELECTED-partition evidence lives in the executed scan's
+    # metrics (inputFiles() reports the pre-pruning relation): the drill
+    # must read exactly the three matching o_month= directories
+    df.collect()
+    metrics = (
+        df._jdf.queryExecution().executedPlan().collectLeaves().apply(0).metrics()
+    )
+    assert int(metrics.apply("numPartitions").value()) == 3
+    import glob
+
+    on_disk = sum(
+        len(glob.glob(os.path.join(path, dd, f"o_month=1997-0{i}", "*.parquet")))
+        for i in (1, 2, 3)
+    )
+    assert int(metrics.apply("numFiles").value()) == on_disk > 0
