@@ -123,6 +123,7 @@ def run_stream_to_memory(
     checkpoint: str | None = None,
     state_provider: str | None = None,
     expected_state_rows: int | None = None,
+    state_partitions: int | None = 8,
 ):
     """Drive a streaming frame to a memory sink with availableNow (process
     everything queued, then stop) — the test/verification harness path.
@@ -133,7 +134,16 @@ def run_stream_to_memory(
     see streaming/state.py and SCALE.md's state-bound table). ``None``
     (default) leaves the session conf untouched. The conf is pinned into
     the query at ``start()``, so concurrent queries on one session can
-    use different providers."""
+    use different providers.
+
+    *state_partitions* caps ``spark.sql.shuffle.partitions`` for THIS
+    query (pinned into its checkpoint at start): every stateful operator
+    commits one state-store partition per shuffle partition per
+    micro-batch, so a 32-partition session pays 32 store snapshots per
+    trigger for fixture-sized state — measured ~30-60% of these
+    verification runs' wall time. Results are partitioning-independent;
+    a production job sizes this to its state volume instead (the conf is
+    restored after start, and a LARGER session setting is never raised)."""
     from .state import state_store_conf
 
     w = (
@@ -145,10 +155,18 @@ def run_stream_to_memory(
     own_ckpt = checkpoint is None
     if own_ckpt:
         checkpoint = scratch_dir(f"ckpt_{name}_")
-    with state_store_conf(
-        stream_df.sparkSession, state_provider, expected_state_rows
-    ):
-        q = w.option("checkpointLocation", checkpoint).start()
+    spark = stream_df.sparkSession
+    sp_conf = "spark.sql.shuffle.partitions"
+    prev_sp = spark.conf.get(sp_conf)
+    if state_partitions is not None and int(prev_sp) > state_partitions:
+        spark.conf.set(sp_conf, str(state_partitions))
+    try:
+        with state_store_conf(
+            stream_df.sparkSession, state_provider, expected_state_rows
+        ):
+            q = w.option("checkpointLocation", checkpoint).start()
+    finally:
+        spark.conf.set(sp_conf, prev_sp)
     try:
         q.awaitTermination()
     finally:
@@ -211,6 +229,50 @@ def running_totals_stateful(df: DataFrame, ts_col: str = "ts", watermark: str = 
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def staged_input(key: str, sf_dir: str, stages) -> str:
+    """Once-per-ingest STAGED stream input: a keyed, persistent directory
+    of ordered files, built at most once per (key, dataset) and reused by
+    every later run — the stream exists in production; fabricating its
+    arrival order from the batch fixture is ingest work, so the gate
+    queries expose this as their untimed ``prepare`` hook (same cost
+    model as the ANN/token-table artifacts).
+
+    *stages* is ``[(relpath, df, mode)]`` (or a 0-arg callable returning
+    it, so a cache hit skips even the staging-frame construction) —
+    relpath "" stages into the root, others into subdirectories
+    (stream-stream joins stage left and right legs). Each target's FIRST
+    stage must be mode="overwrite" so an interrupted build self-heals on
+    rebuild. File mtimes are stamped from a fixed deterministic base
+    (stage_ordered_files), so replay order survives persistence. A
+    ``_STAGED`` marker commits completeness (underscore-prefixed:
+    invisible to Spark's file listing)."""
+    import hashlib
+    import os
+
+    import bacon_spark
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(bacon_spark.__file__))),
+        ".ann_index",
+    )
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(base, f"stream-{key}-{h}")
+    marker = os.path.join(root, "_STAGED")
+    if os.path.exists(marker):
+        return root
+    if callable(stages):
+        stages = stages()
+    stage_ordered_files(
+        [
+            (os.path.join(root, rel) if rel else root, df, mode)
+            for rel, df, mode in stages
+        ]
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root
 
 
 def stage_ordered_files(stages) -> None:
