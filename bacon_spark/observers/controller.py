@@ -102,6 +102,14 @@ class Controller:
         render_csv(out, self.table(params))
         return out.getvalue()
 
+    def render_xlsx(self, params: dict) -> bytes:
+        """xlsx workbook bytes (reference /root/reference/bacon/django/
+        excel.py:8-12 — there the Django adapter saves the workbook into
+        the response; here the renderer already returns bytes)."""
+        from .excel import render_excel
+
+        return render_excel(self.table(params))
+
 
 def make_flask_blueprint(controller: Controller, name: str = "bacon_spark"):
     """Flask adapter (reference /root/reference/bacon/flask/builder.py:9-20:
