@@ -221,8 +221,16 @@ class SqlCuttingBoard:
         if query.order:
             sign, value_name, _ = query.order
             if value_name in query.values:
+                # order by the full AGGREGATE expression, not the alias:
+                # strict engines (Derby) resolve identifiers inside ORDER
+                # BY expressions against the base table, so
+                # coalesce(<alias>, 0) is a syntax error there while
+                # coalesce(<aggregate>, 0) is standard everywhere — and
+                # preserves the None-sorts-as-0 contract exactly
+                m = self.cubedef.get_value(value_name)
+                agg_sql = m.acc.sql(self._label_sql(m))
                 sq = sq.add_order(
-                    f"coalesce({value_name}, 0) {'DESC' if sign < 0 else 'ASC'}"
+                    f"coalesce({agg_sql}, 0) {'DESC' if sign < 0 else 'ASC'}"
                 )
         for a in query.axes:
             rev = self.cubedef.get_label(a).reverse
@@ -237,3 +245,49 @@ class SqlCuttingBoard:
 
     def slice(self, query: CubeQuery) -> Slice:
         return Slice(self.cubedef, query, self.df(query))
+
+
+class JdbcCuttingBoard(SqlCuttingBoard):
+    """SqlCuttingBoard executing against a LIVE database over JDBC: the
+    compiled query ships whole as ``spark.read.jdbc``'s ``query`` option,
+    so the ENTIRE filter+aggregate runs inside the database and Spark
+    reads back only the (group-count-bounded) result rows — the
+    reference's psycopg2 execution path
+    (/root/reference/bacon/sql.py:218-265) re-expressed as a JDBC
+    pushdown subquery.
+
+    This is the right shape for a cube over an operational database: the
+    DB's indexes serve the sargable filters (sql.sargable_extra_sql adds
+    the raw-column bounds), aggregation happens where the data lives,
+    and nothing data-proportional crosses the wire. For ANALYTICAL
+    volumes, land the table in parquet and use the ordinary boards —
+    JDBC is a row-at-a-time protocol, not a scan format.
+
+    Executed end-to-end in tests/test_jdbc.py against embedded Derby
+    (the one JDBC engine shipped with Spark), totals matched against the
+    in-memory board on the same rows. The compiled SQL is the dialect-
+    conservative subset (SUM/COUNT/MIN/MAX/AVG, CASE, COALESCE, NULLS
+    FIRST/LAST) — dialect-specific accumulators would override
+    ``Accumulator.sql`` per backend."""
+
+    def __init__(
+        self,
+        cubedef: CubeDef,
+        spark: SparkSession,
+        table: str,
+        url: str,
+        properties: dict | None = None,
+    ):
+        super().__init__(cubedef, spark, table)
+        self.url = url
+        self.properties = dict(properties or {})
+
+    def df(self, query: CubeQuery) -> DataFrame:
+        reader = (
+            self.spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("query", self.compile(query))
+        )
+        for k, v in self.properties.items():
+            reader = reader.option(k, v)
+        return reader.load()
