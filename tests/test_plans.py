@@ -343,22 +343,21 @@ def test_q147_cross_dim_predicate_no_extra_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_q140_single_documents_scan_and_prefilter_before_agg(spark):
-    # the Count-Min fix (r4): the returned frame's plan must read the
-    # PERSISTED token frame (InMemoryTableScan), i.e. the corpus is
-    # tokenized once for sketch build + probe, not re-scanned; and the
-    # sketch probe (least(element_at...)) must sit BELOW the per-token
-    # aggregation as a Filter so only candidates enter the shuffle
+def test_q140_reads_counts_table_never_documents(spark):
+    # r8 shape: the query runs ENTIRELY over the persisted vocabulary-
+    # sized (tok, cnt) table (llm/tokens_table) — the corpus is
+    # tokenized once at ingest, so the plan must scan the artifact's
+    # counts parquet, never documents, and contain NO aggregation at
+    # all (the exact count is stored); the CM estimate probe
+    # (least(element_at...)) remains a map-side Filter
     df = QUERIES["q140_cm_heavy_hitters"](spark, SF)
     try:
         plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "documents" not in plan
+        assert "counts-" in plan  # the token table's counts directory
+        assert "HashAggregate" not in plan and "SortAggregate" not in plan
         opt = df._jdf.queryExecution().optimizedPlan().toString()
-        assert "InMemoryTableScan" in plan  # cached tok, no 2nd parquet scan
-        assert "Relation" not in plan.replace("InMemoryRelation", "")
-        # optimized plan: Filter(least(...) >= 500) below the Aggregate
-        agg_pos = opt.index("Aggregate")
-        filt_pos = opt.index("least(")
-        assert filt_pos > agg_pos  # printed top-down: filter under the agg
+        assert "least(" in opt  # the sketch prefilter survives
     finally:
         spark.catalog.clearCache()
 
