@@ -34,6 +34,7 @@ MODULES = [
     ("bacon_spark.sources.sales_demo", "Demo CSV source"),
     ("bacon_spark.observers.tables", "Tables / pivots / totals"),
     ("bacon_spark.observers.controller", "Web controller + flask adapter"),
+    ("bacon_spark.observers.django_http", "Django HTTP adapter"),
     ("bacon_spark.observers.json", "JSON renderers (+keyset paging)"),
     ("bacon_spark.observers.csv", "CSV sink"),
     ("bacon_spark.observers.excel", "Excel sink"),
@@ -65,7 +66,8 @@ MODULES = [
     ("bacon_spark.llm.codecs", "Stdlib image/audio codecs"),
     ("bacon_spark.llm.jpeg", "Baseline JFIF codec"),
     ("bacon_spark.llm.pq", "Product quantization (PQ / IVF-PQ)"),
-    ("bacon_spark.llm.pq_index", "Prebuilt IVF-PQ index"),
+    ("bacon_spark.llm.pq_index", "Prebuilt ANN indexes (IVF-PQ / plain PQ)"),
+    ("bacon_spark.llm.tokens_table", "Once-per-ingest token table"),
     ("bacon_spark.llm.clustering", "Deterministic k-means / SemDeDup"),
     ("bacon_spark.streaming.windows", "Streaming windows"),
     ("bacon_spark.streaming.asof", "Streaming as-of join"),
