@@ -301,6 +301,8 @@ def canonical_dedup_scalable(
     threshold: float | None = None,
     bands: int = 4,
     rows: int = 2,
+    edges_df: DataFrame | None = None,
+    cc_df: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`canonical_dedup` on the star-edge candidate graph — the
     100 TB path.  :func:`canonical_dedup` enumerates every verified pair
@@ -313,11 +315,28 @@ def canonical_dedup_scalable(
     pair graph: a member whose hub edge fails verification disconnects
     even if some non-hub pair would have passed — the price of never
     materializing pairs.  With threshold=None the components exactly
-    equal canonical_dedup's candidate components (see lsh_star_edges)."""
+    equal canonical_dedup's candidate components (see lsh_star_edges).
+
+    *edges_df* / *cc_df*: ALREADY-MATERIALIZED stages of the near-dup
+    graph (the once-per-ingest artifact, gate _neardup_prebuilt):
+    edges_df is the verified (id_a, id_b) star-edge frame, cc_df the
+    finished (id, component) map — both deterministic, so probing the
+    persisted stage is row-identical to rebuilding it. Passing cc_df
+    skips BOTH the LSH+verify pass and the O(log n) component
+    iterations, leaving the consumer just its own joins — where the
+    cost belongs once several pipeline stages (dedup q151, split q159)
+    consume one graph."""
     from ..operators.graph import connected_components
 
-    edges = star_edge_graph(df, text_col, id_col, k, threshold, bands, rows)
-    cc = connected_components(edges, src="id_a", dst="id_b")
+    if cc_df is not None:
+        cc = cc_df
+    else:
+        edges = (
+            edges_df
+            if edges_df is not None
+            else star_edge_graph(df, text_col, id_col, k, threshold, bands, rows)
+        )
+        cc = connected_components(edges, src="id_a", dst="id_b")
     losers = cc.filter(F.col("id") != F.col("component")).select("id")
     stats = (
         cc.groupBy("component")
@@ -1095,6 +1114,8 @@ def leakage_safe_split(
     bands: int = 4,
     rows: int = 2,
     salt: str = "split",
+    edges_df: DataFrame | None = None,
+    cc_df: DataFrame | None = None,
 ) -> DataFrame:
     """Train/val/test assignment in which a document and ALL its near
     duplicates land in the SAME split — the leakage-safe version of
@@ -1120,10 +1141,16 @@ def leakage_safe_split(
     from ..operators.graph import connected_components
     from ..operators.sampling import dataset_split
 
-    edges = star_edge_graph(df, text_col, id_col, k, threshold, bands, rows)
-    cc = connected_components(edges, src="id_a", dst="id_b").withColumnRenamed(
-        "id", id_col
-    )
+    if cc_df is not None:
+        cc = cc_df  # persisted ingest artifact (see canonical_dedup_scalable)
+    else:
+        edges = (
+            edges_df
+            if edges_df is not None
+            else star_edge_graph(df, text_col, id_col, k, threshold, bands, rows)
+        )
+        cc = connected_components(edges, src="id_a", dst="id_b")
+    cc = cc.withColumnRenamed("id", id_col)
     grouped = df.select(id_col).join(F.broadcast(cc), id_col, "left").withColumn(
         "leak_group", F.coalesce(F.col("component"), F.col(id_col))
     )
