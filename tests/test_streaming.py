@@ -577,3 +577,54 @@ def test_watermark_late_filter_lags_one_batch(spark):
     # same late row two batches behind: DROPPED (filter wm = 09:30)
     got2 = run("b", [advance, [(4, T(2024, 1, 1, 11, 0), 1.0)], late, flush])
     assert got2[T(2024, 1, 1, 0, 0)] == 1
+
+
+def test_staged_input_persists_reuses_and_self_heals(spark, tmp_path, monkeypatch):
+    """The once-per-ingest staged-stream artifact (r8): second call is a
+    pure cache hit (the stages thunk must not even run), replay order
+    survives persistence (deterministic mtimes), and an interrupted
+    build (no _STAGED marker) rebuilds cleanly because each target's
+    first stage overwrites."""
+    import glob
+    import os
+    import shutil
+
+    import bacon_spark
+    from bacon_spark.streaming.windows import staged_input
+
+    # point the artifact root at a scratch repo copy
+    fake_root = tmp_path / "pkg" / "bacon_spark"
+    fake_root.mkdir(parents=True)
+    (fake_root / "__init__.py").write_text("")
+    monkeypatch.setattr(
+        bacon_spark, "__file__", str(fake_root / "__init__.py")
+    )
+
+    df1 = spark.range(3).selectExpr("id", "id * 2 AS v")
+    df2 = spark.range(3, 5).selectExpr("id", "id * 2 AS v")
+    calls = {"n": 0}
+
+    def stages():
+        calls["n"] += 1
+        return [("", df1, "overwrite"), ("", df2, "append")]
+
+    root = staged_input("t1", "/some/sf", stages)
+    assert os.path.exists(os.path.join(root, "_STAGED")) and calls["n"] == 1
+    files = sorted(
+        glob.glob(root + "/*.parquet"), key=lambda f: os.path.getmtime(f)
+    )
+    assert len(files) == 2
+    # mtime order == staging order: first file holds df1's ids
+    first = {r["id"] for r in spark.read.parquet(files[0]).collect()}
+    assert first == {0, 1, 2}
+
+    # cache hit: thunk not re-invoked
+    assert staged_input("t1", "/some/sf", stages) == root
+    assert calls["n"] == 1
+
+    # interrupted build: files present but marker missing -> rebuild
+    os.remove(os.path.join(root, "_STAGED"))
+    assert staged_input("t1", "/some/sf", stages) == root
+    assert calls["n"] == 2 and os.path.exists(os.path.join(root, "_STAGED"))
+    assert spark.read.parquet(root).count() == 5  # no duplicated stages
+    shutil.rmtree(root, ignore_errors=True)
