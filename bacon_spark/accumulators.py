@@ -279,6 +279,10 @@ class LabeledAcc(Accumulator):
         if inner.py_agg is not None:
 
             def _py_agg(tuples):
+                if not tuples:
+                    # Spark form: count_distinct 0 + max(null) = null guard
+                    # -> null result even for inners that fold [] to 0
+                    return None
                 if len({t[0] for t in tuples}) > 1:
                     return None  # Inconsistent -> null
                 inner_vals = [t[1] if len(t) == 2 else t[1:] for t in tuples]

@@ -189,7 +189,7 @@ PY_FILTER_OPS = {
     "ne": lambda r, v: (r is not None) if v is None else (r is None or r != v),
     "gt": lambda r, v: r is not None and v is not None and r > v,
     "ge": lambda r, v: r is not None and v is not None and r >= v,
-    "lt": lambda r, v: r is not None and v is not None and r <= v,
+    "lt": lambda r, v: r is not None and v is not None and r < v,
     "le": lambda r, v: r is not None and v is not None and r <= v,
     "in": _py_in,
     "ni": _py_ni,

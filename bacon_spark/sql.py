@@ -184,7 +184,12 @@ class SqlQuery:
         if self.filters:
             parts.append("WHERE " + " AND ".join(f"({p})" for p in self.filters))
         if self.groups and self.aggregates:
-            parts.append("GROUP BY " + ", ".join(a for a, _ in self.groups))
+            # group by the label EXPRESSION, not the select alias: strict
+            # engines (Derby) resolve GROUP BY identifiers against the base
+            # table only, so an expression label aliased e.g. `month` would
+            # fail there while the expression form is standard everywhere
+            # (same rationale as the ORDER BY aggregate-expression rule)
+            parts.append("GROUP BY " + ", ".join(e for _, e in self.groups))
         if self.order:
             parts.append("ORDER BY " + ", ".join(self.order))
         if self.limit_n is not None:

@@ -231,7 +231,7 @@ def running_totals_stateful(df: DataFrame, ts_col: str = "ts", watermark: str = 
     )
 
 
-def staged_input(key: str, sf_dir: str, stages) -> str:
+def staged_input(key: str, sf_dir: str, stages, rev: str = "1") -> str:
     """Once-per-ingest STAGED stream input: a keyed, persistent directory
     of ordered files, built at most once per (key, dataset) and reused by
     every later run — the stream exists in production; fabricating its
@@ -247,7 +247,15 @@ def staged_input(key: str, sf_dir: str, stages) -> str:
     rebuild. File mtimes are stamped from a fixed deterministic base
     (stage_ordered_files), so replay order survives persistence. A
     ``_STAGED`` marker commits completeness (underscore-prefixed:
-    invisible to Spark's file listing)."""
+    invisible to Spark's file listing).
+
+    *rev* is the staging RECIPE version (ADVICE r8): it is folded into
+    the directory key, so editing a stage definition (filters, sentinel
+    deltas, file splits) in a caller must come with a rev bump — the old
+    artifact is then simply a different key and the new recipe rebuilds
+    instead of silently reusing stale files. Callers that change their
+    ``stages`` construction without bumping ``rev`` are the bug this
+    parameter exists to make impossible-to-miss in review."""
     import hashlib
     import os
 
@@ -257,7 +265,9 @@ def staged_input(key: str, sf_dir: str, stages) -> str:
         os.path.dirname(os.path.dirname(os.path.abspath(bacon_spark.__file__))),
         ".ann_index",
     )
-    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    h = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|rev={rev}".encode()
+    ).hexdigest()[:12]
     root = os.path.join(base, f"stream-{key}-{h}")
     marker = os.path.join(root, "_STAGED")
     if os.path.exists(marker):

@@ -127,9 +127,9 @@ def test_cold_fold_randomized_equivalence(cd, frame):
             q = q.add_value(v)
         for _ in range(rng.randint(0, 2)):
             a = rng.choice(list(value_of))
-            op = rng.choice(["eq", "ne", "gt", "le", "in", "ni"])
+            op = rng.choice(["eq", "ne", "gt", "ge", "lt", "le", "in", "ni"])
             v = rng.choice(value_of[a])
-            if op in ("gt", "le") and v is None:
+            if op in ("gt", "ge", "lt", "le") and v is None:
                 v = value_of[a][-1]
             if op in ("in", "ni"):
                 v = frozenset(
@@ -200,3 +200,22 @@ def test_refresh_rebuilds_snapshot(cd, frame, spark):
     q = CubeQuery().add_axis("g").add_value("s").add_filter("g", "eq", "g9")
     rows = b.slice(q).collect()
     assert len(rows) == 1 and rows[0]["s"] == 5.0
+
+
+def test_labeled_acc_empty_group_is_null_both_paths(cd, frame):
+    """ADVICE r8: a dim-0 LabeledAcc query whose filters match NOTHING must
+    be null on BOTH paths — Spark's guard (count_distinct 0 + max(null) =
+    null) and the driver-side fold twin, which used to delegate
+    inner.py_agg([]) (a Count inner would say 0)."""
+    b = CuttingBoard(cd, frame, eager_snapshot_rows=10_000)
+    ref = CuttingBoard(cd, frame, cache_results=False)
+    q = (
+        CubeQuery().add_value("eur_sum").add_value("s")
+        .add_filter("g", "eq", "no-such-group")
+    )
+    b.clear_cache()
+    before = b.local_hits
+    got = [tuple(r) for r in b.slice(q).collect()]
+    assert b.local_hits == before + 1  # the fold actually served
+    want = [tuple(r) for r in ref.slice(q).collect()]
+    assert got == want == [(None, None)]

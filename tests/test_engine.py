@@ -408,9 +408,9 @@ def test_warm_path_randomized_navigation_equivalence(cubedef, spark):
                 q = q2
             elif move == "drill" and q.axes:
                 a = rng.choice(q.axes)
-                op = rng.choice(["eq", "ne", "gt", "le", "in", "ni"])
+                op = rng.choice(["eq", "ne", "gt", "ge", "lt", "le", "in", "ni"])
                 v = rng.choice(value_of[a])
-                if op in ("gt", "le") and v is None:
+                if op in ("gt", "ge", "lt", "le") and v is None:
                     v = value_of[a][-1]
                 if op in ("in", "ni"):
                     v = frozenset(

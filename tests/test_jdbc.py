@@ -102,3 +102,30 @@ def test_jdbc_dim0_and_order(spark, derby):
     )
     got = [tuple(r) for r in jb.slice(qo).collect()]
     assert got == [tuple(r) for r in mem.slice(qo).collect()]
+
+
+def test_jdbc_computed_label_group_by_expression(spark, derby):
+    """ADVICE r8: GROUP BY must emit the label EXPRESSION, not the select
+    alias — Derby resolves GROUP BY identifiers against the base table
+    only, so a computed label aliased `band` fails there under the alias
+    form. The CASE expression parses identically in Spark SQL and Derby,
+    so the same cubedef drives both boards."""
+    url, df = derby
+    cd = CubeDef("sales")
+    # equal-length branch literals: Derby types CASE over CHAR literals
+    # as CHAR(max), padding 'big' to 'big  ' — 'hi'/'lo' sidestep the pad
+    cd.add_label(Label("band", "CASE WHEN units >= 5 THEN 'hi' ELSE 'lo' END"))
+    cd.add_label(Label("status"))
+    cd.add_measure(Measure("units", acc=Sum()))
+    cd.add_measure(Measure("n", "units", acc=Count()))
+    jb = JdbcCuttingBoard(cd, spark, "sales", url, properties=DERBY)
+    mem = CuttingBoard(cd, df, cache_results=False)
+    q = (
+        CubeQuery().add_axis("band").add_value("units").add_value("n")
+        .add_filter("status", "ne", "lost")
+    )
+    sql = jb.compile(q)
+    assert "GROUP BY CASE WHEN units >= 5" in sql  # expression, not alias
+    got = [tuple(r) for r in jb.slice(q).collect()]
+    want = [tuple(r) for r in mem.slice(q).collect()]
+    assert got == want and len(got) == 2

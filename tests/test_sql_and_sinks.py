@@ -69,8 +69,11 @@ def test_sql_compile_text(spark, cubedef):
         .set_order("units", descending=True)
     )
     sql = SqlCuttingBoard(cubedef, spark, "sales").compile(q)
-    assert "GROUP BY month" in sql
-    assert "date_trunc('month', d)" in sql
+    # group by the EXPRESSION, not the alias — strict engines (Derby,
+    # tests/test_jdbc.py) resolve GROUP BY identifiers against the base
+    # table, so `GROUP BY month` would fail there for a computed label
+    assert "GROUP BY date_trunc('month', d)" in sql
+    assert "date_trunc('month', d) AS month" in sql
     assert "IN ('CA', 'NY')" in sql
     # the order expression is the full aggregate, not the alias — strict
     # engines (Derby, tests/test_jdbc.py) reject alias references inside

@@ -627,4 +627,11 @@ def test_staged_input_persists_reuses_and_self_heals(spark, tmp_path, monkeypatc
     assert staged_input("t1", "/some/sf", stages) == root
     assert calls["n"] == 2 and os.path.exists(os.path.join(root, "_STAGED"))
     assert spark.read.parquet(root).count() == 5  # no duplicated stages
+
+    # recipe rev change -> DIFFERENT key, rebuilds instead of silently
+    # reusing the stale artifact (ADVICE r8)
+    root2 = staged_input("t1", "/some/sf", stages, rev="2")
+    assert root2 != root and calls["n"] == 3
+    assert os.path.exists(os.path.join(root2, "_STAGED"))
     shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(root2, ignore_errors=True)
