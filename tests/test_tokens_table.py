@@ -111,3 +111,105 @@ def test_rebuild_publishes_new_version_pinned_readers_keep_old(spark, docs, buil
     assert info2["version"] == 2
     assert token_docs(spark, path).count() == 2  # tip
     assert token_docs(spark, path, version=1).count() == 5  # pinned snapshot
+
+
+def test_ngram_synopsis_counts_and_doc_freq_exact(spark, docs, built):
+    """r9 synopsis: the persisted (gram, cnt, doc_freq) table equals the
+    direct corpus computation for both measures."""
+    from bacon_spark.llm.tokens_table import ngram_counts
+
+    path, _ = built
+    got = {
+        r["gram"]: (r["cnt"], r["doc_freq"])
+        # version 1: the preceding rebuild test commits a 2-doc v2 tip
+        for r in ngram_counts(spark, path, 2, version=1).collect()
+    }
+    grams = docs.select(
+        "doc_id", F.explode(tx.word_ngrams(F.col("text"), 2)).alias("gram")
+    )
+    want = {
+        r["gram"]: (r["cnt"], r["df"])
+        for r in grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        .collect()
+    }
+    assert got == want and got["the quick"] == (2, 2) and got["the the"] == (2, 1)
+
+
+def test_sampled_probe_equals_direct_pipeline(spark, docs, built):
+    """sampled_top_ngrams_probe over the synopsis == sampled_top_ngrams
+    over the corpus: same counts, same tie-breaks, same rows in order."""
+    from bacon_spark.llm.tokens_table import ngram_counts, ngram_sample_counts
+
+    path, _ = built
+    direct = [
+        tuple(r)
+        for r in tx.sampled_top_ngrams(
+            docs, n=3, k=5, rate=0.25, oversample=8, salt="topngrams"
+        ).collect()
+    ]
+    probe = [
+        tuple(r)
+        for r in tx.sampled_top_ngrams_probe(
+            ngram_counts(spark, path, 3, version=1),
+            ngram_sample_counts(spark, path, "topngrams", 0.25, 3, version=1),
+            k=5,
+            oversample=8,
+        ).collect()
+    ]
+    assert probe == direct
+
+
+def test_boilerplate_from_synopsis_equals_direct(spark, docs, built):
+    """doc_freq-filtered synopsis as the boilerplate set == the direct
+    distinct-(doc, gram) pipeline, per document."""
+    from bacon_spark.llm.tokens_table import ngram_counts, token_docs as tdocs
+
+    path, _ = built
+    toks_df = tdocs(spark, path, version=1)
+    bp = ngram_counts(spark, path, 2, version=1).filter(F.col("doc_freq") >= 2)
+    got = sorted(
+        tuple(r)
+        for r in tx.boilerplate_stats(
+            toks_df, n=2, toks_col="toks", bp_grams=bp
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in tx.boilerplate_stats(docs, n=2, min_docs=2).collect()
+    )
+    assert got == want and any(r[2] > 0 for r in got)
+
+
+def test_ensure_ngram_synopsis_upgrades_presynopsis_artifact(
+    spark, docs, tmp_path_factory
+):
+    """A pre-r9 artifact (no gram tables) upgrades IN PLACE: only the
+    missing tables build (from stored toks, no re-tokenize), a new
+    manifest version carries parent files + additions, and readers see
+    the synopsis afterwards."""
+    from bacon_spark.llm.tokens_table import (
+        ensure_ngram_synopsis,
+        ngram_counts,
+        token_table_build,
+    )
+    from bacon_spark.operators.maintenance import read_manifest
+
+    path = str(tmp_path_factory.mktemp("toks_old"))
+    token_table_build(docs, path, ngrams=(), ngram_samples=())
+    man1 = read_manifest(path)
+    assert man1["token_table"]["ngrams"] == {}
+    assert ensure_ngram_synopsis(spark, path) is True
+    man2 = read_manifest(path)
+    assert man2["version"] == man1["version"] + 1 and man2["op"] == "ngram-upgrade"
+    # parent's files all carried forward
+    old = {f["path"] for f in man1["files"]}
+    new = {f["path"] for f in man2["files"]}
+    assert old <= new and len(new) > len(old)
+    assert ngram_counts(spark, path, 2).count() > 0
+    # idempotent: nothing missing -> no new commit
+    assert ensure_ngram_synopsis(spark, path) is False
+    assert read_manifest(path)["version"] == man2["version"]
