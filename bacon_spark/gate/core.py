@@ -1675,7 +1675,13 @@ def q177_sketch_percentile_measure(spark, sf_dir):
     sorted; this one shuffles <= 488 count rows per group at any input
     size, and the estimate is integer-deterministic, so the oracle
     replays it bit-for-bit. The exact_p* columns (rank quantiles) are
-    the gate's verification side."""
+    the gate's verification side — computed in ONE pass over DISTINCT
+    values (r9, VERDICT r8 'wrong #1'): groupBy (flag, cents) partial-
+    aggregates map-side, then the rank walk (cumulative counts, pick the
+    first value covering rank k) runs over the value-vocabulary-sized
+    frame. The old form ranked EVERY row through two full-table windows
+    (row_number + unbounded count) — a full sort of the fact table just
+    to read off two ranks per group."""
     from pyspark.sql.window import Window
 
     cents = F.expr("cast(round(l_extendedprice * 100) as bigint)")
@@ -1696,20 +1702,26 @@ def q177_sketch_percentile_measure(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("returnflag"), cents.alias("cents")
     )
-    ranked = li.select(
+    # (flag, value) -> occurrence count: the only full-table pass, and it
+    # partial-aggregates map-side. Everything after is vocabulary-sized.
+    vals = li.groupBy("returnflag", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wp = Window.partitionBy("returnflag")
+    cum = vals.select(
         "returnflag",
         "cents",
-        F.row_number()
-        .over(Window.partitionBy("returnflag").orderBy("cents"))
-        .alias("_rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("returnflag")).alias("_n"),
+        F.sum("cnt")
+        .over(wp.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_cum"),
+        F.sum("cnt").over(wp).alias("_n"),
     )
-    ex = ranked.groupBy("returnflag").agg(
-        F.max(
-            F.when(F.col("_rn") == F.expr("(50 * _n + 99) div 100"), F.col("cents"))
+    # the k-th smallest value is the first whose cumulative count reaches
+    # rank k — identical to row_number()==k over the sorted rows
+    ex = cum.groupBy("returnflag").agg(
+        F.min(
+            F.when(F.col("_cum") >= F.expr("(50 * _n + 99) div 100"), F.col("cents"))
         ).alias("exact_p50_cents"),
-        F.max(
-            F.when(F.col("_rn") == F.expr("(95 * _n + 99) div 100"), F.col("cents"))
+        F.min(
+            F.when(F.col("_cum") >= F.expr("(95 * _n + 99) div 100"), F.col("cents"))
         ).alias("exact_p95_cents"),
     )
     return sliced.join(ex, "returnflag").select(
