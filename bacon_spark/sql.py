@@ -296,3 +296,58 @@ class JdbcCuttingBoard(SqlCuttingBoard):
         for k, v in self.properties.items():
             reader = reader.option(k, v)
         return reader.load()
+
+    def rows_df(
+        self,
+        query: CubeQuery,
+        partition_column: str | None = None,
+        lower_bound=None,
+        upper_bound=None,
+        num_partitions: int | None = None,
+    ) -> DataFrame:
+        """RAW matching rows (the de-aggregated row-detail surface), read
+        over JDBC with optional PARTITIONED fetch.
+
+        The aggregate path (:meth:`df`) is group-count-bounded, so one
+        connection is the right shape there. Raw rows are not: a row
+        detail over a broad filter can be table-sized, and one JDBC
+        cursor would serialize the whole transfer through a single task.
+        Passing ``partition_column`` (a numeric/date/timestamp column,
+        ideally the primary key) with ``lower_bound``/``upper_bound``/
+        ``num_partitions`` maps onto Spark's stride-partitioned JDBC
+        scan: N concurrent cursors, each reading one
+        ``partition_column`` range, with the cube's filters (plus the
+        sargable rewrites) pushed into every cursor's WHERE. Bounds only
+        shape the strides — rows outside them are still read, by the
+        edge partitions, so a stale max(pk) underestimates parallelism,
+        never correctness. Leave the partition args unset for small
+        results (one cursor, exactly :meth:`df`'s behavior).
+
+        The reference reads raw rows through one psycopg2 cursor
+        (/root/reference/bacon/sql.py:218-265) — fine for a web page of
+        rows, not for an extract; this is the extract path."""
+        filters = []
+        for name, op, value in query.filters:
+            label = self.cubedef.get_label(name)
+            filters.append(sql_filter(self._label_sql(label), op, value))
+            extra = sargable_extra_sql(label, op, value)
+            if extra is not None:
+                filters.append(extra)
+        where = " AND ".join(f"({p})" for p in filters)
+        sql = f"SELECT * FROM {self.table}" + (f" WHERE {where}" if where else "")
+        reader = self.spark.read.format("jdbc").option("url", self.url)
+        if partition_column is not None:
+            # partitioned reads need dbtable (a derived-table alias), not
+            # the query option — Spark appends its stride predicates
+            reader = (
+                reader.option("dbtable", f"({sql}) AS bacon_rows")
+                .option("partitionColumn", partition_column)
+                .option("lowerBound", str(lower_bound))
+                .option("upperBound", str(upper_bound))
+                .option("numPartitions", str(num_partitions or 1))
+            )
+        else:
+            reader = reader.option("query", sql)
+        for k, v in self.properties.items():
+            reader = reader.option(k, v)
+        return reader.load()
