@@ -20,10 +20,21 @@ step index as the tie-break so a same-timestamp later step still
 qualifies, matching the batch chain's ``>=`` semantics). An out-of-order
 straggler can only miss conversions, never invent them.
 
+Emission and state are ON CHANGE only (round 9): a micro-batch that
+advances none of a user's step timestamps writes no state and emits no
+snapshot, and a user whose step-0 event never arrives holds NO state
+row at all — so state is bounded by funnel ENTRANTS (users whose first
+step fired), not by every user the stream has ever seen, and sink
+traffic is one row per (user, step-advance), not per (user, batch).
+Skipping the write is sound because the fold is deterministic in state:
+replaying events against an absent state row produces exactly the
+all-None state the write would have stored.
+
 Consumers keep the LATEST emitted snapshot per user (the ``upd``
 counter orders emissions); :func:`latest_funnel_steps` and
 :func:`funnel_counts_from_steps` fold the update-mode sink back into
-exactly the batch funnel's output shape.
+exactly the batch funnel's output shape — absent users contribute
+nothing, exactly as an all-None snapshot would.
 
 Reference analogue: none — engine extension (SURVEY §2.10).
 """
@@ -94,6 +105,7 @@ def streaming_funnel_steps(
         # event-time order within the batch; step index breaks ts ties so
         # an equal-timestamp later step still sees its predecessor set
         rows.sort()
+        before = tuple(t)
         for us, i in rows:
             if i == 0:
                 if t[0] is None or us < t[0]:
@@ -102,6 +114,10 @@ def streaming_funnel_steps(
                 prev = t[i - 1]
                 if prev is not None and t[i] is None and prev <= us <= prev + hz:
                     t[i] = us
+        if tuple(t) == before:
+            # no step advanced: skip the state-store write AND the
+            # emission — state rows stay bounded by funnel entrants
+            return
         upd += 1
         state.update(tuple(t) + (upd,))
         yield pd.DataFrame(

@@ -275,3 +275,62 @@ def test_streaming_funnel_matches_batch_and_state_bounded(spark, tmpdir):
         used = m.get("memoryUsedBytes") or 0
         budget = FIXED_OVERHEAD_BYTES + m["numRowsTotal"] * ON_HEAP_BYTES_PER_ROW_CEILING
         assert used <= budget
+
+
+def test_streaming_funnel_state_bounded_by_entrants(spark, tmpdir):
+    """Round 9: emission and state are ON CHANGE only — a user whose
+    step-0 event never arrives holds NO state row, and an unchanged user
+    emits no snapshot in later batches. State is bounded by funnel
+    ENTRANTS, not by every user the stream has seen."""
+    from bacon_spark.operators.funnel import funnel
+    from bacon_spark.streaming.funnel import (
+        funnel_counts_from_steps,
+        latest_funnel_steps,
+        streaming_funnel_steps,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    steps = ("view", "click", "purchase")
+    rows, eid = [], 0
+    # users 0-9: full funnel in batch 1, then only non-step noise in
+    # batch 2 (no change -> no emission). users 10-29: never a "view" —
+    # clicks/purchases/noise only, so NO state row, ever.
+    for u in range(10):
+        for typ, hours in (("view", 0), ("click", 1), ("purchase", 2)):
+            rows.append((eid, t0 + dt.timedelta(hours=hours), u, typ, 1.0))
+            eid += 1
+        rows.append((eid, t0 + dt.timedelta(hours=60), u, "error", 1.0))
+        eid += 1
+    for u in range(10, 30):
+        for typ, hours in (("click", 0), ("purchase", 1), ("error", 50)):
+            rows.append((eid, t0 + dt.timedelta(hours=hours), u, typ, 1.0))
+            eid += 1
+    df = spark.createDataFrame(rows, SCHEMA)
+    cut = t0 + dt.timedelta(hours=24)
+    W.stage_ordered_files(
+        [
+            (tmpdir, df.filter(F.col("ts") <= F.lit(cut)), "overwrite"),
+            (tmpdir, df.filter(F.col("ts") > F.lit(cut)), "append"),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(tmpdir)
+    )
+    snaps = streaming_funnel_steps(stream, steps, horizon="7 days", watermark="3650 days")
+    q = W.run_stream_to_memory(
+        snaps, "t_funnel_entrants", mode="update", state_provider="hdfs"
+    )
+    sink = spark.table("t_funnel_entrants")
+    # 10 entrants x 1 change-batch = 10 emissions total; batch 2 is all
+    # noise (entrants unchanged, non-entrants never materialize)
+    assert sink.count() == 10
+    assert sink.select("user_id").distinct().count() == 10
+    # state rows == entrants (10), not users seen (30)
+    ms = state_operator_metrics(q)
+    assert ms and max(m["numRowsTotal"] for m in ms) == 10
+    # and the folded result still equals the batch funnel exactly
+    got = sorted(
+        map(tuple, funnel_counts_from_steps(latest_funnel_steps(sink), steps).collect())
+    )
+    want = sorted(map(tuple, funnel(df, steps, horizon="7 days").collect()))
+    assert got == want

@@ -36,6 +36,148 @@ from pyspark.sql import SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 
+def run_funnel(spark, args):
+    """Ordered-funnel throughput (VERDICT r8 task #5): events/s for the
+    applyInPandasWithState funnel at a DIALED user cardinality, with the
+    one-state-row-per-user bound ASSERTED from the query's own progress
+    metrics, not inferred.
+
+    Sink is ``noop`` (not memory): in update mode every trigger emits one
+    snapshot row per touched user, and collecting users x batches rows
+    into the driver would measure the sink, not the state machine — the
+    same rationale as the tumbling bench's --mode update note. Input is
+    staged as ts-ordered files (per-user event-time order across
+    triggers, the Kafka key-ordering reality q183 documents)."""
+    from bacon_spark.sources.star import read_table
+    from bacon_spark.streaming.funnel import streaming_funnel_steps
+    from bacon_spark.streaming.windows import scratch_dir, stage_ordered_files
+
+    steps = ("view", "click", "purchase")
+    base = read_table(spark, args.sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    full = None
+    for i in range(args.multiply):
+        part = base
+        if args.split:
+            part = part.filter(
+                F.pmod(F.xxhash64("event_id"), F.lit(args.multiply)) == F.lit(i)
+            )
+        part = part.select(
+            F.pmod(F.xxhash64("user_id", F.lit(i)), F.lit(args.users))
+            .cast("long")
+            .alias("user_id"),
+            "event_type",
+            "ts",
+        )
+        full = part if full is None else full.unionByName(part)
+    full = full.persist()
+    total = full.count()
+    users_seen = full.select("user_id").distinct().count()
+    # the state bound under emit-on-change: users whose step-0 event
+    # exists (funnel ENTRANTS) — only they ever hold a state row
+    entrants = (
+        full.filter(F.col("event_type") == steps[0])
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+
+    n_batches = args.n_batches
+    # ts-quantile cut points -> n_batches ordered slices, one file each
+    if n_batches > 1:
+        qs = ",".join(str(i / n_batches) for i in range(1, n_batches))
+        cuts = full.agg(
+            F.expr(f"percentile_approx(ts, array({qs}), 10000)")
+        ).head()[0]
+    else:
+        cuts = []
+    bounds = [None, *cuts, None]
+    d = scratch_dir("funnel_bench_")
+    stages = []
+    for i in range(n_batches):
+        sl = full
+        if bounds[i] is not None:
+            sl = sl.filter(F.col("ts") > F.lit(bounds[i]))
+        if bounds[i + 1] is not None:
+            sl = sl.filter(F.col("ts") <= F.lit(bounds[i + 1]))
+        stages.append((d, sl, "overwrite" if i == 0 else "append"))
+    stage_ordered_files(stages)
+    full.unpersist()
+
+    stream = (
+        spark.readStream.schema("user_id bigint, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    snaps = streaming_funnel_steps(
+        stream, steps, horizon="7 days", watermark="3650 days"
+    )
+    sp_conf = "spark.sql.shuffle.partitions"
+    prev_sp = spark.conf.get(sp_conf)
+    spark.conf.set(sp_conf, str(args.state_partitions))
+    ckpt = scratch_dir("funnel_ckpt_")
+    t0 = time.perf_counter()
+    try:
+        q = (
+            snaps.writeStream.format("noop")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+    finally:
+        spark.conf.set(sp_conf, prev_sp)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(d, ignore_errors=True)
+
+    per_batch = []
+    state_rows = state_bytes = None
+    for p in q.recentProgress:
+        ops = p.get("stateOperators") or [{}]
+        rec = {
+            "batch": p.get("batchId"),
+            "input_rows": p.get("numInputRows"),
+            "trigger_ms": (p.get("durationMs") or {}).get("triggerExecution"),
+            "state_rows": ops[0].get("numRowsTotal"),
+            "state_bytes": ops[0].get("memoryUsedBytes")
+            or (ops[0].get("customMetrics") or {}).get(
+                "rocksdbTotalMemoryUsageBytes"
+            ),
+        }
+        per_batch.append(rec)
+        if rec["state_rows"] is not None:
+            state_rows, state_bytes = rec["state_rows"], rec["state_bytes"]
+
+    # THE state bound: exactly one fixed-size state row per funnel
+    # entrant (user whose step-0 event exists) — never per event, and
+    # never for a user who only produced non-entry events
+    assert state_rows == entrants, (state_rows, entrants)
+    cores = spark.sparkContext.defaultParallelism
+    out = {
+        "op": "ordered_funnel",
+        "rows": total,
+        "users": users_seen,
+        "entrants": entrants,
+        "batches": n_batches,
+        "store": "rocksdb" if args.rocksdb else "hdfs",
+        "state_partitions": args.state_partitions,
+        "wall_s": round(wall, 2),
+        "rows_per_s": round(total / wall),
+        "rows_per_s_per_core": round(total / wall / cores, 1),
+        "state_rows_final": state_rows,
+        "state_rows_per_entrant": round(state_rows / entrants, 6),
+        "state_bytes_final": state_bytes,
+        "state_bytes_per_entrant": round(state_bytes / entrants, 1)
+        if state_bytes
+        else None,
+        "per_batch": per_batch,
+    }
+    print(json.dumps(out, separators=(",", ":")), flush=True)
+
+
 def main():
     import argparse
 
@@ -54,6 +196,29 @@ def main():
                          "sink receives only changed rows) — use update for "
                          "high-cardinality state measurements so sink cost "
                          "doesn't mask state-store cost")
+    ap.add_argument("--funnel", action="store_true",
+                    help="measure the ordered-funnel operator "
+                         "(streaming/funnel.py, q183's shape) instead of the "
+                         "tumbling-window agg: applyInPandasWithState with one "
+                         "fixed-size state row per user")
+    ap.add_argument("--users", type=int, default=10_000,
+                    help="funnel mode: target user cardinality — events are "
+                         "remapped user_id -> pmod(xxhash64(user_id, replica), "
+                         "N), the state-rows dial")
+    ap.add_argument("--multiply", type=int, default=1,
+                    help="funnel mode: event-volume multiplier (replicas of "
+                         "the sf_dir events fixture, users re-hashed per "
+                         "replica)")
+    ap.add_argument("--split", action="store_true",
+                    help="funnel mode: replica i keeps only the 1/multiply "
+                         "event slice pmod(xxhash64(event_id), M)==i — "
+                         "multiplies USER cardinality (each replica re-hashes "
+                         "users) at CONSTANT event volume, isolating "
+                         "state-rows scaling from input scaling")
+    ap.add_argument("--state-partitions", type=int, default=32,
+                    help="funnel mode: shuffle/state partitions for the "
+                         "stateful stage (throughput runs want one per core; "
+                         "verification runs pin 8)")
     args = ap.parse_args()
 
     builder = (
@@ -75,6 +240,9 @@ def main():
         )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if args.funnel:
+        run_funnel(spark, args)
+        return
     from bacon_spark.queries import dec
     from bacon_spark.sources.star import read_table
     from bacon_spark.streaming.windows import (
