@@ -1353,3 +1353,44 @@ def q183_streaming_funnel(spark, sf_dir):
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nd)
     latest = latest_funnel_steps(spark.table("q183_stream"))
     return funnel_counts_from_steps(latest, steps)
+
+
+@query(
+    "q188_streaming_funnel_sharded",
+    _funnel_b.funnel_sql("events", ("view", "click", "purchase")),
+    prepare=_stage_q183,
+)
+def q188_streaming_funnel_sharded(spark, sf_dir):
+    """q183's ordered funnel through the SHARDED-state form
+    (streaming/funnel.streaming_funnel_steps_sharded, round 9): state
+    keyed by pmod(xxhash64(user), shards) so a micro-batch costs
+    `shards` Python invocations instead of one per active user — the
+    per-key-overhead fix STREAM_BENCH_R9 motivated (6x throughput drop
+    at 1M users at constant volume). Same staged two-file input, same
+    update-mode sink fold, same DuckDB conditional-min-chain oracle as
+    q183 — the two forms must hash-match each other through it."""
+    from ..streaming.funnel import (
+        funnel_counts_from_steps,
+        latest_funnel_steps,
+        streaming_funnel_steps_sharded,
+    )
+    from ..streaming.windows import run_stream_to_memory
+
+    steps = ("view", "click", "purchase")
+    d = _stage_q183(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("user_id bigint, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    snaps = streaming_funnel_steps_sharded(
+        stream, steps, horizon="7 days", watermark="3650 days", shards=64
+    )
+    prev_nd = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        run_stream_to_memory(snaps, "q188_stream", mode="update")
+    finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nd)
+    latest = latest_funnel_steps(spark.table("q188_stream"))
+    return funnel_counts_from_steps(latest, steps)

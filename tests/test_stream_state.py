@@ -334,3 +334,82 @@ def test_streaming_funnel_state_bounded_by_entrants(spark, tmpdir):
     )
     want = sorted(map(tuple, funnel(df, steps, horizon="7 days").collect()))
     assert got == want
+
+
+def test_streaming_funnel_sharded_equals_per_user_form(spark, tmpdir):
+    """Round 9: the sharded-state funnel (state keyed by
+    pmod(xxhash64(user), shards)) produces EXACTLY the per-user form's
+    fold — same latest snapshots, same counts as the batch funnel — with
+    state rows bounded by shards, not users."""
+    from bacon_spark.operators.funnel import funnel
+    from bacon_spark.streaming.funnel import (
+        funnel_counts_from_steps,
+        latest_funnel_steps,
+        streaming_funnel_steps_sharded,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    steps = ("view", "click", "purchase")
+    rows, eid = [], 0
+    for u in range(40):
+        seq = [
+            ("view", 0), ("click", 1 + u % 3), ("purchase", 2 + u % 5),
+            ("click", 0),                 # pre-view click (no-op)
+            ("view", 5), ("click", 300),  # outside the 7d horizon
+            ("purchase", 2 + u % 5),      # duplicate-ts purchase
+        ]
+        if u % 4 == 0:
+            seq.append(("click", 1))      # same-ts tie against a step
+        if u % 5 == 0:
+            seq = seq[3:4] + [("error", 7)]  # never enters the funnel
+        for typ, hours in seq:
+            rows.append((eid, t0 + dt.timedelta(hours=hours + (u % 7) * 24), u, typ, 1.0))
+            eid += 1
+    df = spark.createDataFrame(rows, SCHEMA)
+    split = df.agg(F.expr("percentile_approx(ts, 0.5)")).head()[0]
+    W.stage_ordered_files(
+        [
+            (tmpdir, df.filter(F.col("ts") <= F.lit(split)), "overwrite"),
+            (tmpdir, df.filter(F.col("ts") > F.lit(split)), "append"),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(tmpdir)
+    )
+    snaps = streaming_funnel_steps_sharded(
+        stream, steps, horizon="7 days", watermark="3650 days", shards=8
+    )
+    q = W.run_stream_to_memory(
+        snaps, "t_funnel_sharded", mode="update", state_provider="hdfs"
+    )
+    sink = spark.table("t_funnel_sharded")
+    latest = latest_funnel_steps(sink)
+    # per-user step timestamps == the per-user streaming form's, on the
+    # SAME staged input (both emit entrants only)
+    from bacon_spark.streaming.funnel import streaming_funnel_steps
+
+    stream2 = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(tmpdir)
+    )
+    W.run_stream_to_memory(
+        streaming_funnel_steps(stream2, steps, horizon="7 days", watermark="3650 days"),
+        "t_funnel_peruser_ref",
+        mode="update",
+        state_provider="hdfs",
+    )
+    got_steps = {
+        r["user_id"]: tuple(r[f"t{i}"] for i in range(3)) for r in latest.collect()
+    }
+    want_steps = {
+        r["user_id"]: tuple(r[f"t{i}"] for i in range(3))
+        for r in latest_funnel_steps(
+            spark.table("t_funnel_peruser_ref")
+        ).collect()
+    }
+    assert got_steps == want_steps
+    got = sorted(map(tuple, funnel_counts_from_steps(latest, steps).collect()))
+    want = sorted(map(tuple, funnel(df, steps, horizon="7 days").collect()))
+    assert got == want
+    # state rows = entrant-bearing shards (<= 8), never users (40)
+    ms = state_operator_metrics(q)
+    assert ms and 0 < max(m["numRowsTotal"] for m in ms) <= 8

@@ -49,7 +49,10 @@ def run_funnel(spark, args):
     staged as ts-ordered files (per-user event-time order across
     triggers, the Kafka key-ordering reality q183 documents)."""
     from bacon_spark.sources.star import read_table
-    from bacon_spark.streaming.funnel import streaming_funnel_steps
+    from bacon_spark.streaming.funnel import (
+        streaming_funnel_steps,
+        streaming_funnel_steps_sharded,
+    )
     from bacon_spark.streaming.windows import scratch_dir, stage_ordered_files
 
     steps = ("view", "click", "purchase")
@@ -82,6 +85,16 @@ def run_funnel(spark, args):
         .distinct()
         .count()
     )
+    # sharded form: one state ROW per shard holding >=1 entrant (bytes
+    # still scale with entrants)
+    entrant_shards = (
+        full.filter(F.col("event_type") == steps[0])
+        .select(F.pmod(F.xxhash64("user_id"), F.lit(args.sharded)).alias("s"))
+        .distinct()
+        .count()
+        if args.sharded
+        else None
+    )
 
     n_batches = args.n_batches
     # ts-quantile cut points -> n_batches ordered slices, one file each
@@ -110,9 +123,15 @@ def run_funnel(spark, args):
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
     )
-    snaps = streaming_funnel_steps(
-        stream, steps, horizon="7 days", watermark="3650 days"
-    )
+    if args.sharded:
+        snaps = streaming_funnel_steps_sharded(
+            stream, steps, horizon="7 days", watermark="3650 days",
+            shards=args.sharded,
+        )
+    else:
+        snaps = streaming_funnel_steps(
+            stream, steps, horizon="7 days", watermark="3650 days"
+        )
     sp_conf = "spark.sql.shuffle.partitions"
     prev_sp = spark.conf.get(sp_conf)
     spark.conf.set(sp_conf, str(args.state_partitions))
@@ -151,13 +170,18 @@ def run_funnel(spark, args):
         if rec["state_rows"] is not None:
             state_rows, state_bytes = rec["state_rows"], rec["state_bytes"]
 
-    # THE state bound: exactly one fixed-size state row per funnel
-    # entrant (user whose step-0 event exists) — never per event, and
-    # never for a user who only produced non-entry events
-    assert state_rows == entrants, (state_rows, entrants)
+    # THE state bound: per-user keying holds exactly one fixed-size state
+    # row per funnel entrant (user whose step-0 event exists) — never per
+    # event, and never for a user who only produced non-entry events;
+    # sharded keying holds one blob per entrant-bearing shard
+    if args.sharded:
+        assert state_rows == entrant_shards, (state_rows, entrant_shards)
+    else:
+        assert state_rows == entrants, (state_rows, entrants)
     cores = spark.sparkContext.defaultParallelism
     out = {
-        "op": "ordered_funnel",
+        "op": "ordered_funnel_sharded" if args.sharded else "ordered_funnel",
+        "shards": args.sharded or None,
         "rows": total,
         "users": users_seen,
         "entrants": entrants,
@@ -168,7 +192,9 @@ def run_funnel(spark, args):
         "rows_per_s": round(total / wall),
         "rows_per_s_per_core": round(total / wall / cores, 1),
         "state_rows_final": state_rows,
-        "state_rows_per_entrant": round(state_rows / entrants, 6),
+        "state_rows_per_entrant": None
+        if args.sharded
+        else round(state_rows / entrants, 6),
         "state_bytes_final": state_bytes,
         "state_bytes_per_entrant": round(state_bytes / entrants, 1)
         if state_bytes
@@ -219,6 +245,9 @@ def main():
                     help="funnel mode: shuffle/state partitions for the "
                          "stateful stage (throughput runs want one per core; "
                          "verification runs pin 8)")
+    ap.add_argument("--sharded", type=int, default=0, metavar="SHARDS",
+                    help="funnel mode: use the sharded-state form with this "
+                         "many shards (0 = per-user keying)")
     args = ap.parse_args()
 
     builder = (
