@@ -72,8 +72,9 @@ def test_sql_compile_text(spark, cubedef):
     # group by the EXPRESSION, not the alias — strict engines (Derby,
     # tests/test_jdbc.py) resolve GROUP BY identifiers against the base
     # table, so `GROUP BY month` would fail there for a computed label
-    assert "GROUP BY date_trunc('month', d)" in sql
-    assert "date_trunc('month', d) AS month" in sql
+    assert "GROUP BY cast(date_trunc('month', d) as date)" in sql
+    assert "cast(date_trunc('month', d) as date) AS month" in sql
+    assert "GROUP BY month" not in sql
     assert "IN ('CA', 'NY')" in sql
     # the order expression is the full aggregate, not the alias — strict
     # engines (Derby, tests/test_jdbc.py) reject alias references inside
