@@ -413,3 +413,76 @@ def test_streaming_funnel_sharded_equals_per_user_form(spark, tmpdir):
     # state rows = entrant-bearing shards (<= 8), never users (40)
     ms = state_operator_metrics(q)
     assert ms and 0 < max(m["numRowsTotal"] for m in ms) <= 8
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_streaming_funnel_forms_random_soup_differential(spark, tmpdir, seed):
+    """Seeded random-soup differential (the r7 nav-fuzz pattern that
+    found two real bugs): random step/noise events with duplicate
+    timestamps, ts-tied step pairs, horizon stragglers and random batch
+    splits — BOTH streaming forms must equal the batch funnel's counts
+    and each other's per-user step frames exactly."""
+    import random
+
+    from bacon_spark.operators.funnel import funnel
+    from bacon_spark.streaming.funnel import (
+        funnel_counts_from_steps,
+        latest_funnel_steps,
+        streaming_funnel_steps,
+        streaming_funnel_steps_sharded,
+    )
+
+    rng = random.Random(seed)
+    steps = ("view", "click", "purchase")
+    types = [*steps, "error", "signup"]
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for eid in range(400):
+        u = rng.randrange(25)
+        # coarse hour grid -> plenty of exact ts collisions
+        hours = rng.choice([0, 1, 2, 3, 24, 25, 170, 200, 400])
+        rows.append(
+            (eid, t0 + dt.timedelta(hours=hours), u, rng.choice(types), 1.0)
+        )
+    df = spark.createDataFrame(rows, SCHEMA)
+    # 3 batches split at random ts quantiles (event-time order preserved
+    # across triggers — the operator's documented arrival contract)
+    qs = sorted({rng.choice([0.2, 0.35, 0.5, 0.65, 0.8]) for _ in range(2)})
+    cuts = df.agg(
+        F.expr(f"percentile_approx(ts, array({','.join(map(str, qs))}), 1000)")
+    ).head()[0]
+    bounds = [None, *cuts, None]
+    stages = []
+    for i in range(len(bounds) - 1):
+        sl = df
+        if bounds[i] is not None:
+            sl = sl.filter(F.col("ts") > F.lit(bounds[i]))
+        if bounds[i + 1] is not None:
+            sl = sl.filter(F.col("ts") <= F.lit(bounds[i + 1]))
+        stages.append((tmpdir, sl, "overwrite" if i == 0 else "append"))
+    W.stage_ordered_files(stages)
+
+    def run(form, name, **kw):
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmpdir)
+        )
+        W.run_stream_to_memory(
+            form(stream, steps, horizon="7 days", watermark="3650 days", **kw),
+            name,
+            mode="update",
+            state_provider="hdfs",
+        )
+        return latest_funnel_steps(spark.table(name))
+
+    per_user = run(streaming_funnel_steps, f"t_soup_pu_{seed}")
+    sharded = run(streaming_funnel_steps_sharded, f"t_soup_sh_{seed}", shards=5)
+    as_map = lambda frame: {  # noqa: E731
+        r["user_id"]: tuple(r[f"t{i}"] for i in range(3)) for r in frame.collect()
+    }
+    assert as_map(per_user) == as_map(sharded)
+    want = sorted(map(tuple, funnel(df, steps, horizon="7 days").collect()))
+    for frame in (per_user, sharded):
+        got = sorted(map(tuple, funnel_counts_from_steps(frame, steps).collect()))
+        assert got == want
