@@ -359,17 +359,19 @@ def q83_text_chunking(spark, sf_dir):
     prepare=_token_prebuilt,
 )
 def q84_top_ngrams(spark, sf_dir):
-    """Corpus-wide top-20 word bigrams, served from the PERSISTED n-gram
-    synopsis (llm/tokens_table.ngram_counts, prepare hook): the probe is
-    a TakeOrderedAndProject over the vocabulary-sized (gram, cnt) table
-    with the deterministic (count, gram) tie-break — the gram-assembly
-    pass (explode + corpus-wide groupBy, the 6.6x decade ratio of
-    SCALE_SWEEP_R8_ADDENDUM.json) is billed once per ingest alongside the
-    tokenize pass it derives from. Counts are the same groupBy the query
-    used to run inline, so results are bit-identical."""
-    from ..llm.tokens_table import ngram_counts
+    """Corpus-wide top-20 word bigrams, served from the persisted n-gram
+    synopsis HEAD (llm/tokens_table.ngram_head, prepare hook): the probe
+    reads the exact top-4096 (gram, cnt) rows by the deterministic
+    (count, gram) total order — O(head_k) however large the vocabulary
+    grows — instead of a TakeOrdered over the whole synopsis (whose row
+    count grows with the corpus, Heaps-law; the gram-assembly pass
+    itself, the 6.6x decade ratio of SCALE_SWEEP_R8_ADDENDUM.json, is
+    billed once per ingest alongside the tokenize pass). The head is the
+    exact top of the same order this probe sorts by, so top-20 results
+    are bit-identical to the full-table probe and the inline groupBy."""
+    from ..llm.tokens_table import ngram_head
 
-    cnts = ngram_counts(spark, _token_prebuilt(spark, sf_dir), 2)
+    cnts = ngram_head(spark, _token_prebuilt(spark, sf_dir), 2)
     out = cnts.select("gram", F.col("cnt").alias("n"))
     return out.orderBy(F.col("n").desc(), F.col("gram")).limit(20)
 
@@ -419,19 +421,23 @@ def q86_top_ngrams_sampled(spark, sf_dir):
     to work with — counts are near-flat ties); on a natural-language
     corpus the heavy hitters dominate and the candidate set contains
     them w.h.p. — tests/test_llm_ops.py pins that with a skewed
-    corpus. Round 9: BOTH phases are synopsis probes
-    (text.sampled_top_ngrams_probe over llm/tokens_table's persisted
-    full + sampled gram counts) — candidates from the vocabulary-sized
-    sample-count table, exact recount a semi-join into the full-count
-    table; no corpus-wide gram assembly per query."""
-    from ..llm.tokens_table import ngram_counts, ngram_sample_counts
+    corpus. Round 9: BOTH phases are O(candidates) head probes
+    (text.sampled_top_ngrams_head_probe over llm/tokens_table's
+    persisted heads) — candidates from the exact top-head_k of the
+    sampled gram table, exact recount an isin() point lookup into the
+    range-sorted full-count table; neither phase scans the vocabulary,
+    which itself grows with the corpus (the 3.8x sf10->sf100 ratio of
+    SCALE_SWEEP_DECADE3_R9.json was the candidate TakeOrdered over the
+    growing sample synopsis)."""
+    from ..llm.tokens_table import ngram_counts, ngram_sample_head, synopsis_head_k
 
     path = _token_prebuilt(spark, sf_dir)
-    return _tx.sampled_top_ngrams_probe(
+    return _tx.sampled_top_ngrams_head_probe(
         ngram_counts(spark, path, 3),
-        ngram_sample_counts(spark, path, "topngrams", 0.25, 3),
+        ngram_sample_head(spark, path, "topngrams", 0.25, 3),
         k=15,
         oversample=8,
+        head_k=synopsis_head_k(path),
     )
 
 

@@ -528,6 +528,51 @@ def sampled_top_ngrams_probe(
     )
 
 
+def sampled_top_ngrams_head_probe(
+    full_counts,
+    sample_head,
+    k: int = 20,
+    oversample: int = 8,
+    head_k: int | None = None,
+):
+    """:func:`sampled_top_ngrams_probe` with BOTH phases O(candidates)
+    instead of O(vocabulary) (llm/tokens_table heads): *sample_head* is
+    the persisted exact top-``head_k`` of the sample gram table by the
+    probe's own total order (cnt desc, gram), so the candidate top-
+    (k*oversample) read touches head_k rows however large the corpus
+    vocabulary grows (Heaps-law growth made the full-table candidate
+    scan 3.8x across the sf10->sf100 decade,
+    SCALE_SWEEP_DECADE3_R9.json). The candidate grams — k*oversample
+    strings, a BOUNDED driver collect — then become an isin() predicate
+    on the full-count lookup table, pushed to the parquet scan, where
+    the range-sorted-by-gram layout gives file/page min/max pruning at
+    production file counts. Head truncation is invisible: the head is
+    the exact top of the same order the candidate phase sorts by, so
+    results equal :func:`sampled_top_ngrams` bit-for-bit whenever
+    k*oversample <= head_k (guarded when *head_k* is passed)."""
+    if head_k is not None and k * oversample > head_k:
+        raise ValueError(
+            f"candidate pool k*oversample={k * oversample} exceeds the "
+            f"persisted head size {head_k}; rebuild the synopsis with a "
+            "larger DEFAULT_HEAD_K or probe the full sample table"
+        )
+    cand = [
+        r["gram"]
+        for r in (
+            sample_head.select("gram", F.col("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("gram"))
+            .limit(k * oversample)
+            .collect()  # bounded: k*oversample rows
+        )
+    ]
+    exact = full_counts.filter(F.col("gram").isin(cand))
+    return (
+        exact.select("gram", F.col("cnt").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram"))
+        .limit(k)
+    )
+
+
 def boilerplate_grams(
     df,
     text_col: str = "text",

@@ -38,6 +38,22 @@ commit (put-if-absent publish — a reader never sees a partial set):
   sample is a property of (corpus, salt, rate) — reproducible anywhere
   — which is what makes it legitimate ingest-time state rather than
   query state.
+* ``gramh{n}-*/`` / ``gramssh{n}-*/`` — the HEAD of each gram table:
+  its exact top-``head_k`` rows by the total order (cnt desc, gram),
+  one small file. Heavy-hitter probes that need the top-k for any
+  k <= head_k read ONLY the head — O(head_k) per query — instead of
+  running TakeOrdered over the whole synopsis, whose row count grows
+  with the corpus vocabulary (Heaps-law growth made the sampled
+  heavy-hitter probe 3.8x across the sf10->sf100 decade,
+  SCALE_SWEEP_DECADE3_R9.json, despite being "vocabulary-sized").
+  Because the head is the exact top of the same total order the
+  probes sort by, truncation is invisible to any top-k <= head_k.
+* full gram tables are written RANGE-SORTED by gram
+  (repartitionByRange + sortWithinPartitions): the table is a lookup
+  keyed by gram, and the sorted layout gives candidate-recount point
+  lookups file- and page-level min/max pruning at production file
+  counts (at 100 TB the exact-recount isin() touches ~candidates
+  files, not the vocabulary).
 
 All readers honor manifest versions, so an ingest-time rebuild
 publishes atomically and pinned readers keep their snapshot — the same
@@ -64,9 +80,13 @@ __all__ = [
     "token_counts",
     "ngram_counts",
     "ngram_sample_counts",
+    "ngram_head",
+    "ngram_sample_head",
+    "synopsis_head_k",
     "ensure_ngram_synopsis",
     "DEFAULT_NGRAMS",
     "DEFAULT_NGRAM_SAMPLES",
+    "DEFAULT_HEAD_K",
 ]
 
 #: n-gram orders persisted by default: bigrams (vocabulary passes) and
@@ -75,6 +95,9 @@ DEFAULT_NGRAMS: tuple[int, ...] = (2, 3)
 #: (salt, rate, n) deterministic-sample gram counts persisted by default —
 #: the candidate-generation sample of the heavy-hitter gate (q86)
 DEFAULT_NGRAM_SAMPLES: tuple[tuple[str, float, int], ...] = (("topngrams", 0.25, 3),)
+#: rows kept in each gram-table head: exact top-K by (cnt desc, gram).
+#: Any probe's top-k with k <= this reads the head only.
+DEFAULT_HEAD_K: int = 4096
 
 
 def _sample_key(salt: str, rate: float, n: int) -> str:
@@ -84,18 +107,35 @@ def _sample_key(salt: str, rate: float, n: int) -> str:
     return f"{salt}|{int(rate * RESOLUTION)}|{n}"
 
 
+def _write_head(spark: SparkSession, path: str, gram_dir: str, head_dir: str) -> None:
+    """Write *head_dir* = the exact top-``DEFAULT_HEAD_K`` rows of the
+    written gram table by the probes' total order (cnt desc, gram) as one
+    small file. Derived from the WRITTEN table so the head is exactly
+    what a TakeOrdered over it would return."""
+    (
+        spark.read.parquet(os.path.join(path, gram_dir))
+        .orderBy(F.col("cnt").desc(), F.col("gram"))
+        .limit(DEFAULT_HEAD_K)
+        .coalesce(1)
+        .write.parquet(os.path.join(path, head_dir))
+    )
+
+
 def _build_gram_tables(
     toks_df: DataFrame,
     path: str,
     id_col: str,
     ngrams: tuple[int, ...],
     ngram_samples: tuple[tuple[str, float, int], ...],
-) -> tuple[dict, dict]:
+) -> tuple[dict, dict, dict, dict]:
     """Write the synopsis tables from an in-memory toks frame; returns
-    ({n: dir}, {sample_key: dir}) for the manifest entry."""
+    ({n: dir}, {sample_key: dir}, {n: head_dir}, {sample_key: head_dir})
+    for the manifest entry."""
     from ..operators.sampling import hash_sample
 
+    spark = toks_df.sparkSession
     gram_dirs: dict[str, str] = {}
+    head_dirs: dict[str, str] = {}
     for n in ngrams:
         d = f"grams{n}-{uuid.uuid4().hex[:8]}"
         g = toks_df.select(
@@ -105,13 +145,25 @@ def _build_gram_tables(
         # one agg, two exact measures: total occurrences + distinct-doc
         # frequency (the boilerplate-set statistic). Shuffle carries
         # (gram, doc_id) pairs — never bodies — and the result is
-        # vocabulary-sized.
-        g.groupBy("gram").agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.count_distinct(F.col(id_col)).alias("doc_freq"),
-        ).write.parquet(os.path.join(path, d))
+        # vocabulary-sized. RANGE-SORTED by gram on disk: the table is a
+        # lookup keyed by gram, and sorted files give point probes
+        # (candidate recounts) min/max file pruning at scale.
+        (
+            g.groupBy("gram")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.count_distinct(F.col(id_col)).alias("doc_freq"),
+            )
+            .repartitionByRange(F.col("gram"))
+            .sortWithinPartitions("gram")
+            .write.parquet(os.path.join(path, d))
+        )
         gram_dirs[str(n)] = d
+        h = f"gramh{n}-{uuid.uuid4().hex[:8]}"
+        _write_head(spark, path, d, h)
+        head_dirs[str(n)] = h
     sample_dirs: dict[str, str] = {}
+    sample_head_dirs: dict[str, str] = {}
     for salt, rate, n in ngram_samples:
         d = f"gramss{n}-{uuid.uuid4().hex[:8]}"
         sampled = hash_sample(toks_df, F.col(id_col), rate, salt=salt)
@@ -120,8 +172,12 @@ def _build_gram_tables(
         ).groupBy("gram").agg(F.count(F.lit(1)).alias("cnt")).write.parquet(
             os.path.join(path, d)
         )
-        sample_dirs[_sample_key(salt, rate, n)] = d
-    return gram_dirs, sample_dirs
+        key = _sample_key(salt, rate, n)
+        sample_dirs[key] = d
+        h = f"gramssh{n}-{uuid.uuid4().hex[:8]}"
+        _write_head(spark, path, d, h)
+        sample_head_dirs[key] = h
+    return gram_dirs, sample_dirs, head_dirs, sample_head_dirs
 
 
 def token_table_build(
@@ -149,10 +205,17 @@ def token_table_build(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     counts.write.parquet(os.path.join(path, counts_dir))
-    gram_dirs, sample_dirs = _build_gram_tables(
+    gram_dirs, sample_dirs, head_dirs, sample_head_dirs = _build_gram_tables(
         toks_df, path, id_col, ngrams, ngram_samples
     )
-    dirs = [toks_dir, counts_dir, *gram_dirs.values(), *sample_dirs.values()]
+    dirs = [
+        toks_dir,
+        counts_dir,
+        *gram_dirs.values(),
+        *sample_dirs.values(),
+        *head_dirs.values(),
+        *sample_head_dirs.values(),
+    ]
     files = [
         (os.path.relpath(f, path), b)
         for d in dirs
@@ -170,6 +233,9 @@ def token_table_build(
                 "counts_dir": counts_dir,
                 "ngrams": gram_dirs,
                 "ngram_samples": sample_dirs,
+                "ngram_heads": head_dirs,
+                "ngram_sample_heads": sample_head_dirs,
+                "head_k": DEFAULT_HEAD_K,
             }
         },
     )
@@ -180,6 +246,8 @@ def token_table_build(
         "counts_dir": counts_dir,
         "ngrams": gram_dirs,
         "ngram_samples": sample_dirs,
+        "ngram_heads": head_dirs,
+        "ngram_sample_heads": sample_head_dirs,
     }
 
 
@@ -190,35 +258,73 @@ def ensure_ngram_synopsis(
     ngram_samples: tuple[tuple[str, float, int], ...] = DEFAULT_NGRAM_SAMPLES,
 ) -> bool:
     """Upgrade-in-place: build any MISSING gram synopsis tables from the
-    artifact's stored toks table (no re-tokenize) and commit a new
-    manifest version carrying parent files + the additions. Returns True
-    when an upgrade commit happened. The pre-r9 token artifacts on disk
-    (and any future spec widening) hit this path."""
+    artifact's stored toks table (no re-tokenize), and any missing HEAD
+    tables from the stored gram tables (no re-explode), then commit a
+    new manifest version carrying parent files + the additions. Returns
+    True when an upgrade commit happened. The pre-r9 token artifacts on
+    disk (and any future spec widening, e.g. pre-head r9 artifacts) hit
+    this path."""
     man = read_manifest(path)
     if man is None or "token_table" not in man:
         raise FileNotFoundError(f"no token-table manifest under {path}")
     entry = dict(man["token_table"])
     have_grams = dict(entry.get("ngrams", {}))
     have_samples = dict(entry.get("ngram_samples", {}))
+    have_heads = dict(entry.get("ngram_heads", {}))
+    have_sample_heads = dict(entry.get("ngram_sample_heads", {}))
     need_grams = tuple(n for n in ngrams if str(n) not in have_grams)
     need_samples = tuple(
         (s, r, n)
         for s, r, n in ngram_samples
         if _sample_key(s, r, n) not in have_samples
     )
-    if not need_grams and not need_samples:
-        return False
-    toks_df = spark.read.parquet(os.path.join(path, entry["data_dir"]))
-    gram_dirs, sample_dirs = _build_gram_tables(
-        toks_df, path, entry["id_col"], need_grams, need_samples
+    # heads missing for gram tables that already exist (pre-head
+    # artifacts): derive from the WRITTEN gram table, no toks read
+    need_heads = tuple(
+        n for n in have_grams if n not in have_heads and n not in map(str, need_grams)
     )
-    have_grams.update(gram_dirs)
-    have_samples.update(sample_dirs)
+    need_sample_heads = tuple(
+        k
+        for k in have_samples
+        if k not in have_sample_heads
+        and k not in {_sample_key(s, r, n) for s, r, n in need_samples}
+    )
+    if not need_grams and not need_samples and not need_heads and not need_sample_heads:
+        return False
+    new_dirs: list[str] = []
+    if need_grams or need_samples:
+        toks_df = spark.read.parquet(os.path.join(path, entry["data_dir"]))
+        gram_dirs, sample_dirs, head_dirs, sample_head_dirs = _build_gram_tables(
+            toks_df, path, entry["id_col"], need_grams, need_samples
+        )
+        have_grams.update(gram_dirs)
+        have_samples.update(sample_dirs)
+        have_heads.update(head_dirs)
+        have_sample_heads.update(sample_head_dirs)
+        new_dirs += [
+            *gram_dirs.values(),
+            *sample_dirs.values(),
+            *head_dirs.values(),
+            *sample_head_dirs.values(),
+        ]
+    for n in need_heads:
+        h = f"gramh{n}-{uuid.uuid4().hex[:8]}"
+        _write_head(spark, path, have_grams[n], h)
+        have_heads[n] = h
+        new_dirs.append(h)
+    for k in need_sample_heads:
+        h = f"gramssh{k.rsplit('|', 1)[1]}-{uuid.uuid4().hex[:8]}"
+        _write_head(spark, path, have_samples[k], h)
+        have_sample_heads[k] = h
+        new_dirs.append(h)
     entry["ngrams"] = have_grams
     entry["ngram_samples"] = have_samples
+    entry["ngram_heads"] = have_heads
+    entry["ngram_sample_heads"] = have_sample_heads
+    entry["head_k"] = DEFAULT_HEAD_K
     files = [(f["path"], f["bytes"]) for f in man["files"]] + [
         (os.path.relpath(f, path), b)
-        for d in (*gram_dirs.values(), *sample_dirs.values())
+        for d in new_dirs
         for f, b in table_files(os.path.join(path, d))
     ]
     commit_manifest(
@@ -269,4 +375,35 @@ def ngram_sample_counts(
     """(gram, cnt) — n-gram counts within the deterministic document
     sample (salt, rate): the persisted candidate-generation synopsis."""
     d = _entry(path, version)["ngram_samples"][_sample_key(salt, rate, n)]
+    return spark.read.parquet(os.path.join(path, d))
+
+
+def synopsis_head_k(path: str, version: int | None = None) -> int:
+    """How many rows each persisted gram-table head holds: any top-k
+    probe with k <= this can read the head instead of the full table."""
+    return int(_entry(path, version)["head_k"])
+
+
+def ngram_head(
+    spark: SparkSession, path: str, n: int, version: int | None = None
+) -> DataFrame:
+    """The exact top-``head_k`` rows of :func:`ngram_counts` by
+    (cnt desc, gram) — O(head_k) to read regardless of vocabulary size.
+    Raises KeyError when the artifact predates heads (run
+    :func:`ensure_ngram_synopsis`)."""
+    d = _entry(path, version)["ngram_heads"][str(n)]
+    return spark.read.parquet(os.path.join(path, d))
+
+
+def ngram_sample_head(
+    spark: SparkSession,
+    path: str,
+    salt: str,
+    rate: float,
+    n: int,
+    version: int | None = None,
+) -> DataFrame:
+    """The exact top-``head_k`` rows of :func:`ngram_sample_counts` by
+    (cnt desc, gram) — the flat candidate-generation probe."""
+    d = _entry(path, version)["ngram_sample_heads"][_sample_key(salt, rate, n)]
     return spark.read.parquet(os.path.join(path, d))

@@ -213,3 +213,114 @@ def test_ensure_ngram_synopsis_upgrades_presynopsis_artifact(
     # idempotent: nothing missing -> no new commit
     assert ensure_ngram_synopsis(spark, path) is False
     assert read_manifest(path)["version"] == man2["version"]
+
+
+def test_head_tables_equal_full_table_top_k(spark, built):
+    """r9b heads: the persisted head is exactly the full table's top rows
+    by (cnt desc, gram) — same rows, same counts — for both the full and
+    sampled gram tables."""
+    from bacon_spark.llm.tokens_table import (
+        ngram_counts,
+        ngram_head,
+        ngram_sample_counts,
+        ngram_sample_head,
+        synopsis_head_k,
+    )
+
+    path, _ = built
+    assert synopsis_head_k(path, version=1) >= 120
+    for head, full in (
+        (
+            ngram_head(spark, path, 2, version=1),
+            ngram_counts(spark, path, 2, version=1),
+        ),
+        (
+            ngram_sample_head(spark, path, "topngrams", 0.25, 3, version=1),
+            ngram_sample_counts(spark, path, "topngrams", 0.25, 3, version=1),
+        ),
+    ):
+        got = [
+            tuple(r)
+            for r in head.orderBy(F.desc("cnt"), "gram").collect()
+        ]
+        want = [
+            tuple(r)
+            for r in full.orderBy(F.desc("cnt"), "gram")
+            .limit(4096)
+            .collect()
+        ]
+        assert got == want and got
+
+
+def test_head_probe_equals_direct_pipeline(spark, docs, built):
+    """sampled_top_ngrams_head_probe (candidates from the persisted head,
+    exact recount via isin point lookup) == the direct corpus pipeline:
+    same counts, same tie-breaks, same rows in order."""
+    from bacon_spark.llm.tokens_table import ngram_counts, ngram_sample_head
+
+    path, _ = built
+    direct = [
+        tuple(r)
+        for r in tx.sampled_top_ngrams(
+            docs, n=3, k=5, rate=0.25, oversample=8, salt="topngrams"
+        ).collect()
+    ]
+    probe = [
+        tuple(r)
+        for r in tx.sampled_top_ngrams_head_probe(
+            ngram_counts(spark, path, 3, version=1),
+            ngram_sample_head(spark, path, "topngrams", 0.25, 3, version=1),
+            k=5,
+            oversample=8,
+            head_k=4096,
+        ).collect()
+    ]
+    assert probe == direct
+
+
+def test_head_probe_guards_oversized_candidate_pool():
+    """k*oversample beyond the persisted head size must refuse loudly —
+    silent truncation there would change results."""
+    from bacon_spark.llm.text import sampled_top_ngrams_head_probe
+
+    with pytest.raises(ValueError, match="head"):
+        sampled_top_ngrams_head_probe(None, None, k=64, oversample=8, head_k=120)
+
+
+def test_ensure_adds_heads_to_prehead_artifact(spark, docs, tmp_path_factory):
+    """An early-r9 artifact (gram tables, NO heads) upgrades in place:
+    heads derive from the EXISTING gram tables (dirs unchanged), a new
+    manifest version appears, and the head accessors work afterwards."""
+    from bacon_spark.llm.tokens_table import (
+        ensure_ngram_synopsis,
+        ngram_head,
+        ngram_sample_head,
+        token_table_build,
+    )
+    from bacon_spark.operators.maintenance import commit_manifest, read_manifest
+
+    path = str(tmp_path_factory.mktemp("toks_prehead"))
+    token_table_build(docs, path)
+    # fabricate the pre-head manifest state: same files, entry without
+    # the head keys (what an early-r9 build on disk looks like)
+    man = read_manifest(path)
+    entry = dict(man["token_table"])
+    for k in ("ngram_heads", "ngram_sample_heads", "head_k"):
+        entry.pop(k)
+    commit_manifest(
+        path,
+        [(f["path"], f["bytes"]) for f in man["files"]],
+        base_version=man["version"],
+        op="test-strip-heads",
+        extra={"token_table": entry},
+    )
+    assert ensure_ngram_synopsis(spark, path) is True
+    man3 = read_manifest(path)
+    assert man3["op"] == "ngram-upgrade"
+    # gram tables were NOT rebuilt; heads were added
+    assert man3["token_table"]["ngrams"] == entry["ngrams"]
+    assert man3["token_table"]["ngram_samples"] == entry["ngram_samples"]
+    assert ngram_head(spark, path, 2).count() > 0
+    assert ngram_sample_head(spark, path, "topngrams", 0.25, 3).count() > 0
+    # idempotent afterwards
+    assert ensure_ngram_synopsis(spark, path) is False
