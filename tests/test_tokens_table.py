@@ -324,3 +324,69 @@ def test_ensure_adds_heads_to_prehead_artifact(spark, docs, tmp_path_factory):
     assert ngram_sample_head(spark, path, "topngrams", 0.25, 3).count() > 0
     # idempotent afterwards
     assert ensure_ngram_synopsis(spark, path) is False
+
+
+def test_head_probe_differential_random_corpora(spark, tmp_path_factory):
+    """Seeded randomized differential for the head-probe path (the r9b
+    twin of the cold-fold and funnel fuzzers): random word-soup corpora
+    with skewed gram frequencies, random (k, oversample) within the head
+    bound — the persisted-head probe must equal the direct corpus
+    pipeline row-for-row, and q84's head top-k must equal the full
+    synopsis top-k."""
+    import random
+
+    from bacon_spark.llm.tokens_table import (
+        ngram_counts,
+        ngram_head,
+        ngram_sample_head,
+        token_table_build,
+    )
+
+    rng = random.Random(0x9B)
+    vocab = [f"w{i}" for i in range(40)]
+    for trial in range(3):
+        # skew: a few hot words dominate so heavy hitters are real
+        weights = [10 if i < 5 else 1 for i in range(len(vocab))]
+        rows = []
+        for doc_id in range(60):
+            words = rng.choices(vocab, weights=weights, k=rng.randint(0, 30))
+            rows.append((doc_id, " ".join(words)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        path = str(tmp_path_factory.mktemp(f"toks_fuzz{trial}"))
+        token_table_build(docs, path, ngrams=(2,), ngram_samples=(("fz", 0.5, 2),))
+        k = rng.randint(2, 12)
+        oversample = rng.randint(2, 6)
+        direct = [
+            tuple(r)
+            for r in tx.sampled_top_ngrams(
+                docs, n=2, k=k, rate=0.5, oversample=oversample, salt="fz"
+            ).collect()
+        ]
+        probe = [
+            tuple(r)
+            for r in tx.sampled_top_ngrams_head_probe(
+                ngram_counts(spark, path, 2),
+                ngram_sample_head(spark, path, "fz", 0.5, 2),
+                k=k,
+                oversample=oversample,
+                head_k=4096,
+            ).collect()
+        ]
+        assert probe == direct, f"trial {trial} k={k} ov={oversample}"
+        top = [
+            tuple(r)
+            for r in ngram_head(spark, path, 2)
+            .orderBy(F.desc("cnt"), "gram")
+            .limit(k)
+            .select("gram", "cnt")
+            .collect()
+        ]
+        full_top = [
+            tuple(r)
+            for r in ngram_counts(spark, path, 2)
+            .orderBy(F.desc("cnt"), "gram")
+            .limit(k)
+            .select("gram", "cnt")
+            .collect()
+        ]
+        assert top == full_top, f"trial {trial} head/full top-{k} diverge"
