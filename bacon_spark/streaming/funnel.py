@@ -272,6 +272,157 @@ def streaming_funnel_steps_sharded(
     )
 
 
+def _stateful_processor_base():
+    """``pyspark.sql.streaming.StatefulProcessor`` when importable, else
+    ``object`` — the ABC itself imports cleanly everywhere, but keeping
+    the seam explicit lets :class:`FunnelProcessor` unit-test its fold
+    under a stub handle in containers whose Python lacks
+    transformWithState's runtime deps (protobuf state-server protocol)."""
+    try:
+        from pyspark.sql.streaming import StatefulProcessor
+
+        return StatefulProcessor
+    except ImportError:  # pragma: no cover - depends on container
+        return object
+
+
+class FunnelProcessor(_stateful_processor_base()):
+    """The ordered-funnel fold as a Spark 4 ``StatefulProcessor``
+    (:func:`streaming_funnel_steps_tws`): one named ValueState slot of
+    k+1 longs per funnel ENTRANT (-1 = unset), the same conditional-min
+    chain / (ts, step-index) tie-break / emit-on-change contract as the
+    ``applyInPandasWithState`` forms. A plain Python class on purpose:
+    the fold runs identically under a stub handle
+    (tests/test_stream_state.py drives it batch-by-batch against the
+    batch funnel without a state server), and under Spark's real
+    transformWithState runtime wherever its protobuf dependency exists."""
+
+    def __init__(
+        self,
+        steps: tuple[str, ...],
+        ts_col: str = "ts",
+        user_col: str = "user_id",
+        type_col: str = "event_type",
+        horizon: str = "7 days",
+    ):
+        self._k = len(steps)
+        self._step_ix = {s: i for i, s in enumerate(steps)}
+        self._cols = (ts_col, user_col, type_col)
+        self._hz = _horizon_us(horizon)
+        self._state_schema = (
+            ", ".join(f"t{i} long" for i in range(self._k)) + ", upd long"
+        )
+
+    def init(self, handle):
+        self._st = handle.getValueState("funnel", self._state_schema)
+
+    def handleInputRows(self, key, rows, timerValues):
+        k, hz = self._k, self._hz
+        ts_col, user_col, type_col = self._cols
+        if self._st.exists():
+            got = tuple(self._st.get())
+            t = [None if v == -1 else v for v in got[:k]]
+            upd = got[k]
+        else:
+            t, upd = [None] * k, 0
+        evs = []
+        for pdf in rows:
+            for typ, ts in zip(pdf[type_col], pdf[ts_col]):
+                i = self._step_ix.get(typ)
+                if i is None or pd.isna(ts):
+                    continue
+                evs.append((int(pd.Timestamp(ts).value // 1000), i))
+        # same in-batch (ts, step-index) order + tie-break as the
+        # applyInPandasWithState forms
+        evs.sort()
+        before = tuple(t)
+        for us, i in evs:
+            if i == 0:
+                if t[0] is None or us < t[0]:
+                    t[0] = us
+            else:
+                prev = t[i - 1]
+                if prev is not None and t[i] is None and prev <= us <= prev + hz:
+                    t[i] = us
+        if tuple(t) == before:
+            return  # no advance: no state write, no emission
+        upd += 1
+        self._st.update(tuple(-1 if v is None else v for v in t) + (upd,))
+        yield pd.DataFrame(
+            {
+                user_col: pd.array([key[0]], dtype="int64"),
+                **{
+                    f"t{i}": [
+                        pd.Timestamp(t[i], unit="us") if t[i] is not None else pd.NaT
+                    ]
+                    for i in range(k)
+                },
+                "upd": pd.array([upd], dtype="int64"),
+            }
+        )
+
+    def close(self):
+        pass
+
+
+def streaming_funnel_steps_tws(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    horizon: str = "7 days",
+    watermark: str = "30 days",
+) -> DataFrame:
+    """:func:`streaming_funnel_steps` on Spark 4's ``transformWithState``
+    operator (``transformWithStateInPandas`` + a ``StatefulProcessor``)
+    instead of ``applyInPandasWithState`` — identical fold, identical
+    emit-on-change/entrant-bounded contract, interchangeable output.
+
+    Why a third form: transformWithState is the forward-looking stateful
+    API — typed named state slots (value/list/map), event- and
+    processing-time timers, per-state TTL, and it runs on the RocksDB
+    state-store provider (required), which is also what a production
+    deployment sizes for at funnel-scale state (streaming/state.py's
+    crossover: RocksDB wins above ~50k state rows — any real funnel).
+    This variant keeps the engine on the supported API as
+    applyInPandasWithState ages out, and its timer/TTL surface is where
+    per-user funnel expiry would land if a deployment needed it (the
+    other two forms use NoTimeout).
+
+    State is one named ValueState slot of k+1 longs per ENTRANT (-1 =
+    unset step; no state row until a user's step-0 event arrives, no
+    write or emission on a no-advance batch) — the same bound as the
+    per-user form. The fold, ordering, and tie-breaks live in
+    :class:`FunnelProcessor` and are shared verbatim, so cross-batch
+    equality with batch q178 holds under the same per-user
+    arrival-order assumption. tests/test_stream_state.py drives the
+    processor batch-by-batch under a stub handle against the batch
+    funnel (runs everywhere), and end-to-end under the real
+    transformWithState runtime where its protobuf state-server
+    dependency is installed (importorskip-gated; this container lacks
+    it)."""
+    k = len(steps)
+    out_schema = (
+        f"{user_col} bigint, "
+        + ", ".join(f"t{i} timestamp" for i in range(k))
+        + ", upd bigint"
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .transformWithStateInPandas(
+            statefulProcessor=FunnelProcessor(
+                steps, ts_col=ts_col, user_col=user_col,
+                type_col=type_col, horizon=horizon,
+            ),
+            outputStructType=out_schema,
+            outputMode="update",
+            timeMode="none",
+        )
+    )
+
+
 def latest_funnel_steps(snapshots: DataFrame, user_col: str = "user_id") -> DataFrame:
     """Latest per-user snapshot from an update-mode sink (max ``upd``)."""
     from pyspark.sql.window import Window

@@ -486,3 +486,157 @@ def test_streaming_funnel_forms_random_soup_differential(spark, tmpdir, seed):
     for frame in (per_user, sharded):
         got = sorted(map(tuple, funnel_counts_from_steps(frame, steps).collect()))
         assert got == want
+
+
+class _StubValueState:
+    """Dict-free stand-in for transformWithState's ValueState: one
+    (t0..tk, upd) tuple, exists/get/update — what FunnelProcessor needs."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class _StubHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _StubValueState())
+
+
+def _funnel_fixture_rows():
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u in range(30):
+        seq = [
+            ("view", 0), ("click", 1 + u % 3), ("purchase", 2 + u % 5),
+            ("click", 0),
+            ("view", 5), ("click", 300),
+            ("purchase", 2 + u % 5),
+        ]
+        if u % 4 == 0:
+            seq.append(("click", 1))
+        if u >= 24:  # never-entrant tail: no "view" at all
+            seq = [(typ, h) for typ, h in seq if typ != "view"]
+        for typ, hours in seq:
+            rows.append((eid, t0 + dt.timedelta(hours=hours + (u % 7) * 24), u, typ, 1.0))
+            eid += 1
+    return rows
+
+
+def test_tws_processor_fold_matches_batch_under_stub_handle(spark):
+    """Spark 4 StatefulProcessor form (FunnelProcessor): driven
+    batch-by-batch under a STUB handle — no state server, so this runs
+    in containers without transformWithState's protobuf dependency —
+    the per-user fold must equal batch q178, state rows must exist for
+    entrants only, and a no-advance batch must neither write nor emit
+    (the emit-on-change contract shared with the other two forms)."""
+    import pandas as pd
+
+    from bacon_spark.operators.funnel import funnel
+    from bacon_spark.streaming.funnel import FunnelProcessor
+
+    steps = ("view", "click", "purchase")
+    rows = _funnel_fixture_rows()
+    df = spark.createDataFrame(rows, SCHEMA)
+    want = {
+        r["step_name"]: r["users"]
+        for r in funnel(df, steps, horizon="7 days").collect()
+    }
+
+    split = sorted(r[1] for r in rows)[len(rows) // 2]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    batches = [pdf[pdf.ts <= split], pdf[pdf.ts > split]]
+
+    handles = {}
+    emitted = []
+    for batch in batches:
+        for u, grp in batch.groupby("user_id"):
+            proc = FunnelProcessor(steps, horizon="7 days")
+            h = handles.setdefault(int(u), _StubHandle())
+            proc.init(h)
+            out = list(proc.handleInputRows((int(u),), iter([grp]), None))
+            emitted.extend(out)
+    # fold emissions like latest_funnel_steps: keep max-upd row per user
+    latest = {}
+    for frame in emitted:
+        r = frame.iloc[0]
+        u = int(r["user_id"])
+        if u not in latest or r["upd"] > latest[u]["upd"]:
+            latest[u] = r
+    got = {
+        s: sum(1 for r in latest.values() if not pd.isna(r[f"t{i}"]))
+        for i, s in enumerate(steps)
+    }
+    assert got == want
+    # entrants only: users 24-29 never see step 0 -> no state was created
+    with_state = {u for u, h in handles.items() if h.states["funnel"].exists()}
+    assert with_state == set(latest) and max(with_state) < 24
+    # emit-on-change: replaying an already-folded batch advances nothing,
+    # so it must neither emit nor bump upd
+    u0 = min(with_state)
+    before = handles[u0].states["funnel"].get()
+    proc = FunnelProcessor(steps, horizon="7 days")
+    proc.init(handles[u0])
+    replay = list(
+        proc.handleInputRows(
+            (u0,), iter([batches[0][batches[0].user_id == u0]]), None
+        )
+    )
+    assert replay == [] and handles[u0].states["funnel"].get() == before
+
+
+def test_tws_funnel_end_to_end_matches_batch(spark, tmpdir):
+    """The real transformWithStateInPandas runtime (requires protobuf +
+    the RocksDB provider): cross-batch equality with batch q178 and the
+    applyInPandasWithState form on the same staged input. Skips where
+    the container lacks the state-server dependency."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state server needs protobuf",
+    )
+    from bacon_spark.operators.funnel import funnel
+    from bacon_spark.streaming.funnel import (
+        funnel_counts_from_steps,
+        latest_funnel_steps,
+        streaming_funnel_steps,
+        streaming_funnel_steps_tws,
+    )
+
+    steps = ("view", "click", "purchase")
+    df = spark.createDataFrame(_funnel_fixture_rows(), SCHEMA)
+    split = df.agg(F.expr("percentile_approx(ts, 0.5)")).head()[0]
+    W.stage_ordered_files(
+        [
+            (tmpdir, df.filter(F.col("ts") <= F.lit(split)), "overwrite"),
+            (tmpdir, df.filter(F.col("ts") > F.lit(split)), "append"),
+        ]
+    )
+
+    def run(fn, name, provider):
+        stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(tmpdir)
+        snaps = fn(stream, steps, horizon="7 days", watermark="3650 days")
+        q = W.run_stream_to_memory(snaps, name, mode="update", state_provider=provider)
+        latest = latest_funnel_steps(spark.table(name))
+        return (
+            sorted(map(tuple, funnel_counts_from_steps(latest, steps).collect())),
+            sorted(map(tuple, latest.collect())),
+            q,
+        )
+
+    tws_counts, tws_latest, q = run(streaming_funnel_steps_tws, "t_funnel_tws", "rocksdb")
+    pu_counts, pu_latest, _ = run(streaming_funnel_steps, "t_funnel_pu_ref", "hdfs")
+    want = sorted(map(tuple, funnel(df, steps, horizon="7 days").collect()))
+    assert tws_counts == want
+    assert tws_latest == pu_latest
+    ms = state_operator_metrics(q)
+    assert ms and 0 < max(m["numRowsTotal"] for m in ms) <= 24
