@@ -397,3 +397,15 @@ def test_star_edge_ops_have_no_inequality_pair_joins(spark):
     for line in plan.splitlines():
         if "Join" in line and "LeftAnti" not in line:
             assert " < " not in line, line
+
+
+def test_q86_candidate_recount_isin_pushed_to_scan(spark):
+    """r9b gram heads: the exact-recount phase must reach the full gram
+    table's parquet scan as a pushed In() filter (point lookups into the
+    range-sorted lookup table), never as a post-scan join — and the
+    candidate phase must read the head table, not the full synopsis."""
+    df = QUERIES["q86_top_ngrams_sampled"](spark, SF)
+    explained = df._jdf.queryExecution().toString()
+    assert "PushedFilters: [In(gram, [" in explained
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # both phases are scans + local top-k
