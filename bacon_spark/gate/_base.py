@@ -190,16 +190,24 @@ def _token_prebuilt(spark: SparkSession, sf_dir: str) -> str:
     (doc_id, toks) + (tok, cnt) under one manifest commit) — the prepare
     hook shared by the n-gram / heavy-hitter gate queries, so each pays
     probe cost only and the tokenize pass is billed once per ingest."""
-    from ..llm.tokens_table import ensure_ngram_synopsis, token_table_build
+    from ..llm.tokens_table import (
+        ensure_ngram_synopsis,
+        token_table_build,
+        token_table_stale,
+    )
     from ..operators.maintenance import read_manifest
     from ..utils.caching import release_caches
 
     path = artifact_path(sf_dir, "toks")
-    if read_manifest(path) is None:
+    # r10: a tokenizer-rev mismatch invalidates the stored toks THEMSELVES
+    # — full rebuild from documents (new manifest version on the same
+    # path; pinned readers keep their snapshot)
+    if read_manifest(path) is None or token_table_stale(path):
         token_table_build(_read_docs(spark, sf_dir), path)
         release_caches()
-    # r9: the n-gram synopsis rides the same artifact; a pre-synopsis
-    # build on disk upgrades in place from its stored toks (no re-tokenize)
+    # r9: the n-gram synopsis rides the same artifact; a pre-synopsis or
+    # pre-spec-rev build on disk upgrades in place from its stored toks
+    # (no re-tokenize); undersized heads rebuild from stored gram tables
     elif ensure_ngram_synopsis(spark, path):
         release_caches()
     return path

@@ -1394,3 +1394,53 @@ def q188_streaming_funnel_sharded(spark, sf_dir):
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nd)
     latest = latest_funnel_steps(spark.table("q188_stream"))
     return funnel_counts_from_steps(latest, steps)
+
+
+@query(
+    "q189_streaming_funnel_auto",
+    _funnel_b.funnel_sql("events", ("view", "click", "purchase")),
+    prepare=_stage_q183,
+)
+def q189_streaming_funnel_auto(spark, sf_dir):
+    """The CARDINALITY-ROUTED funnel (streaming/funnel.
+    streaming_funnel_steps_auto, VERDICT r9 next #1): one HLL
+    approx_count_distinct pass over the staged input (the stream's
+    batch-readable history) estimates user cardinality, then the query
+    runs the per-user form at or below DEFAULT_USER_THRESHOLD (50k)
+    users and the sharded form above it — the auto-salt decision
+    pattern (operators/scale.auto_salt_join) applied to stateful-
+    operator keying. Both branches are oracle-equal (q183 == q188), so
+    the hash is route-invariant; the chosen route is surfaced on the
+    result frame as .funnel_route and pinned at both cardinalities in
+    tests/test_stream_state.py. Same staged two-file input, same
+    update-mode sink fold, same DuckDB conditional-min-chain oracle."""
+    from ..streaming.funnel import (
+        funnel_counts_from_steps,
+        latest_funnel_steps,
+        streaming_funnel_steps_auto,
+    )
+    from ..streaming.windows import run_stream_to_memory
+
+    steps = ("view", "click", "purchase")
+    d = _stage_q183(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("user_id bigint, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    snaps = streaming_funnel_steps_auto(
+        stream,
+        steps,
+        horizon="7 days",
+        watermark="3650 days",
+        shards=64,
+        estimate_from=spark.read.parquet(d),
+    )
+    prev_nd = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        run_stream_to_memory(snaps, "q189_stream", mode="update")
+    finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nd)
+    latest = latest_funnel_steps(spark.table("q189_stream"))
+    return funnel_counts_from_steps(latest, steps)

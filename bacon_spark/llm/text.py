@@ -40,6 +40,14 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 STOPWORDS = LANG_MARKERS["en"] + ("a", "an", "for", "on", "with", "at", "by")
 
 
+#: Revision of :func:`tokens`' SEMANTICS (split regex, casing, empty
+#: handling). Bump on ANY change to what the function returns: the token
+#: table artifact (llm/tokens_table.py) stores this rev in its manifest,
+#: and a mismatch forces a full re-tokenize instead of silently probing
+#: token/gram tables built under the old semantics (VERDICT r9 next #4).
+TOKENIZER_REV: int = 1
+
+
 def tokens(c: Column) -> Column:
     """Lowercase word tokens, empties dropped."""
     return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda x: x != F.lit(""))

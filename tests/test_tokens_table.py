@@ -326,6 +326,100 @@ def test_ensure_adds_heads_to_prehead_artifact(spark, docs, tmp_path_factory):
     assert ensure_ngram_synopsis(spark, path) is False
 
 
+def test_ensure_rebuilds_undersized_heads(spark, docs, tmp_path_factory, monkeypatch):
+    """ADVICE r9: heads built under an older, SMALLER default K must be
+    treated as stale when the default grows — a truncated head silently
+    drops top-k candidates once the k*oversample guard trusts the larger
+    advertised K. Simulate by building under a patched tiny DEFAULT_HEAD_K,
+    then restoring the real one and running the upgrade."""
+    import bacon_spark.llm.tokens_table as tt
+    from bacon_spark.operators.maintenance import read_manifest
+
+    path = str(tmp_path_factory.mktemp("toks_smallhead"))
+    monkeypatch.setattr(tt, "DEFAULT_HEAD_K", 3)
+    tt.token_table_build(docs, path)
+    man1 = read_manifest(path)
+    assert man1["token_table"]["head_k"] == 3
+    assert tt.ngram_head(spark, path, 2).count() == 3  # truncated
+    monkeypatch.undo()
+    assert tt.DEFAULT_HEAD_K > 3
+    assert tt.ensure_ngram_synopsis(spark, path) is True
+    man2 = read_manifest(path)
+    assert man2["token_table"]["head_k"] == tt.DEFAULT_HEAD_K
+    # heads rebuilt from the UNCHANGED gram tables at the full size
+    assert man2["token_table"]["ngrams"] == man1["token_table"]["ngrams"]
+    assert man2["token_table"]["ngram_heads"] != man1["token_table"]["ngram_heads"]
+    full = tt.ngram_counts(spark, path, 2).count()
+    assert tt.ngram_head(spark, path, 2).count() == min(full, tt.DEFAULT_HEAD_K) > 3
+    # idempotent once rebuilt at the current size
+    assert tt.ensure_ngram_synopsis(spark, path) is False
+
+
+def test_ensure_rebuilds_on_synopsis_rev_bump(
+    spark, docs, tmp_path_factory, monkeypatch
+):
+    """VERDICT r9 next #4: a synopsis-spec revision bump invalidates every
+    gram/head table (rebuilt from the stored toks — no re-tokenize), while
+    readers pinned to the pre-bump manifest version keep their snapshot."""
+    import bacon_spark.llm.tokens_table as tt
+    from bacon_spark.operators.maintenance import read_manifest
+
+    path = str(tmp_path_factory.mktemp("toks_specrev"))
+    tt.token_table_build(docs, path)
+    man1 = read_manifest(path)
+    assert man1["token_table"]["synopsis_rev"] == tt.SYNOPSIS_SPEC_REV
+    monkeypatch.setattr(tt, "SYNOPSIS_SPEC_REV", tt.SYNOPSIS_SPEC_REV + 1)
+    assert tt.ensure_ngram_synopsis(spark, path) is True
+    man2 = read_manifest(path)
+    e1, e2 = man1["token_table"], man2["token_table"]
+    assert e2["synopsis_rev"] == tt.SYNOPSIS_SPEC_REV
+    # every gram/sample/head dir replaced; the toks table untouched
+    for k in ("ngrams", "ngram_samples", "ngram_heads", "ngram_sample_heads"):
+        assert set(e1[k]) == set(e2[k])  # same logical keys ...
+        assert not set(e1[k].values()) & set(e2[k].values())  # ... new dirs
+    assert e2["data_dir"] == e1["data_dir"]
+    # pinned pre-bump reader still resolves the OLD dirs
+    assert (
+        tt.ngram_counts(spark, path, 2, version=man1["version"]).count()
+        == tt.ngram_counts(spark, path, 2).count()
+        > 0
+    )
+    assert tt.ensure_ngram_synopsis(spark, path) is False
+
+
+def test_tokenizer_rev_mismatch_marks_artifact_stale(
+    spark, docs, tmp_path_factory, monkeypatch
+):
+    """A tokenizer-rev mismatch invalidates the stored toks themselves:
+    token_table_stale flags it, a rebuild on the same path clears it, and
+    pre-rev manifests (no stored rev) read as rev 1."""
+    import bacon_spark.llm.tokens_table as tt
+    from bacon_spark.operators.maintenance import commit_manifest, read_manifest
+
+    path = str(tmp_path_factory.mktemp("toks_tokrev"))
+    tt.token_table_build(docs, path)
+    assert tt.token_table_stale(path) is False
+    monkeypatch.setattr(tt, "TOKENIZER_REV", tt.TOKENIZER_REV + 1)
+    assert tt.token_table_stale(path) is True
+    # the gate's rebuild-on-stale: a fresh build on the same path is a new
+    # manifest version stamped with the current rev
+    info2 = tt.token_table_build(docs, path)
+    assert info2["version"] == 2 and tt.token_table_stale(path) is False
+    monkeypatch.undo()
+    # a pre-rev-tracking manifest (keys absent) counts as rev 1
+    man = read_manifest(path)
+    entry = dict(man["token_table"])
+    entry.pop("tokenizer_rev")
+    commit_manifest(
+        path,
+        [(f["path"], f["bytes"]) for f in man["files"]],
+        base_version=man["version"],
+        op="test-strip-rev",
+        extra={"token_table": entry},
+    )
+    assert tt.token_table_stale(path) is (tt.TOKENIZER_REV != 1)
+
+
 def test_head_probe_differential_random_corpora(spark, tmp_path_factory):
     """Seeded randomized differential for the head-probe path (the r9b
     twin of the cold-fold and funnel fuzzers): random word-soup corpora
