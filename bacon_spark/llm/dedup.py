@@ -1340,6 +1340,47 @@ def _containment_from_frames(
     )
 
 
+def containment_pairs_routed(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    w: int = 4,
+    df_cap: int = 64,
+    threshold: tuple[int, int] = (1, 2),
+    index_path: str | None = None,
+) -> DataFrame:
+    """:func:`containment_pairs` with the INDEX ROUTING decision made for
+    the caller (VERDICT r9 next #8, the q189 auto-route pattern): when a
+    persisted containment index exists at *index_path* AND was built with
+    exactly these parameters, the query runs the probe-only half
+    (:func:`containment_index_probe` — no shingling, no hashing, no
+    df-cap pass, no rank window); otherwise it computes inline. The two
+    paths are row-identical by the split contract pinned in
+    tests/test_llm_ops.py, so routing changes cost, never results. A
+    parameter-mismatched index is NEVER probed — its inverted frame
+    covers a different gram universe — the caller gets the inline
+    computation and ``.containment_route == "inline"`` says so."""
+    from ..operators.maintenance import read_manifest
+
+    route = "inline"
+    if index_path is not None:
+        man = read_manifest(index_path)
+        if man is not None and man.get("containment") == {
+            "id_col": id_col,
+            "k": k,
+            "w": w,
+            "df_cap": df_cap,
+        }:
+            route = "index"
+    if route == "index":
+        out = containment_index_probe(docs.sparkSession, index_path, threshold)
+    else:
+        out = containment_pairs(docs, text_col, id_col, k, w, df_cap, threshold)
+    out.containment_route = route
+    return out
+
+
 def containment_index_build(
     docs: DataFrame,
     path: str,

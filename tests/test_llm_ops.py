@@ -823,6 +823,54 @@ def test_containment_index_split_matches_end_to_end(spark, tmp_path):
         dd.containment_index_probe(spark, str(tmp_path / "nope"))
 
 
+def test_containment_routed_picks_index_only_on_exact_params(spark, tmp_path):
+    """Round 10 (VERDICT r9 next #8): containment_pairs_routed probes the
+    persisted index when its build parameters match EXACTLY, computes
+    inline otherwise (a mismatched index covers a different gram
+    universe), and both routes return identical rows."""
+    from bacon_spark.llm import dedup as dd
+
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    for i in range(30):
+        text = base + f"wrap {i} " + base if i % 4 == 0 else " ".join(
+            f"tok{i}_{j} filler common word" for j in range(10)
+        )
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "cidx_routed")
+    dd.containment_index_build(docs, path, "text", "doc_id", k=16, w=3, df_cap=32)
+
+    want = sorted(
+        map(
+            tuple,
+            dd.containment_pairs(docs, "text", "doc_id", k=16, w=3, df_cap=32).collect(),
+        )
+    )
+    hit = dd.containment_pairs_routed(
+        docs, "text", "doc_id", k=16, w=3, df_cap=32, index_path=path
+    )
+    assert hit.containment_route == "index"
+    assert sorted(map(tuple, hit.collect())) == want and want
+    # parameter mismatch (different k) must NOT probe this index
+    miss = dd.containment_pairs_routed(
+        docs, "text", "doc_id", k=8, w=3, df_cap=32, index_path=path
+    )
+    assert miss.containment_route == "inline"
+    assert sorted(map(tuple, miss.collect())) == sorted(
+        map(
+            tuple,
+            dd.containment_pairs(docs, "text", "doc_id", k=8, w=3, df_cap=32).collect(),
+        )
+    )
+    # no index at all -> inline
+    none = dd.containment_pairs_routed(
+        docs, "text", "doc_id", k=16, w=3, df_cap=32, index_path=str(tmp_path / "no")
+    )
+    assert none.containment_route == "inline"
+    assert sorted(map(tuple, none.collect())) == want
+
+
 def test_containment_delta_probe_semantics(spark, tmp_path):
     """Cross-corpus delta probe: exact-copy deltas are found at
     containment 1.0, novel deltas produce no pairs, an all-hot-gram
