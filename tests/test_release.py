@@ -1,0 +1,67 @@
+"""Packaging (VERDICT r9 next #6): the wheel tools/build_wheel.py emits
+must carry every runtime module — the in-repo suite imports from the
+checkout and can never catch a packaging miss — and rebuilds must be
+deterministic. The full install-into-venv smoke lives in
+tools/release_smoke.py (subprocess + venv, run per release); these tests
+cover the wheel CONTENT contract cheaply enough for every suite run."""
+
+import hashlib
+import os
+import sys
+import zipfile
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"))
+
+
+@pytest.fixture(scope="module")
+def wheel(tmp_path_factory):
+    import build_wheel
+
+    return build_wheel.build(str(tmp_path_factory.mktemp("dist")))
+
+
+def test_wheel_carries_every_package_module(wheel):
+    """Every .py under bacon_spark/ (templatetags included — the classic
+    Django-only packaging miss) appears in the wheel and in RECORD."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    want = set()
+    for dirpath, dirnames, filenames in os.walk(os.path.join(repo, "bacon_spark")):
+        dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+        for fn in filenames:
+            if fn.endswith(".py"):
+                want.add(
+                    os.path.relpath(os.path.join(dirpath, fn), repo).replace(
+                        os.sep, "/"
+                    )
+                )
+    with zipfile.ZipFile(wheel) as zf:
+        names = set(zf.namelist())
+        record = zf.read("bacon_spark-0.1.0.dist-info/RECORD").decode()
+    missing = want - names
+    assert not missing, f"modules missing from wheel: {sorted(missing)[:5]}"
+    assert "bacon_spark/templatetags/bacon_tags.py" in names
+    assert "bacon_spark/observers/template_tags.py" in names
+    recorded = {line.split(",")[0] for line in record.strip().splitlines()}
+    assert want <= recorded
+
+
+def test_wheel_metadata_and_entry_points(wheel):
+    with zipfile.ZipFile(wheel) as zf:
+        meta = zf.read("bacon_spark-0.1.0.dist-info/METADATA").decode()
+        eps = zf.read("bacon_spark-0.1.0.dist-info/entry_points.txt").decode()
+        whl = zf.read("bacon_spark-0.1.0.dist-info/WHEEL").decode()
+    assert "Name: bacon-spark" in meta and "Requires-Dist: pyspark>=4.0" in meta
+    assert 'Requires-Dist: flask>=2.2; extra == "flask"' in meta
+    assert "bacon-spark-demo = bacon_spark.demo:main" in eps
+    assert "Tag: py3-none-any" in whl
+
+
+def test_wheel_rebuild_is_byte_identical(wheel, tmp_path):
+    import build_wheel
+
+    again = build_wheel.build(str(tmp_path))
+    h1 = hashlib.sha256(open(wheel, "rb").read()).hexdigest()
+    h2 = hashlib.sha256(open(again, "rb").read()).hexdigest()
+    assert h1 == h2
