@@ -461,10 +461,27 @@ def streaming_funnel_steps_tws(
     horizon: str = "7 days",
     watermark: str = "30 days",
 ) -> DataFrame:
-    """:func:`streaming_funnel_steps` on Spark 4's ``transformWithState``
-    operator (``transformWithStateInPandas`` + a ``StatefulProcessor``)
-    instead of ``applyInPandasWithState`` — identical fold, identical
-    emit-on-change/entrant-bounded contract, interchangeable output.
+    """EXPERIMENTAL: :func:`streaming_funnel_steps` on Spark 4's
+    ``transformWithState`` operator (``transformWithStateInPandas`` + a
+    ``StatefulProcessor``) instead of ``applyInPandasWithState`` —
+    identical fold, identical emit-on-change/entrant-bounded contract,
+    interchangeable output.
+
+    Experimental because its end-to-end path has only ever run where its
+    runtime dependency exists: the operator's Python state server speaks
+    a protobuf protocol, so the environment needs the pure-Python
+    ``protobuf`` package (``pip install protobuf`` — no compiled parts
+    required) plus Spark's RocksDB state-store provider (bundled with
+    Spark 4; selected automatically by the operator). Bootstrap to
+    verify: install protobuf, then run
+    ``pytest tests/test_stream_state.py -k tws`` — the end-to-end test
+    un-skips and asserts equality with the batch funnel and the per-user
+    streaming form. Without protobuf this function raises ImportError at
+    build time (below) naming the dependency; the two
+    ``applyInPandasWithState`` forms (:func:`streaming_funnel_steps`,
+    :func:`streaming_funnel_steps_sharded`, routed by
+    :func:`streaming_funnel_steps_auto`) are the supported paths and
+    share the fold logic verbatim.
 
     Why a third form: transformWithState is the forward-looking stateful
     API — typed named state slots (value/list/map), event- and
