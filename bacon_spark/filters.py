@@ -153,15 +153,21 @@ FILTER_OPS = {
 
 
 # --- driver-side twins (the warm navigation path) ---------------------------
-# Python evaluations of the SCALAR/MEMBERSHIP ops above, over a single
-# already-materialized axis VALUE — used by engine._local_slice to drill
-# cached slice rows without a Spark job. Each twin reproduces its Column
-# form's null semantics exactly (SQL three-valued logic: a null compare
-# filters the row out unless the op's reference semantics say otherwise).
-# match/nmatch are deliberately ABSENT: rlike is Java-regex and a Python
-# re twin could diverge on dialect corners, so those fall through to the
-# Spark planner; set-algebra ops likewise (set-valued axes are rare and
-# the clean-set conflation is easiest to keep single-sourced).
+# Python evaluations of the ops above, over a single already-materialized
+# axis VALUE — used by engine._local_slice to drill cached slice rows and
+# by the cold snapshot fold, without a Spark job. Each twin reproduces
+# its Column form's null semantics exactly (SQL three-valued logic: a
+# null compare filters the row out unless the op's reference semantics
+# say otherwise). match/nmatch are deliberately ABSENT: rlike is
+# Java-regex and a Python re twin could diverge on dialect corners, so
+# those fall through to the Spark planner. The 13 set-algebra ops DO
+# have twins (round 10 — the head-to-head showed the reference folding a
+# q12-shaped set-filter query in-memory 12x faster than our Spark job
+# floor): the make_set conflation is mirrored from _clean_col_set /
+# _clean_literal_set verbatim (null cell -> empty set; null/'' elements
+# dropped; elements stringified like the literal side), on the SetLabel
+# contract that set-valued labels are array<string>. Twin-vs-Column
+# equality is differential-fuzzed in tests/test_cold_fold.py.
 
 
 def _py_vals(v):
@@ -184,6 +190,34 @@ def _py_ni(r, v):
     return r is None or r not in rest
 
 
+def _py_clean_cell(r) -> frozenset:
+    """make_set on a materialized CELL: the Python twin of _clean_col_set.
+    null -> empty set; null/'' elements dropped; elements stringified the
+    way _clean_literal_set stringifies the literal side (identity for the
+    array<string> cells SetLabel produces)."""
+    return frozenset(str(x) for x in (r or ()) if x is not None and x != "")
+
+
+def _py_hasall(r, v):
+    return frozenset(_clean_literal_set(v)) <= _py_clean_cell(r)
+
+
+def _py_hasany(r, v):
+    return not frozenset(_clean_literal_set(v)).isdisjoint(_py_clean_cell(r))
+
+
+def _py_hasnone(r, v):
+    return frozenset(_clean_literal_set(v)).isdisjoint(_py_clean_cell(r))
+
+
+def _py_hasonly(r, v):
+    return _py_clean_cell(r) == frozenset(_clean_literal_set(v))
+
+
+def _py_subsetof(r, v):
+    return _py_clean_cell(r) <= frozenset(_clean_literal_set(v))
+
+
 PY_FILTER_OPS = {
     "eq": lambda r, v: (r is None) if v is None else (r is not None and r == v),
     "ne": lambda r, v: (r is not None) if v is None else (r is None or r != v),
@@ -193,6 +227,38 @@ PY_FILTER_OPS = {
     "le": lambda r, v: r is not None and v is not None and r <= v,
     "in": _py_in,
     "ni": _py_ni,
+    "hasall": _py_hasall,
+    "hasany": _py_hasany,
+    "hasnone": _py_hasnone,
+    "hasonly": _py_hasonly,
+    "hasnotall": lambda r, v: not _py_hasall(r, v),
+    "subsetof": _py_subsetof,
+    "notsubsetof": lambda r, v: not _py_subsetof(r, v),
+    "supersetof": _py_hasall,
+    "notsupersetof": lambda r, v: not _py_hasall(r, v),
+    "disjointfrom": _py_hasnone,
+    "intersects": _py_hasany,
+    "equals": _py_hasonly,
+    "notequals": lambda r, v: not _py_hasonly(r, v),
+}
+
+
+# (cell_set, literal_set) -> bool: the pre-bound forms compile_py_filter
+# uses so the literal-side cleaning runs once per query, not per row
+_PY_SET_OPS = {
+    "hasall": lambda s, b: b <= s,
+    "hasany": lambda s, b: not b.isdisjoint(s),
+    "hasnone": lambda s, b: b.isdisjoint(s),
+    "hasonly": lambda s, b: s == b,
+    "hasnotall": lambda s, b: not b <= s,
+    "subsetof": lambda s, b: s <= b,
+    "notsubsetof": lambda s, b: not s <= b,
+    "supersetof": lambda s, b: b <= s,
+    "notsupersetof": lambda s, b: not b <= s,
+    "disjointfrom": lambda s, b: b.isdisjoint(s),
+    "intersects": lambda s, b: not b.isdisjoint(s),
+    "equals": lambda s, b: s == b,
+    "notequals": lambda s, b: s != b,
 }
 
 
@@ -201,9 +267,10 @@ def compile_py_filter(op: str, v):
 
     The engine's cold snapshot fold (engine.CuttingBoard._local_cold)
     evaluates a filter once per preloaded row; the generic twins normalize
-    the membership set PER CALL, which is O(|set|) per row. Binding here
-    hoists that to once per query. Raises KeyError for ops without a
-    Python twin (regex, set algebra) — callers fall through to Spark."""
+    the membership/literal set PER CALL, which is O(|set|) per row.
+    Binding here hoists that to once per query. Raises KeyError for ops
+    without a Python twin (match/nmatch — Java-regex dialect) — callers
+    fall through to Spark."""
     if op == "in":
         vals = _py_vals(v)
         rest = frozenset(x for x in vals if x is not None)
@@ -220,6 +287,12 @@ def compile_py_filter(op: str, v):
         if v is None:
             return lambda r: r is None
         return lambda r: r is not None and r == v
+    if op in _PY_SET_OPS:
+        # hoist the literal-side make_set to once per query; the cell-side
+        # conflation stays per row (it depends on the cell)
+        b = frozenset(_clean_literal_set(v))
+        base = _PY_SET_OPS[op]
+        return lambda r: base(_py_clean_cell(r), b)
     fn = PY_FILTER_OPS[op]  # KeyError -> no Python twin
     return lambda r: fn(r, v)
 

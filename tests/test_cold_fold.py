@@ -188,6 +188,59 @@ def test_ops_without_python_twin_fall_through(cd, frame):
     assert b.local_hits == before  # regex has no twin: Spark planned it
 
 
+def test_cold_fold_set_ops_randomized_equivalence(spark):
+    """Round 10: the 13 set-algebra ops now have driver-side twins (the
+    head-to-head showed the reference folding q12-shaped set filters
+    in-memory while we paid a Spark job). Fuzz: random tag soups with
+    null cells, empty arrays, '' and duplicate elements — every set op,
+    snapshot fold vs pure Spark board, exact equality, and the local
+    path must actually serve."""
+    from bacon_spark.cubedef import SetLabel
+    from bacon_spark.filters import FILTER_OPS
+
+    set_ops = [
+        op
+        for op in FILTER_OPS
+        if op not in ("eq", "ne", "gt", "ge", "lt", "le", "in", "ni", "match", "nmatch")
+    ]
+    rng = random.Random(0x512)
+    vocab = ["red", "blue", "green", "widget", "bolt", "gear", ""]
+    rows = []
+    for i in range(300):
+        if i % 17 == 0:
+            tags = None
+        else:
+            tags = rng.sample(vocab, rng.randint(0, 4))
+            if tags and rng.random() < 0.3:
+                tags.append(tags[0])  # duplicate element: distinct conflation
+        rows.append((f"b{i % 4}", tags, float(i % 9)))
+    frame = spark.createDataFrame(rows, "brand string, tags array<string>, price double")
+    cd = CubeDef("t")
+    cd.add_label(Label("brand"))
+    cd.add_label(SetLabel("tags"))
+    cd.add_measure(Measure("n", "brand", acc=Count()))
+    cd.add_measure(Measure("sp", "price", acc=Sum()))
+    b = CuttingBoard(cd, frame, eager_snapshot_rows=10_000)
+    ref = CuttingBoard(cd, frame, cache_results=False)
+    assert b._snap_rows is not None
+    served = 0
+    lit_pool = ["red", "blue", "green", "widget", "bolt", "gear", "", None]
+    for trial in range(30):
+        q = CubeQuery().add_axis("brand").add_value("n").add_value("sp")
+        for _ in range(rng.randint(1, 2)):
+            v = frozenset(rng.sample(lit_pool, rng.randint(1, 3)))
+            q = q.add_filter("tags", rng.choice(set_ops), v)
+        b.clear_cache()
+        before = b.local_hits
+        _assert_same(
+            b.slice(q).collect(),
+            ref.slice(q).collect(),
+            (trial, q.filters),
+        )
+        served += b.local_hits - before
+    assert served == 30, served  # every trial answered driver-side
+
+
 def test_refresh_rebuilds_snapshot(cd, frame, spark):
     b = CuttingBoard(cd, frame, eager_snapshot_rows=10_000)
     n0 = len(b._snap_rows)

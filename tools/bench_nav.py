@@ -43,7 +43,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 DSL = "a:returnflag/a:linestatus/v:sum_qty/v:sum_base_price/v:disc_price/v:charge"
-WARM_STEPS = ("s2_repeat", "s3_drill", "s4_drill2", "s5_rollup", "q07_repeat", "q10_repeat")
+WARM_STEPS = (
+    "s2_repeat", "s3_drill", "s4_drill2", "s5_rollup",
+    "q07_repeat", "q10_repeat", "q12_repeat", "q04_repeat",
+)
 
 
 def _pq(sf_dir: str, name: str) -> str:
@@ -159,6 +162,48 @@ def engine_nav(sf_dir: str) -> dict:
     run10 = lambda n: (lambda t: (b10.slice(q10).collect(), steps.__setitem__(n, round(time.perf_counter() - t, 4))))(time.perf_counter())  # noqa: E731
     run10("q10_cold")
     run10("q10_repeat")
+
+    # q12-shaped: set-algebra filters over part tags (round 10 — the
+    # driver-side set-op twins make this a local fold like q10)
+    from bacon_spark.cubedef import SetLabel
+
+    cd12 = CubeDef("part")
+    cd12.add_label(Label("brand", "p_brand"))
+    cd12.add_label(SetLabel("tags"))
+    cd12.add_measure(Measure("n", "p_partkey", acc=Count()))
+    df12 = read_table(spark, sf_dir, "part").withColumn("tags", F.split("p_name", " "))
+    b12 = CuttingBoard(cd12, df12, eager_snapshot_rows=SNAP_CAP)
+    q12 = (
+        CubeQuery().add_axis("brand").add_value("n")
+        .add_filter("tags", "hasany", frozenset({"red", "blue", "green"}))
+        .add_filter("tags", "hasall", frozenset({"widget"}))
+        .add_filter("tags", "hasnone", frozenset({"bolt", "gear"}))
+    )
+    run12 = lambda n: (lambda t: (b12.slice(q12).collect(), steps.__setitem__(n, round(time.perf_counter() - t, 4))))(time.perf_counter())  # noqa: E731
+    run12("q12_cold")
+    run12("q12_repeat")
+
+    # q04-shaped: order-by-measure + top-10, the renderer's driver-side
+    # sort over the slice (orders fits the snapshot cap at sf0.1 and
+    # falls to the Spark plan at sf1 — both measured as the user gets)
+    cd4 = CubeDef("orders")
+    cd4.add_label(Label("custkey", "o_custkey"))
+    cd4.add_measure(Measure("total", "o_totalprice", acc=Sum()))
+    b4 = CuttingBoard(
+        cd4, read_table(spark, sf_dir, "orders"), eager_snapshot_rows=SNAP_CAP
+    )
+    q4 = CubeQuery().add_axis("custkey").add_value("total")
+
+    def run4(n):
+        t = time.perf_counter()
+        rows = [(r["custkey"], r["total"]) for r in b4.slice(q4).collect()]
+        rows.sort(key=lambda x: (-(x[1] or 0), x[0]))
+        top = rows[:10]
+        steps[n] = round(time.perf_counter() - t, 4)
+        assert len(top) == 10
+
+    run4("q04_cold")
+    run4("q04_repeat")
 
     spark.stop()
     return {
@@ -282,6 +327,48 @@ def reference_nav(sf_dir: str) -> dict:
         t = time.perf_counter()
         b10.slice(q10)
         steps[name] = round(time.perf_counter() - t, 4)
+
+    # q12-shaped: set-algebra filters on an extract-derived tag label
+    prows12 = con.execute(
+        f"SELECT p_brand, p_name FROM '{_pq(sf_dir, 'part')}'"
+    ).fetchall()
+    PartN = namedtuple("PartN", "p_brand p_name")
+    parts12 = [PartN(*r) for r in prows12]
+    cd12 = CubeDef()
+    cd12.add_label(AttributeLabel("p_brand"))
+    cd12.add_label(Label("tags", extract=lambda r: r.p_name.split(" ")))
+    cd12.add_measure(Measure("n", extract=lambda r: 1, acc=accs.Count))
+    b12 = CuttingBoard(cd12, parts12)
+    q12 = (
+        CubeQuery().add_axis("p_brand").add_value("n")
+        .add_filter("tags", frozenset({"red", "blue", "green"}), operator="hasany")
+        .add_filter("tags", frozenset({"widget"}), operator="hasall")
+        .add_filter("tags", frozenset({"bolt", "gear"}), operator="hasnone")
+    )
+    for name in ("q12_cold", "q12_repeat"):
+        t = time.perf_counter()
+        b12.slice(q12)
+        steps[name] = round(time.perf_counter() - t, 4)
+
+    # q04-shaped: slice + the renderer's order-by-measure sort + top-10
+    orows = con.execute(
+        f"SELECT o_custkey, o_totalprice FROM '{_pq(sf_dir, 'orders')}'"
+    ).fetchall()
+    Order = namedtuple("Order", "o_custkey o_totalprice")
+    orders = [Order(*r) for r in orows]
+    cd4 = CubeDef()
+    cd4.add_label(AttributeLabel("o_custkey"))
+    cd4.add_measure(Measure("total", extract=lambda r: r.o_totalprice))
+    b4 = CuttingBoard(cd4, orders)
+    q4 = CubeQuery().add_axis("o_custkey").add_value("total")
+    for name in ("q04_cold", "q04_repeat"):
+        t = time.perf_counter()
+        s4 = b4.slice(q4)
+        rows4 = [(lv.value, sub.record["total"].get()) for lv, sub in s4]
+        rows4.sort(key=lambda x: (-(x[1] or 0), x[0]))
+        top = rows4[:10]
+        steps[name] = round(time.perf_counter() - t, 4)
+        assert len(top) == 10
 
     return {
         "load_seconds": load_s,
