@@ -339,12 +339,25 @@ class CuttingBoard:
                 rows = [r for r in rows if f(r[i])]
             if query.axes:
                 groups: dict = {}
-                for r in rows:
-                    k = tuple(r[i] for i in axi)
-                    g = groups.get(k)
-                    if g is None:
-                        groups[k] = g = []
-                    g.append(r)
+                if len(axi) == 1:
+                    # single-axis fast path: one subscript per row instead
+                    # of a generator-built tuple — high-cardinality axes
+                    # (a 100k-customer top-k) are singleton-group-heavy
+                    # and pay the key-build cost per ROW
+                    i0 = axi[0]
+                    for r in rows:
+                        k = (r[i0],)
+                        g = groups.get(k)
+                        if g is None:
+                            groups[k] = g = []
+                        g.append(r)
+                else:
+                    for r in rows:
+                        k = tuple(r[i] for i in axi)
+                        g = groups.get(k)
+                        if g is None:
+                            groups[k] = g = []
+                        g.append(r)
                 items = list(groups.items())
             else:
                 # dim=0: one grand-total row even over an empty input,

@@ -192,13 +192,23 @@ def engine_nav(sf_dir: str) -> dict:
     b4 = CuttingBoard(
         cd4, read_table(spark, sf_dir, "orders"), eager_snapshot_rows=SNAP_CAP
     )
-    q4 = CubeQuery().add_axis("custkey").add_value("total")
+    # the engine's NATIVE top-k surface: order-by-measure in the query;
+    # locally-served slices come back already ordered (engine._py_order),
+    # the Spark path pushes the limit into the plan (TakeOrdered) — the
+    # reference has no in-query top-k, its renderer sorts in Python
+    # (observers/tables.py:411-427), which its side below replays.
+    q4 = (
+        CubeQuery().add_axis("custkey").add_value("total")
+        .set_order("total", descending=True)
+    )
 
     def run4(n):
         t = time.perf_counter()
-        rows = [(r["custkey"], r["total"]) for r in b4.slice(q4).collect()]
-        rows.sort(key=lambda x: (-(x[1] or 0), x[0]))
-        top = rows[:10]
+        sl = b4.slice(q4)
+        if sl._rows is not None:
+            top = [tuple(r) for r in sl._rows[:10]]
+        else:
+            top = [tuple(r) for r in sl.to_df().limit(10).collect()]
         steps[n] = round(time.perf_counter() - t, 4)
         assert len(top) == 10
 
