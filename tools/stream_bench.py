@@ -87,12 +87,13 @@ def run_funnel(spark, args):
     )
     # sharded form: one state ROW per shard holding >=1 entrant (bytes
     # still scale with entrants)
+    n_shards = args.sharded or (256 if args.auto else 0)
     entrant_shards = (
         full.filter(F.col("event_type") == steps[0])
-        .select(F.pmod(F.xxhash64("user_id"), F.lit(args.sharded)).alias("s"))
+        .select(F.pmod(F.xxhash64("user_id"), F.lit(n_shards)).alias("s"))
         .distinct()
         .count()
-        if args.sharded
+        if n_shards
         else None
     )
 
@@ -123,7 +124,22 @@ def run_funnel(spark, args):
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
     )
-    if args.sharded:
+    if args.auto:
+        # the router's own path: HLL estimate over the staged input picks
+        # the form, exactly as gate q189 does
+        from bacon_spark.streaming.funnel import streaming_funnel_steps_auto
+
+        snaps = streaming_funnel_steps_auto(
+            stream, steps, horizon="7 days", watermark="3650 days",
+            shards=args.sharded or 256,
+            estimate_from=spark.read.parquet(d),
+        )
+        print(
+            f"auto route: {snaps.funnel_route} "
+            f"(estimated {snaps.funnel_route_users} users)",
+            file=sys.stderr,
+        )
+    elif args.sharded:
         snaps = streaming_funnel_steps_sharded(
             stream, steps, horizon="7 days", watermark="3650 days",
             shards=args.sharded,
@@ -174,14 +190,23 @@ def run_funnel(spark, args):
     # row per funnel entrant (user whose step-0 event exists) — never per
     # event, and never for a user who only produced non-entry events;
     # sharded keying holds one blob per entrant-bearing shard
-    if args.sharded:
+    routed_sharded = bool(args.sharded) if not args.auto else (
+        snaps.funnel_route == "sharded"
+    )
+    if routed_sharded:
         assert state_rows == entrant_shards, (state_rows, entrant_shards)
     else:
         assert state_rows == entrants, (state_rows, entrants)
     cores = spark.sparkContext.defaultParallelism
     out = {
-        "op": "ordered_funnel_sharded" if args.sharded else "ordered_funnel",
-        "shards": args.sharded or None,
+        "op": (
+            "ordered_funnel_auto" if args.auto
+            else "ordered_funnel_sharded" if args.sharded
+            else "ordered_funnel"
+        ),
+        "route": snaps.funnel_route if args.auto else None,
+        "route_users_estimate": snaps.funnel_route_users if args.auto else None,
+        "shards": n_shards if routed_sharded else None,
         "rows": total,
         "users": users_seen,
         "entrants": entrants,
@@ -193,7 +218,7 @@ def run_funnel(spark, args):
         "rows_per_s_per_core": round(total / wall / cores, 1),
         "state_rows_final": state_rows,
         "state_rows_per_entrant": None
-        if args.sharded
+        if routed_sharded
         else round(state_rows / entrants, 6),
         "state_bytes_final": state_bytes,
         "state_bytes_per_entrant": round(state_bytes / entrants, 1)
@@ -248,6 +273,11 @@ def main():
     ap.add_argument("--sharded", type=int, default=0, metavar="SHARDS",
                     help="funnel mode: use the sharded-state form with this "
                          "many shards (0 = per-user keying)")
+    ap.add_argument("--auto", action="store_true",
+                    help="funnel mode: route per-user vs sharded from the "
+                         "HLL cardinality estimate over the staged input "
+                         "(streaming_funnel_steps_auto, gate q189); "
+                         "--sharded then only sets the shard count")
     args = ap.parse_args()
 
     builder = (
