@@ -1366,13 +1366,12 @@ def containment_pairs_routed(
     route = "inline"
     if index_path is not None:
         man = read_manifest(index_path)
-        if man is not None and man.get("containment") == {
-            "id_col": id_col,
-            "k": k,
-            "w": w,
-            "df_cap": df_cap,
-        }:
-            route = "index"
+        if man is not None and "containment" in man:
+            p = man["containment"]
+            if (p.get("id_col"), p.get("k"), p.get("w"), p.get("df_cap")) == (
+                id_col, k, w, df_cap,
+            ):
+                route = "index"
     if route == "index":
         out = containment_index_probe(docs.sparkSession, index_path, threshold)
     else:
@@ -1406,6 +1405,15 @@ def containment_index_build(
     from ..operators.maintenance import commit_manifest, manifest_versions, table_files
     from ..utils.caching import managed_persist
 
+    import uuid
+
+    # VERSIONED subdirs (round 10): a rebuild on the same path must never
+    # overwrite files a reader pinned to an older manifest version is
+    # scanning — the snapshot guarantee every other artifact keeps (the
+    # token table's uuid dirs). Dir names are recorded in the manifest
+    # entry; readers resolve them from their pinned version.
+    dirs = {t: f"{t}-{uuid.uuid4().hex[:8]}" for t in
+            ("hot", "inverted", "doc_stats", "signatures")}
     hashed = docs.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), w)).alias("_g")
     ).select(F.col(id_col), hash60(F.col("_g")).alias("h")).distinct()
@@ -1415,16 +1423,16 @@ def containment_index_build(
     # exclude them from ITS grams so its containment denominator counts
     # the same universe the inverted frame covers (bounded: one row per
     # gram hotter than df_cap, i.e. <= |corpus grams| / df_cap rows)
-    counts.where(F.col("count") > df_cap).select("h").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "hot"))
-    kept = managed_persist(hashed.join(dfok, "h"))
-    kept.repartition(F.col("h")).write.mode("overwrite").parquet(
-        os.path.join(path, "inverted")
+    counts.where(F.col("count") > df_cap).select("h").write.parquet(
+        os.path.join(path, dirs["hot"])
     )
-    kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n")).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "doc_stats"))
+    kept = managed_persist(hashed.join(dfok, "h"))
+    kept.repartition(F.col("h")).write.parquet(
+        os.path.join(path, dirs["inverted"])
+    )
+    kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n")).write.parquet(
+        os.path.join(path, dirs["doc_stats"])
+    )
     (
         kept.withColumn(
             "_rn", F.row_number().over(Window.partitionBy(id_col).orderBy("h"))
@@ -1432,8 +1440,7 @@ def containment_index_build(
         .where(F.col("_rn") <= k)
         .select(F.col(id_col).alias("a"), "h")
         .repartition(F.col("h"))
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "signatures"))
+        .write.parquet(os.path.join(path, dirs["signatures"]))
     )
     files = [(os.path.relpath(f, path), b) for f, b in table_files(path)]
     vs = manifest_versions(path)
@@ -1448,8 +1455,20 @@ def containment_index_build(
                 "k": k,
                 "w": w,
                 "df_cap": df_cap,
+                "dirs": dirs,
             }
         },
+    )
+
+
+def _containment_dirs(params: dict) -> dict:
+    """Resolve the index's table dirs from its manifest entry. Pre-r10
+    artifacts (no ``dirs`` key) used fixed dir names — the legacy
+    fallback keeps them readable; everything built since uses
+    uuid-suffixed dirs so rebuilds never clobber pinned readers."""
+    return params.get(
+        "dirs",
+        {t: t for t in ("hot", "inverted", "doc_stats", "signatures")},
     )
 
 
@@ -1477,9 +1496,10 @@ def containment_index_probe(
         raise FileNotFoundError(f"no containment index under {path}")
     params = man["containment"]
     id_col, k = params["id_col"], params["k"]
-    kept = spark.read.parquet(os.path.join(path, "inverted"))
-    na = spark.read.parquet(os.path.join(path, "doc_stats"))
-    sig = spark.read.parquet(os.path.join(path, "signatures"))
+    dirs = _containment_dirs(params)
+    kept = spark.read.parquet(os.path.join(path, dirs["inverted"]))
+    na = spark.read.parquet(os.path.join(path, dirs["doc_stats"]))
+    sig = spark.read.parquet(os.path.join(path, dirs["signatures"]))
     return _containment_from_frames(kept, na, sig, id_col, k, threshold)
 
 
@@ -1518,8 +1538,9 @@ def containment_delta_probe(
         raise FileNotFoundError(f"no containment index under {path}")
     params = man["containment"]
     corpus_id, k, w = params["id_col"], params["k"], params["w"]
-    inverted = spark.read.parquet(os.path.join(path, "inverted"))
-    hot = spark.read.parquet(os.path.join(path, "hot"))
+    dirs = _containment_dirs(params)
+    inverted = spark.read.parquet(os.path.join(path, dirs["inverted"]))
+    hot = spark.read.parquet(os.path.join(path, dirs["hot"]))
     hashed = new_docs.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), w)).alias("_g")
     ).select(F.col(id_col), hash60(F.col("_g")).alias("h")).distinct()

@@ -799,7 +799,8 @@ def test_containment_index_split_matches_end_to_end(spark, tmp_path):
     v = dd.containment_index_build(docs, path, "text", "doc_id", k=16, w=3, df_cap=32)
     assert v == 1
     man = read_manifest(path)
-    assert man["containment"] == {"id_col": "doc_id", "k": 16, "w": 3, "df_cap": 32}
+    params = {k_: v_ for k_, v_ in man["containment"].items() if k_ != "dirs"}
+    assert params == {"id_col": "doc_id", "k": 16, "w": 3, "df_cap": 32}
     got = sorted(
         map(tuple, dd.containment_index_probe(spark, path, threshold=(1, 2)).collect())
     )
@@ -869,6 +870,47 @@ def test_containment_routed_picks_index_only_on_exact_params(spark, tmp_path):
     )
     assert none.containment_route == "inline"
     assert sorted(map(tuple, none.collect())) == want
+
+
+def test_containment_rebuild_preserves_pinned_readers(spark, tmp_path):
+    """Round 10: a rebuild on the same path writes NEW uuid-suffixed
+    table dirs and commits a new manifest version — a reader pinned to
+    the pre-rebuild version still scans its original files (the snapshot
+    guarantee the fixed-dir overwrite layout violated), and the tip
+    serves the new corpus."""
+    from bacon_spark.llm import dedup as dd
+    from bacon_spark.operators.maintenance import read_manifest
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    mk = lambda n: spark.createDataFrame(
+        [(i, base + f"wrap {i} " + base if i % 3 == 0 else f"solo {i} text body")
+         for i in range(n)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "cidx_rebuild")
+    v1 = dd.containment_index_build(mk(20), path, "text", "doc_id", k=16, w=3, df_cap=32)
+    man1 = read_manifest(path)
+    v1_rows = sorted(
+        map(tuple, dd.containment_index_probe(spark, path, version=v1).collect())
+    )
+    v2 = dd.containment_index_build(mk(30), path, "text", "doc_id", k=16, w=3, df_cap=32)
+    assert v2 == v1 + 1
+    man2 = read_manifest(path)
+    d1, d2 = man1["containment"]["dirs"], man2["containment"]["dirs"]
+    assert set(d1) == set(d2) and not set(d1.values()) & set(d2.values())
+    # pinned reader: identical rows to its pre-rebuild read
+    again = sorted(
+        map(tuple, dd.containment_index_probe(spark, path, version=v1).collect())
+    )
+    assert again == v1_rows and v1_rows
+    # tip serves the 30-doc corpus (more pairs than the 20-doc one)
+    tip = dd.containment_index_probe(spark, path)
+    assert tip.count() > len(v1_rows)
+    # routed probe still matches params through the dirs-bearing entry
+    routed = dd.containment_pairs_routed(
+        mk(30), "text", "doc_id", k=16, w=3, df_cap=32, index_path=path
+    )
+    assert routed.containment_route == "index"
 
 
 def test_containment_delta_probe_semantics(spark, tmp_path):
