@@ -1403,13 +1403,14 @@ def q188_streaming_funnel_sharded(spark, sf_dir):
 )
 def q189_streaming_funnel_auto(spark, sf_dir):
     """The CARDINALITY-ROUTED funnel (streaming/funnel.
-    streaming_funnel_steps_auto, VERDICT r9 next #1): one HLL
-    approx_count_distinct pass over the staged input (the stream's
-    batch-readable history) estimates user cardinality, then the query
-    runs the per-user form at or below DEFAULT_USER_THRESHOLD (50k)
-    users and the sharded form above it — the auto-salt decision
-    pattern (operators/scale.auto_salt_join) applied to stateful-
-    operator keying. Both branches are oracle-equal (q183 == q188), so
+    streaming_funnel_steps_auto, VERDICT r9 next #1): user cardinality
+    comes from a once-per-ingest HLL stats sidecar on the staged input
+    (operators/scale.key_cardinality_stats — table metadata, zero
+    extra scans on repeat queries), then the query runs the per-user
+    form at or below DEFAULT_USER_THRESHOLD (50k) users and the
+    sharded form above it — the auto-salt decision pattern
+    (operators/scale.auto_salt_join + key_skew_stats) applied to
+    stateful-operator keying. Both branches are oracle-equal (q183 == q188), so
     the hash is route-invariant; the chosen route is surfaced on the
     result frame as .funnel_route and pinned at both cardinalities in
     tests/test_stream_state.py. Same staged two-file input, same
@@ -1434,7 +1435,10 @@ def q189_streaming_funnel_auto(spark, sf_dir):
         horizon="7 days",
         watermark="3650 days",
         shards=64,
-        estimate_from=spark.read.parquet(d),
+        # production form: the estimate is a once-per-ingest stats
+        # sidecar on the staged input (key_cardinality_stats), not a
+        # per-query scan — repeat funnel queries pay zero extra jobs
+        estimate_path=d,
     )
     prev_nd = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")

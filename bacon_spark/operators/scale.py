@@ -278,6 +278,54 @@ def key_skew_stats(
     return rec
 
 
+def key_cardinality_stats(
+    spark,
+    path: str,
+    key: str,
+    refresh: bool = False,
+) -> dict:
+    """Distinct-key-count statistics for the table at *path*, computed
+    once per ingest and cached in ``<path>/_stats/key_ndv_<key>.json`` —
+    the :func:`key_skew_stats` sidecar contract applied to the OTHER
+    routing input the engine needs: approximate key cardinality (one
+    HLL ``approx_count_distinct`` scan), which drives the streaming
+    funnel's per-user-vs-sharded decision
+    (streaming/funnel.streaming_funnel_steps_auto). Stores the raw
+    estimate, not a verdict, so callers can vary their thresholds
+    without a rescan. Staleness is structural via
+    :func:`_table_signature`; writes are atomic; a read-only location
+    serves uncached stats."""
+    stats_file = os.path.join(path, "_stats", f"key_ndv_{key}.json")
+    sig = _table_signature(path)
+    if not refresh and os.path.isfile(stats_file):
+        with open(stats_file) as fh:
+            rec = json.load(fh)
+        if rec.get("signature") == sig and rec.get("key") == key:
+            rec["cached"] = True
+            return rec
+    df = spark.read.parquet(path)
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(F.col(key)).alias("ndv"),
+    ).collect()[0]
+    rec = {
+        "key": key,
+        "n": int(row["n"] or 0),
+        "ndv": int(row["ndv"] or 0),
+        "signature": sig,
+        "cached": False,
+    }
+    try:
+        os.makedirs(os.path.dirname(stats_file), exist_ok=True)
+        tmp = f"{stats_file}.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, stats_file)
+    except OSError:
+        pass  # read-only table location: serve uncached stats
+    return rec
+
+
 def auto_salt_join(
     big: DataFrame,
     small: DataFrame,

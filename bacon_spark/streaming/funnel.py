@@ -309,6 +309,7 @@ def streaming_funnel_steps_auto(
     user_threshold: int = DEFAULT_USER_THRESHOLD,
     n_users: int | None = None,
     estimate_from: DataFrame | None = None,
+    estimate_path: str | None = None,
 ) -> DataFrame:
     """CARDINALITY-ROUTED funnel (VERDICT r9 next #1): picks
     :func:`streaming_funnel_steps` (per-user state) below
@@ -322,13 +323,17 @@ def streaming_funnel_steps_auto(
 
     * *n_users* — the caller's own number (production: the user-dimension
       row count, a table-metadata lookup).
-    * *estimate_from* — a BATCH frame to sketch: one
+    * *estimate_path* — the PRODUCTION form: the stream's backing table
+      location, whose distinct-user count is computed once per ingest
+      and cached in a manifest-signed stats sidecar
+      (operators/scale.key_cardinality_stats — the auto-salt join's
+      "the decision is table metadata" contract), so repeated funnel
+      queries pay ZERO extra scans.
+    * *estimate_from* — a BATCH frame to sketch per call: one
       ``approx_count_distinct`` pass (HLL, map-side partial agg, no
-      per-key shuffle). The natural argument is the stream's backing
-      table or staged input — a streaming frame cannot be sketched
-      pre-query, its history can.
-    * neither — route SHARDED: the form that cannot collapse when the
-      cardinality is unknown (the wrong per-user guess costs 6x
+      per-key shuffle). For frames with no stable table location.
+    * none of the above — route SHARDED: the form that cannot collapse
+      when the cardinality is unknown (the wrong per-user guess costs 6x
       throughput at 1M users, STREAM_BENCH_R9.json; the wrong sharded
       guess costs only coarser state granularity).
 
@@ -336,6 +341,12 @@ def streaming_funnel_steps_auto(
     (``"per_user"`` / ``"sharded"``) with the estimate at
     ``.funnel_route_users``, so harnesses and logs can record WHY the
     plan took its shape."""
+    if n_users is None and estimate_path is not None:
+        from ..operators.scale import key_cardinality_stats
+
+        n_users = key_cardinality_stats(
+            events.sparkSession, estimate_path, user_col
+        )["ndv"]
     if n_users is None and estimate_from is not None:
         n_users = int(
             estimate_from.agg(

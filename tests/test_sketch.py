@@ -464,6 +464,32 @@ def test_sketch_lattice_rejects_ordinary_measures(spark):
         SketchLattice(board.cubedef, df, ("state",), ("n",))
 
 
+def test_key_cardinality_stats_sidecar_and_funnel_routing(spark, tmp_path):
+    """Round 10: the funnel router's cardinality estimate is table
+    metadata, same contract as the skew sidecar — computed once, served
+    cached, recomputed only when the table's files change — and
+    streaming_funnel_steps_auto(estimate_path=...) routes from it."""
+    from bacon_spark.streaming.funnel import funnel_route
+    from bacon_spark.operators.scale import key_cardinality_stats
+
+    path = str(tmp_path / "events_t")
+    spark.range(5_000).select(
+        (F.col("id") % 300).alias("user_id"), F.col("id").alias("x")
+    ).write.parquet(path)
+    first = key_cardinality_stats(spark, path, "user_id")
+    assert first["cached"] is False and 270 <= first["ndv"] <= 330
+    second = key_cardinality_stats(spark, path, "user_id")
+    assert second["cached"] is True and second["ndv"] == first["ndv"]
+    assert funnel_route(second["ndv"]) == "per_user"
+    # file change -> stale -> recomputed at the new cardinality
+    spark.range(200_000).select(
+        F.col("id").alias("user_id"), F.col("id").alias("x")
+    ).write.mode("overwrite").parquet(path)
+    third = key_cardinality_stats(spark, path, "user_id")
+    assert third["cached"] is False and third["ndv"] > 150_000
+    assert funnel_route(third["ndv"]) == "sharded"
+
+
 def test_key_skew_stats_sidecar_cached_and_staleness(spark, tmp_path):
     # VERDICT r5 task #6: the auto-salt decision is table metadata —
     # computed once per ingest, reused across calls, recomputed only
