@@ -306,7 +306,8 @@ class CuttingBoard:
         idx = self._snap_idx
         try:
             fspec = [
-                (idx[n], compile_py_filter(op, v)) for n, op, v in query.filters
+                (idx[n], compile_py_filter(op, v, self._snap_fields[n].dataType))
+                for n, op, v in query.filters
             ]
             axi = [idx[a] for a in query.axes]
         except KeyError:
@@ -430,11 +431,22 @@ class CuttingBoard:
             # the randomized navigation fuzz test)
             drill: list = []
             ok = True
+            memo_fields = {f.name: f for f in schema.fields}
             for n, op, v in query.filters:
                 if (n, op, _freeze_value(v)) in fc:
                     continue
                 if op in PY_FILTER_OPS and n in pq.axes:
-                    drill.append((n, op, v))
+                    # same compile-time op-vs-type check as _local_cold:
+                    # a set-algebra drill on a non-array axis falls
+                    # through to Spark (which rejects it) instead of the
+                    # twin iterating a scalar cell (ADVICE r10)
+                    try:
+                        drill.append(
+                            (n, compile_py_filter(op, v, memo_fields[n].dataType))
+                        )
+                    except KeyError:
+                        ok = False
+                        break
                 else:
                     ok = False
                     break
@@ -454,9 +466,7 @@ class CuttingBoard:
                 continue
             if drill:
                 rows = [
-                    r
-                    for r in rows
-                    if all(PY_FILTER_OPS[op](r[a], v) for a, op, v in drill)
+                    r for r in rows if all(f(r[a]) for a, f in drill)
                 ]
             out = self._py_reaggregate(query, rows) if needs_reagg else [
                 {c: r[c] for c in (*query.axes, *query.values)} for r in rows

@@ -194,8 +194,21 @@ def _py_clean_cell(r) -> frozenset:
     """make_set on a materialized CELL: the Python twin of _clean_col_set.
     null -> empty set; null/'' elements dropped; elements stringified the
     way _clean_literal_set stringifies the literal side (identity for the
-    array<string> cells SetLabel produces)."""
-    return frozenset(str(x) for x in (r or ()) if x is not None and x != "")
+    array<string> cells SetLabel produces).
+
+    Guarded to the SetLabel contract (ADVICE r10): only None and the
+    sequence shapes an array<string> cell materializes as are accepted.
+    A scalar cell (e.g. a plain string label) raises TypeError — the
+    driver-side fold then falls through to Spark, which rejects array_*
+    on a non-array column, so both paths fail the same query instead of
+    the twin silently evaluating hasany over a string's CHARACTERS."""
+    if r is None:
+        return frozenset()
+    if not isinstance(r, (list, tuple, set, frozenset)):
+        raise TypeError(
+            f"set-algebra twin needs an array cell, got {type(r).__name__}"
+        )
+    return frozenset(str(x) for x in r if x is not None and x != "")
 
 
 def _py_hasall(r, v):
@@ -262,7 +275,7 @@ _PY_SET_OPS = {
 }
 
 
-def compile_py_filter(op: str, v):
+def compile_py_filter(op: str, v, dtype=None):
     """Pre-bound single-argument form of ``PY_FILTER_OPS[op](·, v)``.
 
     The engine's cold snapshot fold (engine.CuttingBoard._local_cold)
@@ -270,7 +283,19 @@ def compile_py_filter(op: str, v):
     the membership/literal set PER CALL, which is O(|set|) per row.
     Binding here hoists that to once per query. Raises KeyError for ops
     without a Python twin (match/nmatch — Java-regex dialect) — callers
-    fall through to Spark."""
+    fall through to Spark.
+
+    *dtype* (the column's Spark DataType, when the caller knows it) makes
+    the op-vs-column-type check compile-time: a set-algebra op on a
+    non-array column raises KeyError here, so the query takes the Spark
+    plan and gets Spark's AnalysisException — the same rejection the
+    Column form gives — instead of relying on the per-row TypeError guard
+    in :func:`_py_clean_cell`."""
+    if dtype is not None and op in _PY_SET_OPS:
+        from pyspark.sql.types import ArrayType
+
+        if not isinstance(dtype, ArrayType):
+            raise KeyError(op)
     if op == "in":
         vals = _py_vals(v)
         rest = frozenset(x for x in vals if x is not None)

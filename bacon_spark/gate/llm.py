@@ -2239,7 +2239,15 @@ def _containment_prebuilt(spark, sf_dir):
     from ..utils.caching import release_caches
 
     path = _containment_index_path(sf_dir)
-    if read_manifest(path) is None:
+    man = read_manifest(path)
+    # rebuild pre-r11 indexes whose manifest lacks the router's corpus
+    # keys (text_col/n_docs, ADVICE r10) — otherwise q175 would silently
+    # route inline forever against an artifact that is actually valid
+    stale = man is not None and "containment" in man and (
+        man["containment"].get("text_col") is None
+        or man["containment"].get("n_docs") is None
+    )
+    if man is None or stale:
         containment_index_build(
             _read_docs(spark, sf_dir), path, "text", "doc_id", k=32, w=4, df_cap=64
         )

@@ -1360,7 +1360,16 @@ def containment_pairs_routed(
     tests/test_llm_ops.py, so routing changes cost, never results. A
     parameter-mismatched index is NEVER probed — its inverted frame
     covers a different gram universe — the caller gets the inline
-    computation and ``.containment_route == "inline"`` says so."""
+    computation and ``.containment_route == "inline"`` says so.
+
+    CORPUS CONTRACT (ADVICE r10): the index route answers for the corpus
+    the index was BUILT over, so *docs* must be that corpus. The match
+    tuple includes *text_col* (an index over a different text column is
+    never probed) and the build-time row count ``n_docs`` is verified
+    against ``docs.count()`` — a filtered or different-sized corpus falls
+    back to inline. Equal-count corpora with different content are not
+    distinguishable without a content scan; passing one is a caller
+    error, as with any materialized-view correspondence."""
     from ..operators.maintenance import read_manifest
 
     route = "inline"
@@ -1368,15 +1377,29 @@ def containment_pairs_routed(
         man = read_manifest(index_path)
         if man is not None and "containment" in man:
             p = man["containment"]
-            if (p.get("id_col"), p.get("k"), p.get("w"), p.get("df_cap")) == (
-                id_col, k, w, df_cap,
-            ):
-                route = "index"
+            if (
+                p.get("id_col"),
+                p.get("text_col"),
+                p.get("k"),
+                p.get("w"),
+                p.get("df_cap"),
+            ) == (id_col, text_col, k, w, df_cap):
+                # corpus guard: one zero-column count job (parquet
+                # footer-cheap) vs the build-time row count
+                n = p.get("n_docs")
+                if n is not None and docs.count() == n:
+                    route = "index"
     if route == "index":
         out = containment_index_probe(docs.sparkSession, index_path, threshold)
     else:
         out = containment_pairs(docs, text_col, id_col, k, w, df_cap, threshold)
     out.containment_route = route
+    from ..operators import decisions
+
+    decisions.record(
+        "containment", route, index_path=index_path, text_col=text_col,
+        id_col=id_col, k=k, w=w, df_cap=df_cap,
+    )
     return out
 
 
@@ -1414,6 +1437,9 @@ def containment_index_build(
     # entry; readers resolve them from their pinned version.
     dirs = {t: f"{t}-{uuid.uuid4().hex[:8]}" for t in
             ("hot", "inverted", "doc_stats", "signatures")}
+    # corpus signature for the router's guard (ADVICE r10): the input
+    # row count, billed to the once-per-ingest build, not to probes
+    n_docs = docs.count()
     hashed = docs.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), w)).alias("_g")
     ).select(F.col(id_col), hash60(F.col("_g")).alias("h")).distinct()
@@ -1442,7 +1468,16 @@ def containment_index_build(
         .repartition(F.col("h"))
         .write.parquet(os.path.join(path, dirs["signatures"]))
     )
-    files = [(os.path.relpath(f, path), b) for f, b in table_files(path)]
+    # List ONLY the dirs this build wrote (ADVICE r10): a rebuild's
+    # manifest must not claim a prior version's parquet (or legacy
+    # fixed-dir) files as its own — otherwise vacuum(keep_versions=1)
+    # can never reclaim superseded versions and man['files'] mixes
+    # corpora. Mirrors token_table_build's per-dir listing.
+    files = [
+        (os.path.relpath(f, path), b)
+        for d in dirs.values()
+        for f, b in table_files(os.path.join(path, d))
+    ]
     vs = manifest_versions(path)
     return commit_manifest(
         path,
@@ -1452,6 +1487,8 @@ def containment_index_build(
         extra={
             "containment": {
                 "id_col": id_col,
+                "text_col": text_col,
+                "n_docs": n_docs,
                 "k": k,
                 "w": w,
                 "df_cap": df_cap,

@@ -378,6 +378,13 @@ def auto_salt_join(
         )
         n, f2 = stats["n"] or 0, stats["f2_estimate"]
     hot = n > 0 and (f2 / n) > skew_threshold
+    from . import decisions
+
+    decisions.record(
+        "salt_join", "salted" if hot else "plain", key=key, n=n,
+        collision_factor=(f2 / n if n else None),
+        skew_threshold=skew_threshold, from_sidecar=big_path is not None,
+    )
     if hot:
         return salted_join(big, small, key, salt_buckets)
     return big.join(small, key)

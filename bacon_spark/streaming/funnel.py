@@ -339,8 +339,10 @@ def streaming_funnel_steps_auto(
 
     The decision is exposed on the returned frame as ``.funnel_route``
     (``"per_user"`` / ``"sharded"``) with the estimate at
-    ``.funnel_route_users``, so harnesses and logs can record WHY the
-    plan took its shape."""
+    ``.funnel_route_users`` — convenient when the frame is consumed
+    directly — and, composition-safe (VERDICT r10 next #4), recorded in
+    the process-wide decisions log: transformations drop the attribute,
+    ``operators.decisions.last("funnel")`` survives them."""
     if n_users is None and estimate_path is not None:
         from ..operators.scale import key_cardinality_stats
 
@@ -367,6 +369,12 @@ def streaming_funnel_steps_auto(
         )
     out.funnel_route = route
     out.funnel_route_users = n_users
+    from ..operators import decisions
+
+    decisions.record(
+        "funnel", route, n_users=n_users, user_threshold=user_threshold,
+        shards=(shards if route == "sharded" else None),
+    )
     return out
 
 

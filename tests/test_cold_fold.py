@@ -241,6 +241,48 @@ def test_cold_fold_set_ops_randomized_equivalence(spark):
     assert served == 30, served  # every trial answered driver-side
 
 
+def test_set_ops_on_scalar_column_rejected_both_paths(cd, frame):
+    """ADVICE r10: a set-algebra op on a SCALAR column must fail the
+    same way on both paths. Before the guard, the snapshot fold served
+    hasany('brand', {...}) by iterating the string's CHARACTERS while
+    the Spark path raised — the same query succeeded or failed depending
+    on which path caught it. Now the twin compile rejects non-array
+    dtypes (KeyError -> Spark plan) and Spark rejects array_* on a
+    string column, so both boards raise."""
+    import pytest
+
+    b = CuttingBoard(cd, frame, eager_snapshot_rows=10_000)
+    ref = CuttingBoard(cd, frame, cache_results=False)
+    assert b._snap_rows is not None
+    q = (
+        CubeQuery().add_axis("h").add_value("s")
+        .add_filter("g", "hasany", frozenset({"red"}))
+    )
+    before = b.local_hits
+    with pytest.raises(Exception):
+        b.slice(q).collect()
+    assert b.local_hits == before  # never served driver-side
+    with pytest.raises(Exception):
+        ref.slice(q).collect()
+
+
+def test_py_clean_cell_rejects_scalar_cells():
+    """The row-level guard behind the compile-time check: _py_clean_cell
+    accepts only None and array-cell shapes; a plain string raises
+    instead of being iterated into its characters."""
+    import pytest
+
+    from bacon_spark.filters import _py_clean_cell
+
+    assert _py_clean_cell(None) == frozenset()
+    assert _py_clean_cell(["a", None, "", "a"]) == frozenset({"a"})
+    assert _py_clean_cell(("x", "y")) == frozenset({"x", "y"})
+    with pytest.raises(TypeError, match="array cell"):
+        _py_clean_cell("red")
+    with pytest.raises(TypeError, match="array cell"):
+        _py_clean_cell(7)
+
+
 def test_refresh_rebuilds_snapshot(cd, frame, spark):
     b = CuttingBoard(cd, frame, eager_snapshot_rows=10_000)
     n0 = len(b._snap_rows)

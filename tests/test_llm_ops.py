@@ -870,6 +870,31 @@ def test_containment_routed_picks_index_only_on_exact_params(spark, tmp_path):
     )
     assert none.containment_route == "inline"
     assert sorted(map(tuple, none.collect())) == want
+    # ADVICE r10: an index built over a DIFFERENT TEXT COLUMN with
+    # matching (id_col, k, w, df_cap) must NOT be probed — text_col is
+    # part of the manifest match tuple
+    from pyspark.sql import functions as F
+
+    aliased = docs.select("doc_id", F.col("text").alias("body"))
+    other_col = dd.containment_pairs_routed(
+        aliased, "body", "doc_id", k=16, w=3, df_cap=32, index_path=path
+    )
+    assert other_col.containment_route == "inline"
+    # ADVICE r10: a FILTERED corpus (row count != the indexed corpus's
+    # n_docs) fails the corpus guard and computes inline over the
+    # filtered frame — the index would answer for rows the caller
+    # excluded
+    subset = docs.where("doc_id < 20")
+    filtered = dd.containment_pairs_routed(
+        subset, "text", "doc_id", k=16, w=3, df_cap=32, index_path=path
+    )
+    assert filtered.containment_route == "inline"
+    assert sorted(map(tuple, filtered.collect())) == sorted(
+        map(
+            tuple,
+            dd.containment_pairs(subset, "text", "doc_id", k=16, w=3, df_cap=32).collect(),
+        )
+    )
 
 
 def test_containment_rebuild_preserves_pinned_readers(spark, tmp_path):
@@ -898,6 +923,18 @@ def test_containment_rebuild_preserves_pinned_readers(spark, tmp_path):
     man2 = read_manifest(path)
     d1, d2 = man1["containment"]["dirs"], man2["containment"]["dirs"]
     assert set(d1) == set(d2) and not set(d1.values()) & set(d2.values())
+    # ADVICE r10: each manifest lists ONLY its own version's files —
+    # v2 must not claim v1's parquet as its own (else vacuum can never
+    # reclaim superseded versions and man['files'] mixes corpora)
+    import os as _os
+
+    for man, dirs in ((man1, d1), (man2, d2)):
+        owned = set(dirs.values())
+        assert man["files"], "manifest lists no files"
+        for ent in man["files"]:
+            rel = ent["path"] if isinstance(ent, dict) else ent[0]
+            top = rel.split(_os.sep)[0]
+            assert top in owned, f"{rel} not under this version's dirs {owned}"
     # pinned reader: identical rows to its pre-rebuild read
     again = sorted(
         map(tuple, dd.containment_index_probe(spark, path, version=v1).collect())

@@ -217,6 +217,33 @@ def test_auto_salt_join_decision_and_equivalence(spark):
     assert plain == auto
 
 
+def test_routing_decisions_log(spark):
+    """VERDICT r10 next #4: routers record into the composition-safe
+    decisions log; last()/log()/clear() behave; auto_salt_join's entry
+    carries the sketch evidence that drove the pick."""
+    from bacon_spark.operators import decisions
+    from bacon_spark.operators.scale import auto_salt_join
+
+    decisions.clear()
+    assert decisions.last() is None and decisions.log() == ()
+    skew = spark.range(2_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("x"),
+    )
+    uni = spark.range(2_000).select(F.col("id").alias("k"), F.col("id").alias("x"))
+    dim = spark.range(2_000).select(F.col("id").alias("k"), (F.col("id") % 3).alias("c"))
+    auto_salt_join(skew, dim, "k")
+    d = decisions.last("salt_join")
+    assert d is not None and d.route == "salted" and d.detail["key"] == "k"
+    assert d.detail["collision_factor"] > d.detail["skew_threshold"]
+    auto_salt_join(uni, dim, "k")
+    assert decisions.last("salt_join").route == "plain"
+    assert [x.route for x in decisions.log()] == ["salted", "plain"]
+    # unknown operator filter -> None, not the latest entry
+    assert decisions.last("funnel") is None
+    decisions.clear()
+
+
 def test_sketch_measure_plan_partial_aggregates(spark):
     # the register aggregation must partial-aggregate map-side (the
     # whole point: only registers cross the exchange, never values)

@@ -486,6 +486,19 @@ def test_streaming_funnel_auto_routes_and_matches_batch(spark, tmpdir):
         assert snaps.funnel_route == expect_route
         if forced is None:
             assert 0 < snaps.funnel_route_users < 100
+        # VERDICT r10 next #4: the decision survives composition via the
+        # process-wide log — a transformation drops the ad-hoc attribute
+        # (new DataFrame), but decisions.last("funnel") still explains
+        # the plan shape
+        from bacon_spark.operators import decisions
+
+        d = decisions.last("funnel")
+        assert d is not None and d.route == expect_route
+        transformed = snaps.filter(F.lit(True))
+        assert not hasattr(transformed, "funnel_route")
+        assert decisions.last("funnel").route == expect_route
+        if forced is None:
+            assert 0 < d.detail["n_users"] < 100
         W.run_stream_to_memory(snaps, sink, mode="update", state_provider="hdfs")
         got = sorted(
             map(
