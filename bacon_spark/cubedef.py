@@ -142,9 +142,12 @@ class Label:
     def lit(self, value) -> Column:
         return F.lit(value)
 
-    def sql_expr(self) -> str:
+    def sql_expr(self, dialect: str = "spark") -> str:
         """SQL-text form for the pushdown backend (sql.py); labels whose
-        expression is a Column object are DataFrame-only."""
+        expression is a Column object are DataFrame-only. *dialect* picks
+        the target engine's function vocabulary ("spark" default;
+        "duckdb" where a label's Spark form isn't portable — plain
+        column/expression labels are dialect-agnostic)."""
         if isinstance(self._expr, str):
             return self._expr
         from .errors import QueryError
@@ -289,11 +292,16 @@ class _DatePartLabel(Label):
 
     #: SQL template for sql_expr(); {base} is the base column name
     sql_template: str | None = None
+    #: per-dialect template overrides for engines where the Spark form
+    #: isn't portable (e.g. DuckDB lacks to_date/yearofweek and numbers
+    #: dayofweek from Sunday=0); falls back to sql_template
+    sql_templates: dict[str, str] = {}
 
-    def sql_expr(self) -> str:
-        if self.sql_template and isinstance(self._base, str):
-            return self.sql_template.format(base=self._base)
-        return super().sql_expr()
+    def sql_expr(self, dialect: str = "spark") -> str:
+        tmpl = self.sql_templates.get(dialect, self.sql_template)
+        if tmpl and isinstance(self._base, str):
+            return tmpl.format(base=self._base)
+        return super().sql_expr(dialect)
 
     def column(self) -> Column:  # pragma: no cover - overridden
         raise NotImplementedError
@@ -378,6 +386,7 @@ class ISOYearLabel(_DatePartLabel):
     """extract(yearofweek) (/root/reference/bacon/cubedef.py:810-820)."""
 
     sql_template = "extract(yearofweek from {base})"
+    sql_templates = {"duckdb": "isoyear({base})"}
 
     def column(self):
         return F.expr(f"extract(yearofweek from {self._sql_base()})").cast("int")
@@ -536,6 +545,7 @@ class DayLabel(_DatePartLabel):
     /root/reference/bacon/cubedef.py:969-1011); relative days-ago."""
 
     sql_template = "to_date({base})"
+    sql_templates = {"duckdb": "cast({base} as date)"}
 
     relative_unit = "day"
 
@@ -608,6 +618,10 @@ class WeekdayLabel(_DatePartLabel):
     """
 
     sql_template = "(dayofweek({base}) + 5) % 7 + 1"
+    # DuckDB numbers dayofweek from Sunday=0 (Spark: Sunday=1), so the
+    # Spark remap evaluated there is off by one day; isodow IS the ISO
+    # weekday this label defines
+    sql_templates = {"duckdb": "isodow({base})"}
 
     _NAMES = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday"]
 
@@ -699,8 +713,9 @@ class JsonLabel(Label):
         super().__init__(name, expr=extract, **kw)
         self._source = source
 
-    def sql_expr(self) -> str:
-        base = f"get_json_object({self._source}, '{self.path}')"
+    def sql_expr(self, dialect: str = "spark") -> str:
+        fn = "json_extract_string" if dialect == "duckdb" else "get_json_object"
+        base = f"{fn}({self._source}, '{self.path}')"
         return f"cast({base} as {self._cast})" if self._cast else base
 
 

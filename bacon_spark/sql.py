@@ -44,24 +44,34 @@ def sql_literal(v) -> str:
     return f"'{s}'"
 
 
-def _lit_array(value) -> str:
+def _lit_array(value, dialect: str = "spark") -> str:
     items = sorted(
         str(x) for x in value if x is not None and x != ""
     )
-    return "array(" + ", ".join(sql_literal(x) for x in items) + ")"
+    body = ", ".join(sql_literal(x) for x in items)
+    if dialect == "duckdb":
+        return f"[{body}]"
+    return f"array({body})"
 
 
-def _clean_set(expr: str) -> str:
+def _clean_set(expr: str, dialect: str = "spark") -> str:
     """SQL form of make_set (/root/reference/bacon/cutting.py:788-796)."""
+    if dialect == "duckdb":
+        return (
+            f"list_distinct(list_filter(coalesce({expr}, []), "
+            f"x -> x IS NOT NULL AND x <> ''))"
+        )
     return (
         f"array_distinct(filter(coalesce({expr}, array()), "
         f"x -> x IS NOT NULL AND x <> ''))"
     )
 
 
-def sql_filter(expr: str, op: str, value) -> str:
+def sql_filter(expr: str, op: str, value, dialect: str = "spark") -> str:
     """Filter op -> SQL predicate, preserving the engine's null semantics
-    (see filters.py module docstring)."""
+    (see filters.py module docstring). *dialect*: the scalar/membership
+    forms are portable SQL; the set-algebra forms use the target
+    engine's array vocabulary (Spark ``array_*`` / DuckDB ``list_*``)."""
     if op == "eq":
         return f"{expr} IS NULL" if value is None else f"{expr} = {sql_literal(value)}"
     if op == "ne":
@@ -86,19 +96,32 @@ def sql_filter(expr: str, op: str, value) -> str:
     if op == "nmatch":
         return f"({expr} IS NULL OR NOT {expr} RLIKE {sql_literal(value)})"
 
-    s = _clean_set(expr)
-    b = _lit_array(value)
-    table = {
-        "hasall": f"size(array_except({b}, {s})) = 0",
-        "hasany": f"size(array_intersect({s}, {b})) > 0",
-        "hasnone": f"size(array_intersect({s}, {b})) = 0",
-        "hasonly": f"sort_array({s}) = {b}",
-        "equals": f"sort_array({s}) = {b}",
-        "subsetof": f"size(array_except({s}, {b})) = 0",
-        "supersetof": f"size(array_except({b}, {s})) = 0",
-        "disjointfrom": f"size(array_intersect({s}, {b})) = 0",
-        "intersects": f"size(array_intersect({s}, {b})) > 0",
-    }
+    s = _clean_set(expr, dialect)
+    b = _lit_array(value, dialect)
+    if dialect == "duckdb":
+        table = {
+            "hasall": f"list_has_all({s}, {b})",
+            "hasany": f"list_has_any({s}, {b})",
+            "hasnone": f"NOT list_has_any({s}, {b})",
+            "hasonly": f"list_sort({s}) = {b}",
+            "equals": f"list_sort({s}) = {b}",
+            "subsetof": f"list_has_all({b}, {s})",
+            "supersetof": f"list_has_all({s}, {b})",
+            "disjointfrom": f"NOT list_has_any({s}, {b})",
+            "intersects": f"list_has_any({s}, {b})",
+        }
+    else:
+        table = {
+            "hasall": f"size(array_except({b}, {s})) = 0",
+            "hasany": f"size(array_intersect({s}, {b})) > 0",
+            "hasnone": f"size(array_intersect({s}, {b})) = 0",
+            "hasonly": f"sort_array({s}) = {b}",
+            "equals": f"sort_array({s}) = {b}",
+            "subsetof": f"size(array_except({s}, {b})) = 0",
+            "supersetof": f"size(array_except({b}, {s})) = 0",
+            "disjointfrom": f"size(array_intersect({s}, {b})) = 0",
+            "intersects": f"size(array_intersect({s}, {b})) > 0",
+        }
     neg = {
         "hasnotall": "hasall",
         "notsubsetof": "subsetof",
@@ -204,16 +227,28 @@ class SqlCuttingBoard:
     text and executes with spark.sql (reference SqlCuttingBoard,
     /root/reference/bacon/sql.py:218-265)."""
 
-    def __init__(self, cubedef: CubeDef, spark: SparkSession, table: str):
+    def __init__(
+        self,
+        cubedef: CubeDef,
+        spark: SparkSession,
+        table: str,
+        dialect: str = "spark",
+    ):
         self.cubedef = cubedef
         self.spark = spark
         self.table = table
+        # target engine vocabulary for set-algebra/date forms; "spark"
+        # (temp views, spark.sql) or "duckdb" (compile-only here — run
+        # the text through a duckdb connection)
+        self.dialect = dialect
 
     def compile(self, query: CubeQuery) -> str:
         sq = SqlQuery(table=self.table)
         for name, op, value in query.filters:
             label = self.cubedef.get_label(name)
-            sq = sq.add_filter(sql_filter(self._label_sql(label), op, value))
+            sq = sq.add_filter(
+                sql_filter(self._label_sql(label), op, value, self.dialect)
+            )
             extra = sargable_extra_sql(label, op, value)
             if extra is not None:
                 sq = sq.add_filter(extra)
@@ -243,7 +278,7 @@ class SqlCuttingBoard:
         return sq.to_sql()
 
     def _label_sql(self, label) -> str:
-        return label.sql_expr()
+        return label.sql_expr(self.dialect)
 
     def df(self, query: CubeQuery) -> DataFrame:
         return self.spark.sql(self.compile(query))

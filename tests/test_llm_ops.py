@@ -800,7 +800,10 @@ def test_containment_index_split_matches_end_to_end(spark, tmp_path):
     assert v == 1
     man = read_manifest(path)
     params = {k_: v_ for k_, v_ in man["containment"].items() if k_ != "dirs"}
-    assert params == {"id_col": "doc_id", "k": 16, "w": 3, "df_cap": 32}
+    assert params == {
+        "id_col": "doc_id", "text_col": "text", "n_docs": 40,
+        "k": 16, "w": 3, "df_cap": 32,
+    }
     got = sorted(
         map(tuple, dd.containment_index_probe(spark, path, threshold=(1, 2)).collect())
     )
