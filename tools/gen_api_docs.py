@@ -44,6 +44,7 @@ MODULES = [
     ("bacon_spark.operators.temporal", "Temporal joins (as-of / range / overlap)"),
     ("bacon_spark.operators.lattice", "Cube/rollup lattice"),
     ("bacon_spark.operators.scale", "Scale operators (bucketing / salting / widen)"),
+    ("bacon_spark.operators.decisions", "Routing-decision log"),
     ("bacon_spark.operators.ranking", "Distributed ranking"),
     ("bacon_spark.operators.sampling", "Deterministic sampling / splits"),
     ("bacon_spark.operators.packing", "Sequence packing"),
