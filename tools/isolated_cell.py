@@ -40,6 +40,9 @@ def main():
     ap.add_argument("sf_dir")
     ap.add_argument("--out", default=None)
     ap.add_argument("--batch-size", type=int, default=1024)
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="time the query N times in this JVM; t is the "
+                         "last run (steady state), t_all records all")
     args = ap.parse_args()
 
     spark = (
@@ -74,9 +77,15 @@ def main():
         builder(spark, args.sf_dir)
         rec["build"] = round(time.perf_counter() - t0, 2)
         spark.catalog.clearCache()
-    t0 = time.perf_counter()
-    rec["rows"] = fn(spark, args.sf_dir).count()
-    rec["t"] = round(time.perf_counter() - t0, 2)
+    times = []
+    for _ in range(max(1, args.repeat)):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        rec["rows"] = fn(spark, args.sf_dir).count()
+        times.append(round(time.perf_counter() - t0, 2))
+    rec["t"] = times[-1]
+    if len(times) > 1:
+        rec["t_all"] = times
     line = json.dumps(rec)
     print(line, flush=True)
     if args.out:
