@@ -61,7 +61,11 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures ship each table as one file; the .scale replica
+        # dirs are Spark-written DIRECTORIES of part files — glob those
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     n_pass = n_fail = n_weak = 0
     report: dict[str, dict] = {}
