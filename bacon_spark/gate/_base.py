@@ -172,17 +172,17 @@ def board(cd: CubeDef, df: DataFrame) -> CuttingBoard:
 
 def artifact_path(sf_dir: str, kind: str) -> str:
     """Per-dataset artifact cache dir (ANN indexes, token tables, ...),
-    anchored on the PACKAGE root (the harness cwd varies — see
-    tests/test_driver_contract.py) and keyed on the dataset path so sf
-    dirs never share an artifact."""
+    anchored on the STATE ROOT (utils/state.state_root: the checkout for
+    repo runs, $SPARK_GRAFT_STATE_DIR or ~/.cache for wheel installs —
+    the harness cwd varies, see tests/test_driver_contract.py) and keyed
+    on the dataset path so sf dirs never share an artifact."""
     import hashlib
     import os
 
-    import bacon_spark
+    from ..utils.state import state_root
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(bacon_spark.__file__)))
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(root, ".ann_index", f"{kind}-{key}")
+    return os.path.join(state_root(), ".ann_index", f"{kind}-{key}")
 
 
 def _token_prebuilt(spark: SparkSession, sf_dir: str) -> str:

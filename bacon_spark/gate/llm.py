@@ -2220,15 +2220,14 @@ def q182_jpeg_phash_dedup(spark, sf_dir):
 
 def _containment_index_path(sf_dir):
     """Per-dataset containment-index cache dir (q169's convention:
-    anchored on the package root, keyed on the dataset path)."""
+    anchored on the state root, keyed on the dataset path)."""
     import hashlib
     import os
 
-    import bacon_spark
+    from ..utils.state import state_root
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(bacon_spark.__file__)))
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(root, ".ann_index", f"containment-{key}")
+    return os.path.join(state_root(), ".ann_index", f"containment-{key}")
 
 
 def _containment_prebuilt(spark, sf_dir):
@@ -2336,11 +2335,10 @@ def _containment_delta_prebuilt(spark, sf_dir):
     import hashlib
     import os
 
-    import bacon_spark
+    from ..utils.state import state_root
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(bacon_spark.__file__)))
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(root, ".ann_index", f"containment-corpus-{key}")
+    path = os.path.join(state_root(), ".ann_index", f"containment-corpus-{key}")
     if read_manifest(path) is None:
         corpus = _read_docs(spark, sf_dir).where(_Q186_CORPUS_PRED)
         containment_index_build(corpus, path, "text", "doc_id", k=32, w=4, df_cap=64)

@@ -20,15 +20,13 @@ def bucketed_star_tables(spark, sf_dir: str) -> tuple[str, str]:
 
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     li, od = f"lineitem_bkt_{h}", f"orders_bkt_{h}"
-    # anchor on the repo root (parent of the bacon_spark package), NOT on
-    # this file — the gate/ split moved __file__ a level deeper and a
-    # __file__-relative path silently rebuilt the tables elsewhere
-    import bacon_spark
+    # anchor on the state root (the checkout for repo runs; for wheel
+    # installs $SPARK_GRAFT_STATE_DIR or ~/.cache — NOT site-packages,
+    # and NOT this file: the gate/ split once moved __file__ a level
+    # deeper and a __file__-relative path silently rebuilt the tables)
+    from ..utils.state import state_root
 
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(bacon_spark.__file__))),
-        "spark-warehouse",
-    )
+    base = os.path.join(state_root(), "spark-warehouse")
     for name, table, bkey in (
         ("lineitem", li, "l_orderkey"),
         ("orders", od, "o_orderkey"),
@@ -1131,15 +1129,14 @@ def q179_cohort_retention(spark, sf_dir):
 
 def _stats_layout_path(sf_dir):
     """Per-dataset clustered-events layout for q180, anchored on the
-    package root (cwd varies) and keyed by dataset path."""
+    state root (cwd varies) and keyed by dataset path."""
     import hashlib
     import os
 
-    import bacon_spark
+    from ..utils.state import state_root
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(bacon_spark.__file__)))
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(root, ".stats_demo", f"events-{key}")
+    return os.path.join(state_root(), ".stats_demo", f"events-{key}")
 
 
 def _stats_layout_prebuilt(spark, sf_dir):

@@ -259,12 +259,9 @@ def staged_input(key: str, sf_dir: str, stages, rev: str = "1") -> str:
     import hashlib
     import os
 
-    import bacon_spark
+    from ..utils.state import state_root
 
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(bacon_spark.__file__))),
-        ".ann_index",
-    )
+    base = os.path.join(state_root(), ".ann_index")
     h = hashlib.md5(
         f"{os.path.abspath(sf_dir)}|rev={rev}".encode()
     ).hexdigest()[:12]

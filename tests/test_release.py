@@ -65,3 +65,41 @@ def test_wheel_rebuild_is_byte_identical(wheel, tmp_path):
     h1 = hashlib.sha256(open(wheel, "rb").read()).hexdigest()
     h2 = hashlib.sha256(open(again, "rb").read()).hexdigest()
     assert h1 == h2
+
+
+def test_state_root_never_site_packages(monkeypatch, tmp_path):
+    """Round 11 (found by tools/bench_wheel.py): derived state must never
+    land inside site-packages — a wheel install silently rebuilt every
+    once-per-ingest artifact under the venv. Resolution order: explicit
+    $SPARK_GRAFT_STATE_DIR, else the package parent UNLESS it is a
+    site-packages/dist-packages dir, else ~/.cache/bacon_spark."""
+    import importlib
+    import os
+
+    import bacon_spark
+    from bacon_spark.utils import state
+
+    # 1. env override wins
+    monkeypatch.setenv("SPARK_GRAFT_STATE_DIR", str(tmp_path / "scratch"))
+    assert state.state_root() == str(tmp_path / "scratch")
+    monkeypatch.delenv("SPARK_GRAFT_STATE_DIR")
+
+    # 2. checkout: the package parent (this repo)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(bacon_spark.__file__)))
+    assert state.state_root() == repo
+    assert os.path.basename(repo) not in ("site-packages", "dist-packages")
+
+    # 3. installed package: fall back to the user cache dir
+    fake_pkg = tmp_path / "venv" / "lib" / "site-packages" / "bacon_spark"
+    fake_pkg.mkdir(parents=True)
+    monkeypatch.setattr(bacon_spark, "__file__", str(fake_pkg / "__init__.py"))
+    got = state.state_root()
+    assert "site-packages" not in got and got.endswith(
+        os.path.join(".cache", "bacon_spark")
+    )
+
+    # artifact_path rides on it
+    from bacon_spark.gate._base import artifact_path
+
+    p = artifact_path("/root/testdata/sf0.001", "toks")
+    assert "site-packages" not in p
