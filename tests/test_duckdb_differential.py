@@ -24,6 +24,8 @@ from bacon_spark import (
     Average,
     Count,
     CubeDef,
+    Max,
+    Min,
     CubeQuery,
     CuttingBoard,
     DayLabel,
@@ -97,6 +99,11 @@ def _cubedef():
     cd.add_measure(Measure("amount", acc=Sum()))
     cd.add_measure(Measure("n", "units", acc=Count()))
     cd.add_measure(Measure("avg_u", "units", acc=Average()))
+    # Min/Max are exact cross-engine (StdDev is deliberately absent:
+    # stddev_samp's summation order differs per engine, so double
+    # equality would flap — the decimal-exact convention)
+    cd.add_measure(Measure("mn_a", "amount", acc=Min()))
+    cd.add_measure(Measure("mx_u", "units", acc=Max()))
     return cd
 
 
@@ -157,7 +164,9 @@ def test_duckdb_differential_set_and_date_filters(spark, engines, seed):
         )
         for a in axes:
             q = q.add_axis(a)
-        for v in rng.sample(["units", "amount", "n", "avg_u"], rng.randint(1, 3)):
+        for v in rng.sample(
+            ["units", "amount", "n", "avg_u", "mn_a", "mx_u"], rng.randint(1, 3)
+        ):
             q = q.add_value(v)
         for _ in range(rng.randint(1, 2)):
             kind = rng.random()
