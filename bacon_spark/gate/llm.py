@@ -281,6 +281,7 @@ def q154_multimodal_phash_dedup(spark, sf_dir):
              WHEN -33 THEN 0.9  -- sf0.001 fixture
              WHEN 1   THEN 0.7  -- sf0.01 fixture (the driver's gate SF)
              WHEN -22 THEN 0.7  -- sf0.1 fixture
+             WHEN 105 THEN 0.6  -- .scale/sf1 replica (deterministic gen)
              ELSE -1.0 END::DOUBLE AS recall_at_k
     """,
 )
@@ -400,7 +401,7 @@ def q72_tfidf_top_terms(spark, sf_dir):
 
 @query(
     "q73_embedding_lsh_pairs",
-    _sim.lsh_bucket_pairs_sql(dim=64, threshold=0.2),
+    _sim.lsh_bucket_pairs_sql(dim=64, threshold=0.2, seeds="adaptive"),
 )
 def q73_embedding_lsh_pairs(spark, sf_dir):
     """Hyperplane-LSH candidate generation over embeddings with exact
@@ -416,25 +417,13 @@ def q73_embedding_lsh_pairs(spark, sf_dir):
     planes = max(8, ceil(log2(N/8))), so buckets stay ~8 vectors at any
     corpus size and the in-bucket verify stays linear overall — with 8
     static planes the sf0.1→sf1 sweep measured 20x wall at 10x data
-    (fixed-bucket LSH's classic quadratic trap). At the oracle SFs
-    (0.001/0.01) the rule yields exactly the pinned 8-plane oracle."""
-    import os
-
+    (fixed-bucket LSH's classic quadratic trap). Since round 11 the
+    ORACLE mirrors the adaptive rule in SQL
+    (similarity.adaptive_planes_sql_cte) — the previous 8-plane-pinned
+    oracle was only valid at the gate fixtures and reported a spurious
+    mismatch at sf1, where the engine had correctly picked 12 planes."""
     emb = _read(spark, sf_dir, "embeddings")
-    n = emb.count()
-    planes = _sim.adaptive_seed_count(n)
-    # Guard (ADVICE r3): the registered oracle SQL is pinned to the static
-    # 8-plane HYPERPLANE_SEEDS; if the gate fixtures ever grow past 2048
-    # vectors the adaptive rule would pick more planes and the oracle
-    # compare would fail for a reason unrelated to any real bug — fail
-    # HERE with the actual cause instead.
-    if os.path.basename(os.path.normpath(sf_dir)) in ("sf0.001", "sf0.01"):
-        assert planes == len(_sim.HYPERPLANE_SEEDS), (
-            f"gate fixture {sf_dir} grew to {n} vectors: adaptive_seed_count "
-            f"-> {planes} planes but the q73 oracle SQL is pinned to "
-            f"{len(_sim.HYPERPLANE_SEEDS)}; regenerate the oracle via "
-            f"lsh_bucket_pairs_sql(seeds=range(1, planes+1))"
-        )
+    planes = _sim.adaptive_seed_count(emb.count())
     seeds = tuple(range(1, planes + 1))
     return _sim.lsh_bucket_pairs(emb, dim=64, threshold=0.2, seeds=seeds)
 
@@ -619,7 +608,7 @@ def q151_canonical_dedup_scalable(spark, sf_dir):
 
 @query(
     "q152_embedding_dedup_scalable",
-    _sim.embedding_dedup_scalable_sql(dim=64, threshold=0.2)
+    _sim.embedding_dedup_scalable_sql(dim=64, threshold=0.2, seeds="adaptive")
     + " ",
 )
 def q152_embedding_dedup_scalable(spark, sf_dir):
@@ -632,18 +621,10 @@ def q152_embedding_dedup_scalable(spark, sf_dir):
     components keep the
     cluster-minimum vector.  The oracle replays identical buckets, star
     edges, verify, and recursive-CTE components.  Same adaptive-plane
-    rule + gate-SF guard as q73 (the oracle pins the 8-plane
-    instantiation)."""
-    import os
-
+    rule as q73; since round 11 the oracle derives the plane count from
+    the corpus size in SQL, so it is valid at every SF."""
     emb = _read(spark, sf_dir, "embeddings")
-    n = emb.count()
-    planes = _sim.adaptive_seed_count(n)
-    if os.path.basename(os.path.normpath(sf_dir)) in ("sf0.001", "sf0.01"):
-        assert planes == len(_sim.HYPERPLANE_SEEDS), (
-            f"gate fixture {sf_dir} grew to {n} vectors; regenerate the "
-            f"q152 oracle for {planes} planes"
-        )
+    planes = _sim.adaptive_seed_count(emb.count())
     seeds = tuple(range(1, planes + 1))
     return _sim.embedding_dedup_scalable(emb, dim=64, threshold=0.2, seeds=seeds).orderBy(
         "vec_id"

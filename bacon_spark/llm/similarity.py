@@ -295,6 +295,33 @@ def hyperplane_planes_sql_cte(dim: int, seeds=HYPERPLANE_SEEDS) -> str:
     )
 
 
+def adaptive_planes_sql_cte(
+    dim: int, table: str, target_bucket: int = 8, floor: int = 8
+) -> str:
+    """Planes CTE whose SEED COUNT is computed in SQL from the table's
+    row count — the exact twin of :func:`adaptive_seed_count`, so an
+    oracle built on it is valid at EVERY corpus size, not just the gate
+    fixtures the static-seed form was pinned to (found by the round-11
+    sf1 gate: q73/q152 "failed" at sf1 only because the registered
+    oracle was the 8-plane instantiation while the engine had correctly
+    adapted to 12). Seed identities are 1..planes stringified, matching
+    the engine's ``range(1, planes + 1)``."""
+    from .dedup import hash60_sql
+
+    comp = hash60_sql("seed || ':' || j::VARCHAR")
+    n_planes = (
+        f"(SELECT CASE WHEN count(*) <= {target_bucket} THEN {floor} "
+        f"ELSE greatest({floor}, ceil(log2(count(*)::DOUBLE / {target_bucket}))::BIGINT) "
+        f"END FROM {table})"
+    )
+    return (
+        f"SELECT (i - 1)::BIGINT AS si, i::VARCHAR AS seed, "
+        f"list_transform(range(0, {dim}), "
+        f"j -> ((({comp}) % 2001 - 1000))::DOUBLE) AS plane "
+        f"FROM (SELECT unnest(range(1, {n_planes} + 1)) AS i)"
+    )
+
+
 def lsh_bucket_pairs_sql(
     dim: int,
     threshold: float,
@@ -304,13 +331,21 @@ def lsh_bucket_pairs_sql(
     seeds=HYPERPLANE_SEEDS,
 ) -> str:
     """Oracle SQL twin of lsh_bucket_pairs (identical buckets, identical
-    candidate set, identical rounded cosines)."""
+    candidate set, identical rounded cosines). ``seeds="adaptive"``
+    derives the plane count from the table's row count in SQL
+    (:func:`adaptive_planes_sql_cte`) — the form that matches the
+    engine's adaptive rule at every SF."""
     proj = (
         f"list_sum(list_transform(list_zip({vec_col}, plane), "
         f"p -> p[1]::DOUBLE * p[2]::DOUBLE))"
     )
+    planes_cte = (
+        adaptive_planes_sql_cte(dim, table)
+        if seeds == "adaptive"
+        else hyperplane_planes_sql_cte(dim, seeds)
+    )
     return f"""
-    WITH planes AS ({hyperplane_planes_sql_cte(dim, seeds)}),
+    WITH planes AS ({planes_cte}),
     bucketed AS (
       SELECT {id_col}, {vec_col},
              sum(CASE WHEN {proj} > 0 THEN (1::BIGINT << si) ELSE 0 END)::BIGINT AS bucket
@@ -394,13 +429,20 @@ def embedding_dedup_scalable_sql(
     seeds=HYPERPLANE_SEEDS,
 ) -> str:
     """DuckDB twin of :func:`embedding_dedup_scalable` (identical buckets,
-    identical star edges, identical verify, recursive-CTE components)."""
+    identical star edges, identical verify, recursive-CTE components).
+    ``seeds="adaptive"`` mirrors the engine's corpus-size plane rule in
+    SQL — valid at every SF (see :func:`adaptive_planes_sql_cte`)."""
     proj = (
         f"list_sum(list_transform(list_zip({vec_col}, plane), "
         f"p -> p[1]::DOUBLE * p[2]::DOUBLE))"
     )
+    planes_cte = (
+        adaptive_planes_sql_cte(dim, table)
+        if seeds == "adaptive"
+        else hyperplane_planes_sql_cte(dim, seeds)
+    )
     return f"""
-    WITH RECURSIVE planes AS ({hyperplane_planes_sql_cte(dim, seeds)}),
+    WITH RECURSIVE planes AS ({planes_cte}),
     bucketed AS MATERIALIZED (
       SELECT {id_col} AS id, {vec_col} AS v,
              sum(CASE WHEN {proj} > 0 THEN (1::BIGINT << si) ELSE 0 END)::BIGINT AS bucket

@@ -989,3 +989,37 @@ def test_containment_delta_probe_semantics(spark, tmp_path):
     # the copy also partially matches siblings only below threshold or not
     # at all; nothing from the novel/hot-only docs appears
     assert all(a == 101 for a, _ in got)
+
+
+def test_adaptive_planes_sql_matches_python_rule():
+    """Round 11 (found by the sf1 full gate): the q73/q152 oracles were
+    pinned to the 8-plane instantiation and reported spurious mismatches
+    at sf1 where the engine had correctly adapted to 12 planes. The
+    adaptive planes CTE computes the seed count in SQL; it must equal
+    adaptive_seed_count for corpus sizes across the whole ladder,
+    including exact power-of-two boundaries, and produce the identical
+    plane vectors as the static CTE for the same seed identities."""
+    import duckdb
+
+    from bacon_spark.llm.similarity import (
+        adaptive_planes_sql_cte,
+        adaptive_seed_count,
+        hyperplane_planes_sql_cte,
+    )
+
+    con = duckdb.connect()
+    for n in (1, 7, 8, 9, 64, 2048, 2049, 4096, 20000, 200000, 2_000_000):
+        con.execute("CREATE OR REPLACE VIEW t AS SELECT * FROM range(%d)" % n)
+        got = con.execute(
+            f"SELECT count(*) FROM ({adaptive_planes_sql_cte(4, 't')})"
+        ).fetchone()[0]
+        assert got == adaptive_seed_count(n), (n, got, adaptive_seed_count(n))
+    # same seed identities -> identical plane vectors as the static CTE
+    static = con.execute(
+        f"SELECT si, plane FROM ({hyperplane_planes_sql_cte(8, tuple('12345678'))}) ORDER BY si"
+    ).fetchall()
+    con.execute("CREATE OR REPLACE VIEW t AS SELECT * FROM range(100)")
+    adaptive = con.execute(
+        f"SELECT si, plane FROM ({adaptive_planes_sql_cte(8, 't')}) ORDER BY si"
+    ).fetchall()
+    assert static == adaptive
