@@ -18,7 +18,8 @@ from __future__ import annotations
 
 import datetime as dt
 import re
-from collections.abc import Callable
+from collections.abc import Callable, Mapping
+from types import MappingProxyType
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -294,8 +295,12 @@ class _DatePartLabel(Label):
     sql_template: str | None = None
     #: per-dialect template overrides for engines where the Spark form
     #: isn't portable (e.g. DuckDB lacks to_date/yearofweek and numbers
-    #: dayofweek from Sunday=0); falls back to sql_template
-    sql_templates: dict[str, str] = {}
+    #: dayofweek from Sunday=0); falls back to sql_template. The shared
+    #: default is read-only on purpose: subclasses that don't override it
+    #: all alias this one object, so an in-place mutation would leak
+    #: dialect overrides across every date label — override with a new
+    #: dict per subclass instead.
+    sql_templates: Mapping[str, str] = MappingProxyType({})
 
     def sql_expr(self, dialect: str = "spark") -> str:
         tmpl = self.sql_templates.get(dialect, self.sql_template)

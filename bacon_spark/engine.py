@@ -51,6 +51,7 @@ from pyspark.storagelevel import StorageLevel
 from .cubedef import CubeDef
 from .cubequery import CubeQuery
 from .errors import QueryError
+from .operators import decisions
 from .filters import (
     FILTER_OPS,
     PY_FILTER_OPS,
@@ -158,6 +159,11 @@ class CuttingBoard:
         # anything the driver-side fold can't express exactly).
         self._rows_memo: OrderedDict = OrderedDict()
         self.local_hits = 0  # diagnostics: queries answered without a job
+        # decisions-log scope for THIS board (operators/decisions.py):
+        # concurrent boards interleave in the process-global log, so the
+        # board's plan records carry its context and harnesses filter
+        # with decisions.last(op, context=board.decisions_context)
+        self.decisions_context = f"{cubedef.title or 'board'}@{id(self):x}"
         self._lattices: list = []  # registered CubeLattice materializations
         self._lock = threading.RLock()
         # COLD small-table path: when eager_snapshot_rows is set and the
@@ -194,7 +200,18 @@ class CuttingBoard:
         if self.cache_results:
             local = self._local_slice(query)
             if local is not None:
-                return local
+                return local  # _local_slice/_local_cold recorded the route
+        # the cold-fold vs Spark-plan choice (VERDICT r11 next #6): no
+        # driver-side form could answer exactly, so this query takes a
+        # Spark plan (which may itself serve from a lattice — the
+        # "lattice" decision records that separately)
+        decisions.record(
+            "cold_fold",
+            "spark",
+            context=self.decisions_context,
+            axes=query.axes,
+            values=query.values,
+        )
         df = self._plan(query)
         return Slice(
             self.cubedef, query, df, board=self if self.cache_results else None
@@ -385,6 +402,13 @@ class CuttingBoard:
         )
         self._memoize_rows(query, out_schema, made._rows)
         self.local_hits += 1
+        decisions.record(
+            "cold_fold",
+            "local_cold",
+            context=self.decisions_context,
+            snapshot_rows=len(snap),
+            rows=len(out),
+        )
         return made
 
     def _local_slice(self, query: CubeQuery):
@@ -408,6 +432,13 @@ class CuttingBoard:
         if exact is not None:
             _, schema, rows = exact
             self.local_hits += 1
+            decisions.record(
+                "cold_fold",
+                "local_warm",
+                context=self.decisions_context,
+                kind="exact_repeat",
+                rows=len(rows),
+            )
             return self._local_made(query, schema, rows)
         wanted_vals = set(query.values)
         fq = frozenset((n, op, _freeze_value(v)) for n, op, v in query.filters)
@@ -473,6 +504,15 @@ class CuttingBoard:
             ]
             self._py_order(query, out)
             self.local_hits += 1
+            decisions.record(
+                "cold_fold",
+                "local_warm",
+                context=self.decisions_context,
+                kind="derived",
+                drilled=bool(drill),
+                reaggregated=needs_reagg,
+                rows=len(out),
+            )
             from pyspark.sql.types import StructType
 
             fields = {f.name: f for f in schema.fields}
@@ -657,12 +697,29 @@ class CuttingBoard:
         lattice (partition pruning on _gid, min/max skipping on axis
         values, when the lattice is written out that way)."""
         fil = query.filters
-        if any(op not in FILTER_OPS for _, op, _v in fil):
+
+        def rescan(reason: str):
+            # serve-vs-rescan is only a decision when a lattice exists to
+            # serve from; an unregistered board's every query would
+            # otherwise flood the log with vacuous "rescan" records
+            if self._lattices:
+                decisions.record(
+                    "lattice",
+                    "rescan",
+                    context=self.decisions_context,
+                    reason=reason,
+                    axes=query.axes,
+                    values=query.values,
+                )
             return None
+
+        if any(op not in FILTER_OPS for _, op, _v in fil):
+            return rescan("unsupported_filter_op")
         fnames = {n for n, _, _ in fil}
         wanted = set(query.axes) | fnames
         dropped = fnames - set(query.axes)
         needs_reagg = any(op != "eq" and n in dropped for n, op, _ in fil)
+        miss = "not_covered"
         for lat in self._lattices:
             if not (
                 wanted <= set(lat.axes) and set(query.values) <= set(lat.values)
@@ -675,17 +732,36 @@ class CuttingBoard:
                 # every filter shape — eq or not, axis kept or dropped —
                 # is exact without the reaggregatable gate the
                 # finished-value path below needs
+                decisions.record(
+                    "lattice",
+                    "serve",
+                    context=self.decisions_context,
+                    level="register",
+                    axes=query.axes,
+                    values=query.values,
+                )
                 return srv(tuple(query.axes), tuple(query.values), fil, FILTER_OPS)
             if needs_reagg and not self._reaggregatable(query, needed=True):
+                miss = "reagg_gate"
                 continue
             grain = tuple(a for a in lat.axes if a in wanted)
             df = lat.slice_df(grain)
             for n, op, v in fil:
                 df = df.filter(FILTER_OPS[op](F.col(n), v))
+            decisions.record(
+                "lattice",
+                "serve",
+                context=self.decisions_context,
+                level="finished",
+                grain=grain,
+                reaggregated=needs_reagg,
+                axes=query.axes,
+                values=query.values,
+            )
             if needs_reagg:
                 return self._reaggregate(df, query)
             return df.select(*query.axes, *query.values)
-        return None
+        return rescan(miss)
 
     def _reuse_plan(self, query: CubeQuery, cached_q: CubeQuery, cached_df: DataFrame):
         """Return (cost, thunk) if the cached slice can answer *query*."""

@@ -1340,6 +1340,29 @@ def _containment_from_frames(
     )
 
 
+#: session-scoped corpus-count cache for the router's guard (ADVICE r11):
+#: keyed by the analyzed plan's semanticHash, so re-probing the same docs
+#: frame (or a semantically identical one) costs zero Spark jobs after
+#: the first. Same staleness window as the guard itself — both describe
+#: the session's view of the corpus, and a corpus that changes under a
+#: fixed plan (same path, new files) defeats the uncached count equally.
+_CORPUS_COUNT_CACHE: dict[int, int] = {}
+
+
+def _corpus_count(docs: DataFrame) -> int:
+    try:
+        h = docs._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        return docs.count()
+    n = _CORPUS_COUNT_CACHE.get(h)
+    if n is None:
+        n = docs.count()
+        if len(_CORPUS_COUNT_CACHE) >= 256:
+            _CORPUS_COUNT_CACHE.clear()
+        _CORPUS_COUNT_CACHE[h] = n
+    return n
+
+
 def containment_pairs_routed(
     docs: DataFrame,
     text_col: str = "text",
@@ -1349,6 +1372,7 @@ def containment_pairs_routed(
     df_cap: int = 64,
     threshold: tuple[int, int] = (1, 2),
     index_path: str | None = None,
+    trusted: bool = False,
 ) -> DataFrame:
     """:func:`containment_pairs` with the INDEX ROUTING decision made for
     the caller (VERDICT r9 next #8, the q189 auto-route pattern): when a
@@ -1369,7 +1393,14 @@ def containment_pairs_routed(
     against ``docs.count()`` — a filtered or different-sized corpus falls
     back to inline. Equal-count corpora with different content are not
     distinguishable without a content scan; passing one is a caller
-    error, as with any materialized-view correspondence."""
+    error, as with any materialized-view correspondence.
+
+    Guard cost (ADVICE r11): the count is cached per analyzed-plan
+    semanticHash for the session, so only the FIRST routed call on a
+    given docs plan pays a count job (parquet-footer-cheap for plain
+    reads; one scan for filtered/computed frames). ``trusted=True``
+    skips the count entirely — the caller asserts *docs* IS the build
+    corpus, keeping the index route strictly probe-only."""
     from ..operators.maintenance import read_manifest
 
     route = "inline"
@@ -1385,9 +1416,10 @@ def containment_pairs_routed(
                 p.get("df_cap"),
             ) == (id_col, text_col, k, w, df_cap):
                 # corpus guard: one zero-column count job (parquet
-                # footer-cheap) vs the build-time row count
+                # footer-cheap, session-cached per docs plan) vs the
+                # build-time row count; trusted callers skip it
                 n = p.get("n_docs")
-                if n is not None and docs.count() == n:
+                if trusted or (n is not None and _corpus_count(docs) == n):
                     route = "index"
     if route == "index":
         out = containment_index_probe(docs.sparkSession, index_path, threshold)
@@ -1398,7 +1430,7 @@ def containment_pairs_routed(
 
     decisions.record(
         "containment", route, index_path=index_path, text_col=text_col,
-        id_col=id_col, k=k, w=w, df_cap=df_cap,
+        id_col=id_col, k=k, w=w, df_cap=df_cap, trusted=trusted,
     )
     return out
 

@@ -21,6 +21,15 @@ the frame since.
 Driver-side only — decisions are made on the driver while the plan is
 being built, so a plain deque (atomic appends under CPython) suffices;
 nothing here ships to executors.
+
+The log is PROCESS-GLOBAL: concurrent queries on different boards
+interleave their records, so a bare ``last("funnel")`` can return a
+neighbor's decision under parallel use (ADVICE r11). Recorders that own
+a natural scope (CuttingBoard passes its ``decisions_context``) tag
+records with *context*; harnesses running queries in parallel should
+filter with ``last(op, context=board.decisions_context)``. A bare
+``last(op)`` remains correct under the single-threaded-harness
+assumption the gate queries run under.
 """
 
 from __future__ import annotations
@@ -32,11 +41,14 @@ from typing import Any, NamedTuple
 class RouteDecision(NamedTuple):
     """One routing decision: which *operator* router fired, the *route*
     it picked, and the *detail* that drove the pick (estimates,
-    thresholds, manifest keys — whatever the router knows)."""
+    thresholds, manifest keys — whatever the router knows). *context*
+    scopes the record to its recorder (e.g. a board) so concurrent
+    recorders can be told apart."""
 
     operator: str
     route: str
     detail: dict[str, Any]
+    context: str | None = None
 
 
 #: bounded: a long-lived session's log never grows past the last 256
@@ -45,22 +57,28 @@ class RouteDecision(NamedTuple):
 _LOG: deque[RouteDecision] = deque(maxlen=256)
 
 
-def record(operator: str, route: str, **detail: Any) -> RouteDecision:
+def record(
+    operator: str, route: str, *, context: str | None = None, **detail: Any
+) -> RouteDecision:
     """Append a decision to the log and return it (routers call this at
-    the moment they commit to a physical shape)."""
-    d = RouteDecision(operator, route, detail)
+    the moment they commit to a physical shape). *context* is keyword-
+    only and never part of *detail*."""
+    d = RouteDecision(operator, route, detail, context)
     _LOG.append(d)
     return d
 
 
-def last(operator: str | None = None) -> RouteDecision | None:
+def last(
+    operator: str | None = None, context: str | None = None
+) -> RouteDecision | None:
     """The most recent decision, optionally filtered to one *operator*
-    (``"funnel"``, ``"containment"``, ``"salt_join"``). None when no
+    (``"funnel"``, ``"containment"``, ``"salt_join"``, ``"lattice"``,
+    ``"cold_fold"``) and/or one recorder *context*. None when no
     matching decision has been recorded."""
-    if operator is None:
-        return _LOG[-1] if _LOG else None
     for d in reversed(_LOG):
-        if d.operator == operator:
+        if (operator is None or d.operator == operator) and (
+            context is None or d.context == context
+        ):
             return d
     return None
 

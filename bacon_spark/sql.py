@@ -91,10 +91,20 @@ def sql_filter(expr: str, op: str, value, dialect: str = "spark") -> str:
         if has_null:
             return f"({expr} IS NOT NULL AND NOT {in_list})"
         return f"({expr} IS NULL OR NOT {in_list})"
-    if op == "match":
-        return f"{expr} RLIKE {sql_literal(value)}"
-    if op == "nmatch":
-        return f"({expr} IS NULL OR NOT {expr} RLIKE {sql_literal(value)})"
+    if op in ("match", "nmatch"):
+        # Both engines do an unanchored SEARCH (Spark RLIKE = java.util.regex
+        # find; DuckDB regexp_matches = RE2 partial match). Patterns must
+        # stay in the shared Java∩RE2 subset — no backreferences, no
+        # lookaround, no \p{...} spelling differences — the same restriction
+        # PII_PATTERNS (llm/text.py) already documents for its twin oracles.
+        hit = (
+            f"regexp_matches({expr}, {sql_literal(value)})"
+            if dialect == "duckdb"
+            else f"{expr} RLIKE {sql_literal(value)}"
+        )
+        if op == "match":
+            return hit
+        return f"({expr} IS NULL OR NOT {hit})"
 
     s = _clean_set(expr, dialect)
     b = _lit_array(value, dialect)

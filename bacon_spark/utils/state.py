@@ -15,10 +15,14 @@ Resolution order:
 1. ``$SPARK_GRAFT_STATE_DIR`` — explicit override, the production form
    (point it at fast local disk / the cluster's scratch volume).
 2. The package parent, when it is NOT a ``site-packages`` /
-   ``dist-packages`` dir — the checkout case, unchanged behavior.
-3. ``~/.cache/bacon_spark`` — installed-package fallback: per-user,
-   writable, survives venv rebuilds (the artifacts are keyed by
-   absolute dataset path, so sharing the cache dir is safe).
+   ``dist-packages`` dir AND is writable — the checkout case, unchanged
+   behavior.  The writability check (ADVICE r11) catches the installs
+   the basename test can't: ``pip --target``, vendored trees, zipapps,
+   read-only mounts — anywhere the package parent is not a place the
+   process may write gigabytes of per-dataset artifacts.
+3. ``~/.cache/bacon_spark`` — fallback: per-user, writable, survives
+   venv rebuilds (the artifacts are keyed by absolute dataset path, so
+   sharing the cache dir is safe).
 """
 
 from __future__ import annotations
@@ -33,6 +37,8 @@ def state_root() -> str:
     import bacon_spark
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(bacon_spark.__file__)))
-    if os.path.basename(root) in ("site-packages", "dist-packages"):
-        return os.path.join(os.path.expanduser("~"), ".cache", "bacon_spark")
-    return root
+    if os.path.basename(root) not in ("site-packages", "dist-packages") and os.access(
+        root, os.W_OK
+    ):
+        return root
+    return os.path.join(os.path.expanduser("~"), ".cache", "bacon_spark")

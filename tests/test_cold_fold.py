@@ -314,3 +314,41 @@ def test_labeled_acc_empty_group_is_null_both_paths(cd, frame):
     assert b.local_hits == before + 1  # the fold actually served
     want = [tuple(r) for r in ref.slice(q).collect()]
     assert got == want == [(None, None)]
+
+
+def test_cold_fold_decision_recorded(cd, frame):
+    """VERDICT r11 next #6: the cold-fold vs Spark-plan choice is in the
+    decisions log — 'local_cold' for the first-hit snapshot fold,
+    'local_warm' for memoized repeats, 'spark' when no driver-side form
+    answers — each tagged with the board's decisions_context."""
+    from bacon_spark.operators import decisions
+
+    decisions.clear()
+    b = CuttingBoard(cd, frame, eager_snapshot_rows=10_000)
+    ctx = b.decisions_context
+    q = CubeQuery().add_axis("g").add_value("s")
+    b.slice(q).collect()
+    d = decisions.last("cold_fold", context=ctx)
+    assert d is not None and d.route == "local_cold"
+    assert d.detail["snapshot_rows"] == 400
+
+    # exact repeat: served from memoized rows
+    b.slice(q).collect()
+    d = decisions.last("cold_fold", context=ctx)
+    assert d.route == "local_warm" and d.detail["kind"] == "exact_repeat"
+
+    # eq-drill on a cached extra axis: derived warm fold
+    b.slice(CubeQuery().add_axis("g").add_axis("h").add_value("s")).collect()
+    b.slice(
+        CubeQuery().add_axis("g").add_value("s").add_filter("h", "eq", "h1")
+    ).collect()
+    d = decisions.last("cold_fold", context=ctx)
+    assert d.route == "local_warm" and d.detail["kind"] == "derived"
+
+    # a board with no snapshot takes the Spark plan, and its record is
+    # distinguishable by context from the snapshot board's (ADVICE r11)
+    b2 = CuttingBoard(cd, frame)
+    b2.slice(q).collect()
+    assert decisions.last("cold_fold", context=b2.decisions_context).route == "spark"
+    assert decisions.last("cold_fold", context=ctx).route == "local_warm"
+    decisions.clear()

@@ -900,6 +900,55 @@ def test_containment_routed_picks_index_only_on_exact_params(spark, tmp_path):
     )
 
 
+def test_containment_guard_count_cached_and_trusted_skip(spark, tmp_path):
+    """ADVICE r11: the router's corpus-guard count job runs ONCE per docs
+    plan per session (cached by analyzed-plan semanticHash), and
+    trusted=True skips it entirely — the index route stays probe-only."""
+    from bacon_spark.llm import dedup as dd
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    docs = spark.createDataFrame(
+        [(i, base + f"wrap {i} " + base if i % 3 == 0 else f"solo {i} body")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "cidx_guard")
+    dd.containment_index_build(docs, path, "text", "doc_id", k=16, w=3, df_cap=32)
+    dd._CORPUS_COUNT_CACHE.clear()
+
+    first = dd.containment_pairs_routed(
+        docs, "text", "doc_id", k=16, w=3, df_cap=32, index_path=path
+    )
+    assert first.containment_route == "index"
+    assert 20 in dd._CORPUS_COUNT_CACHE.values()
+
+    # second routed call on the same plan: guard answered from the cache,
+    # no count job — shadowing .count() with a tripwire proves it
+    docs.count = lambda: (_ for _ in ()).throw(
+        AssertionError("guard re-ran docs.count() despite the session cache")
+    )
+    try:
+        again = dd.containment_pairs_routed(
+            docs, "text", "doc_id", k=16, w=3, df_cap=32, index_path=path
+        )
+        assert again.containment_route == "index"
+
+        # trusted=True: no count even on a cache miss (fresh plan) — the
+        # caller owns the corpus correspondence
+        dd._CORPUS_COUNT_CACHE.clear()
+        trusted = dd.containment_pairs_routed(
+            docs, "text", "doc_id", k=16, w=3, df_cap=32, index_path=path,
+            trusted=True,
+        )
+        assert trusted.containment_route == "index"
+        assert not dd._CORPUS_COUNT_CACHE  # nothing was counted
+        from bacon_spark.operators import decisions
+
+        assert decisions.last("containment").detail["trusted"] is True
+    finally:
+        del docs.count  # restore the real bound method
+
+
 def test_containment_rebuild_preserves_pinned_readers(spark, tmp_path):
     """Round 10: a rebuild on the same path writes NEW uuid-suffixed
     table dirs and commits a new manifest version — a reader pinned to

@@ -98,6 +98,21 @@ def test_state_root_never_site_packages(monkeypatch, tmp_path):
         os.path.join(".cache", "bacon_spark")
     )
 
+    # 4. nonstandard install (pip --target, vendored tree, zipapp, or a
+    # read-only mount): the basename test passes but the parent is not
+    # writable — still fall back to the cache dir (ADVICE r11). os.access
+    # is patched because the suite runs as root, for whom W_OK is
+    # unconditionally true on rw filesystems.
+    vendored = tmp_path / "vendor" / "bacon_spark"
+    vendored.mkdir(parents=True)
+    monkeypatch.setattr(bacon_spark, "__file__", str(vendored / "__init__.py"))
+    monkeypatch.setattr(
+        state.os, "access", lambda p, mode: p != str(tmp_path / "vendor")
+    )
+    got = state.state_root()
+    assert got.endswith(os.path.join(".cache", "bacon_spark"))
+    monkeypatch.undo()
+
     # artifact_path rides on it
     from bacon_spark.gate._base import artifact_path
 

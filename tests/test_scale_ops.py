@@ -432,3 +432,61 @@ def test_histogram_buckets_edges_and_zero_fill(spark):
     assert out[2] == (5.0, 2)         # 5.0 boundary and 9.999
     assert out[3] == (10.0, 2)        # 10.0 and 25.0 overflow
     assert len(out) == 4
+
+
+def test_lattice_decision_recorded(sales, cubedef):
+    """VERDICT r11 next #6: the planner's serve-vs-rescan choice is
+    auditable after the fact — decisions.last('lattice') explains whether
+    a registered lattice answered the query, and why not when it didn't.
+    Boards tag records with their decisions_context so concurrent boards
+    can be told apart (ADVICE r11)."""
+    from bacon_spark.operators import decisions
+
+    decisions.clear()
+    board = CuttingBoard(cubedef, sales, cache_results=False)
+    lat = CubeLattice(cubedef, sales, axes=("state", "city"), values=("units", "n"))
+    try:
+        # no lattice registered: no vacuous rescan records
+        board.slice(CubeQuery().add_axis("state").add_value("units")).collect()
+        assert decisions.last("lattice") is None
+
+        board.register_lattice(lat)
+        board.slice(CubeQuery().add_axis("state").add_value("units")).collect()
+        d = decisions.last("lattice", context=board.decisions_context)
+        assert d is not None and d.route == "serve"
+        assert d.detail["level"] == "finished" and not d.detail["reaggregated"]
+
+        # value outside the lattice -> rescan, reason recorded
+        board.slice(CubeQuery().add_axis("state").add_value("avg_price")).collect()
+        d = decisions.last("lattice", context=board.decisions_context)
+        assert d.route == "rescan" and d.detail["reason"] == "not_covered"
+
+        # non-eq filter on a dropped axis with a non-reaggregatable value
+        # -> the reagg gate refuses the covering lattice
+        board2 = CuttingBoard(cubedef, sales, cache_results=False)
+        lat2 = CubeLattice(
+            cubedef, sales, axes=("state", "city"), values=("avg_price",)
+        )
+        board2.register_lattice(lat2)
+        try:
+            board2.slice(
+                CubeQuery()
+                .add_axis("state")
+                .add_value("avg_price")
+                .add_filter("city", "in", ("c1", "c2"))
+            ).collect()
+            d2 = decisions.last("lattice", context=board2.decisions_context)
+            assert d2.route == "rescan" and d2.detail["reason"] == "reagg_gate"
+            # context filtering: board's last record is unaffected by
+            # board2's interleaved one
+            assert (
+                decisions.last("lattice", context=board.decisions_context).detail[
+                    "reason"
+                ]
+                == "not_covered"
+            )
+        finally:
+            lat2.unpersist()
+    finally:
+        lat.unpersist()
+        decisions.clear()
