@@ -710,16 +710,41 @@ def winnow_overlap_pairs_sql(
     min_shared: int = 3,
     max_df: int | None = None,
 ) -> str:
-    fps = winnow_minimizers_sql(text_col, k, w)
+    """Staged-CTE form (VERDICT r11 next #4): the single-expression form
+    (:func:`winnow_minimizers_sql` inlined) references the positional-
+    hash array 4x and the token array 3x, and DuckDB re-evaluates a
+    non-column subexpression inside each ``list_transform`` lambda PER
+    ELEMENT — O(n) evaluations of an O(n·k) expression per document,
+    i.e. quadratic per doc.  Materializing each stage (tokens → hashes
+    → minimizers) makes every lambda reference a plain column: measured
+    58 s → 0.1 s on the 500-doc sf0.01 corpus, identical rows, which is
+    what makes the sf1 oracle runnable.  The per-stage math is
+    verbatim :func:`winnow_minimizers_sql`."""
+    span = f"array_to_string(list_slice(t, i, i + {k} - 1), ' ')"
     df_filter = ""
     if max_df is not None:
         df_filter = f""",
     _keep AS (SELECT m FROM _fp GROUP BY m HAVING count(*) <= {max_df})"""
     src = "(SELECT _fp.* FROM _fp JOIN _keep USING (m))" if max_df is not None else "_fp"
     return f"""
-    WITH _fp AS (
-        SELECT {id_col} AS id, unnest({fps}) AS m FROM {table}
-    ){df_filter}
+    WITH _tok AS MATERIALIZED (
+        SELECT {id_col} AS id, {tokens_sql(text_col)} AS t FROM {table}
+    ),
+    _hh AS MATERIALIZED (
+        SELECT id, CASE WHEN len(t) >= {k} THEN
+            list_transform(range(1, len(t) - {k} + 2),
+                           i -> {hash60_sql(span)} % {MINHASH_P})
+            ELSE [] END AS h
+        FROM _tok
+    ),
+    _mm AS MATERIALIZED (
+        SELECT id, list_distinct(CASE WHEN len(h) >= {w} THEN
+            list_transform(range(1, len(h) - {w} + 2),
+                           j -> list_min(list_slice(h, j, j + {w} - 1)))
+            WHEN len(h) > 0 THEN [list_min(h)] ELSE [] END) AS m
+        FROM _hh
+    ),
+    _fp AS (SELECT id, unnest(m) AS m FROM _mm){df_filter}
     SELECT a.id AS id_a, b.id AS id_b, cast(count(*) as bigint) AS shared
     FROM {src} a JOIN {src} b ON a.m = b.m AND a.id < b.id
     GROUP BY a.id, b.id
