@@ -1366,25 +1366,30 @@ def _containment_from_frames(
 
 
 #: session-scoped corpus-count cache for the router's guard (ADVICE r11):
-#: keyed by the analyzed plan's semanticHash, so re-probing the same docs
-#: frame (or a semantically identical one) costs zero Spark jobs after
-#: the first. Same staleness window as the guard itself — both describe
-#: the session's view of the corpus, and a corpus that changes under a
-#: fixed plan (same path, new files) defeats the uncached count equally.
-_CORPUS_COUNT_CACHE: dict[int, int] = {}
+#: keyed by (analyzed-plan semanticHash, schema), so re-probing the same
+#: docs frame (or a semantically identical one) costs zero Spark jobs
+#: after the first. The schema component rules out cross-schema
+#: collisions of the 32-bit hash. Same staleness window as the guard
+#: itself — both describe the session's view of the corpus, and a corpus
+#: that changes under a fixed plan (same path, new files) defeats the
+#: uncached count equally.
+_CORPUS_COUNT_CACHE: dict[tuple, int] = {}
 
 
 def _corpus_count(docs: DataFrame) -> int:
     try:
-        h = docs._jdf.queryExecution().analyzed().semanticHash()
+        key = (
+            docs._jdf.queryExecution().analyzed().semanticHash(),
+            docs.schema.simpleString(),
+        )
     except Exception:
         return docs.count()
-    n = _CORPUS_COUNT_CACHE.get(h)
+    n = _CORPUS_COUNT_CACHE.get(key)
     if n is None:
         n = docs.count()
         if len(_CORPUS_COUNT_CACHE) >= 256:
             _CORPUS_COUNT_CACHE.clear()
-        _CORPUS_COUNT_CACHE[h] = n
+        _CORPUS_COUNT_CACHE[key] = n
     return n
 
 
