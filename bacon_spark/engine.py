@@ -58,6 +58,7 @@ from .filters import (
     build_predicate,
     combine_filters,
     compile_py_filter,
+    fuse_py_filters,
 )
 
 __all__ = ["CuttingBoard", "Slice", "keyset_page"]
@@ -322,10 +323,12 @@ class CuttingBoard:
             return None
         idx = self._snap_idx
         try:
-            fspec = [
-                (idx[n], compile_py_filter(op, v, self._snap_fields[n].dataType))
-                for n, op, v in query.filters
-            ]
+            fspec = fuse_py_filters(
+                [
+                    (idx[n], compile_py_filter(op, v, self._snap_fields[n].dataType))
+                    for n, op, v in query.filters
+                ]
+            )
             axi = [idx[a] for a in query.axes]
         except KeyError:
             return None

@@ -352,3 +352,40 @@ def test_cold_fold_decision_recorded(cd, frame):
     assert decisions.last("cold_fold", context=b2.decisions_context).route == "spark"
     assert decisions.last("cold_fold", context=ctx).route == "local_warm"
     decisions.clear()
+
+
+def test_fused_same_column_set_filters_match_unfused(spark):
+    """Round 12: several set-algebra filters on the SAME SetLabel column
+    are fused to share one cell-clean per row (fuse_py_filters). The
+    fused fold must equal both the unfused Spark path and the reference
+    semantics for every op combination, including ops that disagree on
+    the same cell."""
+    import itertools
+    from bacon_spark import CubeQuery as CQ
+    from bacon_spark.cubedef import SetLabel
+
+    rows = [
+        (i, None if i % 7 == 0 else
+         [x for x in ("red", "blue", "", None, f"t{i % 4}")][: i % 5])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "k long, tags array<string>")
+    cd = CubeDef("f")
+    cd.add_label(Label("k"))
+    cd.add_label(SetLabel("tags"))
+    cd.add_measure(Measure("n", "k", acc=Count()))
+    ops = ["hasany", "hasall", "hasnone", "subsetof", "notequals"]
+    lits = [frozenset({"red"}), frozenset({"blue", ""}), frozenset({"red", "t1"})]
+    combos = list(itertools.islice(itertools.product(ops, ops), 12))
+    for op1, op2 in combos:
+        q = (
+            CQ().add_axis("k").add_value("n")
+            .add_filter("tags", op1, lits[hash(op1) % 3])
+            .add_filter("tags", op2, lits[hash(op2) % 3])
+        )
+        warm = CuttingBoard(cd, df, eager_snapshot_rows=10_000)
+        cold = CuttingBoard(cd, df, cache_results=False)
+        got = sorted(tuple(r) for r in warm.slice(q).collect())
+        want = sorted(tuple(r) for r in cold.slice(q).collect())
+        assert got == want, (op1, op2)
+        assert warm.local_hits == 1  # the fused fold actually served
