@@ -60,6 +60,16 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    # sharded runs put several DuckDB processes on one VM; DuckDB's
+    # default memory_limit is ~80% of PHYSICAL RAM per process, which
+    # overcommits the moment two shards hit big oracles concurrently.
+    # CHECK_ORACLE_DUCKDB_MEM / _THREADS cap each shard explicitly.
+    mem = os.environ.get("CHECK_ORACLE_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+    thr = os.environ.get("CHECK_ORACLE_DUCKDB_THREADS")
+    if thr:
+        con.execute(f"SET threads={int(thr)}")
     for t in TABLES:
         # driver fixtures ship each table as one file; the .scale replica
         # dirs are Spark-written DIRECTORIES of part files — glob those
