@@ -282,6 +282,7 @@ def q154_multimodal_phash_dedup(spark, sf_dir):
              WHEN 1   THEN 0.7  -- sf0.01 fixture (the driver's gate SF)
              WHEN -22 THEN 0.7  -- sf0.1 fixture
              WHEN 105 THEN 0.6  -- .scale/sf1 replica (deterministic gen)
+             WHEN 496 THEN 0.7  -- .scale/sf10 replica (round-12 full gate)
              ELSE -1.0 END::DOUBLE AS recall_at_k
     """,
 )
