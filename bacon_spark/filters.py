@@ -213,12 +213,20 @@ def _py_clean_cell(r) -> frozenset:
     # falling back to the per-element stringify when a non-string element
     # actually appears. The fold calls this once per row, so the genexp +
     # str() per element was the measured hot spot of q12's 200k-row fold.
-    s = frozenset(r)
+    # The fallback rebuilds from the ORIGINAL cell, not the deduped set
+    # (ADVICE r12): frozenset conflates values equal pre-stringify but
+    # distinct after (True vs 1 hash equal, yet str() keeps "True"/"1"
+    # apart), and unhashable elements (nested arrays) must reach the
+    # stringify path instead of dying in frozenset().
+    try:
+        s = frozenset(r)
+    except TypeError:
+        return frozenset(str(x) for x in r if x is not None and x != "")
     if None in s or "" in s:
         s = s.difference((None, ""))
     for x in s:
         if type(x) is not str:
-            return frozenset(str(y) for y in s)
+            return frozenset(str(x) for x in r if x is not None and x != "")
     return s
 
 

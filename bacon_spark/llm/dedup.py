@@ -1366,21 +1366,39 @@ def _containment_from_frames(
 
 
 #: session-scoped corpus-count cache for the router's guard (ADVICE r11):
-#: keyed by (analyzed-plan semanticHash, schema), so re-probing the same
-#: docs frame (or a semantically identical one) costs zero Spark jobs
-#: after the first. The schema component rules out cross-schema
-#: collisions of the 32-bit hash. Same staleness window as the guard
-#: itself — both describe the session's view of the corpus, and a corpus
-#: that changes under a fixed plan (same path, new files) defeats the
-#: uncached count equally.
+#: keyed by (analyzed-plan semanticHash, schema, input-file listing), so
+#: re-probing the same docs frame (or a semantically identical one)
+#: costs zero Spark jobs after the first. The schema component rules out
+#: cross-schema collisions of the 32-bit hash; the file-listing digest
+#: (ADVICE r12) is the freshness signal: a corpus appended to or
+#: rewritten under the same path produces new part files, changes the
+#: listing, and misses the cache — restoring the fresh docs.count() the
+#: uncached guard would have run. The residual window is a file MUTATED
+#: IN PLACE under an identical name — invisible to the listing, so the
+#: cached guard is strictly weaker than a per-call count there (normal
+#: Spark/object-store writes never do this; an engine embedder that
+#: does can call corpus_count_cache_clear() after rewriting).
 _CORPUS_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def corpus_count_cache_clear() -> None:
+    """Invalidation hook for the router's corpus-count cache — for
+    embedders whose ingest mutates files in place under unchanged names
+    (the one write pattern the file-listing freshness key cannot see)."""
+    _CORPUS_COUNT_CACHE.clear()
 
 
 def _corpus_count(docs: DataFrame) -> int:
     try:
+        import hashlib
+
+        files = docs.inputFiles()
         key = (
             docs._jdf.queryExecution().analyzed().semanticHash(),
             docs.schema.simpleString(),
+            hashlib.md5("\n".join(sorted(files)).encode()).hexdigest()
+            if files
+            else None,
         )
     except Exception:
         return docs.count()

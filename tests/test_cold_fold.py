@@ -283,6 +283,25 @@ def test_py_clean_cell_rejects_scalar_cells():
         _py_clean_cell(7)
 
 
+def test_py_clean_cell_non_string_elements():
+    """ADVICE r12: off the array<string> contract the twin must keep the
+    pre-round-12 per-element stringify semantics — unhashable elements
+    (nested arrays) fall back instead of raising from frozenset(), and
+    values that hash-conflate pre-stringify (True vs 1) stay distinct
+    because str() is applied to the ORIGINAL cell, not the deduped set."""
+    from bacon_spark.filters import _py_clean_cell
+
+    # unhashable (array<array<...>> cell materialized as nested lists)
+    assert _py_clean_cell([[1, 2], [1, 2], "a", None, ""]) == frozenset(
+        {"[1, 2]", "a"}
+    )
+    # hash-equal pre-stringify, distinct after: frozenset({True, 1}) would
+    # collapse to one element; the twin keeps both
+    assert _py_clean_cell([True, 1, "x"]) == frozenset({"True", "1", "x"})
+    # ints drop the None/"" sentinels like strings do
+    assert _py_clean_cell([0, None, 3, ""]) == frozenset({"0", "3"})
+
+
 def test_refresh_rebuilds_snapshot(cd, frame, spark):
     b = CuttingBoard(cd, frame, eager_snapshot_rows=10_000)
     n0 = len(b._snap_rows)
@@ -375,17 +394,26 @@ def test_fused_same_column_set_filters_match_unfused(spark):
     cd.add_label(SetLabel("tags"))
     cd.add_measure(Measure("n", "k", acc=Count()))
     ops = ["hasany", "hasall", "hasnone", "subsetof", "notequals"]
-    lits = [frozenset({"red"}), frozenset({"blue", ""}), frozenset({"red", "t1"})]
+    # explicit op -> literal map (ADVICE r12: hash(op) % 3 made the
+    # covered combinations vary with PYTHONHASHSEED, so a red run was
+    # not reproducible from the reported op pair alone)
+    lit_for = {
+        "hasany": frozenset({"red"}),
+        "hasall": frozenset({"blue", ""}),
+        "hasnone": frozenset({"red", "t1"}),
+        "subsetof": frozenset({"red", "t1"}),
+        "notequals": frozenset({"red"}),
+    }
     combos = list(itertools.islice(itertools.product(ops, ops), 12))
     for op1, op2 in combos:
         q = (
             CQ().add_axis("k").add_value("n")
-            .add_filter("tags", op1, lits[hash(op1) % 3])
-            .add_filter("tags", op2, lits[hash(op2) % 3])
+            .add_filter("tags", op1, lit_for[op1])
+            .add_filter("tags", op2, lit_for[op2])
         )
         warm = CuttingBoard(cd, df, eager_snapshot_rows=10_000)
         cold = CuttingBoard(cd, df, cache_results=False)
         got = sorted(tuple(r) for r in warm.slice(q).collect())
         want = sorted(tuple(r) for r in cold.slice(q).collect())
-        assert got == want, (op1, op2)
+        assert got == want, (op1, lit_for[op1], op2, lit_for[op2])
         assert warm.local_hits == 1  # the fused fold actually served

@@ -949,6 +949,32 @@ def test_containment_guard_count_cached_and_trusted_skip(spark, tmp_path):
         del docs.count  # restore the real bound method
 
 
+def test_corpus_count_cache_freshness_on_file_change(spark, tmp_path):
+    """ADVICE r12: a corpus that gains files under the SAME path (append /
+    rewrite) must MISS the corpus-count cache — a fresh read of the path
+    can share the cached plan's semanticHash, and serving the stale count
+    would let the guard route to a stale index. The input-file listing in
+    the key is the freshness signal."""
+    from bacon_spark.llm import dedup as dd
+
+    p = str(tmp_path / "corpus")
+    spark.range(10).selectExpr("id AS doc_id", "cast(id AS string) AS text") \
+        .write.parquet(p)
+    dd._CORPUS_COUNT_CACHE.clear()
+    try:
+        assert dd._corpus_count(spark.read.parquet(p)) == 10
+        spark.range(10, 15).selectExpr(
+            "id AS doc_id", "cast(id AS string) AS text"
+        ).write.mode("append").parquet(p)
+        # fresh read of the same path: new part files -> new listing ->
+        # cache miss -> fresh count (NOT the stale 10)
+        assert dd._corpus_count(spark.read.parquet(p)) == 15
+        dd.corpus_count_cache_clear()
+        assert not dd._CORPUS_COUNT_CACHE
+    finally:
+        dd._CORPUS_COUNT_CACHE.clear()
+
+
 def test_containment_rebuild_preserves_pinned_readers(spark, tmp_path):
     """Round 10: a rebuild on the same path writes NEW uuid-suffixed
     table dirs and commits a new manifest version — a reader pinned to
