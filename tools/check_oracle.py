@@ -49,13 +49,20 @@ def main():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
 
+    # sf100 shards need a bigger session than the sf0.01 default: cores /
+    # heap / parquet batch follow the same env-override convention as the
+    # DuckDB caps below (r12), so the harness source stays fixed per SF.
+    cores = os.environ.get("CHECK_ORACLE_SPARK_CORES", "8")
+    heap = os.environ.get("CHECK_ORACLE_SPARK_MEM", "8g")
+    batch = os.environ.get("CHECK_ORACLE_PARQUET_BATCH", "4096")
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "16")
+        SparkSession.builder.master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(2 * int(cores)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", heap)
+        .config("spark.sql.parquet.columnarReaderBatchSize", batch)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
