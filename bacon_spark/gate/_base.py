@@ -83,14 +83,37 @@ def _ensure_workers_import(spark: SparkSession) -> None:
     import bacon_spark
 
     pkg_dir = os.path.dirname(os.path.abspath(bacon_spark.__file__))
-    zpath = os.path.join(tempfile.gettempdir(), "bacon_spark_pkg.zip")
-    with zipfile.ZipFile(zpath, "w") as z:
-        for root, _dirs, files in os.walk(pkg_dir):
-            for f in files:
+    # CONTENT-ADDRESSED path (round 13): a fixed /tmp name raced when
+    # several harness shards started at once — each rewrote the zip while
+    # another session's executors were still reading it, and Spark fails
+    # a task whose downloaded copy mismatches ("exists and does not match
+    # contents"). Hash-named + put-if-absent means an existing zip is
+    # NEVER rewritten, so every session's addPyFile target is immutable.
+    import hashlib
+    import io
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for root, dirs, files in os.walk(pkg_dir):
+            dirs.sort()  # deterministic walk -> identical zip bytes per tree
+            for f in sorted(files):
                 if f.endswith(".py"):
                     full = os.path.join(root, f)
                     rel = os.path.join("bacon_spark", os.path.relpath(full, pkg_dir))
                     z.write(full, rel)
+    data = buf.getvalue()
+    digest = hashlib.md5(data).hexdigest()[:12]
+    zpath = os.path.join(tempfile.gettempdir(), f"bacon_spark_pkg-{digest}.zip")
+    if not os.path.exists(zpath):
+        tmp = zpath + f".tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        try:
+            os.link(tmp, zpath)  # put-if-absent: a racing writer keeps its copy
+        except FileExistsError:
+            pass
+        finally:
+            os.remove(tmp)
     sc.addPyFile(zpath)
     sc._bacon_spark_shipped = True
 
