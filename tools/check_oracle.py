@@ -55,9 +55,14 @@ def main():
     cores = os.environ.get("CHECK_ORACLE_SPARK_CORES", "8")
     heap = os.environ.get("CHECK_ORACLE_SPARK_MEM", "8g")
     batch = os.environ.get("CHECK_ORACLE_PARQUET_BATCH", "4096")
+    # default 2x cores matches the old fixed 16; sf100 needs far more —
+    # per-task state in the stateful/as-of shapes scales with rows per
+    # shuffle partition, and 16 partitions over 100M events OOMs a 20g
+    # heap that 96 partitions fit comfortably
+    shuf = os.environ.get("CHECK_ORACLE_SHUFFLE_PARTITIONS", str(2 * int(cores)))
     spark = (
         SparkSession.builder.master(f"local[{cores}]")
-        .config("spark.sql.shuffle.partitions", str(2 * int(cores)))
+        .config("spark.sql.shuffle.partitions", shuf)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
