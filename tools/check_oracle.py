@@ -67,6 +67,10 @@ def main():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", heap)
+        # the harness collects every query's full result by design; the
+        # 1g serialized-result fuse only breaks the sf100 multi-million-row
+        # compares (the heap cap still bounds the process)
+        .config("spark.driver.maxResultSize", "0")
         .config("spark.sql.parquet.columnarReaderBatchSize", batch)
         .getOrCreate()
     )
