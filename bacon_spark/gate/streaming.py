@@ -340,6 +340,44 @@ def _asof_stage_frames(spark, sf_dir, sentinel_delta):
     ]
 
 
+def _state_shards(sf_dir, *, floor=8, cap=64, bytes_per_shard=32 << 20):
+    """Data-driven state-shard width for the gate's pandas-state streaming
+    runs (round 13). The engine operators hash-shard state by design
+    (streaming/asof.py:12 — width bounds per-trigger Python calls, not
+    results), but the gate pinned ``shards=8`` for minimal fixed
+    micro-batch cost at bench SF; at sf100 that pushed ~12M rows through
+    ONE arrow round-trip per shard and the single-JVM verification run
+    spiraled in sorter spills (observed: two tasks >50 CPU-min each in
+    direct-buffer churn). Width now scales with the events table's
+    on-disk bytes: every driver/bench fixture and .scale/sf10 stay at
+    the floor of 8 — byte-identical shapes to the r12-verified runs —
+    while .scale/sf100 (~1.8 GB events) gets 56, keeping per-shard rows
+    near the sf10-proven load. Output is shard-count-invariant (state is
+    grouped per key inside a shard); the choice only moves cost, and is
+    recorded via the decisions log for audit."""
+    import math
+    import os
+
+    p = os.path.join(sf_dir, "events.parquet")
+    total = 0
+    if os.path.isdir(p):
+        for root, _dirs, files in os.walk(p):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+    elif os.path.exists(p):
+        total = os.path.getsize(p)
+    shards = max(floor, min(cap, math.ceil(total / bytes_per_shard)))
+    from ..operators import decisions
+
+    decisions.record(
+        "stream_shards", "auto", events_bytes=total, shards=shards, sf_dir=sf_dir
+    )
+    return shards
+
+
 def _stage_q64(spark, sf_dir):
     from ..streaming.windows import staged_input
 
@@ -385,20 +423,24 @@ def q64_streaming_asof(spark, sf_dir):
     # gate run keeps trigger count, i.e. fixed micro-batch cost, minimal.)
     pschema = "event_id long, user_id long, ts timestamp, value double"
     cschema = "user_id long, ts timestamp, event_id long"
-    # shards = the 8 state partitions this run uses: each extra shard is
-    # an extra pandas/arrow state round-trip per trigger (32 shards cost
-    # 2x wall time at bench scale); on a real cluster raise both together
+    # shards = the state partitions this run uses: each extra shard is an
+    # extra pandas/arrow state round-trip per trigger (32 shards cost 2x
+    # wall time at bench scale), so the width is data-driven — floor 8 at
+    # every bench/driver SF, wider only when per-shard rows would blow
+    # past the verified load (_state_shards; shards and the stateful
+    # shuffle width below rise TOGETHER)
+    shards = _state_shards(sf_dir)
     out = streaming_asof_join(
         spark.readStream.schema(pschema)
         .option("maxFilesPerTrigger", 2).parquet(ldir),
         spark.readStream.schema(cschema)
         .option("maxFilesPerTrigger", 2).parquet(rdir),
         on=["user_id"], left_ts="ts", prefix="click_", delay="30 minutes",
-        shards=8,
+        shards=shards,
     )
-    # run_stream_to_memory pins the stateful shuffle width to 8 for the
-    # verification run (see its state_partitions doc)
-    run_stream_to_memory(out, "q64_stream", mode="append")
+    # run_stream_to_memory pins the stateful shuffle width to match the
+    # shard count for the verification run (see its state_partitions doc)
+    run_stream_to_memory(out, "q64_stream", mode="append", state_partitions=shards)
     return (
         spark.table("q64_stream")
         .filter(F.col("user_id") >= 0)
@@ -461,6 +503,7 @@ def q66_streaming_asof_forward(spark, sf_dir):
     # same 2-trigger shape as q64: data + sentinel in batch 0, the closing
     # no-data micro-batch flushes state once the watermark (sentinel-driven)
     # clears every left ts + tolerance
+    shards = _state_shards(sf_dir)
     out = streaming_asof_join(
         spark.readStream.schema(pschema)
         .option("maxFilesPerTrigger", 2).parquet(ldir),
@@ -468,9 +511,9 @@ def q66_streaming_asof_forward(spark, sf_dir):
         .option("maxFilesPerTrigger", 2).parquet(rdir),
         on=["user_id"], left_ts="ts", prefix="click_",
         direction="forward", tolerance_us=TOL_US,
-        delay="30 minutes", shards=8,
+        delay="30 minutes", shards=shards,
     )
-    run_stream_to_memory(out, "q66_stream", mode="append")
+    run_stream_to_memory(out, "q66_stream", mode="append", state_partitions=shards)
     return (
         spark.table("q66_stream")
         .filter(F.col("user_id") >= 0)
@@ -554,13 +597,14 @@ def q67_streaming_overlap_join(spark, sf_dir):
     ldir, rdir = d + "/errors", d + "/purchases"
     eschema = "user_id long, d timestamp, e_lo timestamp, e_up timestamp"
     pschema = "user_id long, wk timestamp, p_lo timestamp, p_up timestamp"
+    shards = _state_shards(sf_dir)
     out = streaming_overlap_join(
         spark.readStream.schema(eschema)
         .option("maxFilesPerTrigger", 1).parquet(ldir),
         spark.readStream.schema(pschema)
         .option("maxFilesPerTrigger", 1).parquet(rdir),
         "e_lo", "e_up", "p_lo", "p_up",
-        on=["user_id"], prefix="r_", delay="35 days", shards=8,
+        on=["user_id"], prefix="r_", delay="35 days", shards=shards,
     )
     prev_nd = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     # symmetric-join emission happens in the batch where the second side
@@ -569,7 +613,9 @@ def q67_streaming_overlap_join(spark, sf_dir):
     # trigger total
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
-        run_stream_to_memory(out, "q67_stream", mode="append")
+        run_stream_to_memory(
+            out, "q67_stream", mode="append", state_partitions=shards
+        )
     finally:
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nd)
     return spark.table("q67_stream").select(

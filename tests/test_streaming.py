@@ -635,3 +635,33 @@ def test_staged_input_persists_reuses_and_self_heals(spark, tmp_path, monkeypatc
     assert os.path.exists(os.path.join(root2, "_STAGED"))
     shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(root2, ignore_errors=True)
+
+
+def test_state_shards_data_driven(tmp_path):
+    """Round 13: the gate's pandas-state streaming width scales with the
+    events table's on-disk bytes — floor 8 at every fixture SF (the
+    r12-verified shape is unchanged), wider for replica corpora whose
+    per-shard rows would blow past the verified load, decision logged."""
+    from bacon_spark.gate.streaming import _state_shards
+    from bacon_spark.operators import decisions
+
+    # fixture-sized events file -> floor
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "events.parquet").write_bytes(b"x" * 1024)
+    assert _state_shards(str(small)) == 8
+    d = decisions.last("stream_shards")
+    assert d.route == "auto" and d.detail["shards"] == 8
+
+    # directory-shaped table summing past the per-shard target -> wider,
+    # capped
+    big = tmp_path / "big" / "events.parquet"
+    big.mkdir(parents=True)
+    for i in range(3):
+        (big / f"part-{i}.parquet").write_bytes(b"x" * (40 << 20))
+    assert _state_shards(str(tmp_path / "big"), floor=2) == 4  # ceil(120M/32M)
+    assert _state_shards(str(tmp_path / "big")) == 8  # default floor holds
+    assert _state_shards(str(tmp_path / "big"), bytes_per_shard=1 << 20, cap=64) == 64
+
+    # the real fixtures all sit at the floor
+    assert _state_shards("/root/testdata/sf0.1") == 8
