@@ -27,15 +27,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.exprs import darr, sfrag
 from ..operators.sampling import _draw, draw_sql
 
 #: decimal scale for the exact component sums in the centroid update
 _DEC = "decimal(38,12)"
 
 
+def _d2_frag(vec: str, cent: list[float]) -> str:
+    """Spark-SQL fragment of :func:`_d2` — identical tree, parsed in one
+    py4j round-trip (a k×dim literal matrix built per-F.lit cost ~1 s of
+    driver time per Lloyd step pre-r13)."""
+    return (
+        f"aggregate(zip_with({vec}, {darr(cent)}, (a, b) -> (a - b) * (a - b)), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def _d2(vec, cent: list[float]):
     """Squared L2 distance between an array<double> column and a literal
     centroid, folded left-to-right (matches DuckDB's list_sum order)."""
+    fv = sfrag(vec)
+    if fv is not None:
+        return F.expr(_d2_frag(fv, cent))
     c = F.array(*[F.lit(float(x)) for x in cent])
     return F.aggregate(
         F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
@@ -46,6 +60,13 @@ def _d2(vec, cent: list[float]):
 
 def _assign(vec, cents: list[tuple[int, list[float]]]):
     """argmin_ci round(d2, 6), ties to the smallest centroid index."""
+    fv = sfrag(vec)
+    if fv is not None:
+        structs = ",".join(
+            f"struct(round({_d2_frag(fv, c)}, 6) AS d, {int(ci)} AS ci)"
+            for ci, c in cents
+        )
+        return F.expr(f"array_min(array({structs})).ci")
     structs = [
         F.struct(F.round(_d2(vec, c), 6).alias("d"), F.lit(ci).alias("ci"))
         for ci, c in cents
@@ -161,7 +182,7 @@ def kmeans_centroids(
         assigned = assign_column(
             df.select(F.col(id_col), vec.alias("_v")),
             cents,
-            F.col("_v"),
+            "_v",
             "_ci",
             assign_threshold,
         )
@@ -205,7 +226,7 @@ def kmeans_assign(
     vec = F.col(vec_col).cast("array<double>")
     cents = kmeans_centroids(df, k, iters, id_col, vec_col, salt, assign_threshold)
     base = df.select(F.col(id_col), vec.alias("_v"))
-    out = assign_column(base, cents, F.col("_v"), "cluster", assign_threshold)
+    out = assign_column(base, cents, "_v", "cluster", assign_threshold)
     out = out.withColumn("cluster", F.col("cluster").cast("int"))
     cols = [id_col, "cluster"] + (["_v"] if include_vec else [])
     return out.select(*cols)
@@ -321,7 +342,7 @@ def semantic_dedup_stats(
             "cluster",
             F.when(
                 (F.col(id_col) != F.col("_hub"))
-                & (F.round(cosine(F.col("_v"), F.col("_hv")), 6) >= threshold),
+                & (F.round(cosine("_v", "_hv"), 6) >= threshold),
                 1,
             ).otherwise(0).alias("_removed"),
         )

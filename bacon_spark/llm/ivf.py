@@ -67,10 +67,26 @@ def _nearest_from(cents: Column, v: Column) -> Column:
     return let(dists, lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"))
 
 
-def nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
+def nearest_cell(vec: Column | str, centroids: list[list[float]]) -> Column:
     """Index of the nearest centroid (squared L2), as one JVM-side
     expression: distances fold via zip_with/aggregate over centroid array
-    literals, let-bound so the distance array is computed once."""
+    literals, let-bound so the distance array is computed once. A string
+    *vec* (column name / SQL fragment) builds the identical tree via one
+    parsed expression instead of per-F.lit py4j calls (r13)."""
+    from ..functions.exprs import darr, sfrag
+
+    fv = sfrag(vec)
+    if fv is not None:
+        cents = "array(" + ",".join(darr(c) for c in centroids) + ")"
+        dists = (
+            f"transform({cents}, c -> aggregate(zip_with("
+            f"CAST({fv} AS ARRAY<DOUBLE>), c, (a, b) -> (a - b) * (a - b)), "
+            f"0.0D, (acc, x) -> acc + x))"
+        )
+        return F.expr(
+            f"transform(array({dists}), d -> "
+            f"CAST((array_position(d, array_min(d)) - 1) AS INT))[0]"
+        )
     cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
     return _nearest_from(cents, vec.cast("array<double>"))
 
@@ -94,7 +110,7 @@ def cell_assign(
 
     threshold = LITERAL_ASSIGN_FLOATS if threshold is None else threshold
     if sum(len(c) for c in centroids) <= threshold:
-        return df.withColumn(out, nearest_cell(F.col(vec_col), centroids))
+        return df.withColumn(out, nearest_cell(f"`{vec_col}`", centroids))
     cent_df = df.sparkSession.createDataFrame(
         [([[float(x) for x in c] for c in centroids],)],
         "_cells array<array<double>>",
@@ -154,7 +170,9 @@ class IVFIndex:
     def topk(self, query_vec: list[float], k: int = 10, nprobe: int = 4) -> DataFrame:
         cells = self.probe_cells(query_vec, nprobe)
         cand = self.indexed.filter(F.col("cell").isin(cells))
-        lit_q = F.array(*[F.lit(float(v)) for v in query_vec])
+        from ..functions.exprs import darr
+
+        lit_q = darr(query_vec)
         return brute_force_topk(cand, lit_q, k, self.id_col, self.vec_col)
 
     def unpersist(self) -> None:

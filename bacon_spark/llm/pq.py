@@ -34,8 +34,9 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.exprs import darr, dlit
 from ..operators.sampling import draw_sql
-from .clustering import _DEC, _D2_SQL, _assign, seed_centroids
+from .clustering import _DEC, _D2_SQL, _assign, _d2_frag, seed_centroids
 
 Codebooks = list[list[tuple[int, list[float]]]]
 
@@ -65,10 +66,11 @@ def pq_codebooks(
         [(ci, v[s * subdim : (s + 1) * subdim]) for ci, v in seeds] for s in range(m)
     ]
     vec = F.col(vec_col).cast("array<double>")
+    vecf = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
     assigned = df.select(
         vec.alias("_v"),
         *[
-            _assign(F.slice(vec, s * subdim + 1, subdim), cents[s]).alias(f"_c{s}")
+            _assign(f"slice({vecf}, {s * subdim + 1}, {subdim})", cents[s]).alias(f"_c{s}")
             for s in range(m)
         ],
     )
@@ -119,11 +121,11 @@ def pq_codes(
     """(id, c0..c{m-1}) — each vector's m codebook codes, map-side."""
     m = len(codebooks)
     subdim = len(codebooks[0][0][1])
-    vec = F.col(vec_col).cast("array<double>")
+    vecf = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
     return df.select(
         F.col(id_col),
         *[
-            _assign(F.slice(vec, s * subdim + 1, subdim), codebooks[s]).alias(f"c{s}")
+            _assign(f"slice({vecf}, {s * subdim + 1}, {subdim})", codebooks[s]).alias(f"c{s}")
             for s in range(m)
         ],
     )
@@ -158,11 +160,11 @@ def pq_ann_topk(
     surviving centroids)."""
     m = len(codebooks)
     subdim = len(codebooks[0][0][1])
-    vec = F.col(vec_col).cast("array<double>")
+    vecf = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
     coded = df.select(
         F.col(id_col),
         *[
-            _assign(F.slice(vec, s * subdim + 1, subdim), codebooks[s]).alias(f"_c{s}")
+            _assign(f"slice({vecf}, {s * subdim + 1}, {subdim})", codebooks[s]).alias(f"_c{s}")
             for s in range(m)
         ],
     )
@@ -203,16 +205,12 @@ def pq_score_topk(
 
     per_probe = []
     for pid, pv in probes:
-        d: Column | None = None
-        for s in range(m):
-            tbl = F.array(*[F.lit(x) for x in adc_table(pv, s)])
-            ds = F.element_at(tbl, F.col(f"_c{s}") + 1)
-            d = ds if d is None else d + ds
-        per_probe.append(
-            F.struct(F.lit(pid).alias("probe_id"), F.round(d, 6).alias("approx_d"))
+        d = " + ".join(
+            f"element_at({darr(adc_table(pv, s))}, (_c{s} + 1))" for s in range(m)
         )
+        per_probe.append(f"struct({pid} AS probe_id, round({d}, 6) AS approx_d)")
     scored = coded.select(
-        F.col(id_col), F.explode(F.array(*per_probe)).alias("_p")
+        F.col(id_col), F.expr(f"explode(array({','.join(per_probe)}))").alias("_p")
     ).select(
         F.col("_p.probe_id").alias("probe_id"),
         F.col(id_col),
@@ -405,25 +403,21 @@ def residual_frame(
     standard IVF ingest path (Jégou et al. 2011 §V: the quantizers are
     trained once on a sample; subsequent data is only encoded)."""
     vec = F.col(vec_col).cast("array<double>")
+    vecf = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
     max_ci = max(ci for ci, _ in ccents) + 1
     by_ci = dict(ccents)
-    cent_lit = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in by_ci.get(ci, [0.0] * dim)])
-            for ci in range(max_ci)
-        ]
-    )
+    cent_arr = "array(" + ",".join(
+        darr(by_ci.get(ci, [0.0] * dim)) for ci in range(max_ci)
+    ) + ")"
     return df.select(
         F.col(id_col),
-        _assign(vec, ccents).alias("_cell"),
+        _assign(vecf, ccents).alias("_cell"),
         vec.alias("_v"),
     ).select(
         id_col,
         "_cell",
-        F.zip_with(
-            F.col("_v"),
-            F.element_at(cent_lit, F.col("_cell") + 1),
-            lambda x, y: x - y,
+        F.expr(
+            f"zip_with(_v, element_at({cent_arr}, (_cell + 1)), (x, y) -> x - y)"
         ).alias("_rv"),
     )
 
@@ -440,7 +434,7 @@ def ivfpq_encode(
         F.col(id_col),
         F.col("_cell").cast("int").alias("cell"),
         *[
-            _assign(F.slice(F.col("_rv"), s * subdim + 1, subdim), codebooks[s])
+            _assign(f"slice(_rv, {s * subdim + 1}, {subdim})", codebooks[s])
             .cast("int")
             .alias(f"c{s}")
             for s in range(m)
@@ -458,32 +452,20 @@ def route_probes(
     """probe id -> its nprobe nearest coarse cells, routed by a
     probe-count-row SPARK job so the rounding tie-breaks are
     engine-identical (never python's)."""
-    from .clustering import _d2
-
     pdf = spark.createDataFrame(
         [(pid, [float(x) for x in pv]) for pid, pv in probes],
         f"{id_col} long, _pv array<double>",
     )
-    ranked_cells = F.slice(
-        F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        F.round(_d2(F.col("_pv"), c), 6).alias("d"),
-                        F.lit(ci).alias("ci"),
-                    )
-                    for ci, c in ccents
-                ]
-            )
-        ),
-        1,
-        nprobe,
+    structs = ",".join(
+        f"struct(round({_d2_frag('_pv', c)}, 6) AS d, {int(ci)} AS ci)"
+        for ci, c in ccents
     )
+    ranked = f"slice(array_sort(array({structs})), 1, {nprobe})"
     return {
         r[id_col]: list(r["cells"])
         for r in pdf.select(
             F.col(id_col),
-            F.transform(ranked_cells, lambda s: s["ci"]).alias("cells"),
+            F.expr(f"transform({ranked}, s -> s.ci)").alias("cells"),
         ).collect()
     }
 
@@ -517,23 +499,21 @@ def score_adc_literal(
     by_ci = dict(ccents)
     per_probe = []
     for pid, pv in probes:
-        branch: Column | None = None
+        whens = []
         for cell in probe_cells[pid]:
             pr = [a - b for a, b in zip(pv, by_ci[cell])]
-            d: Column | None = None
-            for s in range(m):
-                tbl = F.array(*[F.lit(x) for x in adc_lookup_table(codebooks, s, pr)])
-                ds = F.element_at(tbl, F.col(f"_c{s}") + 1)
-                d = ds if d is None else d + ds
-            cond = F.col(cell_col) == cell
-            branch = F.when(cond, d) if branch is None else branch.when(cond, d)
-        per_probe.append(
-            F.struct(
-                F.lit(pid).alias("probe_id"), F.round(branch, 6).alias("approx_d")
+            d = " + ".join(
+                f"element_at({darr(adc_lookup_table(codebooks, s, pr))}, (`_c{s}` + 1))"
+                for s in range(m)
             )
+            whens.append(f"WHEN `{cell_col}` = {int(cell)} THEN {d}")
+        per_probe.append(
+            f"struct({pid} AS probe_id, round(CASE {' '.join(whens)} END, 6) AS approx_d)"
         )
     scored = (
-        coded.select(F.col(id_col), F.explode(F.array(*per_probe)).alias("_p"))
+        coded.select(
+            F.col(id_col), F.expr(f"explode(array({','.join(per_probe)}))").alias("_p")
+        )
         .select(
             F.col("_p.probe_id").alias("probe_id"),
             F.col(id_col),
@@ -589,7 +569,7 @@ def ivfpq_ann_topk(
         F.col(id_col),
         F.col("_cell"),
         *[
-            _assign(F.slice(F.col("_rv"), s * subdim + 1, subdim), cbs[s]).alias(
+            _assign(f"slice(_rv, {s * subdim + 1}, {subdim})", cbs[s]).alias(
                 f"_c{s}"
             )
             for s in range(m)

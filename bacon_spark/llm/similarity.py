@@ -23,11 +23,48 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.exprs import darr, sfrag
+
 #: deterministic pseudo-random hyperplane seeds (no RNG at plan time)
 HYPERPLANE_SEEDS = tuple(range(1, 9))
 
+# Each builder below accepts a Column OR a Spark-SQL fragment (a column
+# name / parenthesized expression / darr(...) literal). The fragment
+# path composes ONE SQL string and parses it JVM-side in a single py4j
+# round-trip — the Column path builds the same tree call-by-call (1-3
+# round-trips each, ~1.5 ms apiece on the bench host: a 16x64 literal
+# matrix cost ~1.3 s of driver time pre-r13). Both paths produce the
+# IDENTICAL expression tree (same fold order, same casts, same
+# literals), so results are bit-for-bit equal — pinned by
+# tests/test_fast_exprs.py.
 
-def dot(a: Column, b: Column) -> Column:
+
+def dot_frag(a: str, b: str) -> str:
+    """Spark-SQL fragment of :func:`dot` (same tree, one parse)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def norm_frag(a: str) -> str:
+    """Spark-SQL fragment of :func:`norm`."""
+    return (
+        f"sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * "
+        f"CAST(x AS DOUBLE)), 0.0D, (acc, x) -> acc + x))"
+    )
+
+
+def cosine_frag(a: str, b: str) -> str:
+    """Spark-SQL fragment of :func:`cosine`."""
+    d = f"({norm_frag(a)} * {norm_frag(b)})"
+    return f"CASE WHEN {d} > 0 THEN {dot_frag(a, b)} / {d} ELSE 0.0D END"
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    fa, fb = sfrag(a), sfrag(b)
+    if fa is not None and fb is not None:
+        return F.expr(dot_frag(fa, fb))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -35,7 +72,10 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column | str) -> Column:
+    fa = sfrag(a)
+    if fa is not None:
+        return F.expr(norm_frag(fa))
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -45,7 +85,10 @@ def norm(a: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column | str, b: Column | str) -> Column:
+    fa, fb = sfrag(a), sfrag(b)
+    if fa is not None and fb is not None:
+        return F.expr(cosine_frag(fa, fb))
     d = norm(a) * norm(b)
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
@@ -70,18 +113,22 @@ def cosine_sql(a: str, b: str) -> str:
 
 def brute_force_topk(
     df: DataFrame,
-    query_vec: Column,
+    query_vec: Column | str,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k against a single query vector.
+    """Exact cosine top-k against a single query vector (a Column, or a
+    SQL fragment such as ``darr(vec)`` for the one-parse fast path).
 
     Compiles to a map-side score + TakeOrderedAndProject — the right
     physical plan at any corpus size for single-query top-k."""
+    qf = sfrag(query_vec)
     scored = df.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), query_vec), 6).alias("cos_sim"),
+        F.round(
+            cosine(f"`{vec_col}`" if qf is not None else F.col(vec_col), query_vec), 6
+        ).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
@@ -123,7 +170,7 @@ def jl_signs(dim: int, out_dim: int = 16, salt: str = "jl") -> list[list[float]]
     return rows
 
 
-def jl_project(vec: Column, dim: int, out_dim: int = 16, salt: str = "jl") -> Column:
+def jl_project(vec: Column | str, dim: int, out_dim: int = 16, salt: str = "jl") -> Column:
     """Project *vec* (length dim) to out_dim components: each output is
     the signed sum dot(vec, ±1 row), rounded to 6 dp. Map-side literal
     arithmetic — no shuffle, no join, whole-stage codegen — and scale
@@ -132,6 +179,13 @@ def jl_project(vec: Column, dim: int, out_dim: int = 16, salt: str = "jl") -> Co
     dims cuts both the ANN index and every downstream distance to 1/4
     while JL keeps relative distances within the usual ε band (recall
     measured by the gate query rather than assumed)."""
+    fv = sfrag(vec)
+    if fv is not None:
+        comps = ",".join(
+            f"round({dot_frag(fv, darr(row))}, 6)"
+            for row in jl_signs(dim, out_dim, salt)
+        )
+        return F.expr(f"array({comps})")
     comps = [
         F.round(dot(vec, F.array(*[F.lit(s) for s in row])), 6)
         for row in jl_signs(dim, out_dim, salt)
@@ -149,7 +203,7 @@ def jl_project_sql(vec_expr: str, dim: int, out_dim: int = 16, salt: str = "jl")
     return f"[{comps}]"
 
 
-def hyperplane_bits(vec: Column, dim: int, seeds=HYPERPLANE_SEEDS) -> Column:
+def hyperplane_bits(vec: Column | str, dim: int, seeds=HYPERPLANE_SEEDS) -> Column:
     """Sign-bit bucket id from deterministic pseudo-hyperplanes:
     bit_s = [v · h_s > 0].
 
@@ -159,6 +213,18 @@ def hyperplane_bits(vec: Column, dim: int, seeds=HYPERPLANE_SEEDS) -> Column:
     (~0.5M JVM md5 calls per 1k rows), dominating bucket assignment
     cost. The dot-product fold order is unchanged, so bucket ids are
     bit-identical to the md5-in-SQL oracle construction."""
+    fv = sfrag(vec)
+    if fv is not None:
+        parts = ["CAST(0 AS BIGINT)"]
+        for si, comps in enumerate(plane_constants(dim, seeds)):
+            proj = (
+                f"aggregate(zip_with({fv}, {darr(comps)}, (x, h) -> "
+                f"CAST(x AS DOUBLE) * h), 0.0D, (acc, x) -> acc + x)"
+            )
+            parts.append(
+                f"CAST(CASE WHEN {proj} > 0 THEN {1 << si} ELSE 0 END AS BIGINT)"
+            )
+        return F.expr(" + ".join(parts))
     bucket = F.lit(0).cast("long")
     for si, comps in enumerate(plane_constants(dim, seeds)):
         plane = F.array(*[F.lit(c) for c in comps])
@@ -205,7 +271,7 @@ def blocked_all_pairs_cosine(
     normed = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
-        norm(F.col(vec_col)).alias("_nrm"),
+        norm(f"`{vec_col}`").alias("_nrm"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).alias("_g"),
     )
     pair_rows = [
@@ -228,7 +294,7 @@ def blocked_all_pairs_cosine(
     )
     denom = F.col("na") * F.col("nb")
     sim = F.round(
-        F.when(denom > 0, dot(F.col("ea"), F.col("eb")) / denom).otherwise(F.lit(0.0)), 6
+        F.when(denom > 0, dot("ea", "eb") / denom).otherwise(F.lit(0.0)), 6
     )
     return (
         joined.select(
@@ -260,7 +326,7 @@ def lsh_bucket_pairs(
     deterministic md5 hyperplanes make the *same* candidate set
     reproducible in any engine, which is what the oracle pins."""
     bucketed = df.select(
-        F.col(id_col), F.col(vec_col), hyperplane_bits(F.col(vec_col), dim, seeds).alias("bucket")
+        F.col(id_col), F.col(vec_col), hyperplane_bits(f"`{vec_col}`", dim, seeds).alias("bucket")
     )
     a = bucketed.select(
         "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("ea")
@@ -268,7 +334,7 @@ def lsh_bucket_pairs(
     b = bucketed.select(
         "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("eb")
     )
-    sim = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    sim = F.round(cosine("ea", "eb"), 6)
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -386,7 +452,7 @@ def embedding_dedup_scalable(
     bucketed = df.select(
         F.col(id_col),
         F.col(vec_col),
-        hyperplane_bits(F.col(vec_col), dim, seeds).alias("bucket"),
+        hyperplane_bits(f"`{vec_col}`", dim, seeds).alias("bucket"),
     )
     hubs = (
         bucketed.groupBy("bucket")
@@ -401,7 +467,7 @@ def embedding_dedup_scalable(
         bucketed.join(hubs, "bucket")
         .filter(F.col(id_col) != F.col("_hub"))
         .join(hub_vec, "_hub")
-        .filter(F.round(cosine(F.col("_hv"), F.col(vec_col)), 6) >= F.lit(threshold))
+        .filter(F.round(cosine("_hv", f"`{vec_col}`"), 6) >= F.lit(threshold))
         .select(F.col("_hub").alias("id_a"), F.col(id_col).alias("id_b"))
         .distinct()
     )
@@ -489,8 +555,8 @@ def ann_lsh_topk(
     """Approximate top-k: score only vectors in the query's hyperplane
     bucket. At scale the table is stored partitioned by `bucket` so this
     becomes a partition-pruned read of ~1/2^bits of the data."""
-    lit_q = F.array(*[F.lit(float(v)) for v in query_vec_row])
-    bucketed = df.withColumn("bucket", hyperplane_bits(F.col(vec_col), dim))
+    lit_q = darr(query_vec_row)
+    bucketed = df.withColumn("bucket", hyperplane_bits(f"`{vec_col}`", dim))
     qdf = df.sparkSession.range(1).select(hyperplane_bits(lit_q, dim).alias("qbucket"))
     qbucket = qdf.head()[0]
     cand = bucketed.filter(F.col("bucket") == F.lit(qbucket))
@@ -532,7 +598,7 @@ def knn_join(
     scored = pairs.select(
         "query_id",
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos_sim"),
+        F.round(cosine(f"`{vec_col}`", "_qv"), 6).alias("cos_sim"),
     )
 
     out_schema = scored.schema
