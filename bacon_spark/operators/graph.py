@@ -35,7 +35,15 @@ __all__ = ["connected_components"]
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u}).
+
+    The output is NOT deduplicated here (r13): `_small_star` min-
+    aggregates on its greatest-endpoint key (duplicates cannot change a
+    min) and ends in its own ``distinct``, so an intermediate distinct
+    only re-shuffled ~|E| rows to remove the few (dst, m) collisions —
+    one whole Exchange per CC round for nothing. Row count stays ~|E|
+    without it: each undirected edge survives the ``dst > src`` guard
+    exactly once, and the `mins` join is 1:1 on src."""
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     mins = (
         sym.groupBy("src")
@@ -47,7 +55,6 @@ def _large_star(e: DataFrame) -> DataFrame:
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
@@ -86,11 +93,15 @@ def connected_components(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # lazy checkpoint (r13): the signature aggregate right below is
+        # the action that materializes it — one Spark job per round
+        # instead of a separate eager-checkpoint job plus the signature
+        # job. The checkpointed RDD is what the next round reads.
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         sig = e.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),

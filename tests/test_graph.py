@@ -79,6 +79,35 @@ def test_cc_random_vs_union_find(spark):
     assert _got(connected_components(df)) == want
 
 
+def test_cc_duplicate_multi_edges_and_star_internals(spark):
+    """r13 pin: `_large_star` no longer deduplicates its output (one
+    Exchange per round removed) — components must be unchanged even when
+    the input itself carries heavy duplicate multi-edges in both
+    orientations, and the per-round rows stay bounded (~|E|, no blowup)."""
+    from pyspark.sql import functions as F
+
+    from bacon_spark.operators.graph import _large_star, _small_star
+
+    base = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (5, 1)]
+    dup = base * 3 + [(b, a) for a, b in base] * 2
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in dup])
+    out = _got(connected_components(df))
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10}
+
+    # one un-deduped round emits at most |sym where dst>src| = |distinct E|
+    # rows per duplicate of the input (no quadratic blowup), and its
+    # DISTINCT closure equals the closure of the deduped input's round
+    e = df.select("src", "dst").where(F.col("src") != F.col("dst"))
+    e_dd = e.distinct()
+    round_raw = _small_star(_large_star(e))
+    round_dd = _small_star(_large_star(e_dd))
+    assert sorted(map(tuple, round_raw.collect())) == sorted(
+        map(tuple, round_dd.collect())
+    )
+    inner = _large_star(e_dd)
+    assert inner.count() <= e_dd.count()
+
+
 def test_triangle_count_known_graphs(spark):
     from pyspark.sql import Row
 
