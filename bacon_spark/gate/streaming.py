@@ -241,7 +241,10 @@ def q54_incremental_maintenance(spark, sf_dir):
 
     b = CuttingBoard(cd, spark.read.parquet(data), snapshot_cache=True)
     stream = spark.readStream.schema(spark.read.parquet(data).schema).parquet(data)
-    sq = stream_into_board(stream, b, ckpt)
+    from ..streaming.windows import scratch_checkpoint_conf
+
+    with scratch_checkpoint_conf(spark):  # run-scoped scratch ckpt
+        sq = stream_into_board(stream, b, ckpt)
     try:
         sq.processAllAvailable()  # catch up before priming (consistency contract)
         b.slice(q).rows()  # prime the cached slice from the first half
@@ -1065,7 +1068,7 @@ def q141_streaming_cdc_upsert(spark, sf_dir):
 
     from ..operators.maintenance import manifest_read
     from ..streaming.sink import idempotent_batch_writer
-    from ..streaming.windows import scratch_dir
+    from ..streaming.windows import scratch_checkpoint_conf, scratch_dir
 
     src = _stage_q141(spark, sf_dir)
     out = scratch_dir("bacon_q141out_")
@@ -1078,12 +1081,13 @@ def q141_streaming_cdc_upsert(spark, sf_dir):
             .parquet(src)
         )
         writer = idempotent_batch_writer(out)
-        q = (
-            stream.writeStream.foreachBatch(writer)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
+        with scratch_checkpoint_conf(spark):  # per-run scratch ckpt
+            q = (
+                stream.writeStream.foreachBatch(writer)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination(300)
         # simulate at-least-once redelivery after a crash: replay batch 0
         # verbatim — the sink must drop it without a version bump

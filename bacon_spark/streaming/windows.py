@@ -118,6 +118,47 @@ def scratch_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
+#: SQL conf for Spark 4.1's checkpoint-file checksums (sidecar .crc per
+#: offset/commit/state file, verified on read) — a corruption tripwire
+#: for DURABLE checkpoint storage.
+_CKPT_CHECKSUM_CONF = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+
+
+def scratch_checkpoint_conf(spark):
+    """Context manager: pin checkpoint-file checksums OFF for a query
+    about to ``start()`` on a RUN-SCOPED scratch checkpoint (tmpfs dirs
+    from :func:`scratch_dir` that die with the process), restoring the
+    session conf after. Every micro-batch writes offset/commit WALs and
+    per-shard state files, so the checksum sidecars add a fixed per-
+    trigger file-count/fsync tax — measured ~10% of multi-batch gate
+    runs — while buying nothing a scratch checkpoint can use (its
+    corruption story IS process death). Durable production checkpoints
+    should keep the default: set ``BACON_STREAM_DURABLE_CKPT=1`` (or
+    don't route through this helper) and the conf is left untouched."""
+    import contextlib
+    import os
+
+    @contextlib.contextmanager
+    def _cm():
+        if os.environ.get("BACON_STREAM_DURABLE_CKPT") == "1":
+            yield
+            return
+        try:
+            prev = spark.conf.get(_CKPT_CHECKSUM_CONF)
+        except Exception:
+            prev = None
+        spark.conf.set(_CKPT_CHECKSUM_CONF, "false")
+        try:
+            yield
+        finally:
+            if prev is None:
+                spark.conf.unset(_CKPT_CHECKSUM_CONF)
+            else:
+                spark.conf.set(_CKPT_CHECKSUM_CONF, prev)
+
+    return _cm()
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, mode: str = "complete",
     checkpoint: str | None = None,
@@ -163,7 +204,7 @@ def run_stream_to_memory(
     try:
         with state_store_conf(
             stream_df.sparkSession, state_provider, expected_state_rows
-        ):
+        ), scratch_checkpoint_conf(spark):
             q = w.option("checkpointLocation", checkpoint).start()
     finally:
         spark.conf.set(sp_conf, prev_sp)
