@@ -326,8 +326,15 @@ def q106_pagerank_doc_graph(spark, sf_dir):
     Scale shape: per iteration, one edge-table shuffle joined against
     the node-sized rank vector; lineage cut per round.  The
     domain-authority scoring step of web-corpus curation."""
-    docs = _read_docs(spark, sf_dir)
-    nodes = docs.select(F.col("doc_id").alias("id"))
+    # r13: NOT _read_docs — that widens (an Exchange) the full table,
+    # text bodies included, while this query touches only doc_id. The
+    # narrow id column comes straight off the parquet scan (column
+    # pruning reaches the reader), and `nodes` is lazily checkpointed so
+    # the five iteration joins + final mapping reuse one materialized id
+    # vector instead of re-scanning per use (the count() right below is
+    # the materializing action).
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    nodes = docs.select(F.col("doc_id").alias("id")).localCheckpoint(eager=False)
     n = nodes.count()
     links = [((F.col("doc_id") * 31 + F.lit(i * 97)) % F.lit(n)) for i in range(1, 5)]
     edges = docs.select(
