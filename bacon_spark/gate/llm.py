@@ -2032,16 +2032,19 @@ def q172_hist_sketch_quantiles(spark, sf_dir):
         .alias("_rn"),
         F.count(F.lit(1)).over(Window.partitionBy("source")).alias("_n"),
     )
-    exact = None
-    for p in (50, 90, 99):
-        sel = ranked.where(
-            F.col("_rn") == F.expr(f"({p} * _n + 99) div 100")
-        ).select(
-            "source",
-            F.lit(p).cast("int").alias("pct"),
-            F.col("v").alias("q_exact"),
+    # ONE pass over the ranked frame for all three percentiles (r13):
+    # the former per-percentile union branches each re-ran the window
+    # sort (no cross-branch subtree reuse in the physical plan) — a
+    # map-side explode of the three pct literals emits the identical
+    # rows from a single sort, 3 window evaluations -> 1.
+    exact = (
+        ranked.select(
+            "source", "v", "_rn", "_n",
+            F.explode(F.array(*[F.lit(p) for p in (50, 90, 99)])).alias("pct"),
         )
-        exact = sel if exact is None else exact.unionByName(sel)
+        .where(F.col("_rn") == F.expr("(pct * _n + 99) div 100"))
+        .select("source", F.col("pct").cast("int").alias("pct"), F.col("v").alias("q_exact"))
+    )
     return est.join(exact, ["source", "pct"]).select(
         "source",
         "pct",

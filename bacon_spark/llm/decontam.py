@@ -95,9 +95,16 @@ def contaminated_ids_bloom(
     The bitmap collect is one driver round-trip of m_bits/8 bytes —
     the same cost profile as ``df.stat.bloomFilter``, but the probe
     stays in codegen instead of a per-row Python call."""
+    from ..utils.caching import managed_persist
+
     text = F.col(text) if isinstance(text, str) else text
     grams = train.select(F.col(id_col), F.explode(shingles(text, k)).alias("gram"))
-    ev = eval_shingle_set(eval_df, text, k)
+    # persisted (r13): the eval shingle set feeds BOTH the bitmap build
+    # (the collect below materializes it) and the exact-verify broadcast
+    # join — unpersisted it was exploded+distinct'd twice, a full second
+    # eval-side scan for nothing. Eval suites are the small side by
+    # construction, so the cache is bounded.
+    ev = managed_persist(eval_shingle_set(eval_df, text, k))
 
     def positions(gram: Column) -> list[Column]:
         return [

@@ -251,13 +251,20 @@ def ams_f2(df: DataFrame, value: str, d: int = 64, salt: str = "ams") -> DataFra
             for i in range(nh)
         ]
     )
-    cols = [
-        F.sum((F.shiftright(F.col(f"_h{j // 30}"), j % 30) % 2) * 2 - 1).alias(f"z{j}")
+    # one-parse fragments (r13): the d sum columns + d-term square fold
+    # were ~5d py4j round-trips of Column building (~0.5 s of driver
+    # time per sketch at d=64); the parsed SQL is the identical tree —
+    # same shiftright/%/*2-1 ops, same left-assoc fold, same int->double
+    # division — so estimates stay bit-identical (tests/test_sketch.py).
+    zs = ",".join(
+        f"'z{j}', sum((shiftright(_h{j // 30}, {j % 30}) % 2) * 2 - 1)"
         for j in range(d)
-    ]
-    z = base.agg(*cols)
-    sq = sum((F.col(f"z{j}") * F.col(f"z{j}") for j in range(d)), F.lit(0).cast("long"))
-    return z.select((sq / d).alias("f2_estimate"))
+    )
+    z = base.agg(F.expr(f"named_struct({zs})").alias("_z"))
+    sq = " + ".join(f"(_z.z{j} * _z.z{j})" for j in range(d))
+    return z.select(
+        F.expr(f"(CAST(0 AS BIGINT) + {sq}) / {d}").alias("f2_estimate")
+    )
 
 
 def ams_f2_sql(table_expr: str, value_expr: str, d: int = 64, salt: str = "ams") -> str:
