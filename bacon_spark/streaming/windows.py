@@ -118,23 +118,30 @@ def scratch_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
-#: SQL conf for Spark 4.1's checkpoint-file checksums (sidecar .crc per
-#: offset/commit/state file, verified on read) — a corruption tripwire
-#: for DURABLE checkpoint storage.
-_CKPT_CHECKSUM_CONF = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+#: per-query conf overrides for streams on RUN-SCOPED scratch
+#: checkpoints (tmpfs dirs from :func:`scratch_dir` that die with the
+#: process):
+#: - checkpoint-file checksums (Spark 4.1's corruption tripwire for
+#:   DURABLE checkpoint storage) are a fixed per-trigger file-count/
+#:   fsync tax — measured ~10% of multi-batch gate runs — that buys
+#:   nothing when the checkpoint's corruption story IS process death;
+#: - unloadOnCommit closes each state-store provider at task commit
+#:   (built for short-lived availableNow queries): a long session
+#:   otherwise accumulates loaded providers from every finished stream,
+#:   whose background maintenance keeps churning — measured ~5% on the
+#:   streaming family and the accumulation grows with queries run.
+_SCRATCH_STREAM_CONFS = {
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
+    "spark.sql.streaming.stateStore.unloadOnCommit": "true",
+}
 
 
 def scratch_checkpoint_conf(spark):
-    """Context manager: pin checkpoint-file checksums OFF for a query
-    about to ``start()`` on a RUN-SCOPED scratch checkpoint (tmpfs dirs
-    from :func:`scratch_dir` that die with the process), restoring the
-    session conf after. Every micro-batch writes offset/commit WALs and
-    per-shard state files, so the checksum sidecars add a fixed per-
-    trigger file-count/fsync tax — measured ~10% of multi-batch gate
-    runs — while buying nothing a scratch checkpoint can use (its
-    corruption story IS process death). Durable production checkpoints
-    should keep the default: set ``BACON_STREAM_DURABLE_CKPT=1`` (or
-    don't route through this helper) and the conf is left untouched."""
+    """Context manager: pin the scratch-checkpoint conf overrides above
+    for a query about to ``start()``, restoring the session conf after.
+    Durable production checkpoints should keep the defaults: set
+    ``BACON_STREAM_DURABLE_CKPT=1`` (or don't route through this helper)
+    and the session conf is left untouched."""
     import contextlib
     import os
 
@@ -143,18 +150,21 @@ def scratch_checkpoint_conf(spark):
         if os.environ.get("BACON_STREAM_DURABLE_CKPT") == "1":
             yield
             return
-        try:
-            prev = spark.conf.get(_CKPT_CHECKSUM_CONF)
-        except Exception:
-            prev = None
-        spark.conf.set(_CKPT_CHECKSUM_CONF, "false")
+        prev = {}
+        for conf, val in _SCRATCH_STREAM_CONFS.items():
+            try:
+                prev[conf] = spark.conf.get(conf)
+            except Exception:
+                prev[conf] = None
+            spark.conf.set(conf, val)
         try:
             yield
         finally:
-            if prev is None:
-                spark.conf.unset(_CKPT_CHECKSUM_CONF)
-            else:
-                spark.conf.set(_CKPT_CHECKSUM_CONF, prev)
+            for conf, old in prev.items():
+                if old is None:
+                    spark.conf.unset(conf)
+                else:
+                    spark.conf.set(conf, old)
 
     return _cm()
 
