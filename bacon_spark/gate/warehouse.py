@@ -101,7 +101,13 @@ def q76_table_profile(spark, sf_dir):
     rationale as _read_docs)."""
     from ..operators.scale import widen
 
-    return _profile(widen(_read(spark, sf_dir, "orders")), _PROFILE_COLS)
+    # project to the profiled columns BEFORE the widen (r13, guide
+    # "project before the exchange"): the conditional repartition
+    # otherwise carries every orders column — o_comment included —
+    # through its Exchange for a profile that reads four.
+    return _profile(
+        widen(_read(spark, sf_dir, "orders").select(*_PROFILE_COLS)), _PROFILE_COLS
+    )
 
 
 @query(
