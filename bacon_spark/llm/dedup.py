@@ -881,8 +881,20 @@ def prefix_filtered_jaccard_join(
     Scale shape: one df-ranking aggregate (vocabulary-sized), per-doc
     sort of its own token set (map-side), prefix explode (O(docs x
     prefix) rows — bodies never shuffle), equi-join on the prefix
-    token, and one exact verify join per candidate pair carrying the
-    two token arrays.  Returns (id_a, id_b, jacc)."""
+    token, and one exact verify join per candidate pair.  r13: the
+    candidate join and the pair dedup move ONLY (id, prefix-token) /
+    (id_a, id_b) rows; the token arrays are re-attached to the deduped
+    survivors by two id-keyed joins, so each document's array crosses
+    the network once per verify join instead of once per prefix copy
+    AND once more through the dedup exchange (guide §8: decide with
+    small rows, attach payloads last).  The deduped pair set is
+    explicitly spread over ``spark.sql.shuffle.partitions`` before the
+    verify: AQE coalesces that exchange by BYTES, and a candidate set
+    small in bytes but heavy in per-row intersection CPU otherwise
+    verifies on one task (measured: 1 task x 1.9 s at sf0.1).
+    Returns (id_a, id_b, jacc)."""
+    from ..utils.caching import managed_persist
+
     toks = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(tokens(F.col(text_col))).alias("_toks"),
@@ -890,7 +902,12 @@ def prefix_filtered_jaccard_join(
     vocab = toks.select(F.explode("_toks").alias("tok")).groupBy("tok").agg(
         F.count(F.lit(1)).alias("_df")
     )
-    ranked = (
+    # persisted (managed, see utils.caching): four consumers read it —
+    # the two prefix-explode sides of the candidate join and the two
+    # verify-side array attachments. Unpersisted, Catalyst evaluates the
+    # whole subtree (corpus scan + tokenize + vocabulary join + per-doc
+    # sort) once per consumer.
+    ranked = managed_persist(
         toks.select("id", F.explode("_toks").alias("tok"))
         .join(vocab, "tok")
         .groupBy("id")
@@ -907,22 +924,30 @@ def prefix_filtered_jaccard_join(
     prefix_len = n - F.ceil(F.lit(threshold) * n).cast("int") + 1
     pref = ranked.select(
         "id",
-        "sorted_toks",
         F.explode(F.slice("sorted_toks", 1, prefix_len)).alias("ptok"),
     )
     # distinct column names per side keep the self-join unambiguous
     # without alias-qualified references
-    pa = pref.select(
-        F.col("id").alias("id_a"), F.col("sorted_toks").alias("ta"), F.col("ptok")
-    )
-    pb = pref.select(
-        F.col("id").alias("id_b"), F.col("sorted_toks").alias("tb"), F.col("ptok")
-    )
-    cand = (
+    pa = pref.select(F.col("id").alias("id_a"), F.col("ptok"))
+    pb = pref.select(F.col("id").alias("id_b"), F.col("ptok"))
+    # explicit-N repartition (N from spark.sql.shuffle.partitions, so it
+    # is conf-scaled, not a local constant) keyed on id_b — a key the
+    # child is NOT already partitioned on, so the optimizer keeps it and
+    # AQE honors the user-specified width instead of byte-coalescing the
+    # verify onto one task
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cand_ids = (
         pa.join(pb, ["ptok"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "ta", "tb")
         .dropDuplicates(["id_a", "id_b"])
+        .repartition(nparts, "id_b")
+    )
+    cand = cand_ids.join(
+        ranked.select(F.col("id").alias("id_a"), F.col("sorted_toks").alias("ta")),
+        "id_a",
+    ).join(
+        ranked.select(F.col("id").alias("id_b"), F.col("sorted_toks").alias("tb")),
+        "id_b",
     )
     inter = F.size(F.array_intersect("ta", "tb"))
     union = F.size("ta") + F.size("tb") - inter
