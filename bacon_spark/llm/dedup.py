@@ -685,13 +685,41 @@ def winnow_overlap_pairs(
         F.explode(winnow_minimizers(F.col(text_col), k, w)).alias("m"),
     )
     if max_df is not None:
-        keep = (
-            fps.groupBy("m")
-            .agg(F.count(F.lit(1)).alias("_df"))
+        # one explicit hash exchange on the bucket key (r13): with the
+        # df-cap the fingerprint frame has THREE consumers — the
+        # df-count aggregate and the two sides of the candidate
+        # self-join — whose subtrees don't canonicalize equal, so the
+        # winnowing Generate (positional hashes + window minima, the
+        # heavy per-doc array work) ran TWICE over the corpus (the two
+        # join sides already shared one exchange). Repartitioning by m
+        # first gives every consumer the partitioning it needs from ONE
+        # reused exchange: the Generate runs once, the df-count
+        # aggregates reducer-locally, and the self-join adds no further
+        # shuffle. (A managed_persist was measured instead and LOST —
+        # columnar cache build/read of the fingerprint rows costs more
+        # than one extra Generate at every SF tried.)
+        from pyspark.sql.window import Window
+
+        # The cap as a WINDOW count over one explicit exchange on the
+        # bucket key (r13), not a count-aggregate + keep-join: the
+        # aggregate branch's subtree never canonicalizes equal to the
+        # join sides' (column pruning drops id from it; the pair join's
+        # isnotnull(id) pushes into the sides but not the count), so
+        # the corpus was scanned + winnowed TWICE per run (measured:
+        # 15.5 s + 9.7 s task-time twin stages at sf0.1; a
+        # managed_persist was measured too and LOST — columnar cache
+        # build/read costs more than the Generate it saves here).
+        # count().over(partitionBy(m)) needs exactly the
+        # hashpartitioning(m) this repartition provides, the self-join
+        # consumes the same partitioning and the window's sort, and the
+        # window count equals the groupBy count row-for-row (all rows
+        # per m, null ids included). One Generate, one exchange.
+        fps = (
+            fps.repartition("m")
+            .withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("m")))
             .filter(F.col("_df") <= max_df)
-            .select("m")
+            .select("id", "m")
         )
-        fps = fps.join(keep, "m")
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(b, (F.col("a.m") == F.col("b.m")) & (F.col("a.id") < F.col("b.id")))

@@ -346,6 +346,51 @@ def test_winnow_max_df_drops_boilerplate_buckets_keeps_rare_overlap(spark):
     assert any(a >= 2 and b >= 2 for a, b in uncapped)
 
 
+def test_winnow_window_cap_matches_groupby_count_cap(spark):
+    # r13: the df-cap is applied as a window count over one exchange on
+    # the minimizer key (one corpus scan) instead of a count-aggregate +
+    # keep-join (which re-scanned + re-winnowed the corpus for the count
+    # branch). Pin the equivalence: the shipped form must emit exactly
+    # the pairs of an inline groupBy-count reference, including the
+    # shared counts, on a corpus with both hot (df > cap) and rare
+    # minimizers.
+    boiler = "all rights reserved contact us today"
+    shared = "alpha beta gamma delta epsilon zeta"
+    texts = [f"{boiler} doc{i} filler{i} words{i} here{i}" for i in range(6)]
+    texts[0] = f"{boiler} {shared} unique0 tail0"
+    texts[1] = f"{boiler} {shared} unique1 tail1"
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    max_df = 3
+    got = {
+        (r["id_a"], r["id_b"], r["shared"])
+        for r in winnow_overlap_pairs(df, min_shared=1, max_df=max_df).collect()
+    }
+    # reference: the pre-r13 formulation, groupBy count + keep join
+    fps = df.select(
+        F.col("doc_id").alias("id"),
+        F.explode(winnow_minimizers(F.col("text"), 3, 4)).alias("m"),
+    )
+    keep = (
+        fps.groupBy("m")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("m")
+    )
+    kept = fps.join(keep, "m")
+    a, b = kept.alias("a"), kept.alias("b")
+    want = {
+        (r["id_a"], r["id_b"], r["shared"])
+        for r in (
+            a.join(b, (F.col("a.m") == F.col("b.m")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(F.col("shared") >= 1)
+            .collect()
+        )
+    }
+    assert got == want and got
+
+
 # ---------------------------------------------------------------------------
 # duplicate spans
 # ---------------------------------------------------------------------------

@@ -434,6 +434,30 @@ def test_histogram_buckets_edges_and_zero_fill(spark):
     assert len(out) == 4
 
 
+def test_profile_split_aggregation_values(spark):
+    """r13: profile()'s counting aggregates and min/max run in separate
+    one-row aggregations (min/max over strings forced the combined
+    multi-distinct Expand into a SortAggregate that fully sorted the
+    expanded rows). Pin exact values on a mixed-type frame with nulls
+    and strings so the split can never drift from the combined form."""
+    from bacon_spark.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [(1, "b", 2.0), (2, "a", None), (2, None, 4.0), (3, "a", 4.0)],
+        "k int, s string, v double",
+    )
+    out = {r["column"]: r.asDict() for r in profile(df, ["k", "s", "v"]).collect()}
+    assert set(out) == {"k", "s", "v"}
+    for c in out:
+        assert out[c]["n_rows"] == 4
+    assert (out["k"]["n_nulls"], out["k"]["n_distinct"]) == (0, 3)
+    assert (out["k"]["min_value"], out["k"]["max_value"]) == ("1", "3")
+    assert (out["s"]["n_nulls"], out["s"]["n_distinct"]) == (1, 2)
+    assert (out["s"]["min_value"], out["s"]["max_value"]) == ("a", "b")
+    assert (out["v"]["n_nulls"], out["v"]["n_distinct"]) == (1, 2)
+    assert (out["v"]["min_value"], out["v"]["max_value"]) == ("2.0", "4.0")
+
+
 def test_lattice_decision_recorded(sales, cubedef):
     """VERDICT r11 next #6: the planner's serve-vs-rescan choice is
     auditable after the fact — decisions.last('lattice') explains whether
