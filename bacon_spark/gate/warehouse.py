@@ -67,6 +67,13 @@ def bucketed_star_tables(spark, sf_dir: str) -> tuple[str, str]:
     WHERE o.o_orderstatus = 'F'
     GROUP BY 1
     """,
+    # once-per-ingest layout (r13): the bucketed tables were already a
+    # registered layout build (tools/scale_sweep_builds.py) but the
+    # bench had no prepare hook for them, so a fresh session's FIRST
+    # timed q61 paid the catalog DDL + bucket-file listing (~3.5 s of a
+    # 3.97 s bench cell; the join itself is 0.47 s isolated) — exactly
+    # the ingest-amortized cost the prepare contract exists to exclude.
+    prepare=bucketed_star_tables,
 )
 def q61_bucketed_star_join(spark, sf_dir):
     """Fact-to-fact join on co-bucketed tables: lineitem and orders are
