@@ -170,7 +170,10 @@ def pagerank_quantized(
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy (r13): the first consuming action materializes the edge
+        # checkpoint once (block-locked); eager ran an extra build-time
+        # job inside the timed cell
+        .localCheckpoint(eager=False)
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n_nodes = nodes.count()
@@ -201,7 +204,10 @@ def pagerank_quantized(
             )
         )
         if (it + 1) % checkpoint_every == 0 and (it + 1) < iters:
-            ranks = ranks.localCheckpoint(eager=True)
+            # lazy (r13, same rationale as the CC loop's ee0d143): the
+            # consumer's action materializes the checkpoint — no
+            # separate eager-checkpoint job inside the timed cell
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
