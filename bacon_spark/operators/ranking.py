@@ -70,7 +70,20 @@ def global_rank(
             seen += len(b)
             yield b
 
-    stamped = ranged.mapInPandas(stamp, schema=out_schema)
+    # persisted (managed, r13): TWO consumers read the stamped frame —
+    # the per-partition counts and the final offset join — and the
+    # subtree above it is an opaque mapInPandas, so each consumer
+    # otherwise re-runs the range-exchange read, the local sort AND a
+    # full second pass of every row through the Python workers
+    # (measured: two equal 6.2 s task-time stages at sf0.1; the guide
+    # §4 boundary tax paid twice). The stamped rows are the input plus
+    # two small ints, so the cache is input-sized; both consumers and
+    # the recompute-vs-cache trade differ from the winnow case (q150)
+    # exactly because the duplicated work here crosses the Python
+    # boundary instead of staying in codegen.
+    from ..utils.caching import managed_persist
+
+    stamped = managed_persist(ranged.mapInPandas(stamp, schema=out_schema))
     counts = stamped.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(
