@@ -1404,7 +1404,15 @@ def q183_streaming_funnel(spark, sf_dir):
     prev_nd = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
-        run_stream_to_memory(snaps, "q183_stream", mode="update")
+        # width 16 (r13, measured): the per-user Python-state fold is
+        # bound by per-trigger Arrow round-trips, not store commits —
+        # unlike the JVM-state streams (q44/q64/q99 measured WORSE at
+        # 16), doubling the stateful width runs more of those
+        # round-trips in parallel: every interleaved A/B pair ahead at
+        # 32 cores (median 2.47 -> 2.14 s) AND at 8 cores (3.26 ->
+        # 3.18), results identical (state is per-user; the width only
+        # moves cost).
+        run_stream_to_memory(snaps, "q183_stream", mode="update", state_partitions=16)
     finally:
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nd)
     latest = latest_funnel_steps(spark.table("q183_stream"))
@@ -1499,7 +1507,13 @@ def q189_streaming_funnel_auto(spark, sf_dir):
     prev_nd = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
-        run_stream_to_memory(snaps, "q189_stream", mode="update")
+        # width 16 (r13): same measured trade as q183 — the per-user
+        # route (taken at bench cardinalities) is Arrow-round-trip
+        # bound (A/B median 3.22 -> 2.78 s, every pair), and the
+        # sharded route's 64 logical shard keys spread over 16
+        # partitions instead of 8 (the 8-shard q188 form, where width
+        # beyond the key count buys nothing, keeps the default).
+        run_stream_to_memory(snaps, "q189_stream", mode="update", state_partitions=16)
     finally:
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nd)
     latest = latest_funnel_steps(spark.table("q189_stream"))
