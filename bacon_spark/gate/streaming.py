@@ -1411,7 +1411,10 @@ def q183_streaming_funnel(spark, sf_dir):
         # round-trips in parallel: every interleaved A/B pair ahead at
         # 32 cores (median 2.47 -> 2.14 s) AND at 8 cores (3.26 ->
         # 3.18), results identical (state is per-user; the width only
-        # moves cost).
+        # moves cost). NB run_stream_to_memory's state_partitions is a
+        # CAP on the session's shuffle-partition setting, never a
+        # raise, so 16 is a no-op (and the 8-core number only holds)
+        # when the session runs with >16 shuffle partitions.
         run_stream_to_memory(snaps, "q183_stream", mode="update", state_partitions=16)
     finally:
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nd)

@@ -685,19 +685,6 @@ def winnow_overlap_pairs(
         F.explode(winnow_minimizers(F.col(text_col), k, w)).alias("m"),
     )
     if max_df is not None:
-        # one explicit hash exchange on the bucket key (r13): with the
-        # df-cap the fingerprint frame has THREE consumers — the
-        # df-count aggregate and the two sides of the candidate
-        # self-join — whose subtrees don't canonicalize equal, so the
-        # winnowing Generate (positional hashes + window minima, the
-        # heavy per-doc array work) ran TWICE over the corpus (the two
-        # join sides already shared one exchange). Repartitioning by m
-        # first gives every consumer the partitioning it needs from ONE
-        # reused exchange: the Generate runs once, the df-count
-        # aggregates reducer-locally, and the self-join adds no further
-        # shuffle. (A managed_persist was measured instead and LOST —
-        # columnar cache build/read of the fingerprint rows costs more
-        # than one extra Generate at every SF tried.)
         from pyspark.sql.window import Window
 
         # The cap as a WINDOW count over one explicit exchange on the

@@ -36,7 +36,13 @@ def profile(df: DataFrame, cols: list[str], exact: bool = True) -> DataFrame:
     keyless streaming fold (SortAggregate with no keys needs no sort).
     The input subtree is referenced twice but canonicalizes identically,
     so the scan/exchange is shared via ReusedExchange; the join of two
-    1-row frames is a broadcast of scalars."""
+    1-row frames is a broadcast of scalars.
+
+    Assumes *df* is DETERMINISTIC (a table/file scan or a pure
+    transformation of one): the two aggregation passes re-evaluate it,
+    so a non-deterministic input (``df.sample()``, ``rand()``-derived
+    columns) could feed the count stats and the min/max from different
+    row sets — ``managed_persist(df)`` first in that case."""
     count_aggs = [F.count(F.lit(1)).alias("__n")]
     mm_aggs = []
     for c in cols:
