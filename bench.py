@@ -18,6 +18,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import SparkSession  # noqa: E402
 
+#: nav steps emitted on the bench JSON line — the headline navigation
+#: sequence only. The q07/q10/q12/q04 cold/repeat pairs still run and
+#: print to stderr; trimming them from the LINE keeps it well inside the
+#: driver's stdout tail window (tests/test_bench_contract.py pins the
+#: worst-case line length).
+NAV_EMITTED_STEPS = (
+    "parse", "s1_cold", "s2_repeat", "s3_drill", "s4_drill2", "s5_rollup",
+)
+
 
 def main():
     # The driver parses stdout as ONE JSON line. Anything the JVM, py4j,
@@ -119,15 +128,20 @@ def _run():
         cleanup()
 
     # warm navigation sequence (VERDICT r6 #1): parse -> cold slice ->
-    # repeat/drill/rollup served by the slice cache + rows memo. Short
-    # keys + 4-dp rounding keep the line small (driver stdout window).
+    # repeat/drill/rollup served by the slice cache + rows memo. All
+    # steps still RUN (same methodology as r6-r13; the full step dict
+    # goes to stderr), but only the headline navigation steps are
+    # EMITTED on the JSON line (r14, VERDICT r13 #3): the driver stores
+    # a bounded stdout tail window and the r12 bench record was lost to
+    # exactly this line outgrowing it — every byte of nav is headroom
+    # for the per-query block, which may never shrink.
     nav = {}
     try:
         from tools.bench_nav import engine_nav
 
-        nav = {
-            k: v for k, v in engine_nav(sf_dir)["steps"].items()
-        }
+        steps = engine_nav(sf_dir)["steps"]
+        print(f"bench nav full: {json.dumps(steps)}", file=sys.stderr)
+        nav = {k: steps[k] for k in NAV_EMITTED_STEPS if k in steps}
     except Exception as e:  # pragma: no cover - bench resilience
         print(f"bench nav error: {e}", file=sys.stderr)
 

@@ -517,6 +517,49 @@ def test_key_cardinality_stats_sidecar_and_funnel_routing(spark, tmp_path):
     assert funnel_route(third["ndv"]) == "sharded"
 
 
+def test_max_event_time_stats_sidecar(spark, tmp_path):
+    """Round 14: the streaming gates' sentinel-exclusion bound (max REAL
+    event time of the staged input) is table metadata — the exact inline
+    aggregate, computed once, served cached, recomputed when the table's
+    files change."""
+    import datetime as dt
+
+    from bacon_spark.operators.scale import max_event_time_stats
+
+    path = str(tmp_path / "staged_ev")
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(hours=h), "click" if h < 5 else "sent")
+        for h in range(7)
+    ]
+    spark.createDataFrame(rows, "ts timestamp, event_type string").write.parquet(
+        path
+    )
+    first = max_event_time_stats(spark, path, "ts", exclude_type="sent")
+    # value == the exact inline aggregate the gates previously ran
+    inline = (
+        spark.read.parquet(path)
+        .filter(F.col("event_type") != "sent")
+        .agg(F.max(F.unix_micros("ts")))
+        .first()[0]
+    )
+    assert first["cached"] is False and first["max_us"] == inline
+    assert dt.datetime(1970, 1, 1) + dt.timedelta(
+        microseconds=first["max_us"]
+    ) == base + dt.timedelta(hours=4)
+    second = max_event_time_stats(spark, path, "ts", exclude_type="sent")
+    assert second["cached"] is True and second["max_us"] == first["max_us"]
+    # sentinel-inclusive variant caches under its own key
+    full = max_event_time_stats(spark, path, "ts")
+    assert full["max_us"] > first["max_us"]
+    # file change -> stale -> recomputed
+    spark.createDataFrame(
+        [(base + dt.timedelta(days=30), "click")], "ts timestamp, event_type string"
+    ).write.mode("append").parquet(path)
+    third = max_event_time_stats(spark, path, "ts", exclude_type="sent")
+    assert third["cached"] is False and third["max_us"] > first["max_us"]
+
+
 def test_key_skew_stats_sidecar_cached_and_staleness(spark, tmp_path):
     # VERDICT r5 task #6: the auto-salt decision is table metadata —
     # computed once per ingest, reused across calls, recomputed only
