@@ -94,17 +94,23 @@ def contaminated_ids_bloom(
 
     The bitmap collect is one driver round-trip of m_bits/8 bytes —
     the same cost profile as ``df.stat.bloomFilter``, but the probe
-    stays in codegen instead of a per-row Python call."""
-    from ..utils.caching import managed_persist
+    stays in codegen instead of a per-row Python call.
 
+    r14 (job-trace fold, guide §5): the bitmap is built from the RAW
+    eval gram stream — duplicate grams set the same bits, so the
+    distinct exchange (and the r13 persist whose only point was sharing
+    that distinct with the verify join) is gone from the BLOCKING path
+    that gates the probe plan; the verify broadcast computes its own
+    distinct, the canonical build-side-scanned-twice bloom shape (guide
+    §3.2). The bitmap aggregate's output is structurally bounded
+    (≤ m_bits/64 = 2048 words at any SF), so its collect runs with AQE
+    pinned off: a fixed 2-stage static plan in ONE driver job instead of
+    AQE's per-stage jobs (measured 11→9 jobs for the full query; wall
+    flat within noise at sf0.1, the win is driver round-trips)."""
     text = F.col(text) if isinstance(text, str) else text
     grams = train.select(F.col(id_col), F.explode(shingles(text, k)).alias("gram"))
-    # persisted (r13): the eval shingle set feeds BOTH the bitmap build
-    # (the collect below materializes it) and the exact-verify broadcast
-    # join — unpersisted it was exploded+distinct'd twice, a full second
-    # eval-side scan for nothing. Eval suites are the small side by
-    # construction, so the cache is bounded.
-    ev = managed_persist(eval_shingle_set(eval_df, text, k))
+    raw_ev = eval_df.select(F.explode(shingles(text, k)).alias("gram"))
+    ev = eval_shingle_set(eval_df, text, k)
 
     def positions(gram: Column) -> list[Column]:
         return [
@@ -112,8 +118,8 @@ def contaminated_ids_bloom(
             for i in range(n_hashes)
         ]
 
-    words = (
-        ev.select(F.explode(F.array(*positions(F.col("gram")))).alias("pos"))
+    words_q = (
+        raw_ev.select(F.explode(F.array(*positions(F.col("gram")))).alias("pos"))
         .select(
             (F.col("pos") / 64).cast("long").alias("word"),
             F.call_function(
@@ -122,8 +128,15 @@ def contaminated_ids_bloom(
         )
         .groupBy("word")
         .agg(F.expr("bit_or(bit)").alias("bits"))
-        .collect()
     )
+    spark = eval_df.sparkSession
+    aqe_conf = "spark.sql.adaptive.enabled"
+    prev_aqe = spark.conf.get(aqe_conf)
+    spark.conf.set(aqe_conf, "false")
+    try:
+        words = words_q.collect()
+    finally:
+        spark.conf.set(aqe_conf, prev_aqe)
     bitmap = [0] * (m_bits // 64)
     for r in words:
         bitmap[r["word"]] = r["bits"]
