@@ -222,37 +222,51 @@ def q54_incremental_maintenance(spark, sf_dir):
     exactly, proving the accumulator partial/final contract under
     maintenance (no rescan of the primed half ever happens)."""
     import os
-    import tempfile
+    import shutil
 
     from ..accumulators import Sum as SumAcc
     from ..engine import CuttingBoard
     from ..streaming.incremental import stream_into_board
 
     events = _read(spark, sf_dir, "events")
-    d = tempfile.mkdtemp(prefix="bacon_ivm_")
+    # r14: the IVM staging dir is run-scoped scratch exactly like every
+    # stream checkpoint — scratch_dir puts it on tmpfs (per-micro-batch
+    # fsyncs off the data disk) and, because the final slice is eagerly
+    # checkpointed below (the q141 pattern), the dir is removed instead
+    # of leaking one events copy per run. Measured flat-after-warmup at
+    # sf0.1 (4 interleaved pairs, hashes identical); the cleanup is the
+    # point at sweep SFs, where the leaked copy is GBs of tmpfs.
+    from ..streaming.windows import scratch_checkpoint_conf, scratch_dir
+
+    d = scratch_dir("bacon_ivm_")
     data, ckpt = os.path.join(d, "data"), os.path.join(d, "ckpt")
-    events.filter("event_id % 2 = 0").write.mode("overwrite").parquet(data)
-
-    cd = CubeDef("events")
-    cd.add_label(Label("event_type"))
-    cd.add_measure(Measure("total_value", dec("value"), acc=SumAcc()))
-    cd.add_measure(Measure("n", "event_id", acc=Count()))
-    q = CubeQuery().add_axis("event_type").add_value("total_value").add_value("n")
-
-    b = CuttingBoard(cd, spark.read.parquet(data), snapshot_cache=True)
-    stream = spark.readStream.schema(spark.read.parquet(data).schema).parquet(data)
-    from ..streaming.windows import scratch_checkpoint_conf
-
-    with scratch_checkpoint_conf(spark):  # run-scoped scratch ckpt
-        sq = stream_into_board(stream, b, ckpt)
     try:
-        sq.processAllAvailable()  # catch up before priming (consistency contract)
-        b.slice(q).rows()  # prime the cached slice from the first half
-        events.filter("event_id % 2 = 1").write.mode("append").parquet(data)
-        sq.processAllAvailable()  # delta micro-batch -> refresh merge
+        events.filter("event_id % 2 = 0").write.mode("overwrite").parquet(data)
+
+        cd = CubeDef("events")
+        cd.add_label(Label("event_type"))
+        cd.add_measure(Measure("total_value", dec("value"), acc=SumAcc()))
+        cd.add_measure(Measure("n", "event_id", acc=Count()))
+        q = CubeQuery().add_axis("event_type").add_value("total_value").add_value("n")
+
+        b = CuttingBoard(cd, spark.read.parquet(data), snapshot_cache=True)
+        stream = spark.readStream.schema(spark.read.parquet(data).schema).parquet(data)
+        with scratch_checkpoint_conf(spark):  # run-scoped scratch ckpt
+            sq = stream_into_board(stream, b, ckpt)
+        try:
+            sq.processAllAvailable()  # catch up before priming (consistency contract)
+            b.slice(q).rows()  # prime the cached slice from the first half
+            events.filter("event_id % 2 = 1").write.mode("append").parquet(data)
+            sq.processAllAvailable()  # delta micro-batch -> refresh merge
+        finally:
+            sq.stop()
+        # eager checkpoint (q141's pattern): the returned frame must not
+        # read the scratch dir after the finally below removes it
+        return finalize(b.slice(q).to_df(), {"total_value": 2}).localCheckpoint(
+            eager=True
+        )
     finally:
-        sq.stop()
-    return finalize(b.slice(q).to_df(), {"total_value": 2})
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _stage_q62(spark, sf_dir):
